@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Custom aggregate functions that Spark lacks as builtins.
+  *
+  * Reference registration sites: product / entropy in the distributive
+  * aggregate list (duckdb-4.cpp:14860-14880), histogram in the nested list
+  * (duckdb-5.cpp:1246-1249). Implemented as typed
+  * [[org.apache.spark.sql.expressions.Aggregator]]s — partial-aggregable
+  * (map-side combine happens before the shuffle), so they scale the same
+  * way builtin aggregates do.
+  */
+object Aggs {
+
+  /** product(x): running double product (null inputs skipped; empty → null). */
+  object ProductAgg extends Aggregator[java.lang.Double, (Double, Long), java.lang.Double] {
+    def zero: (Double, Long) = (1.0, 0L)
+    def reduce(b: (Double, Long), a: java.lang.Double): (Double, Long) =
+      if (a == null) b else (b._1 * a, b._2 + 1)
+    def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+      (x._1 * y._1, x._2 + y._2)
+    def finish(b: (Double, Long)): java.lang.Double =
+      if (b._2 == 0) null else Double.box(b._1)
+    def bufferEncoder: Encoder[(Double, Long)] = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** entropy(x): log-2 Shannon entropy of the value distribution
+    * (reference semantics: -Σ p·log2 p over value counts). Buffer is a
+    * value→count map; merge is additive, so the aggregate is distributive
+    * over partitions.
+    */
+  object EntropyAgg extends Aggregator[String, Map[String, Long], java.lang.Double] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b else b.updated(a, b.getOrElse(a, 0L) + 1L)
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val (small, large) = if (x.size < y.size) (x, y) else (y, x)
+      small.foldLeft(large) { case (acc, (k, v)) => acc.updated(k, acc.getOrElse(k, 0L) + v) }
+    }
+    def finish(b: Map[String, Long]): java.lang.Double = {
+      val n = b.values.sum.toDouble
+      if (n == 0) null
+      else Double.box(-b.values.map { c => val p = c / n; p * math.log(p) / math.log(2.0) }.sum)
+    }
+    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
+  }
+
+  /** histogram(x): value → occurrence count map
+    * (reference: nested aggregate `histogram`, duckdb-5.cpp:1246-1249). */
+  object HistogramAgg extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] =
+      if (a == null) b else b.updated(a, b.getOrElse(a, 0L) + 1L)
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] =
+      EntropyAgg.merge(x, y)
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+}

@@ -1,0 +1,195 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function parity layer.
+  *
+  * The reference registers its scalar functions in one master list
+  * (/root/reference/duckdb-5.cpp:5130-5159). ~80% map 1:1 to Spark
+  * builtins (see SURVEY.md §2.8) and need nothing here. This object holds
+  * the remainder as Scala UDFs plus `Column` helpers, registered once per
+  * session. UDFs are deliberately kept OFF hot aggregation paths — bench
+  * queries use Catalyst builtins; these cover the correctness long tail.
+  */
+object DuckFunctions {
+
+  // ---- string similarity (reference: duckdb-6.cpp:5993-6041 registration) ----
+
+  /** strip_accents: NFD-decompose then drop combining marks
+    * (reference impl uses utf8proc, duckdb-utf8proc.cpp). */
+  def stripAccents(s: String): String =
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      .replaceAll("\\p{M}", "")
+
+  /** unicode(s): codepoint of the first character, -1 for empty. */
+  def unicodeCodepoint(s: String): Integer =
+    if (s == null) null
+    else if (s.isEmpty) Int.box(-1)
+    else Int.box(s.codePointAt(0))
+
+  /** mismatches/hamming: positions that differ (strings must be same length). */
+  def hamming(a: String, b: String): java.lang.Long =
+    if (a == null || b == null) null
+    else {
+      require(a.length == b.length, "hamming requires equal-length strings")
+      Long.box(a.zip(b).count { case (x, y) => x != y }.toLong)
+    }
+
+  /** jaccard(s1,s2): Jaccard similarity of the character sets
+    * (reference semantics: set-of-chars, not bigrams). */
+  def jaccardChars(a: String, b: String): java.lang.Double =
+    if (a == null || b == null) null
+    else {
+      val sa = a.toSet; val sb = b.toSet
+      if (sa.isEmpty && sb.isEmpty) Double.box(1.0)
+      else Double.box(sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble)
+    }
+
+  /** Jaro similarity (helper for jaro_winkler). */
+  private def jaro(a: String, b: String): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    if (a.isEmpty || b.isEmpty) return 0.0
+    val window = math.max(a.length, b.length) / 2 - 1
+    val bMatched = new Array[Boolean](b.length)
+    val aMatched = new Array[Boolean](a.length)
+    var matches = 0
+    var i = 0
+    while (i < a.length) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(b.length - 1, i + window)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!bMatched(j) && a(i) == b(j)) {
+          aMatched(i) = true; bMatched(j) = true; matches += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (matches == 0) return 0.0
+    // transpositions: compare matched chars in order
+    var k = 0; var transpositions = 0
+    i = 0
+    while (i < a.length) {
+      if (aMatched(i)) {
+        while (!bMatched(k)) k += 1
+        if (a(i) != b(k)) transpositions += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    (m / a.length + m / b.length + (m - transpositions / 2.0) / m) / 3.0
+  }
+
+  /** jaro_winkler_similarity with standard p=0.1, prefix cap 4. */
+  def jaroWinkler(a: String, b: String): java.lang.Double =
+    if (a == null || b == null) null
+    else {
+      val j = jaro(a, b)
+      val prefix = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+      Double.box(j + prefix * 0.1 * (1.0 - j))
+    }
+
+  // ---- date/time helpers ----
+
+  /** time_bucket(width, ts) as a Column expression: floor the epoch to the
+    * bucket width (reference: duckdb-5.cpp:11399+ time_bucket). Pure
+    * Catalyst — stays inside whole-stage codegen.
+    */
+  def timeBucket(widthSeconds: Long, ts: Column): Column =
+    timestamp_seconds(floor(unix_timestamp(ts) / widthSeconds) * widthSeconds)
+
+  /** Translate a C strftime pattern (reference dialect,
+    * duckdb-5.cpp:11399 strftime) to a Java DateTimeFormatter pattern
+    * usable with Spark's date_format/to_timestamp.
+    */
+  def strftimeToJava(fmt: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var literal = new StringBuilder
+    def flush(): Unit = {
+      if (literal.nonEmpty) {
+        val s = literal.toString
+        // quote anything containing letters
+        if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
+        else sb.append(s)
+        literal = new StringBuilder
+      }
+    }
+    while (i < fmt.length) {
+      if (fmt(i) == '%' && i + 1 < fmt.length) {
+        flush()
+        fmt(i + 1) match {
+          case 'Y' => sb.append("yyyy")
+          case 'y' => sb.append("yy")
+          case 'm' => sb.append("MM")
+          case 'd' => sb.append("dd")
+          case 'H' => sb.append("HH")
+          case 'I' => sb.append("hh")
+          case 'M' => sb.append("mm")
+          case 'S' => sb.append("ss")
+          case 'f' => sb.append("SSSSSS")
+          case 'g' => sb.append("SSS")
+          case 'p' => sb.append("a")
+          case 'a' => sb.append("EEE")
+          case 'A' => sb.append("EEEE")
+          case 'b' => sb.append("MMM")
+          case 'B' => sb.append("MMMM")
+          case 'j' => sb.append("DDD")
+          case 'Z' => sb.append("zzz")
+          case 'z' => sb.append("xxx")
+          case '%' => sb.append("'%'")
+          case other => sb.append(other)
+        }
+        i += 2
+      } else { literal.append(fmt(i)); i += 1 }
+    }
+    flush()
+    sb.toString
+  }
+
+  /** strftime(ts, cFmt) as a Column. */
+  def strftime(ts: Column, cFmt: String): Column = date_format(ts, strftimeToJava(cFmt))
+
+  // ---- pattern matching ----
+
+  /** GLOB pattern → anchored Java regex (reference: LIKE/GLOB family,
+    * duckdb-6.cpp:5993+). */
+  def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    glob.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()+-^$|".contains(c) => sb.append("\\").append(c)
+      case c => sb.append(c)
+    }
+    sb.append("$").toString
+  }
+
+  // ---- registration ----
+
+  private val registeredSessions =
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Register UDFs + UDAFs on the session (idempotent per session). */
+  def register(spark: SparkSession): Unit = {
+    if (registeredSessions.contains(spark)) return
+    synchronized {
+      if (registeredSessions.contains(spark)) return
+      spark.udf.register("strip_accents", udf(stripAccents _))
+      spark.udf.register("unicode", udf(unicodeCodepoint _))
+      spark.udf.register("hamming", udf(hamming _))
+      spark.udf.register("jaccard", udf(jaccardChars _))
+      spark.udf.register("jaro_winkler_similarity", udf(jaroWinkler _))
+      spark.udf.register("product_agg", org.apache.spark.sql.functions.udaf(Aggs.ProductAgg))
+      spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(Aggs.EntropyAgg))
+      spark.udf.register("histogram_agg", org.apache.spark.sql.functions.udaf(Aggs.HistogramAgg))
+      registeredSessions.add(spark)
+    }
+  }
+}

@@ -1,0 +1,732 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.Recursion
+
+/** Relational operator inventory: scans, aggregation, joins, sort/limit,
+  * set operations, windows (SURVEY.md §2.1-2.7).
+  *
+  * Every query here is declarative DataFrame API — Catalyst plans the
+  * physical operators (hash agg partial+final, broadcast vs shuffle join,
+  * TakeOrderedAndProject, …). Aggregate outputs are aliased identically to
+  * the oracle SQL (driver hash-compares by sorted column name) and float
+  * aggregates are rounded the same on both sides so cross-engine summation
+  * order cannot flip a hash.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- scans / in-memory sources (SURVEY §2.1) ----
+
+    "scan_project_filter" -> ((s, dir) => {
+      // projection + predicate reach the parquet scan (PushedFilters)
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= expr("timestamp'1997-01-01 00:00:00'") &&
+          col("l_quantity") > 49.0)
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_shipdate"))
+    }),
+
+    "scan_values" -> ((s, _) => {
+      // literal VALUES relation (reference: ExpressionScan, duckdb-4.cpp:9746)
+      import s.implicits._
+      Seq((1L, "a", 1.5), (2L, "b", -2.25), (3L, null.asInstanceOf[String], 0.0))
+        .toDF("id", "name", "x")
+    }),
+
+    "scan_range" -> ((s, _) => {
+      // range/generate_series table function (duckdb-6.cpp:9492)
+      s.range(1, 101).agg(sum(col("id")).cast("long").as("total"),
+        count(lit(1)).as("n"))
+    }),
+
+    // ---- aggregation (SURVEY §2.4) ----
+
+    "agg_q1_pricing" -> ((s, dir) => {
+      // TPC-H Q1 shape: radix-partitioned hash agg in the reference
+      // (duckdb-3.cpp:8480) = partial+final HashAggregateExec here.
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= expr("timestamp'1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "agg_global" -> ((s, dir) => {
+      // ungrouped (global) aggregate — PhysicalUngroupedAggregate analog
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))
+    }),
+
+    "agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"))
+    }),
+
+    "agg_filtered" -> ((s, dir) => {
+      // FILTER (WHERE …) clause on aggregates (reference: aggregate
+      // filters in PhysicalHashAggregate, duckdb-3.cpp:8480)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        count(when(col("l_quantity") > 25, 1)).as("n_big"),
+        round(sum(when(col("l_discount") > 0.05, col("l_extendedprice"))), 2).as("rev_disc"),
+        round(avg(when(col("l_linestatus") === "F", col("l_quantity"))), 4).as("avg_f_qty"))
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+    }),
+
+    "agg_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+    }),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+    }),
+
+    "agg_stats" -> ((s, dir) => {
+      // algebraic aggregate family (duckdb-4.cpp:12084-12098)
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(stddev_pop(col("l_quantity")), 6).as("sdp_qty"),
+        round(var_samp(col("l_extendedprice")), 4).as("var_price"),
+        round(var_pop(col("l_extendedprice")), 4).as("varp_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("cov_qp"),
+        round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covp_qp"))
+    }),
+
+    "agg_regression" -> ((s, dir) => {
+      // regr_* family (duckdb-5.cpp:1659-1670) — all Spark builtins
+      t(s, dir, "lineitem").groupBy(col("l_linestatus")).agg(
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("r_n"),
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("r_slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("r_icept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r_r2"),
+        round(regr_avgx(col("l_extendedprice"), col("l_quantity")), 4).as("r_avgx"),
+        round(regr_avgy(col("l_extendedprice"), col("l_quantity")), 4).as("r_avgy"))
+    }),
+
+    "agg_minmax_by" -> ((s, dir) => {
+      // arg_min/arg_max (duckdb-4.cpp:14860) = min_by/max_by
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("key_of_max"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("key_of_min"),
+        round(max(col("o_totalprice")), 2).as("max_price"))
+    }),
+
+    "agg_string" -> ((s, dir) => {
+      // ordered string_agg (sorted-aggregate machinery, duckdb-5.cpp:1680)
+      t(s, dir, "nation").groupBy(col("n_regionkey").cast("long").as("rk")).agg(
+        array_join(sort_array(collect_list(col("n_name"))), ",").as("names"),
+        count(lit(1)).as("n"))
+    }),
+
+    "agg_bool_bit" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        bool_and(col("l_quantity") > 0).as("all_pos"),
+        bool_or(col("l_discount") > 0.09).as("any_hi_disc"),
+        bit_and(col("l_suppkey")).as("band"),
+        bit_or(col("l_suppkey")).as("bor"),
+        bit_xor(col("l_suppkey")).as("bxor"))
+    }),
+
+    "agg_quantile" -> ((s, dir) => {
+      // holistic aggregates (duckdb-5.cpp:12-17): exact quantiles + mode
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(median(col("l_quantity")), 4).as("med_qty"),
+        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
+        mode(col("l_linestatus")).as("mode_ls"))
+    }),
+
+    "agg_entropy" -> ((s, dir) => {
+      // custom Aggregator (graft.functions.Aggs.EntropyAgg): log2 entropy
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("entropy_agg(cast(l_linenumber AS string))"), 6).as("ent_ln"),
+        count(lit(1)).as("n"))
+    }),
+
+    "agg_product" -> ((s, dir) => {
+      // custom Aggregator (graft.functions.Aggs.ProductAgg)
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 100)
+        .groupBy(col("l_orderkey")).agg(
+          round(expr("product_agg(1.0 + l_discount)"), 6).as("prod_disc"),
+          count(lit(1)).as("n"))
+    }),
+
+    "agg_approx_distinct" -> ((s, dir) => {
+      // HLL sketch (reference vendors hyperloglog, duckdb-hyperloglog.cpp).
+      // Estimates differ across implementations → rows-only check.
+      t(s, dir, "lineitem").agg(
+        approx_count_distinct(col("l_partkey")).as("apx_part"),
+        approx_count_distinct(col("l_orderkey")).as("apx_order"))
+    }),
+
+    "agg_histogram" -> ((s, dir) => {
+      // nested aggregate histogram → MAP (duckdb-5.cpp:1246); map output
+      // rendered as sorted entries for determinism. Rows-only check.
+      t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
+        expr("sort_array(map_entries(histogram_agg(o_orderpriority)))").as("hist"))
+    }),
+
+    // ---- joins (SURVEY §2.3) ----
+
+    "join_inner" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    "join_multiway_broadcast" -> ((s, dir) => {
+      // TPC-H Q5 shape: fact-to-fact shuffle join + broadcast dims.
+      // At 100 TB the dims stay broadcast; lineitem⋈orders co-shuffles
+      // on orderkey once.
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val c = broadcast(t(s, dir, "customer"))
+      val su = broadcast(t(s, dir, "supplier"))
+      val n = broadcast(t(s, dir, "nation")); val r = broadcast(t(s, dir, "region"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(n, col("s_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name").isin("ASIA", "EUROPE"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    "join_left_outer" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+      o.join(big, col("o_orderkey") === col("l_orderkey"), "left")
+        .groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_matched"),
+          round(sum(coalesce(col("l_quantity"), lit(0.0))), 2).as("sum_qty"))
+    }),
+
+    "join_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_acctbal") > 9000)
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          count(when(col("c_custkey").isNull, 1)).as("n_order_only"),
+          count(when(col("o_orderkey").isNull, 1)).as("n_cust_only"),
+          count(when(col("c_custkey").isNotNull && col("o_orderkey").isNotNull, 1)).as("n_both"))
+    }),
+
+    "join_semi" -> ((s, dir) => {
+      // SEMI join (JoinType duckdb.hpp:13904) — EXISTS
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 250000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"))
+    }),
+
+    "join_anti" -> ((s, dir) => {
+      // ANTI join — NOT EXISTS
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("n_no_orders"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+    }),
+
+    "join_cross" -> ((s, dir) => {
+      val r = t(s, dir, "region"); val n = t(s, dir, "nation")
+      r.crossJoin(n).agg(count(lit(1)).as("n_pairs"),
+        sum(col("r_regionkey") * col("n_nationkey")).cast("long").as("xsum"))
+    }),
+
+    "join_range_inequality" -> ((s, dir) => {
+      // single-inequality range join (PiecewiseMergeJoin analog,
+      // duckdb-3.cpp:17261): supplier×customer on an acctbal band
+      val su = t(s, dir, "supplier")
+      val c = t(s, dir, "customer")
+      su.join(c, col("c_acctbal") > col("s_acctbal") - 10.0 &&
+        col("c_acctbal") <= col("s_acctbal"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    "join_theta_blockwise" -> ((s, dir) => {
+      // arbitrary-expression join cond (BlockwiseNLJoin, duckdb-3.cpp:13965)
+      val n = t(s, dir, "nation"); val r = t(s, dir, "region")
+      n.join(r, col("n_regionkey") === col("r_regionkey") ||
+        length(col("n_name")) === length(col("r_name")))
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "join_positional" -> ((s, dir) => {
+      // positional join (duckdb-4.cpp:10097): zip by row_number
+      val wN = Window.orderBy(col("n_nationkey"))
+      val wR = Window.orderBy(col("r_regionkey"))
+      val n = t(s, dir, "nation").select(col("n_name"), row_number().over(wN).as("rn"))
+      val r = t(s, dir, "region").select(col("r_name"), row_number().over(wR).as("rn"))
+      n.join(r, Seq("rn"), "full_outer")
+        .select(col("rn").cast("long").as("rn"), col("n_name"), col("r_name"))
+    }),
+
+    // ---- sort / limit / top-k (SURVEY §2.6) ----
+
+    "sort_topn" -> ((s, dir) => {
+      // ORDER BY + LIMIT → TakeOrderedAndProject (PhysicalTopN analog)
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"))
+        .limit(10)
+    }),
+
+    "sort_multi_nulls" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_quantity").desc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+        .select(col("l_returnflag"), col("l_quantity"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .limit(100)
+    }),
+
+    "limit_offset" -> ((s, dir) => {
+      t(s, dir, "orders").orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .offset(100).limit(50)
+    }),
+
+    // ---- set operations (SURVEY §2.7) ----
+
+    "set_union_all" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").cast("long").as("nk"))
+      val su = t(s, dir, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+      c.unionAll(su).groupBy(col("nk")).agg(count(lit(1)).as("n"))
+    }),
+
+    "set_union_distinct" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select((col("c_nationkey") % 7).cast("long").as("k"))
+      val su = t(s, dir, "supplier").select((col("s_nationkey") % 5).cast("long").as("k"))
+      c.union(su).distinct()
+    }),
+
+    "set_except" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = t(s, dir, "orders").select(col("o_custkey").as("k"))
+      c.except(o).agg(count(lit(1)).as("n_except"), sum(col("k")).cast("long").as("sum_k"))
+    }),
+
+    "set_intersect" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select((col("c_nationkey") + 10).cast("long").as("k"))
+      val n = t(s, dir, "nation").select(col("n_nationkey").cast("long").as("k"))
+      c.intersect(n)
+    }),
+
+    "set_recursive_cte" -> ((s, _) => {
+      // WITH RECURSIVE (PhysicalRecursiveCTE, duckdb-4.cpp:7608) via the
+      // driver-side fixpoint loop in graft.operators.Recursion
+      import s.implicits._
+      val seed = Seq(1L).toDF("i")
+      val series = Recursion.fixpoint(seed,
+        f => f.filter(col("i") < 20).select((col("i") + 1).as("i")),
+        maxIterations = 25)
+      series.agg(sum(col("i")).cast("long").as("total"), count(lit(1)).as("n"))
+    }),
+
+    // ---- window functions (SURVEY §2.5) ----
+
+    "win_rank_family" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey").cast("long").as("c_nationkey"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        round(percent_rank().over(w), 6).as("prnk"),
+        round(cume_dist().over(w), 6).as("cd"),
+        ntile(4).over(w).cast("long").as("quartile"))
+        .filter(col("rn") <= 20)
+    }),
+
+    "win_lead_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        round(lead(col("o_totalprice"), 2, 0.0).over(w), 2).as("next2_price"),
+        round(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        round(last(col("o_totalprice")).over(wFull), 2).as("last_price"),
+        round(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
+    }),
+
+    "win_frames_rows" -> ((s, dir) => {
+      val base = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      t(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_sum"),
+        round(avg(col("o_totalprice")).over(
+          base.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg3"),
+        count(lit(1)).over(
+          base.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_n"))
+    }),
+
+    "win_frames_range" -> ((s, dir) => {
+      // RANGE frame with a value offset over a numeric order key
+      val w = Window.orderBy(col("o_orderkey")).rangeBetween(-100L, 0L)
+      t(s, dir, "orders").filter(col("o_orderkey") <= 2000).select(
+        col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 2).as("range_sum"),
+        count(lit(1)).over(w).as("range_n"))
+    }),
+
+    "win_qualify" -> ((s, dir) => {
+      // QUALIFY (QualifyBinder, duckdb-internal.hpp:72604): project the
+      // window column, then filter on it
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      t(s, dir, "customer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("c_nationkey").cast("long").as("c_nationkey"),
+          col("c_custkey"), col("c_acctbal"), col("rn").cast("long").as("rn"))
+    }),
+
+    "win_share_of_total" -> ((s, dir) => {
+      // whole-partition windowed aggregate (no ORDER BY)
+      val w = Window.partitionBy(col("l_orderkey"))
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 500).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        round(col("l_extendedprice") / sum(col("l_extendedprice")).over(w), 6).as("share"),
+        count(lit(1)).over(w).as("n_items"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "scan_project_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity > 49.0""".stripMargin,
+
+    "scan_values" ->
+      "SELECT * FROM (VALUES (CAST(1 AS BIGINT),'a',1.5),(2,'b',-2.25),(3,NULL,0.0)) AS v(id, name, x)",
+
+    "scan_range" ->
+      "SELECT CAST(sum(range) AS BIGINT) AS total, count(*) AS n FROM range(1, 101)",
+
+    "agg_q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_extendedprice), 4) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "agg_global" ->
+      """SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders,
+        |  sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem""".stripMargin,
+
+    "agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS nd_part,
+        |  count(DISTINCT l_suppkey) AS nd_supp,
+        |  round(sum(DISTINCT l_quantity), 2) AS sum_d_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_filtered" ->
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_quantity > 25) AS n_big,
+        |  round(sum(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2) AS rev_disc,
+        |  round(avg(l_quantity) FILTER (WHERE l_linestatus = 'F'), 4) AS avg_f_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""".stripMargin,
+
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(stddev_pop(l_quantity), 6) AS sdp_qty,
+        |  round(var_samp(l_extendedprice), 4) AS var_price,
+        |  round(var_pop(l_extendedprice), 4) AS varp_price,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 4) AS covp_qp
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_regression" ->
+      """SELECT l_linestatus,
+        |  regr_count(l_extendedprice, l_quantity) AS r_n,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS r_slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS r_icept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r_r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS r_avgx,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS r_avgy
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "agg_minmax_by" ->
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey, o_totalprice) AS key_of_max,
+        |  arg_min(o_orderkey, o_totalprice) AS key_of_min,
+        |  round(max(o_totalprice), 2) AS max_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "agg_string" ->
+      """SELECT CAST(n_regionkey AS BIGINT) AS rk,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names, count(*) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "agg_bool_bit" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_discount > 0.09) AS any_hi_disc,
+        |  bit_and(l_suppkey) AS band, bit_or(l_suppkey) AS bor,
+        |  bit_xor(l_suppkey) AS bxor
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_quantile" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |  mode(l_linestatus) AS mode_ls
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_entropy" ->
+      """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent_ln, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_product" ->
+      """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc, count(*) AS n
+        |FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey""".stripMargin,
+
+    "join_inner" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "join_multiway_broadcast" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY n_name""".stripMargin,
+
+    "join_left_outer" ->
+      """SELECT o_orderstatus, count(*) AS n_rows, count(l_orderkey) AS n_matched,
+        |  round(sum(coalesce(l_quantity, 0.0)), 2) AS sum_qty
+        |FROM orders LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) AS big
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "join_full_outer" ->
+      """SELECT count(*) AS n_rows,
+        |  count(*) FILTER (WHERE c_custkey IS NULL) AS n_order_only,
+        |  count(*) FILTER (WHERE o_orderkey IS NULL) AS n_cust_only,
+        |  count(*) FILTER (WHERE c_custkey IS NOT NULL AND o_orderkey IS NOT NULL) AS n_both
+        |FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+        |FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+        |  ON c_custkey = o_custkey""".stripMargin,
+
+    "join_semi" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
+
+    "join_anti" ->
+      """SELECT count(*) AS n_no_orders, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "join_cross" ->
+      """SELECT count(*) AS n_pairs,
+        |  CAST(sum(r_regionkey * n_nationkey) AS BIGINT) AS xsum
+        |FROM region CROSS JOIN nation""".stripMargin,
+
+    "join_range_inequality" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10.0 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_theta_blockwise" ->
+      """SELECT count(*) AS n_pairs FROM nation JOIN region
+        |  ON n_regionkey = r_regionkey OR length(n_name) = length(r_name)""".stripMargin,
+
+    "join_positional" ->
+      """WITH n AS (SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |     r AS (SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn FROM region)
+        |SELECT CAST(coalesce(n.rn, r.rn) AS BIGINT) AS rn, n_name, r_name
+        |FROM n FULL OUTER JOIN r ON n.rn = r.rn""".stripMargin,
+
+    "sort_topn" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "sort_multi_nulls" ->
+      """SELECT l_returnflag, l_quantity, l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber
+        |FROM lineitem
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_quantity DESC,
+        |  l_orderkey ASC, l_linenumber ASC
+        |LIMIT 100""".stripMargin,
+
+    "limit_offset" ->
+      """SELECT o_orderkey, o_orderstatus FROM orders
+        |ORDER BY o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    "set_union_all" ->
+      """SELECT nk, count(*) AS n FROM (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        |  UNION ALL
+        |  SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        |) GROUP BY nk""".stripMargin,
+
+    "set_union_distinct" ->
+      """SELECT CAST(c_nationkey % 7 AS BIGINT) AS k FROM customer
+        |UNION
+        |SELECT CAST(s_nationkey % 5 AS BIGINT) AS k FROM supplier""".stripMargin,
+
+    "set_except" ->
+      """SELECT count(*) AS n_except, CAST(sum(k) AS BIGINT) AS sum_k FROM (
+        |  SELECT c_custkey AS k FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey AS k FROM orders
+        |)""".stripMargin,
+
+    "set_intersect" ->
+      """SELECT CAST(c_nationkey + 10 AS BIGINT) AS k FROM customer
+        |INTERSECT
+        |SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation""".stripMargin,
+
+    "set_recursive_cte" ->
+      """WITH RECURSIVE t(i) AS (
+        |  SELECT CAST(1 AS BIGINT) AS i
+        |  UNION
+        |  SELECT i + 1 FROM t WHERE i < 20
+        |)
+        |SELECT CAST(sum(i) AS BIGINT) AS total, count(*) AS n FROM t""".stripMargin,
+
+    "win_rank_family" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |    CAST(row_number() OVER w AS BIGINT) AS rn,
+        |    CAST(rank() OVER w AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |    round(percent_rank() OVER w, 6) AS prnk,
+        |    round(cume_dist() OVER w, 6) AS cd,
+        |    CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC)
+        |) WHERE rn <= 20""".stripMargin,
+
+    "win_lead_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice, 2, 0.0) OVER w, 2) AS next2_price,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price,
+        |  round(last_value(o_totalprice) OVER wf, 2) AS last_price,
+        |  round(nth_value(o_totalprice, 2) OVER wf, 2) AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "win_frames_rows" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_sum,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+        |  count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+        |FROM orders""".stripMargin,
+
+    "win_frames_range" ->
+      """SELECT o_orderkey,
+        |  round(sum(o_totalprice) OVER w, 2) AS range_sum,
+        |  count(*) OVER w AS range_n
+        |FROM orders WHERE o_orderkey <= 2000
+        |WINDOW w AS (ORDER BY o_orderkey RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "win_qualify" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_custkey, c_acctbal,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer
+        |) WHERE rn <= 2""".stripMargin,
+
+    "win_share_of_total" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 6) AS share,
+        |  count(*) OVER (PARTITION BY l_orderkey) AS n_items
+        |FROM lineitem WHERE l_orderkey <= 500""".stripMargin
+  )
+}
