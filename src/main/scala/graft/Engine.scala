@@ -48,7 +48,21 @@ object Engine {
     */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     functions.DuckFunctions.register(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
+    // reader rejects; read nanos as long and convert to µs TimestampType
+    // (truncation documented — all graft time semantics are µs, like the
+    // reference's TIMESTAMP, duckdb.hpp:915).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.find(f => f.name == "ts" &&
+      f.dataType == org.apache.spark.sql.types.LongType) match {
+      case Some(_) =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.col("ts") / 1000 cast
+              org.apache.spark.sql.types.LongType))
+      case None => raw
+    }
   }
 
   /** Register every table of an sf directory as a temp view so that

@@ -18,8 +18,12 @@ object SparkEntry {
     queries("agg_q1_pricing")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.Relational.queries
+    graft.queries.Relational.queries ++
+      graft.queries.ScalarFns.queries ++
+      graft.queries.Pipeline.queries
 
   def oracleSql: Map[String, String] =
-    graft.queries.Relational.oracle
+    graft.queries.Relational.oracle ++
+      graft.queries.ScalarFns.oracle ++
+      graft.queries.Pipeline.oracle
 }

@@ -186,6 +186,8 @@ object DuckFunctions {
       spark.udf.register("hamming", udf(hamming _))
       spark.udf.register("jaccard", udf(jaccardChars _))
       spark.udf.register("jaro_winkler_similarity", udf(jaroWinkler _))
+      spark.udf.register("simhash64", udf(graft.operators.Dedup.simhash64 _))
+      spark.udf.register("lang_id", udf(graft.operators.TextAnalysis.langIdHeuristic _))
       spark.udf.register("product_agg", org.apache.spark.sql.functions.udaf(Aggs.ProductAgg))
       spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(Aggs.EntropyAgg))
       spark.udf.register("histogram_agg", org.apache.spark.sql.functions.udaf(Aggs.HistogramAgg))

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search over an `array<float>` column.
+  *
+  * Baseline is brute-force cosine top-k (broadcast the query set, scan
+  * the corpus once — the right plan at any corpus size when the query set
+  * is small). The scale path is LSH bucketing (random hyperplanes): one
+  * shuffle on the bucket key instead of a full cross product.
+  */
+object Similarity {
+
+  /** dot(a, b) over two array<double> columns — zip_with + aggregate,
+    * fully codegen'd Catalyst expressions. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm of an array<double> column. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine similarity of two array<double> columns. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: for each query vector (small set,
+    * broadcast), the k nearest corpus vectors. Corpus-side norm is
+    * computed once per row; the join is a broadcast nested loop — a
+    * single corpus scan, no shuffle of the corpus itself; the only
+    * shuffle is the final per-query top-k (tiny: k rows per query after
+    * partial TopK).
+    */
+  def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                 vecCol: String, k: Int): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("cv"))
+      .withColumn("cnorm", norm(col("cv")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qnorm", norm(col("qv")))
+    val scored = c.join(broadcast(q), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qv"), col("cv")) / (col("qnorm") * col("cnorm"))).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn").cast("long").as("rn"), col("sim"))
+  }
+
+  /** Deterministic random hyperplanes: `numPlanes` × `dim`, components in
+    * {-1, +1} from a seeded PRNG (sign-random projections preserve cosine
+    * similarity in expectation). Small — intended for literal broadcast.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(numPlanes, dim)(if (rng.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Sign-LSH bucket id: bit p = sign(dot(v, plane_p)). Expression-only
+    * (the planes are folded in as literals), no shuffle.
+    */
+  def lshBucket(vecCol: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = array(p.map(lit): _*)
+      when(dot(vecCol, planeLit) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed approximate NN: bucket every vector, then compute exact
+    * cosine only within buckets. One shuffle (bucket key) instead of a
+    * quadratic cross product — the 100-TB-scale variant of cosineTopK.
+    */
+  def lshNearNeighbors(corpus: DataFrame, idCol: String, vecCol: String,
+                       numPlanes: Int = 12, dim: Int = 64, k: Int = 5): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("bucket"), col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+    val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b").asc)
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

@@ -1,0 +1,242 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
+
+/** Training-data pipeline operators (north-star extras): deduplication,
+  * similarity search, text analysis, multimodal plumbing, streaming.
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- deduplication ----
+
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactKeepFirst(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select(col("doc_id").as("keep_id"), md5(col("text")).as("fp"))
+    }),
+
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      // MinHash+LSH near-dup candidates, exact-Jaccard scored (rows-only:
+      // seeded-hash bucketing is engine-specific)
+      Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, numHashes = 16, numBands = 8)
+        .orderBy(col("jaccard").desc, col("id_a").asc, col("id_b").asc)
+        .limit(50)
+    }),
+
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      // exact 3-gram Jaccard over same-source pairs (oracle-matched)
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), Dedup.shingles(col("text"), 3).as("sh"))
+      val a = d.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
+        .select(col("source"), col("id_a"), col("id_b"),
+          round(Dedup.jaccardSets(col("sh_a"), col("sh_b")), 6).as("jac"))
+        .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
+        .limit(30)
+    }),
+
+    "dedup_simhash" -> ((s, dir) => {
+      // 64-bit SimHash fingerprints (rows-only: hash is engine-specific)
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        callUDF("simhash64", col("text")).as("simhash"))
+        .withColumn("bits", bit_count(col("simhash")).cast("long"))
+    }),
+
+    "dedup_stream_distinct" -> ((s, dir) => {
+      // exact dedup cardinality (oracle); streaming dropDuplicates is
+      // exercised in the EventStreams spec
+      t(s, dir, "events").agg(
+        count(lit(1)).as("n_total"),
+        countDistinct(col("user_id"), col("event_type")).as("n_distinct_pairs"))
+    }),
+
+    // ---- similarity search ----
+
+    "sim_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.cosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("qid"), col("nid"), col("rn"), round(col("sim"), 6).as("sim"))
+    }),
+
+    "sim_lsh_ann" -> ((s, dir) => {
+      // sign-LSH bucketed ANN (rows-only: plane seeds are engine-local)
+      Similarity.lshNearNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",
+        numPlanes = 12, dim = 64, k = 3)
+        .orderBy(col("id_a").asc, col("sim").desc, col("id_b").asc)
+    }),
+
+    // ---- text analysis ----
+
+    "text_quality" -> ((s, dir) => {
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tokens"), col("avg_token_len"),
+          col("alpha_ratio"), col("digit_ratio"), col("stop_ratio"))
+    }),
+
+    "text_tokens_top" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(10)
+    }),
+
+    "text_langid" -> ((s, dir) => {
+      // heuristic language ID (rows-only: heuristic has no SQL oracle)
+      t(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        callUDF("lang_id", col("text")).as("predicted"))
+        .withColumn("agree", col("predicted") === col("lang"))
+    }),
+
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        (length(col("text")).cast("long") === col("n_chars")).as("len_ok"))
+    }),
+
+    // ---- multimodal ----
+
+    "mm_binary_stats" -> ((s, dir) => {
+      // binary-column plumbing: opaque payload + metadata (oracle-matched
+      // on byte lengths + content digests)
+      t(s, dir, "documents")
+        .select(col("source"), encode(col("text"), "UTF-8").as("payload"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("payload"))).as("total_bytes"),
+          countDistinct(md5(col("payload"))).as("nd_fp"))
+    }),
+
+    "mm_features" -> ((s, dir) => {
+      // partition-parallel decode + feature extraction over the typed
+      // Dataset path (rows-only: stub decoder is engine-local)
+      val media = Multimodal.mediaFromDocuments(s, t(s, dir, "documents"))
+      Multimodal.extractFeatures(media).toDF()
+        .select(col("id"), col("nBytes"), round(col("meanByte"), 6).as("mean_byte"),
+          round(col("entropyBits"), 6).as("entropy_bits"))
+    }),
+
+    // ---- streaming (real Structured Streaming via AvailableNow) ----
+
+    "stream_tumbling" -> ((s, dir) => {
+      EventStreams.runToBatch(s, dir, s"tumb_${System.nanoTime()}",
+        EventStreams.tumbling(_, "5 minutes"))
+    }),
+
+    "stream_sliding" -> ((s, dir) => {
+      EventStreams.runToBatch(s, dir, s"slide_${System.nanoTime()}",
+        EventStreams.sliding(_, "10 minutes", "5 minutes"))
+    }),
+
+    "stream_session" -> ((s, dir) => {
+      EventStreams.runToBatch(s, dir, s"sess_${System.nanoTime()}",
+        EventStreams.sessions(_, "30 minutes"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT min(doc_id) AS keep_id, md5(text) AS fp FROM documents GROUP BY text",
+
+    "dedup_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+        |  FROM documents)
+        |SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 1.0
+        |    ELSE len(list_intersect(a.sh, b.sh)) /
+        |         len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jac
+        |FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id
+        |ORDER BY jac DESC, id_a, id_b LIMIT 30""".stripMargin,
+
+    "dedup_stream_distinct" ->
+      """SELECT count(*) AS n_total,
+        |  count(DISTINCT (user_id, event_type)) AS n_distinct_pairs
+        |FROM events""".stripMargin,
+
+    "sim_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |       FROM q JOIN e c ON c.vec_id <> q.vec_id),
+        |r AS (SELECT qid, nid, sim,
+        |        row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+        |      FROM sc)
+        |SELECT qid, nid, CAST(rn AS BIGINT) AS rn, round(sim, 6) AS sim
+        |FROM r WHERE rn <= 10""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(length(replace(text, ' ', '')) /
+        |    greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len,
+        |  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+        |    greatest(length(text), 1), 6) AS alpha_ratio,
+        |  round(length(regexp_replace(text, '[^0-9]', '', 'g')) /
+        |    greatest(length(text), 1), 6) AS digit_ratio,
+        |  round(len(list_filter(string_split(text, ' '),
+        |    w -> list_contains(['the','a','an','of','to','and','in','is','it','for'], w))) /
+        |    greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "text_tokens_top" ->
+      """SELECT tok, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 10""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  length(text) = n_chars AS len_ok
+        |FROM documents""".stripMargin,
+
+    "mm_binary_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  count(DISTINCT md5(text)) AS nd_fp
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "stream_tumbling" ->
+      """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS ws,
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "stream_sliding" ->
+      """WITH e AS (SELECT floor(epoch(ts) / 300) * 300 AS b, value FROM events),
+        |x AS (SELECT unnest([b, b - 300]) AS ws_s, value FROM e)
+        |SELECT CAST(to_timestamp(ws_s) AS TIMESTAMP) AS ws, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "stream_session" ->
+      """WITH o AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events),
+        |m AS (SELECT user_id, ts, value,
+        |    CASE WHEN pts IS NULL OR epoch(ts) - epoch(pts) >= 1800 THEN 1 ELSE 0 END AS ns
+        |  FROM o),
+        |g AS (SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, sid""".stripMargin
+  )
+}

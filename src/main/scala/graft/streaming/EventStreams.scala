@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming layer over the events table (SURVEY.md §2.10:
+  * the reference is batch-only; this is the additive streaming module).
+  *
+  * Transforms are defined once and applied to either a batch or a
+  * streaming DataFrame — the standard "write the logic once" pattern.
+  * `runToBatch` actually drives Structured Streaming (file source →
+  * watermark → windowed agg → memory sink, Trigger.AvailableNow), so the
+  * streaming path itself is what gets verified.
+  */
+object EventStreams {
+
+  /** events schema as stored (ts read as long nanos — see Engine.table). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming read of the events parquet (ns → µs timestamp).
+    *
+    * The file stream source monitors a DIRECTORY; the test data is a
+    * single file, so it is staged (hard-linked/copied) into a temp dir —
+    * in production the source would already be a directory of arriving
+    * files.
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val staged = stageDir(dir)
+    spark.readStream.schema(eventsSchema)
+      .parquet(staged)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  private val stageCache = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageDir(dir: String): String = stageCache.getOrElseUpdate(dir, {
+    import java.nio.file._
+    val tmp = Files.createTempDirectory("graft_events_")
+    val src = Paths.get(dir, "events.parquet")
+    val dst = tmp.resolve("events.parquet")
+    try Files.createLink(dst, src)
+    catch { case _: Exception => Files.copy(src, dst) }
+    tmp.toFile.deleteOnExit()
+    tmp.toString
+  })
+
+  /** Tumbling-window aggregate (watermarked). */
+  def tumbling(events: DataFrame, width: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+
+  /** Sliding-window aggregate. */
+  def sliding(events: DataFrame, width: String, slide: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), width, slide))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("ws"), col("n"), col("sum_value"))
+
+  /** Session windows per user (gap-based). */
+  def sessions(events: DataFrame, gap: String): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(date_trunc("second", col("session_window.start")).as("session_start"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  /** Streaming dedup within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  /** Drive a streaming transform to completion (AvailableNow → memory
+    * sink, complete mode) and return the result as a batch DataFrame.
+    * This is a REAL Structured Streaming execution — micro-batches,
+    * state store, watermarks — not a batch rewrite.
+    */
+  def runToBatch(spark: SparkSession, dir: String, name: String,
+                 transform: DataFrame => DataFrame): DataFrame = {
+    val q = transform(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  /** Same as runToBatch but append-mode (for non-aggregating transforms
+    * like streaming dedup). */
+  def runToBatchAppend(spark: SparkSession, dir: String, name: String,
+                       transform: DataFrame => DataFrame): DataFrame = {
+    val q = transform(readEvents(spark, dir))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+}

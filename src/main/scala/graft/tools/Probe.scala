@@ -1,0 +1,28 @@
+package graft.tools
+
+import graft.Engine
+
+/** Dev diagnostic: print schema + a few rows + the formatted plan of a
+  * parquet file or an inventory query. Usage:
+  *   runMain graft.tools.Probe <parquet-path>
+  *   runMain graft.tools.Probe query <name> <sfDir>
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = Engine.session("local[4]")
+    args match {
+      case Array("query", name, sfDir) =>
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.printSchema()
+        df.show(10, truncate = false)
+        df.explain("formatted")
+      case Array(path) =>
+        val df = spark.read.parquet(path)
+        df.printSchema()
+        df.show(5, truncate = false)
+        println(s"count=${df.count()}")
+      case _ => System.err.println("usage: Probe <path> | Probe query <name> <sfDir>")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactKeepFirst keeps lowest order value per key") {
+    val df = Seq((3L, "x"), (1L, "x"), (2L, "y")).toDF("id", "k")
+    val out = Dedup.exactKeepFirst(df, Seq("k"), "id")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((1L, "x"), (2L, "y")))
+  }
+
+  test("shingles builds distinct word n-grams") {
+    val df = Seq("a b c d", "a a a a", "short").toDF("t")
+    val out = df.select(Dedup.shingles(col("t"), 3).as("sh")).collect()
+      .map(_.getSeq[String](0).toSet)
+    assert(out(0) == Set("a b c", "b c d"))
+    assert(out(1) == Set("a a a"))
+    assert(out(2) == Set.empty) // fewer words than n → no shingles
+  }
+
+  test("jaccardSets exact") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccardSets(col("x"), col("y"))).head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("minhashCandidates finds a planted near-duplicate") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    val docs = (Seq(base, nearDup) ++ (1 to 20).map(i =>
+      s"completely different text number $i with other words entirely unrelated $i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.5 })
+  }
+
+  test("simhash near-identical texts have small hamming distance") {
+    val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every day")
+    val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every night")
+    val c = Dedup.simhash64("zebra xylophone quartz jigsaw vortex blitz nymph dwarf glyph")
+    assert(Dedup.simhashDistance(a, a) == 0)
+    assert(Dedup.simhashDistance(a, b) < Dedup.simhashDistance(a, c))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Seq(1.0, 0.0), Seq(0.0, 1.0)), (Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 0.0) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("cosineTopK ranks the aligned vector first") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.0f, 0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(corpus, corpus.filter($"vec_id" === 1), "vec_id", "embedding", 2)
+      .orderBy("rn").collect()
+    assert(out(0).getAs[Long]("nid") == 2L)
+  }
+
+  test("lshBucket groups aligned vectors") {
+    val planes = Similarity.hyperplanes(8, 3)
+    val df = Seq((1L, Seq(1.0, 0.1, 0.0)), (2L, Seq(0.9, 0.11, 0.01)), (3L, Seq(-1.0, -0.1, 0.0)))
+      .toDF("id", "v")
+    val buckets = df.select(col("id"), Similarity.lshBucket(col("v"), planes).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(buckets(1L) == buckets(2L))
+    assert(buckets(1L) != buckets(3L))
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quality features on known text") {
+    val df = Seq((1L, "the cat sat on a mat")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(df, "text").head()
+    assert(r.getAs[Long]("n_tokens") == 6L)
+    assert(math.abs(r.getAs[Double]("stop_ratio") - 2.0 / 6.0) < 1e-6)
+    assert(r.getAs[Double]("digit_ratio") == 0.0)
+  }
+
+  test("langId heuristic: CJK and marker words") {
+    assert(TextAnalysis.langIdHeuristic("你好世界你好世界") == "zh")
+    assert(TextAnalysis.langIdHeuristic("the cat is on the mat") == "en")
+    assert(TextAnalysis.langIdHeuristic("el perro y la casa que de") == "es")
+    assert(TextAnalysis.langIdHeuristic("") == "und")
+  }
+
+  test("fingerprint is whitespace/case normalized") {
+    val df = Seq("A  B c", "a b C").toDF("t")
+    val fps = df.select(TextAnalysis.fingerprint(col("t"))).collect().map(_.getString(0))
+    assert(fps(0) == fps(1))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("extractFeatures runs partition-parallel and is deterministic") {
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "hello world".getBytes("UTF-8"), "image/fake", 8, 8),
+      Multimodal.MediaRecord(2L, Array.emptyByteArray, "image/fake", 8, 8))
+      .toDS().repartition(2)
+    val feats = Multimodal.extractFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).nBytes == 11L)
+    assert(feats(0).thumbnail.length == 64)
+    assert(feats(1).nBytes == 0L && feats(1).entropyBits == 0.0)
+    val again = Multimodal.extractFeatures(ds).collect().sortBy(_.id)
+    assert(feats(0).meanByte == again(0).meanByte)
+  }
+
+  test("sampleFrames strides over payload chunks") {
+    val ds = Seq(Multimodal.MediaRecord(1L, (0 until 100).map(_.toByte).toArray, "video/fake", 0, 0)).toDS()
+    val frames = Multimodal.sampleFrames(ds, frameBytes = 10, stride = 2).collect()
+    assert(frames.length == 5) // chunks 0,2,4,6,8
+  }
+}
+
+class RecursionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fixpoint computes transitive closure") {
+    val edges = Seq((1, 2), (2, 3), (3, 4)).toDF("src", "dst")
+    val seed = edges
+    val closure = Recursion.fixpoint(seed, f =>
+      f.as("f").join(edges.as("e"), col("f.dst") === col("e.src"))
+        .select(col("f.src").as("src"), col("e.dst").as("dst")), 10)
+    val got = closure.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(got == Set((1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4)))
+  }
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Drives real Structured Streaming (file source → watermark → state →
+  * memory sink) against the sf0.001 events table. */
+class EventStreamsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("tumbling window counts sum to the batch row count") {
+    val out = EventStreams.runToBatch(spark, dir, s"t_${System.nanoTime()}",
+      EventStreams.tumbling(_, "5 minutes"))
+    val batchCount = graft.Engine.table(spark, dir, "events").count()
+    assert(out.agg(sum("n")).head().getLong(0) == batchCount)
+  }
+
+  test("sliding windows double-count each event (width = 2x slide)") {
+    val out = EventStreams.runToBatch(spark, dir, s"s_${System.nanoTime()}",
+      EventStreams.sliding(_, "10 minutes", "5 minutes"))
+    val batchCount = graft.Engine.table(spark, dir, "events").count()
+    assert(out.agg(sum("n")).head().getLong(0) == 2 * batchCount)
+  }
+
+  test("streaming dedup emits at most one row per (user, event_type)") {
+    val out = EventStreams.runToBatchAppend(spark, dir, s"d_${System.nanoTime()}",
+      EventStreams.dedup)
+    val dupes = out.groupBy("user_id", "event_type").count().filter(col("count") > 1).count()
+    assert(dupes == 0)
+    assert(out.count() > 0)
+  }
+}

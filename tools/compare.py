@@ -24,7 +24,10 @@ rows_only = [d for d in sorted(os.listdir(out))
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
     # datetimes → ns, ints → int64 for cross-engine dtype stability
+    import datetime
     for c in df.columns:
+        if df[c].dtype == object and df[c].map(lambda v: isinstance(v, datetime.date) or v is None).all() and df[c].notnull().any():
+            df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype('datetime64[us]')
         elif pd.api.types.is_integer_dtype(df[c]):
