@@ -51,12 +51,99 @@ object Dedup {
         xxhash64(concat_ws("_",
           slice(signatureCol, b * rows + 1, lit(rows)).cast("array<string>")), b).as("bucket")))
 
-  /** Exact Jaccard similarity of two (distinct-element) array columns. */
+  /** Exact Jaccard similarity of two (distinct-element) array columns.
+    * |A∪B| is derived as |A|+|B|-|A∩B| — one array traversal instead of
+    * two (array_union is as expensive as array_intersect).
+    */
   def jaccardSets(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val union = size(array_union(a, b)).cast("double")
+    val union = size(a).cast("double") + size(b).cast("double") - inter
     when(union === 0, 1.0).otherwise(inter / union)
   }
+
+  /** Hash a string-shingle set to a long-shingle set: set cardinalities —
+    * and therefore Jaccard — are preserved (64-bit collisions are
+    * negligible), while pairwise intersection compares longs instead of
+    * strings. The scale move for quadratic candidate scoring.
+    */
+  def hashShingles(shinglesCol: Column): Column =
+    array_distinct(transform(shinglesCol, s => xxhash64(s)))
+
+  // ---- JIT'd hot path ----------------------------------------------------
+  // Catalyst higher-order lambdas (transform/aggregate) evaluate
+  // interpreted per element; for millions of hash evaluations a compiled
+  // Scala kernel is ~10x faster. These UDFs are the hot-path versions of
+  // the expression forms above — same semantics, same determinism.
+
+  private def fnv64(s: String, from: Int, until: Int, seed: Long): Long = {
+    var h = seed
+    var i = from
+    while (i < until) { h ^= s.charAt(i); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def mix64(x0: Long): Long = {
+    // splitmix64 finalizer
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** Distinct, sorted hashed word n-gram shingles of a text. */
+  def hashedShingles(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.emptyLongArray
+    // word boundaries without materializing the split
+    val bounds = scala.collection.mutable.ArrayBuffer(-1)
+    var i = 0
+    while (i < text.length) { if (text.charAt(i) == ' ') bounds += i; i += 1 }
+    bounds += text.length
+    val nWords = bounds.length - 1
+    if (nWords < n) return Array.emptyLongArray
+    val out = new Array[Long](nWords - n + 1)
+    var w = 0
+    while (w + n <= nWords) {
+      // hash the span covering words w .. w+n-1 (includes separators)
+      out(w) = fnv64(text, bounds(w) + 1, bounds(w + n), 0xcbf29ce484222325L)
+      w += 1
+    }
+    val distinct = out.distinct
+    java.util.Arrays.sort(distinct)
+    distinct
+  }
+
+  /** MinHash signature over hashed shingles (compiled kernel). */
+  def minhashSig(sh: Seq[Long], numHashes: Int): Array[Long] = {
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val it = sh.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var i = 0
+      while (i < numHashes) {
+        val v = mix64(h ^ (i * 0x9e3779b97f4a7c15L))
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** Jaccard of two SORTED long arrays — two-pointer merge, O(n+m). */
+  def jaccardSortedLongs(a: Seq[Long], b: Seq[Long]): Double = {
+    val xa = a.toArray; val xb = b.toArray
+    if (xa.isEmpty && xb.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < xa.length && j < xb.length) {
+      if (xa(i) == xb(j)) { inter += 1; i += 1; j += 1 }
+      else if (xa(i) < xb(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (xa.length + xb.length - inter).toDouble
+  }
+
+  val hashedShinglesUdf = udf(hashedShingles _)
+  val minhashSigUdf = udf(minhashSig _)
+  val jaccardSortedLongsUdf = udf(jaccardSortedLongs _)
 
   /** MinHash+LSH near-duplicate candidate pairs, scored with exact
     * shingle Jaccard.
@@ -69,23 +156,34 @@ object Dedup {
     * explode; same move as a salting cutoff).
     */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, numHashes: Int = 16, numBands: Int = 8,
+                        shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
     val rows = numHashes / numBands
-    val withBands = df
-      .select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
+    val sh = df
+      .select(col(idCol).as("id"),
+        hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("band", explode(bandKeys(minhashSignature(col("sh"), numHashes), numBands, rows)))
-      .select(col("id"), col("sh"), col("band.band").as("band"), col("band.bucket").as("bucket"))
+    // band-join carries only (band, bucket, id) — the shingle arrays are
+    // re-joined for scoring AFTER candidate dedup, so the wide rows never
+    // go through the candidate shuffle
+    val withBands = sh
+      .select(col("id"), minhashSigUdf(col("sh"), lit(numHashes)).as("sig"))
+      .select(col("id"), explode(bandKeys(col("sig"), numBands, rows)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
     val pruned = withBands
       .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bucket")))
       .filter(col("bsize") <= maxBucket)
-    val a = pruned.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSortedLongsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** 64-bit SimHash over whitespace tokens (deterministic; seed via

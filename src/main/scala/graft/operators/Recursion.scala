@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** Recursive-CTE evaluation (reference: LogicalRecursiveCTE
   * duckdb.hpp:9302, PhysicalRecursiveCTE duckdb-4.cpp:7608-7790 — iterate
@@ -23,16 +24,42 @@ object Recursion {
     */
   def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,
                maxIterations: Int = 100): DataFrame = {
+    val spark = seed.sparkSession
+    // AQE re-plans every micro-iteration (several jobs per round) — for
+    // the small per-step frames of a recursion that's pure overhead.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try fixpointLoop(seed, step, maxIterations)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  private def fixpointLoop(seed: DataFrame, step: DataFrame => DataFrame,
+                           maxIterations: Int): DataFrame = {
     var acc = seed.distinct().localCheckpoint()
     var frontier = acc
     var i = 0
     var done = false
+    val cols = seed.columns
     while (!done && i < maxIterations) {
-      // new rows not yet in the accumulated result (UNION dedup semantics)
-      val next = step(frontier).distinct().exceptAll(acc).localCheckpoint()
+      // new rows not yet in the accumulated result (UNION dedup
+      // semantics). Null-safe anti join — lighter plan than exceptAll
+      // (AQE broadcasts the small side instead of shuffling both).
+      val stepped = step(frontier).distinct()
+      // rename the acc side to fresh attributes — a step that re-joins the
+      // same base relations would otherwise collide attribute ids
+      val accR = acc.toDF(cols.map(c => s"__acc_$c"): _*)
+      val next = stepped
+        .join(accR, cols.map(c => stepped.col(c) <=> accR.col(s"__acc_$c")).reduce(_ && _), "left_anti")
+        .localCheckpoint()
       if (next.isEmpty) done = true
       else {
-        acc = acc.unionAll(next).localCheckpoint()
+        // acc stays a plain union of already-checkpointed pieces — no
+        // recompute risk, and no extra job per iteration
+        acc = acc.unionAll(next)
         frontier = next
       }
       i += 1

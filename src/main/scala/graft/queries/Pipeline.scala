@@ -35,12 +35,13 @@ object Pipeline {
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // exact 3-gram Jaccard over same-source pairs (oracle-matched)
       val d = t(s, dir, "documents")
-        .select(col("doc_id"), col("source"), Dedup.shingles(col("text"), 3).as("sh"))
+        .select(col("doc_id"), col("source"),
+          Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
       val a = d.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
-          round(Dedup.jaccardSets(col("sh_a"), col("sh_b")), 6).as("jac"))
+          round(Dedup.jaccardSortedLongsUdf(col("sh_a"), col("sh_b")), 6).as("jac"))
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
         .limit(30)
     }),
