@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, when}
 
 /** Session + catalog facade for the graft engine.
   *
@@ -76,6 +77,58 @@ object Engine {
     }
   }
 
-  /** SQL passthrough (the reference's Connection::Query). */
-  def sql(spark: SparkSession, query: String): DataFrame = spark.sql(query)
+  /** SQL entry point (the reference's Connection::Query,
+    * duckdb-7.cpp:2453) with dialect pre-rewrites (QUALIFY, DISTINCT ON,
+    * LIMIT n%, USING SAMPLE, read_csv replacement scans). */
+  def sql(spark: SparkSession, query: String): DataFrame =
+    SqlDialect.sql(spark, query)
+
+  // ---- in-memory catalog DML (reference: PhysicalInsert/Delete/Update,
+  // duckdb-4.cpp:9996-10015; here emulated over temp views — Spark is not
+  // a transactional store, SURVEY.md §2.11) ----
+
+  /** CREATE TABLE name AS df. */
+  def createTable(spark: SparkSession, name: String, df: DataFrame): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** INSERT INTO name (append rows; lineage truncated so repeated inserts
+    * don't stack plans). */
+  def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit =
+    spark.table(name).unionByName(rows).localCheckpoint().createOrReplaceTempView(name)
+
+  /** DELETE FROM name WHERE cond. */
+  def deleteWhere(spark: SparkSession, name: String, cond: Column): Unit =
+    spark.table(name).filter(!cond).localCheckpoint().createOrReplaceTempView(name)
+
+  /** UPDATE name SET col = value WHERE cond. */
+  def updateWhere(spark: SparkSession, name: String, cond: Column,
+                  assignments: Map[String, Column]): Unit = {
+    val t = spark.table(name)
+    val updated = assignments.foldLeft(t) { case (acc, (c, v)) =>
+      acc.withColumn(c, when(cond, v).otherwise(col(c)))
+    }
+    updated.localCheckpoint().createOrReplaceTempView(name)
+  }
+
+  // ---- introspection (reference: duckdb_tables()/pragma_table_info,
+  // duckdb-6.cpp:14150-14176) ----
+
+  /** duckdb_tables() analog. */
+  def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect()
+      .map(t => (t.name, t.tableType, t.isTemporary)).toSeq
+      .toDF("table_name", "table_type", "temporary")
+  }
+
+  /** pragma_table_info(name) analog. */
+  def tableInfo(spark: SparkSession, name: String): DataFrame = {
+    import spark.implicits._
+    spark.table(name).schema.fields.zipWithIndex
+      .map { case (f, i) => (i, f.name, f.dataType.simpleString, f.nullable) }.toSeq
+      .toDF("cid", "name", "type", "nullable")
+  }
+
+  /** SUMMARIZE analog (duckdb-6.cpp:9493). */
+  def summarize(df: DataFrame): DataFrame = df.summary()
 }

@@ -20,10 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.ScalarFns.queries ++
-      graft.queries.Pipeline.queries
+      graft.queries.Pipeline.queries ++
+      graft.queries.Extended.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.ScalarFns.oracle ++
-      graft.queries.Pipeline.oracle
+      graft.queries.Pipeline.oracle ++
+      graft.queries.Extended.oracle
 }

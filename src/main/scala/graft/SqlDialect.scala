@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dialect shim: pre-rewrites for reference-SQL constructs Spark SQL
+  * lacks (SURVEY.md §7.2 step 3). Light, paren-aware text transforms over
+  * a documented subset — not a full grammar (the reference itself vendors
+  * a whole Postgres parser, duckdb-libpg_query.cpp; Catalyst is ours).
+  *
+  * Supported rewrites:
+  *  - `QUALIFY <pred>`  → wrap in a subquery and filter (pred must
+  *    reference select-list aliases, the common usage)
+  *  - `SELECT DISTINCT ON (k1, …) … ORDER BY s1, …` → row_number window
+  *  - `LIMIT <p>%` → executed count + limit
+  *  - `USING SAMPLE <n> ROWS` / `USING SAMPLE <p>%` → limit / sample
+  *  - `FROM read_csv('path')` / `FROM 'x.csv'` replacement scan →
+  *    registered temp view over spark.read.csv
+  */
+object SqlDialect {
+
+  /** Top-level (paren-depth-0, outside quotes) index of a keyword. */
+  private def topLevelIndex(sql: String, kw: String): Int = {
+    val upper = sql.toUpperCase
+    var depth = 0
+    var inStr = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(kw, i) &&
+            (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) &&
+            (i + kw.length >= sql.length || !upper.charAt(i + kw.length).isLetterOrDigit))
+            return i
+      }
+      i += 1
+    }
+    -1
+  }
+
+  private val limitPercent = """(?is)\bLIMIT\s+([0-9.]+)\s*%\s*$""".r
+  private val usingSampleRows = """(?is)\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b""".r
+  private val usingSamplePct = """(?is)\bUSING\s+SAMPLE\s+([0-9.]+)\s*%""".r
+  private val readCsvFn = """(?is)\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*\)""".r
+  private val bareCsv = """(?is)\bFROM\s+'([^']+\.csv)'""".r
+  private val distinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
+
+  /** Rewrite + execute. */
+  def sql(spark: SparkSession, query: String): DataFrame = {
+    var q = query.trim.stripSuffix(";")
+
+    // replacement scans: read_csv('p') / FROM 'x.csv' → temp view
+    q = readCsvFn.replaceAllIn(q, m => registerCsv(spark, m.group(1)))
+    q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1)))
+
+    // LIMIT p% → run + limit
+    limitPercent.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val pct = m.group(1).toDouble
+        val base = spark.sql(rewriteCore(spark, q.substring(0, m.start)))
+        val n = math.ceil(base.count() * pct / 100.0).toLong
+        return base.limit(n.toInt)
+      case None =>
+    }
+
+    // USING SAMPLE → Spark TABLESAMPLE (works at any nesting depth)
+    q = usingSampleRows.replaceAllIn(q, m => s"TABLESAMPLE (${m.group(1)} ROWS)")
+    q = usingSamplePct.replaceAllIn(q, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
+
+    spark.sql(rewriteCore(spark, q))
+  }
+
+  /** Text-level rewrites that stay inside one SQL statement. */
+  private[graft] def rewriteCore(spark: SparkSession, query: String): String = {
+    var q = query
+
+    // QUALIFY pred [ORDER BY …] → subquery + WHERE
+    val qi = topLevelIndex(q, "QUALIFY")
+    if (qi >= 0) {
+      val rest = q.substring(qi + "QUALIFY".length)
+      val oi = topLevelIndex(rest, "ORDER")
+      val (pred, tail) = if (oi >= 0) (rest.substring(0, oi), rest.substring(oi)) else (rest, "")
+      q = s"SELECT * FROM (${q.substring(0, qi)}) __qualify WHERE ($pred) $tail"
+    }
+
+    // SELECT DISTINCT ON (keys) cols FROM … [ORDER BY s] →
+    //   row_number() OVER (PARTITION BY keys ORDER BY s) = 1
+    if (distinctOn.findFirstIn(q).isDefined) {
+      val open = q.indexOf('(', q.toUpperCase.indexOf("ON"))
+      var depth = 1; var i = open + 1
+      while (depth > 0 && i < q.length) {
+        if (q.charAt(i) == '(') depth += 1
+        else if (q.charAt(i) == ')') depth -= 1
+        i += 1
+      }
+      val keys = q.substring(open + 1, i - 1)
+      val afterKeys = q.substring(i) // "cols FROM … [WHERE …] [ORDER BY …]"
+      val oi = topLevelIndex(afterKeys, "ORDER")
+      val (body, order) =
+        if (oi >= 0) (afterKeys.substring(0, oi),
+          afterKeys.substring(oi + "ORDER".length).trim.stripPrefix("BY").trim)
+        else (afterKeys, keys)
+      val fi = topLevelIndex(body, "FROM")
+      require(fi >= 0, "DISTINCT ON rewrite needs a FROM clause")
+      val proj = body.substring(0, fi).trim
+      val fromRest = body.substring(fi)
+      q = s"""SELECT * EXCEPT (__rn) FROM (
+             |  SELECT $proj, row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __rn
+             |  $fromRest
+             |) WHERE __rn = 1""".stripMargin
+    }
+
+    q
+  }
+
+  private def registerCsv(spark: SparkSession, path: String): String = {
+    val view = "csv_" + math.abs(path.hashCode).toString
+    spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(path).createOrReplaceTempView(view)
+    view
+  }
+}

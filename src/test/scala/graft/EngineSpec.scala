@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class SqlDialectSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def people() = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0), (4L, "b", 7.0))
+    .toDF("id", "grp", "v").createOrReplaceTempView("people")
+
+  test("QUALIFY rewrites to subquery filter") {
+    people()
+    val out = SqlDialect.sql(spark,
+      """SELECT id, grp, row_number() OVER (PARTITION BY grp ORDER BY v DESC) AS rn
+        |FROM people QUALIFY rn = 1""".stripMargin)
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "a"), (4L, "b")))
+  }
+
+  test("DISTINCT ON keeps first row per key by ORDER BY") {
+    people()
+    val out = SqlDialect.sql(spark,
+      "SELECT DISTINCT ON (grp) grp, id, v FROM people ORDER BY v DESC, id")
+      .orderBy("grp").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a", 2L), ("b", 4L)))
+  }
+
+  test("LIMIT n% limits to a fraction of the result") {
+    people()
+    val out = SqlDialect.sql(spark, "SELECT id FROM people ORDER BY id LIMIT 50%")
+    assert(out.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("USING SAMPLE n ROWS bounds the row count") {
+    people()
+    assert(SqlDialect.sql(spark, "SELECT * FROM people USING SAMPLE 3 ROWS").count() == 3)
+  }
+
+  test("read_csv replacement scan") {
+    val dir = "target/graft_csv_test/people"
+    graft.sources.Csv.write(Seq((1, "x"), (2, "y")).toDF("k", "s"), dir)
+    val out = SqlDialect.sql(spark, s"SELECT count(*) AS n, sum(k) AS sk FROM read_csv('$dir')")
+    assert(out.head().getLong(0) == 2L)
+  }
+}
+
+class CatalogDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("create / insert / update / delete lifecycle") {
+    Engine.createTable(spark, "t_dml", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    Engine.insertInto(spark, "t_dml", Seq((3L, "c")).toDF("id", "s"))
+    assert(spark.table("t_dml").count() == 3)
+    Engine.updateWhere(spark, "t_dml", col("id") === 2, Map("s" -> lit("B")))
+    assert(spark.table("t_dml").filter(col("s") === "B").count() == 1)
+    Engine.deleteWhere(spark, "t_dml", col("id") === 1)
+    assert(spark.table("t_dml").count() == 2)
+    assert(spark.table("t_dml").filter(col("id") === 1).isEmpty)
+  }
+
+  test("tables / tableInfo / summarize introspection") {
+    Engine.createTable(spark, "t_intro", Seq((1L, 2.5)).toDF("k", "v"))
+    assert(Engine.tables(spark).filter(col("table_name") === "t_intro").count() == 1)
+    val info = Engine.tableInfo(spark, "t_intro").collect()
+    assert(info.map(_.getString(1)).toSeq == Seq("k", "v"))
+    assert(info.map(_.getString(2)).toSeq == Seq("bigint", "double"))
+    assert(Engine.summarize(Seq(1.0, 2.0, 3.0).toDF("x")).count() > 0)
+  }
+
+  test("parameterized SQL (prepared-statement analog)") {
+    Engine.createTable(spark, "t_param", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val out = spark.sql("SELECT count(*) AS n FROM t_param WHERE id > :lo",
+      Map("lo" -> 1L))
+    assert(out.head().getLong(0) == 1L)
+  }
+}
+
+class CsvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("csv write/read roundtrip preserves values incl. doubles and nulls") {
+    val df = Seq((1L, Some(1.5), "x"), (2L, None, "y,z"), (3L, Some(-0.25), null))
+      .toDF("id", "v", "s")
+    val dir = "target/graft_csv_test/roundtrip"
+    graft.sources.Csv.write(df, dir)
+    val back = graft.sources.Csv.read(spark, dir).orderBy("id").collect()
+    assert(back.length == 3)
+    assert(back(0).getDouble(1) == 1.5)
+    assert(back(1).isNullAt(1))
+    assert(back(1).getString(2) == "y,z") // quoted comma survives
+    assert(back(2).getDouble(1) == -0.25)
+  }
+
+  test("reference option names translate (sep, nullstr, header)") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val dir = "target/graft_csv_test/opts"
+    graft.sources.Csv.write(df, dir, Map("sep" -> "|"))
+    val back = graft.sources.Csv.read(spark, dir, Map("delim" -> "|")).collect()
+    assert(back.head.getAs[Number]("id").longValue == 1L && back.head.getString(1) == "a")
+  }
+}
