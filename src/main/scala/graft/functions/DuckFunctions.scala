@@ -191,6 +191,11 @@ object DuckFunctions {
       spark.udf.register("product_agg", org.apache.spark.sql.functions.udaf(Aggs.ProductAgg))
       spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(Aggs.EntropyAgg))
       spark.udf.register("histogram_agg", org.apache.spark.sql.functions.udaf(Aggs.HistogramAgg))
+      // codegen'd native expression (see graft.plans.ArrayDot) — runtime
+      // registration mirror of the GraftExtensions injection path
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("array_dot", graft.plans.ArrayDot.builder, "built-in")
       registeredSessions.add(spark)
     }
   }

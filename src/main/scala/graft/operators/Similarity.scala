@@ -13,10 +13,10 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a, b) over two array<double> columns — zip_with + aggregate,
-    * fully codegen'd Catalyst expressions. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** dot(a, b) over two array<double> columns — the native codegen'd
+    * [[graft.plans.ArrayDot]] expression (registered by
+    * DuckFunctions.register / GraftExtensions). */
+  def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
   /** L2 norm of an array<double> column. */
   def norm(v: Column): Column = sqrt(dot(v, v))

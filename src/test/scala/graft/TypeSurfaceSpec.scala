@@ -1,0 +1,99 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Type-surface fixture: the all-types frame from FIXTURES.md (analog of
+  * the reference's test_all_types() table function, duckdb-6.cpp:14173) —
+  * min/max/null rows for every SURVEY §1.2 type mapping, round-tripped
+  * through parquet.
+  */
+class TypeSurfaceSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("c_bool", BooleanType), StructField("c_i8", ByteType),
+    StructField("c_i16", ShortType), StructField("c_i32", IntegerType),
+    StructField("c_i64", LongType),
+    StructField("c_u64_widened", DecimalType(20, 0)), // UBIGINT widening
+    StructField("c_hugeint", DecimalType(38, 0)),
+    StructField("c_f32", FloatType), StructField("c_f64", DoubleType),
+    StructField("c_decimal", DecimalType(18, 4)),
+    StructField("c_str", StringType), StructField("c_bin", BinaryType),
+    StructField("c_date", DateType), StructField("c_ts", TimestampType),
+    StructField("c_arr", ArrayType(LongType)),
+    StructField("c_map", MapType(StringType, LongType)),
+    StructField("c_struct", StructType(Seq(
+      StructField("a", LongType), StructField("b", StringType)))),
+    StructField("c_nested", ArrayType(StructType(Seq(
+      StructField("k", StringType), StructField("v", ArrayType(DoubleType))))))))
+
+  private def rows = Seq(
+    Row(true, Byte.MaxValue, Short.MaxValue, Int.MaxValue, Long.MaxValue,
+      BigDecimal("18446744073709551615"), BigDecimal("99999999999999999999999999999999999999"),
+      Float.MaxValue, Double.MaxValue, BigDecimal("99999999999999.9999"),
+      "max — ünïcodé ñ 中文 🎉", Array[Byte](1, 2, 3),
+      Date.valueOf("9999-12-31"), Timestamp.valueOf("2260-01-01 23:59:59.999999"),
+      Seq(1L, 2L, 3L), Map("k1" -> 1L), Row(42L, "s"),
+      Seq(Row("x", Seq(1.5, 2.5)))),
+    Row(false, Byte.MinValue, Short.MinValue, Int.MinValue, Long.MinValue,
+      BigDecimal(0), BigDecimal("-99999999999999999999999999999999999999"),
+      Float.MinPositiveValue, -0.0, BigDecimal("-0.0001"),
+      "", Array.emptyByteArray,
+      Date.valueOf("0001-01-01"), Timestamp.valueOf("1677-09-22 00:00:00"),
+      Seq.empty[Long], Map.empty[String, Long], Row(0L, ""),
+      Seq.empty[Row]),
+    Row(null, null, null, null, null, null, null, null, null, null,
+      null, null, null, null, null, null, null, null))
+
+  test("all-types frame round-trips through parquet") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+    val path = "target/graft_types/all_types"
+    df.write.mode("overwrite").parquet(path)
+    val back = spark.read.parquet(path)
+    assert(back.schema == schema)
+    assert(back.count() == 3)
+    // null row stays all-null; max row survives exactly
+    assert(back.filter(col("c_bool").isNull).count() == 1)
+    val mx = back.filter(col("c_bool") === true).head()
+    assert(mx.getAs[Long]("c_i64") == Long.MaxValue)
+    assert(mx.getAs[java.math.BigDecimal]("c_u64_widened").toString == "18446744073709551615")
+    assert(mx.getAs[String]("c_str").contains("中文"))
+    assert(mx.getAs[Row]("c_struct").getLong(0) == 42L)
+  }
+
+  test("expressions operate across the type surface") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq), schema)
+    val r = df.agg(
+      count(col("c_bool")).as("nn"),                 // nulls skipped
+      max(col("c_i64")).as("mx"),
+      sum(col("c_decimal")).as("sd"),
+      max(length(col("c_str"))).as("sl")).head()
+    assert(r.getAs[Long]("nn") == 2L)
+    assert(r.getAs[Long]("mx") == Long.MaxValue)
+    assert(r.getAs[Int]("sl") > 10)
+  }
+
+  test("unsigned widening and hugeint survive arithmetic") {
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.take(1).toSeq), schema)
+    val r = df.select((col("c_u64_widened") + 1).as("u1"),
+      (col("c_hugeint") % 10).as("h1")).head()
+    assert(r.getAs[java.math.BigDecimal]("u1").toString == "18446744073709551616")
+  }
+}
+
+class ArrayDotSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("array_dot matches manual dot product (codegen + interpreted)") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val viaExpr = df.select(expr("array_dot(a, b)")).head().getDouble(0)
+    assert(viaExpr == 32.0)
+    // null element treated as 0; length mismatch takes common prefix
+    val df2 = Seq((Seq[java.lang.Double](1.0, null, 3.0), Seq[java.lang.Double](2.0, 2.0)))
+      .toDF("a", "b")
+    assert(df2.select(expr("array_dot(a, b)")).head().getDouble(0) == 2.0)
+  }
+}
