@@ -131,4 +131,20 @@ object Engine {
 
   /** SUMMARIZE analog (duckdb-6.cpp:9493). */
   def summarize(df: DataFrame): DataFrame = df.summary()
+
+  /** EXPORT DATABASE analog (duckdb-4.cpp:9722): dump every temp-view
+    * table to parquet + a schema.sql DDL script into `outDir`. */
+  def exportDatabase(spark: SparkSession, outDir: String): Unit = {
+    val names = spark.catalog.listTables().collect().filter(_.isTemporary).map(_.name)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val ddl = new StringBuilder
+    names.foreach { n =>
+      val df = spark.table(n)
+      df.write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+      val cols = df.schema.fields.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      ddl.append(s"CREATE TABLE $n ($cols);\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "schema.sql"), ddl.toString)
+  }
 }

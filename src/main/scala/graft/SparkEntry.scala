@@ -21,11 +21,13 @@ object SparkEntry {
     graft.queries.Relational.queries ++
       graft.queries.ScalarFns.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.Extended.queries
+      graft.queries.Extended.queries ++
+      graft.queries.Extended2.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.ScalarFns.oracle ++
       graft.queries.Pipeline.oracle ++
-      graft.queries.Extended.oracle
+      graft.queries.Extended.oracle ++
+      graft.queries.Extended2.oracle
 }

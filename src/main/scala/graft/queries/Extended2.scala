@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Second extended batch: constructor/interval date functions, JSON
+  * property extraction (events.props), discrete quantiles + sem,
+  * LIKE-ESCAPE, dynamic list_aggregate dispatch.
+  */
+object Extended2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** list_aggregate(name) dynamic dispatch (reference:
+    * duckdb-5.cpp:16351 nested list; the name selects the aggregate). */
+  def listAggregate(arr: Column, name: String): Column = name match {
+    case "sum" => aggregate(arr, lit(0.0), (a, x) => a + x)
+    case "avg" => aggregate(arr, lit(0.0), (a, x) => a + x) / size(arr)
+    case "min" => array_min(arr)
+    case "max" => array_max(arr)
+    case "count" => size(arr).cast("long")
+    case other => throw new IllegalArgumentException(s"unsupported list aggregate: $other")
+  }
+
+  /** bar(x, min, max, width): unicode bar chart (duckdb-5.cpp:12022
+    * generic list) — full blocks + one partial block char. */
+  def bar(x: Double, lo: Double, hi: Double, width: Double): String = {
+    if (x.isNaN || hi <= lo) return ""
+    val frac = math.max(0.0, math.min(1.0, (x - lo) / (hi - lo))) * width
+    val full = frac.toInt
+    val partials = " ▏▎▍▌▋▊▉"
+    val rem = ((frac - full) * 8).toInt
+    "█" * full + (if (rem > 0) partials(rem).toString else "")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "fn_datetime_make" -> ((s, dir) => {
+      val ts = col("o_orderdate")
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300).select(
+        col("o_orderkey"),
+        make_date(year(ts), month(ts), dayofmonth(ts)).as("made_date"),
+        make_timestamp(year(ts), month(ts), dayofmonth(ts),
+          hour(ts), minute(ts), lit(0).cast("decimal(8,6)")).as("made_ts"),
+        unix_millis(ts.cast("timestamp")).as("epoch_ms"),
+        date_add(ts.cast("date"), 30).as("plus30d"),
+        (ts - expr("INTERVAL 90 DAY")).as("minus90d"),
+        // month-boundary count (reference date_diff('month') semantics,
+        // NOT months_between's fractional months)
+        ((lit(1998) - year(ts)) * 12 + (lit(1) - month(ts))).cast("long").as("months_to_98"))
+    }),
+
+    "fn_json_props" -> ((s, dir) => {
+      // events.props is a JSON string (reference treats JSON as an
+      // extension; Spark has it native)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    "agg_quantile_disc_sem" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_linestatus")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_disc"),
+        round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
+    }),
+
+    "fn_like_escape" -> ((s, dir) => {
+      // LIKE … ESCAPE (reference like_escape, duckdb-6.cpp:5993)
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        expr("p_type LIKE '%!%%' ESCAPE '!'").as("has_pct"),
+        expr("p_name LIKE '%a!_%' ESCAPE '!'").as("has_underscore"),
+        expr("p_type LIKE 'STANDARD%'").as("std"))
+    }),
+
+    "fn_list_aggregate" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("arr"))
+      base.select(
+        col("l_orderkey"),
+        round(listAggregate(col("arr"), "sum"), 2).as("l_sum"),
+        round(listAggregate(col("arr"), "avg"), 6).as("l_avg"),
+        listAggregate(col("arr"), "min").as("l_min"),
+        listAggregate(col("arr"), "max").as("l_max"),
+        listAggregate(col("arr"), "count").as("l_n"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_datetime_make" ->
+      """SELECT o_orderkey,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+        |    CAST(day(o_orderdate) AS INT)) AS made_date,
+        |  make_timestamp(CAST(year(o_orderdate) AS BIGINT), month(o_orderdate),
+        |    day(o_orderdate), hour(o_orderdate), minute(o_orderdate), 0.0) AS made_ts,
+        |  epoch_ms(o_orderdate) AS epoch_ms,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30d,
+        |  o_orderdate - INTERVAL 90 DAY AS minus90d,
+        |  CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
+        |    AS months_to_98
+        |FROM orders WHERE o_orderkey <= 300""".stripMargin,
+
+    "fn_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "agg_quantile_disc_sem" ->
+      """SELECT l_linestatus,
+        |  quantile_disc(l_extendedprice, 0.5) AS med_disc,
+        |  quantile_disc(l_quantity, 0.9) AS p90_disc,
+        |  round(sem(l_quantity), 8) AS sem_qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "fn_like_escape" ->
+      """SELECT p_partkey,
+        |  like_escape(p_type, '%!%%', '!') AS has_pct,
+        |  like_escape(p_name, '%a!_%', '!') AS has_underscore,
+        |  p_type LIKE 'STANDARD%' AS std
+        |FROM part""".stripMargin,
+
+    "fn_list_aggregate" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+        |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  round(CAST(list_aggregate(arr, 'sum') AS DOUBLE), 2) AS l_sum,
+        |  round(CAST(list_aggregate(arr, 'avg') AS DOUBLE), 6) AS l_avg,
+        |  list_aggregate(arr, 'min') AS l_min,
+        |  list_aggregate(arr, 'max') AS l_max,
+        |  CAST(list_aggregate(arr, 'count') AS BIGINT) AS l_n
+        |FROM b""".stripMargin
+  )
+}
