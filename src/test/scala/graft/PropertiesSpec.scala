@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Metamorphic properties — the analog of the reference's
+  * StatementVerifier (duckdb-internal.hpp:49453: N independent
+  * evaluation paths must agree).
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic generator sampling (raw scalacheck, no scalatestplus
+    * bridge in the offline cache). */
+  private def samples[T](g: Gen[T], n: Int): Seq[T] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A], n: Int = 5)(body: A => Unit): Unit =
+    samples(g, n).foreach(body)
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)(body: (A, B) => Unit): Unit =
+    samples(ga, n).zip(samples(gb, n)).foreach { case (a, b) => body(a, b) }
+
+  private val smallDoubles = Gen.listOfN(30, Gen.chooseNum(-1000.0, 1000.0))
+  private val keys = Gen.listOfN(30, Gen.chooseNum(0, 5))
+
+  test("filter(a && b) == filter(a).filter(b)") {
+    forAll(smallDoubles) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.toDF("x").cache()
+        val both = df.filter(col("x") > 0 && col("x") < 500).count()
+        val chained = df.filter(col("x") > 0).filter(col("x") < 500).count()
+        assert(both == chained)
+      }
+    }
+  }
+
+  test("partial+final aggregation equals single-pass (sum via two-level grouping)") {
+    forAll2(smallDoubles, keys) { (xs, ks) =>
+      if (xs.nonEmpty && ks.nonEmpty) {
+        val df = xs.zipAll(ks, 0.0, 0).toDF("x", "k").cache()
+        val direct = df.agg(sum("x")).head().getDouble(0)
+        val twoLevel = df.groupBy("k").agg(sum("x").as("s"))
+          .agg(sum("s")).head().getDouble(0)
+        assert(math.abs(direct - twoLevel) < 1e-6)
+      }
+    }
+  }
+
+  test("join of split halves == filter (union partitioning invariance)") {
+    forAll(keys) { ks =>
+      if (ks.nonEmpty) {
+        val df = ks.zipWithIndex.toDF("k", "id").cache()
+        val lo = df.filter(col("k") < 3); val hi = df.filter(col("k") >= 3)
+        assert(lo.unionAll(hi).count() == df.count())
+      }
+    }
+  }
+
+  test("jaccard is symmetric and bounded") {
+    val gen = Gen.listOfN(8, Gen.alphaLowerStr.map(_.take(6)))
+    forAll2(gen, gen, n = 20) { (a, b) =>
+      val x = a.mkString(" "); val y = b.mkString(" ")
+      val j1 = graft.operators.Dedup.jaccardSortedLongs(
+        graft.operators.Dedup.hashedShingles(x, 2).toSeq,
+        graft.operators.Dedup.hashedShingles(y, 2).toSeq)
+      val j2 = graft.operators.Dedup.jaccardSortedLongs(
+        graft.operators.Dedup.hashedShingles(y, 2).toSeq,
+        graft.operators.Dedup.hashedShingles(x, 2).toSeq)
+      assert(j1 == j2 && j1 >= 0.0 && j1 <= 1.0)
+      assert(graft.operators.Dedup.jaccardSortedLongs(
+        graft.operators.Dedup.hashedShingles(x, 2).toSeq,
+        graft.operators.Dedup.hashedShingles(x, 2).toSeq) == 1.0)
+    }
+  }
+
+  test("strftime translation round-trips through to_timestamp") {
+    val fmts = Seq("%Y-%m-%d %H:%M:%S", "%Y/%m/%d", "%d-%m-%Y %H:%M")
+    val df = Seq("2020-06-15 13:45:30").toDF("s")
+      .select(to_timestamp(col("s")).as("ts")).cache()
+    fmts.foreach { f =>
+      val java = graft.functions.DuckFunctions.strftimeToJava(f)
+      val back = df.select(
+        to_timestamp(date_format(col("ts"), java), java).as("rt"),
+        date_trunc("minute", col("ts")).as("truncated")).head()
+      // round-trip preserves everything the format itself encodes
+      assert(back.getTimestamp(0) != null)
+      if (f.contains("%M")) {
+        val rt = back.getTimestamp(0).toInstant
+        val tr = back.getTimestamp(1).toInstant
+        assert(rt.getEpochSecond / 60 == tr.getEpochSecond / 60)
+      }
+    }
+  }
+
+  test("sort is total: orderBy twice equals orderBy once") {
+    forAll(smallDoubles, n = 3) { xs =>
+      if (xs.nonEmpty) {
+        val df = xs.toDF("x")
+        val once = df.orderBy("x").collect().map(_.getDouble(0)).toSeq
+        val twice = df.orderBy("x").orderBy("x").collect().map(_.getDouble(0)).toSeq
+        assert(once == twice && once == xs.sorted)
+      }
+    }
+  }
+}
