@@ -38,31 +38,51 @@ object Recursion {
   }
 
   private def fixpointLoop(seed: DataFrame, step: DataFrame => DataFrame,
-                           maxIterations: Int): DataFrame = {
+                           maxIterations: Int, unroll: Int = 4): DataFrame = {
+    val cols = seed.columns
+
+    // new rows of `stepped` not yet in `against` (UNION dedup semantics).
+    // Null-safe anti join — lighter than exceptAll (AQE broadcasts the
+    // small side). The right side is renamed to fresh attributes — a step
+    // that re-joins the same base relations would otherwise collide ids.
+    def dedupAgainst(stepped: DataFrame, against: DataFrame): DataFrame = {
+      val r = against.toDF(cols.map(c => s"__acc_$c"): _*)
+      stepped.distinct()
+        .join(r, cols.map(c => stepped.col(c) <=> r.col(s"__acc_$c")).reduce(_ && _), "left_anti")
+    }
+
     var acc = seed.distinct().localCheckpoint()
     var frontier = acc
     var i = 0
     var done = false
-    val cols = seed.columns
     while (!done && i < maxIterations) {
-      // new rows not yet in the accumulated result (UNION dedup
-      // semantics). Null-safe anti join — lighter plan than exceptAll
-      // (AQE broadcasts the small side instead of shuffling both).
-      val stepped = step(frontier).distinct()
-      // rename the acc side to fresh attributes — a step that re-joins the
-      // same base relations would otherwise collide attribute ids
-      val accR = acc.toDF(cols.map(c => s"__acc_$c"): _*)
-      val next = stepped
-        .join(accR, cols.map(c => stepped.col(c) <=> accR.col(s"__acc_$c")).reduce(_ && _), "left_anti")
-        .localCheckpoint()
-      if (next.isEmpty) done = true
-      else {
-        // acc stays a plain union of already-checkpointed pieces — no
-        // recompute risk, and no extra job per iteration
-        acc = acc.unionAll(next)
-        frontier = next
+      // unroll several logical iterations into ONE materialization: each
+      // unrolled step dedups lazily against acc ∪ earlier unrolled steps,
+      // so UNION semantics hold; only the block result is checkpointed.
+      // This cuts driver/job-scheduling overhead ~unroll-fold (the local
+      // floor is per-job latency, not data volume).
+      val k = math.min(unroll, maxIterations - i)
+      var blockAcc = acc
+      var blockNew: DataFrame = null
+      var f = frontier
+      for (_ <- 0 until k) {
+        // cache each lazy piece: it appears both as the next frontier and
+        // inside blockAcc — uncached, the plan would double per step
+        val next = dedupAgainst(step(f), blockAcc).cache()
+        blockAcc = blockAcc.unionAll(next)
+        blockNew = if (blockNew == null) next else blockNew.unionAll(next)
+        f = next
       }
-      i += 1
+      // block pieces are pairwise disjoint and individually distinct —
+      // no extra dedup shuffle needed before materializing
+      val materialized = blockNew.localCheckpoint()
+      if (materialized.isEmpty) done = true
+      else {
+        // acc stays a union of checkpointed pieces — no recompute risk
+        acc = acc.unionAll(materialized)
+        frontier = materialized
+      }
+      i += k
     }
     acc
   }
