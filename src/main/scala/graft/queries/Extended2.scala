@@ -78,6 +78,27 @@ object Extended2 {
         expr("p_type LIKE 'STANDARD%'").as("std"))
     }),
 
+    "join_range_bucketed" -> ((s, dir) => {
+      // same semantics as join_range_inequality, but via the bucketed
+      // equi-join plan (RangeJoin) — one shuffle instead of BNLJ
+      val su = t(s, dir, "supplier")
+        .withColumn("lo", col("s_acctbal") - 10.0)
+        .withColumn("hi", col("s_acctbal"))
+      val c = t(s, dir, "customer")
+      graft.operators.RangeJoin.pointInRange(c, "c_acctbal", su, "lo", "hi", 10.0)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    "stream_stateful_totals" -> ((s, dir) => {
+      // flatMapGroupsWithState custom state, driven by a real streaming
+      // run (update mode, one emission per user in the single batch)
+      graft.streaming.EventStreams.runToBatchAppend(
+        s, dir, s"st_${System.nanoTime()}",
+        graft.streaming.EventStreams.statefulUserTotals, mode = "update")
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
     "fn_list_aggregate" -> ((s, dir) => {
       val base = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
         .groupBy(col("l_orderkey"))
@@ -126,6 +147,17 @@ object Extended2 {
         |  like_escape(p_name, '%a!_%', '!') AS has_underscore,
         |  p_type LIKE 'STANDARD%' AS std
         |FROM part""".stripMargin,
+
+    "join_range_bucketed" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10.0 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "stream_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
 
     "fn_list_aggregate" ->
       """WITH b AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS arr

@@ -92,13 +92,34 @@ object EventStreams {
     spark.table(name)
   }
 
-  /** Same as runToBatch but append-mode (for non-aggregating transforms
-    * like streaming dedup). */
+  /** Custom-state streaming (SURVEY §2.10: mapGroupsWithState surface):
+    * per-user running totals via flatMapGroupsWithState — arbitrary state
+    * beyond built-in windows. */
+  def statefulUserTotals(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, t0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var t = t0
+          rows.foreach { r => n += 1; t += r._2 }
+          state.update((n, t))
+          Iterator((user, n, t))
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
+  /** Same as runToBatch but a chosen output mode (append for streaming
+    * dedup, update for stateful transforms). */
   def runToBatchAppend(spark: SparkSession, dir: String, name: String,
-                       transform: DataFrame => DataFrame): DataFrame = {
+                       transform: DataFrame => DataFrame,
+                       mode: String = "append"): DataFrame = {
     val q = transform(readEvents(spark, dir))
       .writeStream.format("memory").queryName(name)
-      .outputMode("append")
+      .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

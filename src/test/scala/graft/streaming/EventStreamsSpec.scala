@@ -23,6 +23,18 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.agg(sum("n")).head().getLong(0) == 2 * batchCount)
   }
 
+  test("stateful flatMapGroupsWithState totals match batch aggregation") {
+    val out = EventStreams.runToBatchAppend(spark, dir, s"fs_${System.nanoTime()}",
+      EventStreams.statefulUserTotals, mode = "update")
+    val batch = graft.Engine.table(spark, dir, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("t"))
+    val joined = out.as("s").join(batch.as("b"), "user_id")
+      .filter(col("s.n_events") =!= col("b.n") ||
+        abs(col("s.total_value") - col("b.t")) > 1e-6)
+    assert(joined.isEmpty)
+    assert(out.count() == batch.count())
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val out = EventStreams.runToBatchAppend(spark, dir, s"d_${System.nanoTime()}",
       EventStreams.dedup)
