@@ -78,6 +78,49 @@ object Extended2 {
         expr("p_type LIKE 'STANDARD%'").as("std"))
     }),
 
+    "tpch_q18ish" -> ((s, dir) => {
+      // large-order shape: join + GROUP BY + HAVING + top-k
+      val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+          round(first(col("o_totalprice")), 2).as("price"))
+        .filter(col("total_qty") > 150)
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(20)
+    }),
+
+    "tpch_q2ish" -> ((s, dir) => {
+      // min-cost-per-part shape: correlated scalar MIN subquery
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT l1.l_partkey, l1.l_suppkey, l1.l_extendedprice
+          |FROM lineitem l1
+          |WHERE l1.l_extendedprice = (SELECT min(l2.l_extendedprice)
+          |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin)
+    }),
+
+    "tpch_q7ish" -> ((s, dir) => {
+      // nation-pair volume shape: two dimension roles + OR pair filter
+      val l = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+      val su = broadcast(t(s, dir, "supplier")); val c = broadcast(t(s, dir, "customer"))
+      val n1 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(t(s, dir, "nation").select(
+        col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation")))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("l_suppkey") === col("s_suppkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter((col("s_nk") === 1 && col("c_nk") === 2) ||
+          (col("s_nk") === 2 && col("c_nk") === 1))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
     "join_range_bucketed" -> ((s, dir) => {
       // same semantics as join_range_inequality, but via the bucketed
       // equi-join plan (RangeJoin) — one shuffle instead of BNLJ
@@ -147,6 +190,35 @@ object Extended2 {
         |  like_escape(p_name, '%a!_%', '!') AS has_underscore,
         |  p_type LIKE 'STANDARD%' AS std
         |FROM part""".stripMargin,
+
+    "tpch_q18ish" ->
+      """SELECT o_orderkey, round(sum(l_quantity), 2) AS total_qty,
+        |  round(first(o_totalprice), 2) AS price
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey
+        |HAVING sum(l_quantity) > 150
+        |ORDER BY total_qty DESC, o_orderkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q2ish" ->
+      """SELECT l1.l_partkey, l1.l_suppkey, l1.l_extendedprice
+        |FROM lineitem l1
+        |WHERE l1.l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |  FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin,
+
+    "tpch_q7ish" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
+        |   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "join_range_bucketed" ->
       """SELECT s_suppkey, count(*) AS n_in_band
