@@ -69,6 +69,17 @@ object Extended2 {
         round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
     }),
 
+    "fn_printf_chr" -> ((s, dir) => {
+      // printf → format_string (C-style dialect shared with the
+      // reference), chr, position
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nk"),
+        format_string("%d|%s", col("n_nationkey"), col("n_name")).as("tagged"),
+        expr("char(65 + n_nationkey % 26)").as("letter"),
+        expr("position('a' IN n_name)").cast("long").as("pos_a"),
+        concat_ws("", reverse(split(col("n_name"), "")), lit("!")).as("rev_bang"))
+    }),
+
     "fn_like_escape" -> ((s, dir) => {
       // LIKE … ESCAPE (reference like_escape, duckdb-6.cpp:5993)
       t(s, dir, "part").select(
@@ -183,6 +194,14 @@ object Extended2 {
         |  quantile_disc(l_quantity, 0.9) AS p90_disc,
         |  round(sem(l_quantity), 8) AS sem_qty
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "fn_printf_chr" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  printf('%d|%s', n_nationkey, n_name) AS tagged,
+        |  chr(65 + n_nationkey % 26) AS letter,
+        |  CAST(position('a' IN n_name) AS BIGINT) AS pos_a,
+        |  reverse(n_name) || '!' AS rev_bang
+        |FROM nation""".stripMargin,
 
     "fn_like_escape" ->
       """SELECT p_partkey,

@@ -82,14 +82,25 @@ object EventStreams {
     * state store, watermarks — not a batch rewrite.
     */
   def runToBatch(spark: SparkSession, dir: String, name: String,
-                 transform: DataFrame => DataFrame): DataFrame = {
-    val q = transform(readEvents(spark, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+                 transform: DataFrame => DataFrame): DataFrame =
+    runStream(spark, dir, name, transform, "complete")
+
+  /** Start → AvailableNow → await, with a bounded state-store width:
+    * shuffle.partitions at stream START fixes the number of state store
+    * instances per micro-batch; 32 is waste for these cardinalities. */
+  private def runStream(spark: SparkSession, dir: String, name: String,
+                        transform: DataFrame => DataFrame, mode: String): DataFrame = {
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = transform(readEvents(spark, dir))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
   }
 
   /** Custom-state streaming (SURVEY §2.10: mapGroupsWithState surface):
@@ -116,13 +127,6 @@ object EventStreams {
     * dedup, update for stateful transforms). */
   def runToBatchAppend(spark: SparkSession, dir: String, name: String,
                        transform: DataFrame => DataFrame,
-                       mode: String = "append"): DataFrame = {
-    val q = transform(readEvents(spark, dir))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(mode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
-  }
+                       mode: String = "append"): DataFrame =
+    runStream(spark, dir, name, transform, mode)
 }
