@@ -89,6 +89,19 @@ object Extended2 {
         expr("p_type LIKE 'STANDARD%'").as("std"))
     }),
 
+    "join_asof_backward" -> ((s, dir) => {
+      // for each view event, the most recent click by the same user
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.lastValueBefore(
+        views, clicks, "user_id", "ts", "value", "prev_click")
+        .select(col("event_id"), col("user_id"),
+          round(col("prev_click"), 2).as("prev_click_value"))
+    }),
+
     "tpch_q18ish" -> ((s, dir) => {
       // large-order shape: join + GROUP BY + HAVING + top-k
       val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
@@ -209,6 +222,12 @@ object Extended2 {
         |  like_escape(p_name, '%a!_%', '!') AS has_underscore,
         |  p_type LIKE 'STANDARD%' AS std
         |FROM part""".stripMargin,
+
+    "join_asof_backward" ->
+      """SELECT v.event_id, v.user_id, round(c.value, 2) AS prev_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts""".stripMargin,
 
     "tpch_q18ish" ->
       """SELECT o_orderkey, round(sum(l_quantity), 2) AS total_qty,
