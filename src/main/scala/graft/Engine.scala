@@ -129,6 +129,12 @@ object Engine {
       .toDF("cid", "name", "type", "nullable")
   }
 
+  /** current_setting / SET analogs (duckdb.hpp:12002). */
+  def currentSetting(spark: SparkSession, key: String): String =
+    spark.conf.get(key)
+  def setSetting(spark: SparkSession, key: String, value: String): Unit =
+    spark.conf.set(key, value)
+
   /** SUMMARIZE analog (duckdb-6.cpp:9493). */
   def summarize(df: DataFrame): DataFrame = df.summary()
 

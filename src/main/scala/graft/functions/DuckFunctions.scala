@@ -188,6 +188,8 @@ object DuckFunctions {
       spark.udf.register("jaro_winkler_similarity", udf(jaroWinkler _))
       spark.udf.register("simhash64", udf(graft.operators.Dedup.simhash64 _))
       spark.udf.register("lang_id", udf(graft.operators.TextAnalysis.langIdHeuristic _))
+      spark.udf.register("nfc_normalize", udf(TypeHelpers.nfcNormalize))
+      spark.udf.register("bar", udf(graft.queries.Extended2.bar _))
       spark.udf.register("product_agg", org.apache.spark.sql.functions.udaf(Aggs.ProductAgg))
       spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(Aggs.EntropyAgg))
       spark.udf.register("histogram_agg", org.apache.spark.sql.functions.udaf(Aggs.HistogramAgg))

@@ -198,7 +198,7 @@ object Relational {
 
     "agg_histogram" -> ((s, dir) => {
       // nested aggregate histogram → MAP (duckdb-5.cpp:1246); map output
-      // rendered as sorted entries for determinism. Rows-only check.
+      // rendered as sorted entries so both engines produce canonical rows
       t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
         expr("sort_array(map_entries(histogram_agg(o_orderpriority)))").as("hist"))
     }),
@@ -557,6 +557,11 @@ object Relational {
     "agg_product" ->
       """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc, count(*) AS n
         |FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey""".stripMargin,
+
+    "agg_histogram" ->
+      """SELECT o_orderstatus,
+        |  list_sort(map_entries(histogram(o_orderpriority))) AS hist
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "join_inner" ->
       """SELECT o_orderstatus, count(*) AS n_items,

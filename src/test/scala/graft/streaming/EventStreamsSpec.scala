@@ -35,6 +35,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() == batch.count())
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val name = s"ssj_${System.nanoTime()}"
+    val views = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id"))
+      .withWatermark("vts", "1 hour")
+    val clicks = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("value"))
+      .withWatermark("cts", "1 hour")
+    val q = views.join(clicks,
+      expr("user_id = cu AND cts BETWEEN vts - INTERVAL 30 MINUTES AND vts"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).count()
+    val ev = graft.Engine.table(spark, dir, "events")
+    val batch = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts")),
+        expr("user_id = cu AND cts BETWEEN vts - INTERVAL 30 MINUTES AND vts"))
+      .count()
+    assert(streamed == batch)
+    assert(streamed > 0)
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val out = EventStreams.runToBatchAppend(spark, dir, s"d_${System.nanoTime()}",
       EventStreams.dedup)
