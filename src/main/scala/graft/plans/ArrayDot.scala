@@ -64,10 +64,27 @@ object ArrayDot {
   val builder: Seq[Expression] => Expression = args => ArrayDot(args(0), args(1))
 }
 
+/** Optimizer rule: `pow(x, 2)` → `x * x` (a multiplication beats a
+  * transcendental pow call; the reference's ExpressionRewriter plays the
+  * same role with ArithmeticSimplification, duckdb-7.cpp:13908).
+  * Exists chiefly to exercise the optimizer-extension injection point.
+  */
+object SquarePowRule
+  extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply, Pow}
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+  : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case Pow(b, Literal(2.0, DoubleType)) => Multiply(b, b)
+    }
+}
+
 /** Injection point for `spark.sql.extensions=graft.plans.GraftExtensions`
   * (the reference's extension-registration analog: parser/optimizer
   * extensions, duckdb-8.cpp:7282 / duckdb-7.cpp:14038). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_dot"), ArrayDot.info, ArrayDot.builder))
+    ext.injectOptimizerRule(_ => SquarePowRule)
+  }
 }

@@ -1,0 +1,36 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Builds a SEPARATE session with GraftExtensions config-injected (the
+  * production path: spark.sql.extensions=graft.plans.GraftExtensions)
+  * and checks both injection points. */
+class ExtensionsSpec extends AnyFunSuite {
+
+  test("config-injected extensions: array_dot function + pow(x,2) optimizer rule") {
+    val default = graft.TestSession.spark // ensure base session/context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val ext = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      // injected function resolves without runtime registration
+      assert(ext.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+        .head().getDouble(0) == 11.0)
+      // optimizer rule rewrites pow(x,2) to multiplication
+      val df = ext.sql("SELECT pow(id + 0.0, 2) AS sq FROM range(5)")
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(!optimized.toUpperCase.contains("POWER"), optimized)
+      assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(0.0, 1.0, 4.0, 9.0, 16.0))
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.setDefaultSession(default)
+      SparkSession.setActiveSession(default)
+    }
+  }
+}
