@@ -69,6 +69,21 @@ object Extended2 {
         round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
     }),
 
+    "fn_typeof" -> ((s, dir) => {
+      // typeof (generic fn list, duckdb-5.cpp:12022) via schema
+      // reflection, reported in the reference's type names
+      def duckName(dt: org.apache.spark.sql.types.DataType): String = dt.sql match {
+        case "STRING" => "VARCHAR"
+        case "INT" => "INTEGER"
+        case "TIMESTAMP_NTZ" => "TIMESTAMP"
+        case other => other
+      }
+      val l = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      import s.implicits._
+      cols.map(c => (c, duckName(l.schema(c).dataType))).toDF("col_name", "type_name")
+    }),
+
     "fn_printf_chr" -> ((s, dir) => {
       // printf → format_string (C-style dialect shared with the
       // reference), chr, position
@@ -207,6 +222,15 @@ object Extended2 {
         |  quantile_disc(l_quantity, 0.9) AS p90_disc,
         |  round(sem(l_quantity), 8) AS sem_qty
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "fn_typeof" ->
+      """SELECT col_name, type_name FROM (VALUES
+        |  ('l_orderkey', typeof((SELECT l_orderkey FROM lineitem LIMIT 1))),
+        |  ('l_linenumber', typeof((SELECT l_linenumber FROM lineitem LIMIT 1))),
+        |  ('l_quantity', typeof((SELECT l_quantity FROM lineitem LIMIT 1))),
+        |  ('l_returnflag', typeof((SELECT l_returnflag FROM lineitem LIMIT 1))),
+        |  ('l_shipdate', typeof((SELECT l_shipdate FROM lineitem LIMIT 1)))
+        |) AS v(col_name, type_name)""".stripMargin,
 
     "fn_printf_chr" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nk,
