@@ -69,6 +69,14 @@ object Extended2 {
         round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
     }),
 
+    "agg_approx_quantile" -> ((s, dir) => {
+      // t-digest approx_quantile analog (reference: holistic list,
+      // duckdb-5.cpp:12-17) — sketches differ across engines, rows-only
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_median"),
+        percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.9)), lit(1000)).as("apx_deciles"))
+    }),
+
     "fn_typeof" -> ((s, dir) => {
       // typeof (generic fn list, duckdb-5.cpp:12022) via schema
       // reflection, reported in the reference's type names

@@ -9,21 +9,24 @@ import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
   */
 object Csv {
 
-  /** Reference option name → Spark CSV option. */
+  /** Reference option name → Spark CSV option. Unsupported reference
+    * options (`skip`, `sample_size`, …) raise instead of silently
+    * diverging. */
   private val optionMap = Map(
     "sep" -> "sep", "delim" -> "sep", "quote" -> "quote",
     "escape" -> "escape", "nullstr" -> "nullValue", "header" -> "header",
-    "skip" -> "skipRows", "dateformat" -> "dateFormat",
+    "dateformat" -> "dateFormat",
     "timestampformat" -> "timestampFormat", "compression" -> "compression",
-    "ignore_errors" -> "mode", "all_varchar" -> "inferSchema",
-    "sample_size" -> "samplingRatio")
+    "ignore_errors" -> "mode", "all_varchar" -> "inferSchema")
 
   private def translate(opts: Map[String, String]): Map[String, String] =
-    opts.flatMap { case (k, v) =>
-      optionMap.get(k.toLowerCase).map {
-        case "mode" => "mode" -> (if (v == "true") "DROPMALFORMED" else "FAILFAST")
-        case "inferSchema" => "inferSchema" -> (if (v == "true") "false" else "true")
-        case sk => sk -> v
+    opts.map { case (k, v) =>
+      optionMap.get(k.toLowerCase) match {
+        case Some("mode") => "mode" -> (if (v == "true") "DROPMALFORMED" else "FAILFAST")
+        case Some("inferSchema") => "inferSchema" -> (if (v == "true") "false" else "true")
+        case Some(sk) => sk -> v
+        case None => throw new IllegalArgumentException(
+          s"unsupported CSV option: $k (supported: ${optionMap.keys.toSeq.sorted.mkString(", ")})")
       }
     }
 

@@ -98,4 +98,10 @@ class CsvSpec extends SparkSpec {
     val back = graft.sources.Csv.read(spark, dir, Map("delim" -> "|")).collect()
     assert(back.head.getAs[Number]("id").longValue == 1L && back.head.getString(1) == "a")
   }
+
+  test("unsupported reference options raise instead of silently diverging") {
+    val e = intercept[IllegalArgumentException](
+      graft.sources.Csv.read(spark, "target/none", Map("skip" -> "2")))
+    assert(e.getMessage.contains("unsupported CSV option: skip"))
+  }
 }
