@@ -22,12 +22,14 @@ object SparkEntry {
       graft.queries.ScalarFns.queries ++
       graft.queries.Pipeline.queries ++
       graft.queries.Extended.queries ++
-      graft.queries.Extended2.queries
+      graft.queries.Extended2.queries ++
+      graft.queries.Tpch2.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.ScalarFns.oracle ++
       graft.queries.Pipeline.oracle ++
       graft.queries.Extended.oracle ++
-      graft.queries.Extended2.oracle
+      graft.queries.Extended2.oracle ++
+      graft.queries.Tpch2.oracle
 }
