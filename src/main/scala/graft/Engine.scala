@@ -153,4 +153,15 @@ object Engine {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(outDir, "schema.sql"), ddl.toString)
   }
+
+  /** IMPORT DATABASE analog: re-register every table exported by
+    * [[exportDatabase]] (table list read from schema.sql). */
+  def importDatabase(spark: SparkSession, dir: String): Unit = {
+    val ddl = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "schema.sql")))
+    val name = """CREATE TABLE (\w+) """.r
+    name.findAllMatchIn(ddl).map(_.group(1)).foreach { n =>
+      spark.read.parquet(s"$dir/$n.parquet").createOrReplaceTempView(n)
+    }
+  }
 }

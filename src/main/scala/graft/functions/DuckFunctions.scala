@@ -94,6 +94,62 @@ object DuckFunctions {
       Double.box(j + prefix * 0.1 * (1.0 - j))
     }
 
+  // ---- math long tail (duckdb-5.cpp:16306-16344) ----
+
+  /** nextafter(a, b): next representable double from a toward b. */
+  def nextafter(a: Double, b: Double): Double = Math.nextAfter(a, b)
+
+  /** signbit(x): true when the sign bit is set (incl. -0.0, -NaN). */
+  def signbit(x: Double): Boolean = (java.lang.Double.doubleToRawLongBits(x) >>> 63) == 1L
+
+  /** lgamma via the Lanczos approximation (g=7, n=9) — matches libm to
+    * ~1e-13 relative, enough for 8-decimal parity with the reference. */
+  def lgamma(x0: Double): Double = {
+    if (x0.isNaN || x0.isInfinite) return x0
+    val g = 7.0
+    val c = Array(
+      0.99999999999980993, 676.5203681218851, -1259.1392167224028,
+      771.32342877765313, -176.61502916214059, 12.507343278686905,
+      -0.13857109526572012, 9.9843695780195716e-6, 1.5056327351493116e-7)
+    if (x0 < 0.5) {
+      // reflection: Γ(x)Γ(1-x) = π / sin(πx)
+      math.log(math.Pi / math.abs(math.sin(math.Pi * x0))) - lgamma(1.0 - x0)
+    } else {
+      val x = x0 - 1.0
+      var a = c(0)
+      val t = x + g + 0.5
+      var i = 1
+      while (i < 9) { a += c(i) / (x + i); i += 1 }
+      0.5 * math.log(2 * math.Pi) + (x + 0.5) * math.log(t) - t + math.log(a)
+    }
+  }
+
+  /** gamma(x) = exp(lgamma(x)) with sign handling via reflection. */
+  def gammaFn(x: Double): Double =
+    if (x > 0) math.exp(lgamma(x))
+    else {
+      val s = math.sin(math.Pi * x)
+      if (s == 0) Double.NaN else math.Pi / (s * math.exp(lgamma(1.0 - x)))
+    }
+
+  // ---- bit-string helpers (reference BIT type fns, duckdb-6.cpp:5993+;
+  // bit strings modeled as '0'/'1' varchar, SURVEY §1.2 BIT → helpers) ----
+
+  /** get_bit(bits, i): 0-based from the left. */
+  def getBit(bits: String, i: Int): Integer =
+    if (bits == null || i < 0 || i >= bits.length) null
+    else Int.box(bits.charAt(i) - '0')
+
+  /** set_bit(bits, i, v). */
+  def setBit(bits: String, i: Int, v: Int): String =
+    if (bits == null || i < 0 || i >= bits.length) bits
+    else bits.updated(i, if (v == 0) '0' else '1')
+
+  /** bit_position(sub, bits): 1-based position of substring, 0 if absent. */
+  def bitPosition(sub: String, bits: String): java.lang.Long =
+    if (sub == null || bits == null) null
+    else Long.box((bits.indexOf(sub) + 1).toLong)
+
   // ---- date/time helpers ----
 
   /** time_bucket(width, ts) as a Column expression: floor the epoch to the
@@ -190,6 +246,13 @@ object DuckFunctions {
       spark.udf.register("lang_id", udf(graft.operators.TextAnalysis.langIdHeuristic _))
       spark.udf.register("nfc_normalize", udf(TypeHelpers.nfcNormalize))
       spark.udf.register("bar", udf(graft.queries.Extended2.bar _))
+      spark.udf.register("nextafter", udf(nextafter _))
+      spark.udf.register("signbit", udf(signbit _))
+      spark.udf.register("lgamma", udf(lgamma _))
+      spark.udf.register("gamma", udf(gammaFn _))
+      spark.udf.register("get_bit", udf(getBit _))
+      spark.udf.register("set_bit", udf(setBit _))
+      spark.udf.register("bit_position", udf(bitPosition _))
       spark.udf.register("product_agg", org.apache.spark.sql.functions.udaf(Aggs.ProductAgg))
       spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(Aggs.EntropyAgg))
       spark.udf.register("histogram_agg", org.apache.spark.sql.functions.udaf(Aggs.HistogramAgg))

@@ -69,6 +69,17 @@ object Extended2 {
         round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
     }),
 
+    "fn_math_special" -> ((s, dir) => {
+      // nextafter / signbit / gamma / lgamma (graft UDFs vs reference
+      // natives); gamma kept to small args so rounding parity holds
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 100).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        callUDF("nextafter", col("l_discount"), lit(1.0)).as("nxt"),
+        callUDF("signbit", col("l_quantity") - 25.0).as("sb"),
+        round(callUDF("gamma", col("l_linenumber").cast("double")), 6).as("gam"),
+        round(callUDF("lgamma", col("l_quantity")), 8).as("lgam"))
+    }),
+
     "agg_approx_quantile" -> ((s, dir) => {
       // t-digest approx_quantile analog (reference: holistic list,
       // duckdb-5.cpp:12-17) — sketches differ across engines, rows-only
@@ -230,6 +241,14 @@ object Extended2 {
         |  quantile_disc(l_quantity, 0.9) AS p90_disc,
         |  round(sem(l_quantity), 8) AS sem_qty
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "fn_math_special" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  nextafter(l_discount, 1.0) AS nxt,
+        |  signbit(l_quantity - 25.0) AS sb,
+        |  round(gamma(CAST(l_linenumber AS DOUBLE)), 6) AS gam,
+        |  round(lgamma(l_quantity), 8) AS lgam
+        |FROM lineitem WHERE l_orderkey <= 100""".stripMargin,
 
     "fn_typeof" ->
       """SELECT col_name, type_name FROM (VALUES

@@ -48,6 +48,14 @@ class RelationSpec extends SparkSpec {
     assert(spark.read.parquet("target/graft_export/exp_a.parquet").count() == 1)
   }
 
+  test("importDatabase restores exported tables") {
+    Engine.createTable(spark, "imp_a", Seq((7L, "q")).toDF("id", "s"))
+    Engine.exportDatabase(spark, "target/graft_export2")
+    spark.catalog.dropTempView("imp_a")
+    Engine.importDatabase(spark, "target/graft_export2")
+    assert(spark.table("imp_a").head().getLong(0) == 7L)
+  }
+
   test("bar renders proportional blocks") {
     import graft.queries.Extended2.bar
     assert(bar(10, 0, 10, 10) == "█" * 10)

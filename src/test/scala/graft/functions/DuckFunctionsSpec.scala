@@ -45,6 +45,23 @@ class DuckFunctionsSpec extends AnyFunSuite {
     assert(DuckFunctions.strftimeToJava("%a %B %d") == "EEE MMMM dd")
   }
 
+  test("math long tail: nextafter, signbit, gamma, lgamma") {
+    assert(DuckFunctions.nextafter(1.0, 2.0) > 1.0)
+    assert(DuckFunctions.signbit(-0.0) && !DuckFunctions.signbit(0.0))
+    assert(DuckFunctions.signbit(-3.5) && !DuckFunctions.signbit(3.5))
+    assert(math.abs(DuckFunctions.gammaFn(5.0) - 24.0) < 1e-9)
+    assert(math.abs(DuckFunctions.gammaFn(0.5) - math.sqrt(math.Pi)) < 1e-12)
+    assert(math.abs(DuckFunctions.lgamma(10.0) - math.log(362880.0)) < 1e-9)
+  }
+
+  test("bit-string helpers") {
+    assert(DuckFunctions.getBit("0110", 1) == 1)
+    assert(DuckFunctions.getBit("0110", 0) == 0)
+    assert(DuckFunctions.setBit("0110", 0, 1) == "1110")
+    assert(DuckFunctions.bitPosition("11", "0110") == 2L)
+    assert(DuckFunctions.bitPosition("111", "0110") == 0L)
+  }
+
   test("glob to regex") {
     assert(DuckFunctions.globToRegex("a*") == "^a.*$")
     assert(DuckFunctions.globToRegex("*.csv") == "^.*\\.csv$")
