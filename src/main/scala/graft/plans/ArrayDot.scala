@@ -86,5 +86,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_dot"), ArrayDot.info, ArrayDot.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
+    ext.injectOptimizerRule(_ => RangeJoinRule)
   }
 }

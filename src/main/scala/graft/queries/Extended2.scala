@@ -179,6 +179,18 @@ object Extended2 {
           count(lit(1)).as("n"))
     }),
 
+    "join_range_autorewrite" -> ((s, dir) => {
+      // the SAME plain inequality join as join_range_inequality, but with
+      // the RangeJoinRule active: the optimizer itself rewrites it to the
+      // bucketed equi-join (plans.RangeJoinRule)
+      graft.functions.DuckFunctions.register(s)
+      s.conf.set("spark.graft.rangeJoin.bucketWidth", "10.0")
+      val su = t(s, dir, "supplier"); val c = t(s, dir, "customer")
+      su.join(c, col("c_acctbal") > col("s_acctbal") - 10.0 &&
+        col("c_acctbal") <= col("s_acctbal"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+    }),
+
     "join_range_bucketed" -> ((s, dir) => {
       // same semantics as join_range_inequality, but via the bucketed
       // equi-join plan (RangeJoin) — one shuffle instead of BNLJ
@@ -308,6 +320,12 @@ object Extended2 {
         |WHERE (n1.n_nationkey = 1 AND n2.n_nationkey = 2)
         |   OR (n1.n_nationkey = 2 AND n2.n_nationkey = 1)
         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "join_range_autorewrite" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10.0 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
 
     "join_range_bucketed" ->
       """SELECT s_suppkey, count(*) AS n_in_band
