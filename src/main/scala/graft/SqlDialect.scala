@@ -79,13 +79,26 @@ object SqlDialect {
   private[graft] def rewriteCore(spark: SparkSession, query: String): String = {
     var q = query
 
-    // QUALIFY pred [ORDER BY …] → subquery + WHERE
+    // QUALIFY pred [ORDER BY …] → subquery + WHERE. Window expressions
+    // used directly in the predicate (QUALIFY row_number() OVER (…) <= 3)
+    // are auto-aliased into the select list first.
     val qi = topLevelIndex(q, "QUALIFY")
     if (qi >= 0) {
+      var inner = q.substring(0, qi)
       val rest = q.substring(qi + "QUALIFY".length)
       val oi = topLevelIndex(rest, "ORDER")
-      val (pred, tail) = if (oi >= 0) (rest.substring(0, oi), rest.substring(oi)) else (rest, "")
-      q = s"SELECT * FROM (${q.substring(0, qi)}) __qualify WHERE ($pred) $tail"
+      var (pred, tail) = if (oi >= 0) (rest.substring(0, oi), rest.substring(oi)) else (rest, "")
+      val winExprs = extractWindowExprs(pred)
+      winExprs.zipWithIndex.foreach { case (we, i) =>
+        val alias = s"__q$i"
+        pred = pred.replace(we, alias)
+        val fi = topLevelIndex(inner, "FROM")
+        require(fi >= 0, "QUALIFY rewrite needs a FROM clause")
+        inner = inner.substring(0, fi) + s", $we AS $alias " + inner.substring(fi)
+      }
+      val drop = if (winExprs.isEmpty) "*"
+      else s"* EXCEPT (${winExprs.indices.map(i => s"__q$i").mkString(", ")})"
+      q = s"SELECT $drop FROM ($inner) __qualify WHERE ($pred) $tail"
     }
 
     // SELECT DISTINCT ON (keys) cols FROM … [ORDER BY s] →
@@ -116,6 +129,37 @@ object SqlDialect {
     }
 
     q
+  }
+
+  /** Find `fn(args) OVER (window)` substrings in a predicate
+    * (paren-balanced scan, good for the common QUALIFY shapes). */
+  private[graft] def extractWindowExprs(pred: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val re = """(?i)\b[a-z_][a-z0-9_]*\s*\(""".r
+    for (m <- re.findAllMatchIn(pred)) {
+      val argsEnd = matchParen(pred, m.end - 1)
+      if (argsEnd > 0) {
+        val after = pred.substring(argsEnd + 1)
+        val overRe = """(?is)^\s*OVER\s*\(""".r
+        overRe.findFirstMatchIn(after).foreach { om =>
+          val winEnd = matchParen(after, om.end - 1)
+          if (winEnd > 0)
+            out += pred.substring(m.start, argsEnd + 1) + after.substring(0, winEnd + 1)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** Index of the ')' matching the '(' at `open`, or -1. */
+  private def matchParen(s: String, open: Int): Int = {
+    var depth = 0; var i = open
+    while (i < s.length) {
+      if (s.charAt(i) == '(') depth += 1
+      else if (s.charAt(i) == ')') { depth -= 1; if (depth == 0) return i }
+      i += 1
+    }
+    -1
   }
 
   private def registerCsv(spark: SparkSession, path: String): String = {

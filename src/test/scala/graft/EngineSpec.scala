@@ -17,6 +17,18 @@ class SqlDialectSpec extends SparkSpec {
     assert(out.toSeq == Seq((2L, "a"), (4L, "b")))
   }
 
+  test("QUALIFY with inline window expression auto-aliases") {
+    people()
+    val out = SqlDialect.sql(spark,
+      "SELECT id, grp FROM people QUALIFY row_number() OVER (PARTITION BY grp ORDER BY v DESC) = 1")
+      .orderBy("grp").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq == Seq((2L, "a"), (4L, "b")))
+    // output columns don't leak the injected alias
+    val cols = SqlDialect.sql(spark,
+      "SELECT id FROM people QUALIFY rank() OVER (ORDER BY v) <= 2").columns
+    assert(cols.toSeq == Seq("id"))
+  }
+
   test("DISTINCT ON keeps first row per key by ORDER BY") {
     people()
     val out = SqlDialect.sql(spark,

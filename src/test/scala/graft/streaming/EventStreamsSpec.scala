@@ -35,6 +35,35 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() == batch.count())
   }
 
+  test("stream-stream LEFT OUTER join emits matches plus closed unmatched rows") {
+    val name = s"sslo_${System.nanoTime()}"
+    val views = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"), col("event_id"))
+      .withWatermark("vts", "10 seconds")
+    val clicks = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("value"))
+      .withWatermark("cts", "10 seconds")
+    val q = views.join(clicks,
+      expr("user_id = cu AND cts BETWEEN vts - INTERVAL 30 MINUTES AND vts"),
+      "left_outer")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table(name)
+    val ev = graft.Engine.table(spark, dir, "events")
+    val innerBatch = ev.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("vts"))
+      .join(ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("ts").as("cts")),
+        expr("user_id = cu AND cts BETWEEN vts - INTERVAL 30 MINUTES AND vts"))
+      .count()
+    assert(out.filter(col("cts").isNotNull).count() == innerBatch)
+    // unmatched views whose watermark window closed are emitted with nulls
+    assert(out.filter(col("cts").isNull).count() > 0)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val name = s"ssj_${System.nanoTime()}"
     val views = EventStreams.readEvents(spark, dir)
