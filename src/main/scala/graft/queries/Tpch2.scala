@@ -50,6 +50,40 @@ object Tpch2 {
           count(lit(1)).as("n"))
     }),
 
+    "tpch_q10ish" -> ((s, dir) => {
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(round(sum(rev), 2).as("revenue"),
+          round(first(col("c_acctbal")), 2).as("c_acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
+    "tpch_q13ish" -> ((s, dir) => {
+      // distribution of orders-per-customer: double aggregation over a
+      // left outer join
+      val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    }),
+
+    "tpch_q22ish" -> ((s, dir) => {
+      // scalar subquery threshold + anti join
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT count(*) AS numcust, round(sum(c_acctbal), 2) AS totbal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)
+    }),
+
     "tpch_q16ish" -> ((s, dir) => {
       // NOT IN → Catalyst null-aware anti join
       Engine.registerAll(s, dir)
@@ -93,6 +127,30 @@ object Tpch2 {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "tpch_q10ish" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  round(first(c_acctbal), 2) AS c_acctbal
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey ASC LIMIT 20""".stripMargin,
+
+    "tpch_q13ish" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY c_count""".stripMargin,
+
+    "tpch_q22ish" ->
+      """SELECT count(*) AS numcust, round(sum(c_acctbal), 2) AS totbal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
 
     "tpch_q16ish" ->
       """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
