@@ -91,6 +91,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed > 0)
   }
 
+  test("foreachBatch sink feeds the DML catalog") {
+    import spark.implicits._
+    graft.Engine.createTable(spark, "stream_sink",
+      Seq.empty[(Long, Double)].toDF("user_id", "value"))
+    val q = EventStreams.readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.Engine.insertInto(spark, "stream_sink", batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("stream_sink").count()
+    val batchCount = graft.Engine.table(spark, dir, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(streamed == batchCount && streamed > 0)
+  }
+
   test("streaming dedup emits at most one row per (user, event_type)") {
     val out = EventStreams.runToBatchAppend(spark, dir, s"d_${System.nanoTime()}",
       EventStreams.dedup)
