@@ -70,10 +70,17 @@ object Engine {
     * `Engine.sql` works against it (reference analog: catalog binding in
     * Binder::BindNode, duckdb-8.cpp:18107).
     */
+  private val registeredDirs =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+
   def registerAll(spark: SparkSession, dir: String): Unit = {
     functions.DuckFunctions.register(spark)
-    TableNames.foreach { n =>
-      table(spark, dir, n).createOrReplaceTempView(n)
+    // memoized per (session, dir): several queries call this and each
+    // plain registration re-reads 10 parquet footers
+    if (registeredDirs.putIfAbsent((spark, dir), java.lang.Boolean.TRUE) == null) {
+      TableNames.foreach { n =>
+        table(spark, dir, n).createOrReplaceTempView(n)
+      }
     }
   }
 

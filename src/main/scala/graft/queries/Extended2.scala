@@ -103,6 +103,17 @@ object Extended2 {
       cols.map(c => (c, duckName(l.schema(c).dataType))).toDF("col_name", "type_name")
     }),
 
+    "fn_string_split2" -> ((s, dir) => {
+      // string_split_regex + trim-with-chars (reference duckdb-6.cpp:5993)
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        split(col("p_type"), "[ ]+", -1).as("words"),
+        size(split(col("p_name"), "[aeiou]+", -1)).cast("long").as("n_vowel_splits"),
+        expr("trim(BOTH 'SD' FROM p_type)").as("trimmed_chars"),
+        expr("ltrim('ST', p_type)").as("ltrimmed"),
+        substring_index(col("p_type"), " ", 1).as("first_word"))
+    }),
+
     "fn_printf_chr" -> ((s, dir) => {
       // printf → format_string (C-style dialect shared with the
       // reference), chr, position
@@ -270,6 +281,15 @@ object Extended2 {
         |  ('l_returnflag', typeof((SELECT l_returnflag FROM lineitem LIMIT 1))),
         |  ('l_shipdate', typeof((SELECT l_shipdate FROM lineitem LIMIT 1)))
         |) AS v(col_name, type_name)""".stripMargin,
+
+    "fn_string_split2" ->
+      """SELECT p_partkey,
+        |  string_split_regex(p_type, '[ ]+') AS words,
+        |  len(string_split_regex(p_name, '[aeiou]+')) AS n_vowel_splits,
+        |  trim(p_type, 'SD') AS trimmed_chars,
+        |  ltrim(p_type, 'ST') AS ltrimmed,
+        |  string_split(p_type, ' ')[1] AS first_word
+        |FROM part""".stripMargin,
 
     "fn_printf_chr" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS nk,
