@@ -261,6 +261,10 @@ object DuckFunctions {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("array_dot", graft.plans.ArrayDot.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("levenshtein_within",
+          graft.plans.LevenshteinWithin.builder, "built-in")
       // runtime mirror of the injectOptimizerRule path (opt-in via conf)
       if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
         spark.experimental.extraOptimizations =

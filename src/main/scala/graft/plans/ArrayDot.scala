@@ -85,6 +85,8 @@ object SquarePowRule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_dot"), ArrayDot.info, ArrayDot.builder))
+    ext.injectFunction((FunctionIdentifier("levenshtein_within"),
+      LevenshteinWithin.info, LevenshteinWithin.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
   }

@@ -103,6 +103,19 @@ object Extended2 {
       cols.map(c => (c, duckName(l.schema(c).dataType))).toDF("col_name", "type_name")
     }),
 
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      // thresholded fuzzy matching with the banded-Levenshtein codegen
+      // expression (plans.LevenshteinWithin) vs the oracle's full
+      // levenshtein comparison
+      graft.functions.DuckFunctions.register(s)
+      val a = t(s, dir, "supplier").select(col("s_suppkey").as("id_a"), col("s_name").as("n_a"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey").as("id_b"), col("s_name").as("n_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("levenshtein_within(n_a, n_b, 2)").as("within2"))
+        .groupBy(col("within2")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
     "fn_string_split2" -> ((s, dir) => {
       // string_split_regex + trim-with-chars (reference duckdb-6.cpp:5993)
       t(s, dir, "part").select(
@@ -281,6 +294,12 @@ object Extended2 {
         |  ('l_returnflag', typeof((SELECT l_returnflag FROM lineitem LIMIT 1))),
         |  ('l_shipdate', typeof((SELECT l_shipdate FROM lineitem LIMIT 1)))
         |) AS v(col_name, type_name)""".stripMargin,
+
+    "dedup_fuzzy_names" ->
+      """SELECT levenshtein(a.s_name, b.s_name) <= 2 AS within2,
+        |  count(*) AS n_pairs
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |GROUP BY 1""".stripMargin,
 
     "fn_string_split2" ->
       """SELECT p_partkey,

@@ -84,6 +84,34 @@ class TypeSurfaceSpec extends SparkSpec {
   }
 }
 
+class LevenshteinWithinSpec extends SparkSpec {
+  import graft.plans.LevenshteinWithin.compute
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("banded result equals thresholded full levenshtein") {
+    val rng = new scala.util.Random(7)
+    val words = Array.fill(40)(rng.alphanumeric.take(rng.nextInt(12)).mkString)
+    for (a <- words.take(15); b <- words.take(15); k <- 0 to 4)
+      assert(compute(a, b, k) == (lev(a, b) <= k), s"'$a' '$b' k=$k")
+    assert(compute("", "", 0) && compute("", "ab", 2) && !compute("", "abc", 2))
+  }
+
+  test("expression path (codegen) matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(("kitten", "sitting"), ("abc", "abc"), ("abc", "xyz")).toDF("a", "b")
+    val got = df.select(expr("levenshtein_within(a, b, 2)")).collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(false, true, false)) // kitten→sitting is 3
+  }
+}
+
 class ArrayDotSpec extends SparkSpec {
   import spark.implicits._
 
