@@ -89,5 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LevenshteinWithin.info, LevenshteinWithin.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
+    ext.injectPostHocResolutionRule(_ => ResolveReservoirHint)
+    ext.injectPlannerStrategy(_ => ReservoirStrategy)
   }
 }

@@ -27,6 +27,21 @@ class ExtensionsSpec extends AnyFunSuite {
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(!optimized.toUpperCase.contains("POWER"), optimized)
       assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(0.0, 1.0, 4.0, 9.0, 16.0))
+      // custom operator stack: hint → analyzer rule → strategy → SparkPlan
+      val base = ext.range(0, 10000).toDF("id").repartition(6)
+      val sampled = base.hint("graft_reservoir", 100, 7L)
+      assert(sampled.queryExecution.executedPlan.toString.contains("ReservoirSample"))
+      val rows = sampled.collect().map(_.getLong(0))
+      assert(rows.length == 100)
+      assert(rows.distinct.length == 100)
+      // deterministic for a fixed seed, different for another
+      val again = base.hint("graft_reservoir", 100, 7L).collect().map(_.getLong(0))
+      assert(rows.sorted.toSeq == again.sorted.toSeq)
+      val other = base.hint("graft_reservoir", 100, 8L).collect().map(_.getLong(0))
+      assert(rows.sorted.toSeq != other.sorted.toSeq)
+      // roughly uniform: mean of a 100-sample from 0..9999 near 5000
+      val mean = rows.sum.toDouble / rows.length
+      assert(mean > 3500 && mean < 6500, s"mean=$mean")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.setDefaultSession(default)
