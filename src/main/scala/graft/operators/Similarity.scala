@@ -65,6 +65,64 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Assign each vector to its nearest centroid (centroids broadcast —
+    * they are k rows). One scan, no shuffle until the group-by. */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist", -cosine(col("v"), col("cv")))
+    scored.groupBy(col("id"))
+      .agg(min_by(col("cid"), col("dist")).as("cid"), first(col("v")).as("v"))
+  }
+
+  /** Distributed Lloyd k-means over array<double> vectors (no MLlib):
+    * deterministic init (first k by id), assignment via broadcast
+    * centroids, centroid update via posexplode + per-dimension mean.
+    * Each iteration is one scan + one (cluster, dim) shuffle.
+    */
+  def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+                      k: Int, iterations: Int): DataFrame = {
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    var centroids = v.orderBy(col("id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"), col("v").as("cv"))
+      .localCheckpoint()
+    for (_ <- 0 until iterations) {
+      val assigned = assignToCentroids(v, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("px"))
+        .select(col("cid"), expr("transform(px, p -> p.x)").as("cv"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** IVF approximate NN: coarse-quantize the corpus into k-means cells,
+    * probe only the `nProbe` cells nearest each query — corpus is
+    * scanned once for assignment, search touches ~nProbe/k of the data.
+    * The inverted-file scale path alongside sign-LSH.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              numCells: Int, nProbe: Int, k: Int, trainIterations: Int = 3): DataFrame = {
+    val centroids = kmeansCentroids(corpus, idCol, vecCol, numCells, trainIterations)
+    val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val assigned = assignToCentroids(v, centroids)
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    // nProbe nearest cells per query (tiny: queries × k cells)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("cid").asc)
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("qdist", -cosine(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wq)).filter(col("prn") <= nProbe)
+      .select(col("qid"), col("qv"), col("cid"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
+    probes.join(assigned, "cid")
+      .filter(col("qid") =!= col("id"))
+      .select(col("qid"), col("id").as("nid"), cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("nid"), col("rn").cast("long").as("rn"), col("sim"))
+  }
+
   /** LSH-bucketed approximate NN: bucket every vector, then compute exact
     * cosine only within buckets. One shuffle (bucket key) instead of a
     * quadratic cross product — the 100-TB-scale variant of cosineTopK.

@@ -70,6 +70,15 @@ object Pipeline {
         .select(col("qid"), col("nid"), col("rn"), round(col("sim"), 6).as("sim"))
     }),
 
+    "sim_ivf_topk" -> ((s, dir) => {
+      // IVF coarse-quantized ANN (rows-only: k-means cells are
+      // engine-local); deterministic init + assignment
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+        numCells = 16, nProbe = 4, k = 10)
+        .select(col("qid"), col("nid"), col("rn"), round(col("sim"), 6).as("sim"))
+    }),
+
     "sim_lsh_ann" -> ((s, dir) => {
       // sign-LSH bucketed ANN (rows-only: plane seeds are engine-local)
       Similarity.lshNearNeighbors(t(s, dir, "embeddings"), "vec_id", "embedding",

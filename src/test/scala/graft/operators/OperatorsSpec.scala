@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0).getAs[Long]("nid") == 2L)
   }
 
+  test("ivfTopK finds planted-cluster neighbors") {
+    // three well-separated clusters of 20 vectors each
+    val rng = new scala.util.Random(3)
+    val dirs = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
+    val rows = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val base = dirs(c)
+      ((c * 20 + i).toLong, base.map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, corpus.filter($"vec_id" === 0L),
+      "vec_id", "embedding", numCells = 3, nProbe = 1, k = 5, trainIterations = 4)
+      .collect()
+    assert(out.length == 5)
+    // all neighbors of vector 0 (cluster 0) come from cluster 0
+    assert(out.forall(_.getAs[Long]("nid") < 20L))
+    // and agree with brute force on the same data
+    val brute = Similarity.cosineTopK(corpus, corpus.filter($"vec_id" === 0L),
+      "vec_id", "embedding", 5).collect().map(_.getAs[Long]("nid")).toSet
+    val ivf = out.map(_.getAs[Long]("nid")).toSet
+    assert((ivf & brute).size >= 4) // ≥80% recall on planted clusters
+  }
+
   test("lshBucket groups aligned vectors") {
     val planes = Similarity.hyperplanes(8, 3)
     val df = Seq((1L, Seq(1.0, 0.1, 0.0)), (2L, Seq(0.9, 0.11, 0.01)), (3L, Seq(-1.0, -0.1, 0.0)))
