@@ -51,7 +51,9 @@ object DuckFunctions {
   private def jaro(a: String, b: String): Double = {
     if (a.isEmpty && b.isEmpty) return 1.0
     if (a.isEmpty || b.isEmpty) return 0.0
-    val window = math.max(a.length, b.length) / 2 - 1
+    // clamp: for 1-char strings max/2-1 would be -1 and equal strings
+    // would score 0 instead of 1
+    val window = math.max(0, math.max(a.length, b.length) / 2 - 1)
     val bMatched = new Array[Boolean](b.length)
     val aMatched = new Array[Boolean](a.length)
     var matches = 0

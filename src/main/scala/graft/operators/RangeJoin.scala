@@ -31,7 +31,9 @@ object RangeJoin {
                      (p, lo, hi) => p > lo && p <= hi): DataFrame = {
     val pb = points.withColumn("__bucket",
       floor(col(pointCol) / bucketWidth).cast("long"))
-    val rb = ranges.withColumn("__bucket",
+    // inverted/empty intervals (hi < lo) match nothing; without the guard
+    // Sequence(start > stop, step 1) throws at runtime
+    val rb = ranges.filter(col(loCol) <= col(hiCol)).withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
         floor(col(hiCol) / bucketWidth).cast("long"))))
     pb.join(rb, Seq("__bucket"))

@@ -29,6 +29,7 @@ object Recursion {
     // the small per-step frames of a recursion that's pure overhead.
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
     try fixpointLoop(seed, step, maxIterations)
     finally {
@@ -65,10 +66,12 @@ object Recursion {
       var blockAcc = acc
       var blockNew: DataFrame = null
       var f = frontier
+      val blockCaches = collection.mutable.ArrayBuffer.empty[DataFrame]
       for (_ <- 0 until k) {
         // cache each lazy piece: it appears both as the next frontier and
         // inside blockAcc — uncached, the plan would double per step
         val next = dedupAgainst(step(f), blockAcc).cache()
+        blockCaches += next
         blockAcc = blockAcc.unionAll(next)
         blockNew = if (blockNew == null) next else blockNew.unionAll(next)
         f = next
@@ -76,6 +79,9 @@ object Recursion {
       // block pieces are pairwise disjoint and individually distinct —
       // no extra dedup shuffle needed before materializing
       val materialized = blockNew.localCheckpoint()
+      // the checkpoint holds the data now — the intra-block caches would
+      // otherwise accumulate in the storage pool for the whole recursion
+      blockCaches.foreach(_.unpersist(blocking = false))
       if (materialized.isEmpty) done = true
       else {
         // acc stays a union of checkpointed pieces — no recompute risk

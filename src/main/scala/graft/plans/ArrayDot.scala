@@ -71,11 +71,23 @@ object ArrayDot {
   */
 object SquarePowRule
   extends org.apache.spark.sql.catalyst.rules.Rule[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
-  import org.apache.spark.sql.catalyst.expressions.{Literal, Multiply, Pow}
+  import org.apache.spark.sql.catalyst.expressions.{Cast, LeafExpression, Literal, Multiply, Pow}
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  // duplicating the base is only safe/profitable when it is deterministic
+  // (pow(rand(),2) must NOT become rand()*rand()) and cheap to re-evaluate
+  // (a column ref / literal, possibly cast) — the same guard Spark's own
+  // optimizer applies before duplicating expressions
+  private def cheapDeterministic(e: Expression): Boolean = e.deterministic && (e match {
+    case _: LeafExpression => true
+    case c: Cast => c.child.isInstanceOf[LeafExpression]
+    case _ => false
+  })
+
   override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
   : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     plan.transformAllExpressions {
-      case Pow(b, Literal(2.0, DoubleType)) => Multiply(b, b)
+      case Pow(b, Literal(2.0, DoubleType)) if cheapDeterministic(b) => Multiply(b, b)
     }
 }
 

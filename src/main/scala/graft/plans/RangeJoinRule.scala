@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType, TimestampNTZType, TimestampType}
 
 /** Automatic range-join planning (the IEJoin-class gap: reference
   * PhysicalPiecewiseMergeJoin/PhysicalIEJoin, duckdb-3.cpp:17261/15445).
@@ -28,14 +28,23 @@ object RangeJoinRule extends Rule[LogicalPlan] {
   /** (point, lo, hi) when cmp is `point > lo`-shaped or `hi > point`-shaped. */
   private case class Band(point: Expression, bound: Expression, isLower: Boolean)
 
+  // The rewrite buckets via Cast(e, DoubleType): valid only for numeric
+  // and timestamp inputs. For anything else (string, date, …) the cast
+  // yields null and the bucket equi-join would silently return zero rows
+  // where the original join had matches — so bail out instead.
+  private def bucketable(e: Expression): Boolean = e.dataType match {
+    case _: NumericType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   private def asBand(e: Expression, pointSide: LogicalPlan,
-                     rangeSide: LogicalPlan): Option[Band] = e match {
+                     rangeSide: LogicalPlan): Option[Band] = (e match {
     case GreaterThan(a, b) => bandOf(a, b, pointSide, rangeSide)
     case GreaterThanOrEqual(a, b) => bandOf(a, b, pointSide, rangeSide)
     case LessThan(a, b) => bandOf(b, a, pointSide, rangeSide)
     case LessThanOrEqual(a, b) => bandOf(b, a, pointSide, rangeSide)
     case _ => None
-  }
+  }).filter(band => bucketable(band.point) && bucketable(band.bound))
 
   // a > b: either point > lo (a = point) or hi > point (b = point)
   private def bandOf(a: Expression, b: Expression, pointSide: LogicalPlan,
@@ -94,8 +103,12 @@ object RangeJoinRule extends Rule[LogicalPlan] {
 
     val rBucketAttr = AttributeReference("__graft_rbucket", LongType, nullable = true)()
     // Sequence is TimeZoneAwareExpression — unresolved without a zone
-    val seq = new Sequence(bucketOf(lo, width), bucketOf(hi, width), Literal(1L))
+    val buckets = new Sequence(bucketOf(lo, width), bucketOf(hi, width), Literal(1L))
       .withTimeZone(conf.sessionLocalTimeZone)
+    // Sequence throws on start > stop with step 1 — an inverted/empty
+    // interval (hi < lo) must contribute no rows, not fail the query
+    val seq = If(LessThanOrEqual(bucketOf(lo, width), bucketOf(hi, width)),
+      buckets, Literal.create(Array.empty[Long], ArrayType(LongType)))
     val newRangeSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(rBucketAttr), rangeSide)
 

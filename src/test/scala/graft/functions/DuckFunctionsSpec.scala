@@ -36,6 +36,10 @@ class DuckFunctionsSpec extends AnyFunSuite {
     assert(math.abs(DuckFunctions.jaroWinkler("MARTHA", "MARHTA") - 0.9611111111111111) < 1e-12)
     assert(math.abs(DuckFunctions.jaroWinkler("DWAYNE", "DUANE") - 0.84) < 1e-12)
     assert(DuckFunctions.jaroWinkler("same", "same") == 1.0)
+    // 1-char strings: match window must clamp to 0, not -1
+    assert(DuckFunctions.jaroWinkler("a", "a") == 1.0)
+    assert(DuckFunctions.jaroWinkler("a", "b") == 0.0)
+    assert(DuckFunctions.jaroWinkler("ab", "ab") == 1.0)
   }
 
   test("strftime to Java pattern translation") {

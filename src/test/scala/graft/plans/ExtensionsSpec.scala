@@ -22,11 +22,16 @@ class ExtensionsSpec extends AnyFunSuite {
       // injected function resolves without runtime registration
       assert(ext.sql("SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
         .head().getDouble(0) == 11.0)
-      // optimizer rule rewrites pow(x,2) to multiplication
-      val df = ext.sql("SELECT pow(id + 0.0, 2) AS sq FROM range(5)")
+      // optimizer rule rewrites pow(x,2) to multiplication (x = cheap column ref)
+      val df = ext.sql("SELECT pow(id, 2) AS sq FROM range(5)")
       val optimized = df.queryExecution.optimizedPlan.toString
       assert(!optimized.toUpperCase.contains("POWER"), optimized)
       assert(df.collect().map(_.getDouble(0)).sorted.toSeq == Seq(0.0, 1.0, 4.0, 9.0, 16.0))
+      // …but never duplicates non-deterministic or expensive bases
+      val nd = ext.sql("SELECT pow(rand(), 2) AS sq FROM range(5)")
+      assert(nd.queryExecution.optimizedPlan.toString.toUpperCase.contains("POW("))
+      val exp = ext.sql("SELECT pow(id * 3 + 1, 2) AS sq FROM range(5)")
+      assert(exp.queryExecution.optimizedPlan.toString.toUpperCase.contains("POW("))
       // custom operator stack: hint → analyzer rule → strategy → SparkPlan
       val base = ext.range(0, 10000).toDF("id").repartition(6)
       val sampled = base.hint("graft_reservoir", 100, 7L)

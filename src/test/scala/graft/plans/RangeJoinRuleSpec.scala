@@ -29,6 +29,33 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
   }
 
+  test("rule bails out on non-numeric band columns (no silent wrong results)") {
+    // string band: Cast(_, Double) would be null on both bucket keys and
+    // the equi-join would silently drop every match — rule must not fire
+    val sPoints = Seq(("p1", "m"), ("p2", "c")).toDF("pid", "s")
+    val sRanges = Seq(("r1", "a", "f"), ("r2", "k", "z")).toDF("rid", "slo", "shi")
+    val j = () => sPoints.join(sRanges, col("s") > col("slo") && col("s") <= col("shi"))
+    val baseline = j().select("pid", "rid").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(baseline == Set("p1" -> "r2", "p2" -> "r1"))
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "8.0")
+    try {
+      val got = j()
+      assert(!got.queryExecution.optimizedPlan.toString.contains("__graft_pbucket"))
+      assert(got.select("pid", "rid").collect().map(r => (r.getString(0), r.getString(1))).toSet == baseline)
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("inverted intervals (hi < lo) match nothing instead of throwing") {
+    val badRanges = Seq((1L, 10.0, 5.0), (2L, 20.0, 27.0)).toDF("rid", "lo", "hi")
+    spark.conf.set("spark.graft.rangeJoin.bucketWidth", "8.0")
+    try {
+      val got = points.join(badRanges, col("x") > col("lo") && col("x") <= col("hi"))
+      assert(got.queryExecution.optimizedPlan.toString.contains("__graft_pbucket"))
+      val rids = got.select("rid").distinct().as[Long].collect().toSet
+      assert(rids == Set(2L)) // rid 1 is inverted: contributes no rows, no error
+    } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
   test("rule leaves equi-joins and disabled sessions alone") {
     // disabled: BNLJ stays
     val plan0 = bandJoin().queryExecution.executedPlan.toString
