@@ -82,10 +82,12 @@ object Extended2 {
 
     "agg_approx_quantile" -> ((s, dir) => {
       // t-digest approx_quantile analog (reference: holistic list,
-      // duckdb-5.cpp:12-17) — sketches differ across engines, rows-only
+      // duckdb-5.cpp:12-17) — sketches differ across engines, rows-only;
+      // scalar outputs only (the driver compare cannot sort arrays)
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_median"),
-        percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.9)), lit(1000)).as("apx_deciles"))
+        percentile_approx(col("l_quantity"), lit(0.1), lit(1000)).as("apx_p10"),
+        percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("apx_p90"))
     }),
 
     "fn_typeof" -> ((s, dir) => {
@@ -120,7 +122,7 @@ object Extended2 {
       // string_split_regex + trim-with-chars (reference duckdb-6.cpp:5993)
       t(s, dir, "part").select(
         col("p_partkey"),
-        split(col("p_type"), "[ ]+", -1).as("words"),
+        array_join(split(col("p_type"), "[ ]+", -1), "|").as("words"),
         size(split(col("p_name"), "[aeiou]+", -1)).cast("long").as("n_vowel_splits"),
         expr("trim(BOTH 'SD' FROM p_type)").as("trimmed_chars"),
         expr("ltrim('ST', p_type)").as("ltrimmed"),
@@ -303,7 +305,7 @@ object Extended2 {
 
     "fn_string_split2" ->
       """SELECT p_partkey,
-        |  string_split_regex(p_type, '[ ]+') AS words,
+        |  array_to_string(string_split_regex(p_type, '[ ]+'), '|') AS words,
         |  len(string_split_regex(p_name, '[aeiou]+')) AS n_vowel_splits,
         |  trim(p_type, 'SD') AS trimmed_chars,
         |  ltrim(p_type, 'ST') AS ltrimmed,

@@ -197,10 +197,12 @@ object Relational {
     }),
 
     "agg_histogram" -> ((s, dir) => {
-      // nested aggregate histogram → MAP (duckdb-5.cpp:1246); map output
-      // rendered as sorted entries so both engines produce canonical rows
+      // nested aggregate histogram → MAP (duckdb-5.cpp:1246); entries are
+      // exploded to scalar rows — the driver's canonical compare cannot
+      // sort nested columns
       t(s, dir, "orders").groupBy(col("o_orderstatus")).agg(
-        expr("sort_array(map_entries(histogram_agg(o_orderpriority)))").as("hist"))
+        expr("histogram_agg(o_orderpriority)").as("hist"))
+        .select(col("o_orderstatus"), explode(col("hist")).as(Seq("priority", "cnt")))
     }),
 
     // ---- joins (SURVEY §2.3) ----
@@ -559,9 +561,11 @@ object Relational {
         |FROM lineitem WHERE l_orderkey <= 100 GROUP BY l_orderkey""".stripMargin,
 
     "agg_histogram" ->
-      """SELECT o_orderstatus,
-        |  list_sort(map_entries(histogram(o_orderpriority))) AS hist
-        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+      """SELECT o_orderstatus, u.key AS priority,
+        |  CAST(u.value AS BIGINT) AS cnt
+        |FROM (SELECT o_orderstatus, histogram(o_orderpriority) AS hist
+        |      FROM orders GROUP BY o_orderstatus) h,
+        |  UNNEST(map_entries(hist)) AS t(u)""".stripMargin,
 
     "join_inner" ->
       """SELECT o_orderstatus, count(*) AS n_items,

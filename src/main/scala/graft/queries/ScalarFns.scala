@@ -157,23 +157,27 @@ object ScalarFns {
     }),
 
     "fn_nested_list" -> ((s, dir) => {
+      // nested/HOF surface; list outputs are rendered with array_join —
+      // the driver's canonical compare cannot sort list columns
       val base = t(s, dir, "lineitem").groupBy(col("l_returnflag"))
         .agg(sort_array(collect_set(col("l_linenumber").cast("long"))).as("arr"))
       base.select(
-        col("l_returnflag"), col("arr"),
-        transform(col("arr"), x => x * 2).as("arr2"),
-        filter(col("arr"), x => x % 2 === 0).as("evens"),
-        slice(col("arr"), 2, 3).as("sl"),
+        col("l_returnflag"), array_join(col("arr"), ",").as("arr_s"),
+        array_join(transform(col("arr"), x => x * 2), ",").as("arr2"),
+        array_join(filter(col("arr"), x => x % 2 === 0), ",").as("evens"),
+        array_join(slice(col("arr"), 2, 3), ",").as("sl"),
         array_contains(col("arr"), 3L).as("has3"),
         array_position(col("arr"), 4L).cast("long").as("pos4"),
         element_at(col("arr"), 2).as("el2"),
-        flatten(array(col("arr"), array(lit(99L)))).as("flat"),
+        array_join(flatten(array(col("arr"), array(lit(99L)))), ",").as("flat"),
         aggregate(col("arr"), lit(0L), (a, x) => a + x).as("tot"),
         size(col("arr")).cast("long").as("sz"),
-        sequence(lit(1L), lit(5L)).as("seq"))
+        array_join(sequence(lit(1L), lit(5L)), ",").as("seq"))
     }),
 
     "fn_struct" -> ((s, dir) => {
+      // struct_pack + struct_extract round-trip; final columns are the
+      // extracted scalars (driver compare cannot sort struct columns)
       val n = t(s, dir, "nation"); val r = t(s, dir, "region")
       n.join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
@@ -181,6 +185,10 @@ object ScalarFns {
           count(lit(1)).as("n"))
         .select(col("r_name"),
           struct(col("lo"), col("hi"), col("n")).as("s"))
+        .select(col("r_name"),
+          col("s").getField("lo").as("s_lo"),
+          col("s").getField("hi").as("s_hi"),
+          col("s").getField("n").as("s_n"))
     })
   )
 
@@ -288,23 +296,29 @@ object ScalarFns {
         |  SELECT l_returnflag,
         |    list_sort(list(DISTINCT CAST(l_linenumber AS BIGINT))) AS arr
         |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, arr,
-        |  list_transform(arr, x -> x * 2) AS arr2,
-        |  list_filter(arr, x -> x % 2 = 0) AS evens,
-        |  list_slice(arr, 2, 4) AS sl,
+        |SELECT l_returnflag, array_to_string(arr, ',') AS arr_s,
+        |  array_to_string(list_transform(arr, x -> x * 2), ',') AS arr2,
+        |  array_to_string(list_filter(arr, x -> x % 2 = 0), ',') AS evens,
+        |  array_to_string(list_slice(arr, 2, 4), ',') AS sl,
         |  list_contains(arr, 3) AS has3,
         |  CAST(list_position(arr, 4) AS BIGINT) AS pos4,
         |  arr[2] AS el2,
-        |  flatten([arr, [CAST(99 AS BIGINT)]]) AS flat,
+        |  array_to_string(flatten([arr, [CAST(99 AS BIGINT)]]), ',') AS flat,
         |  CAST(list_aggregate(arr, 'sum') AS BIGINT) AS tot,
         |  len(arr) AS sz,
-        |  generate_series(CAST(1 AS BIGINT), CAST(5 AS BIGINT)) AS seq
+        |  array_to_string(generate_series(CAST(1 AS BIGINT), CAST(5 AS BIGINT)), ',') AS seq
         |FROM b""".stripMargin,
 
     "fn_struct" ->
-      """SELECT r_name,
-        |  struct_pack(lo := min(n_name), hi := max(n_name), n := count(*)) AS s
-        |FROM nation JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY r_name""".stripMargin
+      """WITH b AS (
+        |  SELECT r_name,
+        |    struct_pack(lo := min(n_name), hi := max(n_name), n := count(*)) AS s
+        |  FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY r_name)
+        |SELECT r_name,
+        |  struct_extract(s, 'lo') AS s_lo,
+        |  struct_extract(s, 'hi') AS s_hi,
+        |  CAST(struct_extract(s, 'n') AS BIGINT) AS s_n
+        |FROM b""".stripMargin
   )
 }

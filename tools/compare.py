@@ -32,8 +32,10 @@ def canon(df):
             df[c] = df[c].astype('datetime64[us]')
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype('float64') if df[c].isnull().any() else df[c].astype('int64')
-    sort_cols = list(df.columns)
-    df = df.sort_values(by=sort_cols, key=lambda s: s.map(repr) if s.dtype == object else s)
+    # plain sort_values like the driver: nested cells (list/ndarray/dict)
+    # raise TypeError here — exactly the driver's failure mode, so any
+    # query emitting array/map/struct columns fails LOCALLY first
+    df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
 n_pass = n_fail = 0
@@ -71,10 +73,12 @@ for name, sql in sorted(oracle.items()):
 
 for name in rows_only:
     try:
-        n = len(pq.read_table(f'{out}/{name}'))
+        # driver canonicalizes (sorts) even rows-only dumps — nested
+        # columns crash it there too, so replicate that locally
+        n = len(canon(pq.read_table(f'{out}/{name}').to_pandas()))
         print(f'ROWS {name}: {n} rows {"OK" if n > 0 else "EMPTY!"}')
     except Exception as e:
-        print(f'ROWS {name}: read error {e}')
+        print(f'ROWS {name}: FAIL canon/read error {e}'); n_fail += 1
 
 print(f'\n{n_pass} pass, {n_fail} fail, {len(rows_only)} rows-only')
 sys.exit(1 if n_fail else 0)
