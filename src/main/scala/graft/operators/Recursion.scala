@@ -17,13 +17,20 @@ object Recursion {
 
   /** UNION-semantics recursion: dedup new rows against everything seen.
     *
-    * Both the frontier and the accumulator are eagerly localCheckpoint'ed
-    * every iteration — without this the accumulator's plan grows by one
-    * union+except per round and each `isEmpty` recomputes the whole
-    * history (O(n²) jobs).
+    * Adaptive two-tier evaluation:
+    *   - while the working set stays under `localRowLimit` and the schema
+    *     is flat, iterate DRIVER-LOCALLY over LocalRelations — Catalyst
+    *     folds narrow steps over a LocalRelation to constants, so each
+    *     iteration costs milliseconds instead of a multi-stage job chain
+    *     (the reference's recursive CTE is single-node too,
+    *     duckdb-4.cpp:7608);
+    *   - the moment the working set outgrows the limit (or the schema has
+    *     nested/binary fields where driver-side row equality is unsound),
+    *     spill seamlessly into the distributed anti-join loop — the shape
+    *     that scales to arbitrarily large fixpoints.
     */
   def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,
-               maxIterations: Int = 100): DataFrame = {
+               maxIterations: Int = 100, localRowLimit: Int = 100000): DataFrame = {
     val spark = seed.sparkSession
     // AQE re-plans every micro-iteration (several jobs per round) — for
     // the small per-step frames of a recursion that's pure overhead.
@@ -31,11 +38,56 @@ object Recursion {
     val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try fixpointLoop(seed, step, maxIterations)
-    finally {
+    try {
+      import org.apache.spark.sql.types._
+      val localable = seed.schema.fields.forall(_.dataType match {
+        case BinaryType | _: ArrayType | _: MapType | _: StructType |
+             CalendarIntervalType | NullType => false
+        case _ => true
+      })
+      if (localable) fixpointLocalFirst(seed, step, maxIterations, localRowLimit)
+      else fixpointLoop(seed, step, maxIterations)
+    } finally {
       spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
       spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
+  }
+
+  /** Driver-local tier: rows live in a driver hash set, the frontier is a
+    * LocalRelation per step. Falls back to the distributed loop mid-flight
+    * if the working set exceeds the limit. */
+  private def fixpointLocalFirst(seed: DataFrame, step: DataFrame => DataFrame,
+                                 maxIterations: Int, limit: Int): DataFrame = {
+    val spark = seed.sparkSession
+    val schema = seed.schema
+    import scala.jdk.CollectionConverters._
+
+    // key rows by their value sequence — Row.equals is value-based for
+    // flat atomic schemas (nested/binary excluded by the caller)
+    val seen = collection.mutable.LinkedHashSet.empty[org.apache.spark.sql.Row]
+
+    def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(rows.asJava, schema)
+
+    val first = seed.limit(limit + 1).collect()
+    if (first.length > limit)
+      return fixpointLoop(seed, step, maxIterations)
+    seen ++= first
+    var frontier = seen.toArray[org.apache.spark.sql.Row]
+    var i = 0
+    while (frontier.nonEmpty && i < maxIterations) {
+      val produced = step(local(frontier.toIndexedSeq)).collect()
+      frontier = produced.distinct.filterNot(seen.contains)
+      seen ++= frontier
+      if (seen.size > limit) {
+        // spill: accumulated state becomes the seed of the distributed
+        // loop; UNION semantics are preserved (seen is already distinct,
+        // and re-stepping previously stepped rows dedups to nothing)
+        return fixpointLoop(local(seen.toSeq), step, maxIterations - i)
+      }
+      i += 1
+    }
+    local(seen.toSeq)
   }
 
   private def fixpointLoop(seed: DataFrame, step: DataFrame => DataFrame,

@@ -162,4 +162,17 @@ class RecursionSpec extends SparkSpec {
     val got = closure.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
     assert(got == Set((1, 2), (2, 3), (3, 4), (1, 3), (2, 4), (1, 4)))
   }
+
+  test("fixpoint local tier spills to the distributed loop at the row limit") {
+    val seed = Seq(1L).toDF("i")
+    val step = (f: org.apache.spark.sql.DataFrame) =>
+      f.filter(col("i") < 50).select((col("i") + 1).as("i"))
+    // limit 5 forces the mid-flight handoff; result must be identical
+    val spilled = Recursion.fixpoint(seed, step, maxIterations = 60, localRowLimit = 5)
+      .as[Long].collect().sorted
+    assert(spilled.toSeq == (1L to 50L))
+    val localOnly = Recursion.fixpoint(seed, step, maxIterations = 60)
+      .as[Long].collect().sorted
+    assert(localOnly.toSeq == (1L to 50L))
+  }
 }
