@@ -58,10 +58,11 @@ object Engine {
     raw.schema.fields.find(f => f.name == "ts" &&
       f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
+        // integral div: double division loses precision at ~1.7e18 ns and
+        // rounds some timestamps off by 1µs
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.col("ts") / 1000 cast
-              org.apache.spark.sql.types.LongType))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case None => raw
     }
   }

@@ -23,7 +23,8 @@ object SparkEntry {
       graft.queries.Pipeline.queries ++
       graft.queries.Extended.queries ++
       graft.queries.Extended2.queries ++
-      graft.queries.Tpch2.queries
+      graft.queries.Tpch2.queries ++
+      graft.queries.Round2.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -31,5 +32,6 @@ object SparkEntry {
       graft.queries.Pipeline.oracle ++
       graft.queries.Extended.oracle ++
       graft.queries.Extended2.oracle ++
-      graft.queries.Tpch2.oracle
+      graft.queries.Tpch2.oracle ++
+      graft.queries.Round2.oracle
 }

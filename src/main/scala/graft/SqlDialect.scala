@@ -79,6 +79,15 @@ object SqlDialect {
   private[graft] def rewriteCore(spark: SparkSession, query: String): String = {
     var q = query
 
+    // star modifiers (reference: star expression EXCLUDE / REPLACE,
+    // duckdb-internal.hpp star expr):
+    //   * EXCLUDE (a, b)            → * EXCEPT (a, b)        (Spark native)
+    //   * REPLACE (expr AS c, …)    → * EXCEPT (c, …), expr AS c, …
+    //     (replaced columns move to the end of the projection; the
+    //     harness compare is column-order-insensitive)
+    // combined form `* EXCLUDE (…) REPLACE (…)` folds into one EXCEPT.
+    q = rewriteStarModifiers(q)
+
     // QUALIFY pred [ORDER BY …] → subquery + WHERE. Window expressions
     // used directly in the predicate (QUALIFY row_number() OVER (…) <= 3)
     // are auto-aliased into the select list first.
@@ -129,6 +138,65 @@ object SqlDialect {
     }
 
     q
+  }
+
+  private val starMod = """(?is)\*\s+(EXCLUDE|REPLACE)\s*\(""".r
+
+  /** `* EXCLUDE (…) [REPLACE (…)]` → Spark `* EXCEPT (…)` + re-projected
+    * replacement expressions. Paren-balanced; applied repeatedly so
+    * multiple stars / subqueries all rewrite; clauses may chain in either
+    * order after the same `*`. */
+  private[graft] def rewriteStarModifiers(query: String): String = {
+    val modHead = """(?is)^\s+(EXCLUDE|REPLACE)\s*\(""".r
+    var q = query
+    var m = starMod.findFirstMatchIn(q)
+    while (m.isDefined) {
+      val star = m.get.start // position of '*'
+      var pos = star + 1
+      var excluded = Vector.empty[String]
+      var replaced = Vector.empty[(String, String)] // (expr, alias)
+      var h = modHead.findFirstMatchIn(q.substring(pos))
+      while (h.isDefined) {
+        val open = pos + h.get.end - 1
+        val close = matchParen(q, open)
+        require(close > 0, s"unbalanced ${h.get.group(1)} in: $query")
+        val args = splitTopLevel(q.substring(open + 1, close))
+        if (h.get.group(1).equalsIgnoreCase("EXCLUDE")) excluded ++= args.map(_.trim)
+        else replaced ++= args.map { item =>
+          val ai = item.toUpperCase.lastIndexOf(" AS ")
+          require(ai > 0, s"REPLACE item needs 'expr AS col': $item")
+          (item.substring(0, ai).trim, item.substring(ai + 4).trim)
+        }
+        pos = close + 1
+        h = modHead.findFirstMatchIn(q.substring(pos))
+      }
+      val names = excluded ++ replaced.map(_._2)
+      val repl = "* EXCEPT (" + names.mkString(", ") + ")" +
+        replaced.map { case (e, a) => s", $e AS $a" }.mkString
+      q = q.substring(0, star) + repl + q.substring(pos)
+      m = starMod.findFirstMatchIn(q)
+    }
+    q
+  }
+
+  /** Split on top-level commas (outside parens and quotes). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inStr = false; var start = 0; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
   }
 
   /** Find `fn(args) OVER (window)` substrings in a predicate

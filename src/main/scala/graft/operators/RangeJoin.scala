@@ -40,4 +40,45 @@ object RangeJoin {
       .filter(refine(col(pointCol), col(loCol), col(hiCol)))
       .drop("__bucket")
   }
+
+  /** Data-adaptive interval join: like [[pointInRange]] but with NO
+    * bucket-width parameter — bucket boundaries are the approximate
+    * quantiles of the point distribution, so it handles unbounded /
+    * highly variable interval widths and skewed point distributions
+    * (the general IEJoin case, reference duckdb-3.cpp:15445).
+    *
+    * Plan shape: each bucket holds ~1/nb of the points by construction;
+    * a range row replicates only to the buckets its interval overlaps —
+    * an interval spanning many buckets genuinely meets that many points,
+    * so the replication is proportional to output work. One equi-join
+    * shuffle; the exact predicate refines after.
+    */
+  def pointInRangeAdaptive(points: DataFrame, pointCol: String,
+                           ranges: DataFrame, loCol: String, hiCol: String,
+                           numBuckets: Int = 0,
+                           refine: (Column, Column, Column) => Column =
+                             (p, lo, hi) => p > lo && p <= hi): DataFrame = {
+    val spark = points.sparkSession
+    val nb = if (numBuckets > 0) numBuckets
+    else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // one pass over the point column (sampled sketch) for the boundaries
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val bounds = points.stat
+      .approxQuantile(pointCol, probs, 0.001).distinct.sorted
+    // bucket(x) = #boundaries <= x (binary search over the tiny folded-in
+    // boundary array; monotonic, so an interval spans a contiguous run)
+    val bucketU = udf((x: java.lang.Double) =>
+      if (x == null) null
+      else {
+        val i = java.util.Arrays.binarySearch(bounds, x.doubleValue())
+        Integer.valueOf(if (i >= 0) i + 1 else -i - 1)
+      })
+    val pb = points.withColumn("__bucket", bucketU(col(pointCol).cast("double")))
+    val rb = ranges.filter(col(loCol) <= col(hiCol)).withColumn("__bucket",
+      explode(sequence(bucketU(col(loCol).cast("double")),
+        bucketU(col(hiCol).cast("double")))))
+    pb.join(rb, Seq("__bucket"))
+      .filter(refine(col(pointCol), col(loCol), col(hiCol)))
+      .drop("__bucket")
+  }
 }

@@ -33,7 +33,7 @@ object EventStreams {
     val staged = stageDir(dir)
     spark.readStream.schema(eventsSchema)
       .parquet(staged)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   private val stageCache = scala.collection.concurrent.TrieMap.empty[String, String]
@@ -101,6 +101,27 @@ object EventStreams {
       q.awaitTermination()
       spark.table(name)
     } finally spark.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
+  /** Stream-stream self-join with an event-time range condition: each
+    * view event joined to the same user's clicks in the preceding 4
+    * hours. Both sides are watermarked and the join condition carries the
+    * time bound, so each side's join state is pruned to
+    * watermark + range — the bounded-state shape that holds on an
+    * unbounded production stream. */
+  def viewClickJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value"))
+      .withWatermark("cts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("vts") - expr("INTERVAL 4 HOURS") &&
+        col("cts") <= col("vts"))
+      .select(col("view_id"), col("user_id"), col("cts"),
+        round(col("value"), 2).as("click_value"))
   }
 
   /** Custom-state streaming (SURVEY §2.10: mapGroupsWithState surface):

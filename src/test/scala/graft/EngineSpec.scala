@@ -48,6 +48,21 @@ class SqlDialectSpec extends SparkSpec {
     assert(SqlDialect.sql(spark, "SELECT * FROM people USING SAMPLE 3 ROWS").count() == 3)
   }
 
+  test("star modifiers: EXCLUDE and REPLACE rewrite to EXCEPT + projection") {
+    people()
+    val ex = SqlDialect.sql(spark, "SELECT * EXCLUDE (v) FROM people WHERE id <= 2")
+    assert(ex.columns.toSeq == Seq("id", "grp"))
+    assert(ex.count() == 2)
+    val rp = SqlDialect.sql(spark,
+      "SELECT * REPLACE (v * 10 AS v) FROM people WHERE id = 1")
+    assert(rp.columns.sorted.toSeq == Seq("grp", "id", "v"))
+    assert(rp.select("v").head().getDouble(0) == 100.0)
+    val both = SqlDialect.sql(spark,
+      "SELECT * EXCLUDE (grp) REPLACE (round(v / 2, 1) AS v) FROM people WHERE id = 2")
+    assert(both.columns.sorted.toSeq == Seq("id", "v"))
+    assert(both.select("v").head().getDouble(0) == 10.0)
+  }
+
   test("read_csv replacement scan") {
     val dir = "target/graft_csv_test/people"
     graft.sources.Csv.write(Seq((1, "x"), (2, "y")).toDF("k", "s"), dir)

@@ -24,4 +24,22 @@ class RangeJoinSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("adaptive point-in-range: variable widths, skew, inverted intervals") {
+    // skewed points (clustered near 0) + interval widths from 0.5 to 500
+    // — no single bucketWidth fits; quantile buckets adapt
+    val points = ((1 to 300).map(i => (i.toLong, i * 0.01)) ++
+      (301 to 400).map(i => (i.toLong, i * 7.0))).toDF("pid", "x")
+    val ranges = ((1 to 30).map(i => (i.toLong, i * 0.05, i * 0.05 + (if (i % 3 == 0) 500.0 else 0.5))) :+
+      ((99L, 10.0, 5.0))).map { case (a, b, c) => (a, b, c) }.toDF("rid", "lo", "hi")
+    val adaptive = RangeJoin.pointInRangeAdaptive(points, "x", ranges, "lo", "hi")
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bnlj = points.join(ranges, col("x") > col("lo") && col("x") <= col("hi"))
+      .select("pid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == bnlj)
+    assert(adaptive.nonEmpty)
+    val plan = RangeJoin.pointInRangeAdaptive(points, "x", ranges, "lo", "hi")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
