@@ -81,4 +81,42 @@ object RangeJoin {
       .filter(refine(col(pointCol), col(loCol), col(hiCol)))
       .drop("__bucket")
   }
+
+  /** Interval-overlap join — the full two-sided IEJoin shape
+    * (`l.lo <= r.hi AND r.lo <= l.hi`, reference PhysicalIEJoin,
+    * duckdb-3.cpp:15445) with intervals on BOTH sides, as a single
+    * equi-join shuffle:
+    *
+    *  - bucket boundaries = quantiles of the union of both sides' lower
+    *    endpoints (balanced regardless of distribution);
+    *  - each interval replicates to every bucket it overlaps;
+    *  - a pair that overlaps in several buckets is emitted exactly once:
+    *    only in the bucket containing max(l.lo, r.lo), which any
+    *    overlapping pair shares — no dedup shuffle needed.
+    */
+  def intervalOverlap(left: DataFrame, llo: String, lhi: String,
+                      right: DataFrame, rlo: String, rhi: String,
+                      numBuckets: Int = 0): DataFrame = {
+    val spark = left.sparkSession
+    val nb = if (numBuckets > 0) numBuckets
+    else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val endpoints = left.select(col(llo).cast("double").as("__x"))
+      .unionAll(right.select(col(rlo).cast("double").as("__x")))
+    val bounds = endpoints.stat.approxQuantile("__x", probs, 0.001).distinct.sorted
+    val bucketU = udf((x: java.lang.Double) =>
+      if (x == null) null
+      else {
+        val i = java.util.Arrays.binarySearch(bounds, x.doubleValue())
+        Integer.valueOf(if (i >= 0) i + 1 else -i - 1)
+      })
+    def span(df: DataFrame, lo: String, hi: String): DataFrame =
+      df.filter(col(lo) <= col(hi)).withColumn("__bucket",
+        explode(sequence(bucketU(col(lo).cast("double")),
+          bucketU(col(hi).cast("double")))))
+    span(left, llo, lhi).join(span(right, rlo, rhi), Seq("__bucket"))
+      .filter(col(llo) <= col(rhi) && col(rlo) <= col(lhi) &&
+        col("__bucket") === bucketU(greatest(col(llo), col(rlo)).cast("double")))
+      .drop("__bucket")
+  }
 }

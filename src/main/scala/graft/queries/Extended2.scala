@@ -25,14 +25,19 @@ object Extended2 {
   }
 
   /** bar(x, min, max, width): unicode bar chart (duckdb-5.cpp:12022
-    * generic list) — full blocks + one partial block char. */
+    * generic list) — full blocks + one partial block char, right-padded
+    * with spaces to `width` UTF-8 BYTES (reference quirk: the pad target
+    * counts bytes, so multi-byte block chars usually exceed it; verified
+    * char-exact vs the reference over a 400-value sweep). */
   def bar(x: Double, lo: Double, hi: Double, width: Double): String = {
     if (x.isNaN || hi <= lo) return ""
     val frac = math.max(0.0, math.min(1.0, (x - lo) / (hi - lo))) * width
     val full = frac.toInt
     val partials = " ▏▎▍▌▋▊▉"
     val rem = ((frac - full) * 8).toInt
-    "█" * full + (if (rem > 0) partials(rem).toString else "")
+    val s = "█" * full + (if (rem > 0) partials(rem).toString else "")
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    s + " " * math.max(0, width.toInt - bytes)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -68,6 +68,54 @@ object Round2 {
       graft.streaming.EventStreams.runToBatchAppend(
         s, dir, s"ssj_${System.nanoTime()}",
         graft.streaming.EventStreams.viewClickJoin)
+    }),
+
+    "join_interval_overlap" -> ((s, dir) => {
+      // interval×interval overlap (the FULL IEJoin shape: two-sided
+      // inequality with different intervals on each side) — one
+      // quantile-bucketed equi-join shuffle, canonical-bucket dedup
+      val su = t(s, dir, "supplier")
+        .withColumn("s_lo", col("s_acctbal") - (col("s_suppkey") % 50).cast("double"))
+        .withColumn("s_hi", col("s_acctbal") + (col("s_suppkey") % 20).cast("double"))
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .withColumn("c_lo", col("c_acctbal") - (col("c_custkey") % 30).cast("double"))
+        .withColumn("c_hi", col("c_acctbal") + (col("c_custkey") % 40).cast("double"))
+      RangeJoin.intervalOverlap(su, "s_lo", "s_hi", c, "c_lo", "c_hi")
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_overlap"), sum(col("c_custkey")).as("sum_cust"))
+    }),
+
+    "fn_map_bar" -> ((s, dir) => {
+      // MAP surface (map / map_from_entries / element_at / cardinality /
+      // map_keys, duckdb-5.cpp:16351) + the bar() chart function — all
+      // rendered to scalars
+      val n = t(s, dir, "nation")
+      val m = map(col("n_name"), col("n_regionkey").cast("long"), lit("x"), lit(99L))
+      n.select(
+        col("n_nationkey").cast("long").as("nk"),
+        element_at(m, col("n_name")).as("self_val"),
+        size(m).cast("long").as("card"),
+        array_join(map_keys(m), ",").as("ks"),
+        element_at(map_from_entries(array(struct(col("n_name").as("k"),
+          col("n_regionkey").cast("long").as("v")))), col("n_name")).as("mfe_val"),
+        callUDF("bar", col("n_nationkey").cast("double"), lit(0.0), lit(24.0), lit(10.0)).as("b"))
+    }),
+
+    "fn_union_type" -> ((s, dir) => {
+      // UNION tagged sum type over the sparse-struct encoding
+      // (SURVEY §1.2; union_value/extract/tag, duckdb-5.cpp:16371) —
+      // tag names aligned with the reference's union_tag output
+      import graft.functions.TypeHelpers._
+      val members = Seq("num", "str")
+      val n = t(s, dir, "nation")
+      val u = when(col("n_nationkey") % 2 === 0,
+        unionValue(0, members, col("n_nationkey").cast("int")))
+        .otherwise(unionValue(1, members, col("n_name")))
+      n.select(col("n_nationkey").cast("long").as("nk"), u.as("u"))
+        .select(col("nk"),
+          when(unionTag(col("u")) === 0, "num").otherwise("str").as("tag"),
+          unionExtract(col("u"), "num").cast("long").as("num_val"),
+          unionExtract(col("u"), "str").cast("string").as("str_val"))
     })
   )
 
@@ -100,6 +148,41 @@ object Round2 {
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id
-        | AND c.ts >= v.ts - INTERVAL 4 HOUR AND c.ts <= v.ts""".stripMargin
+        | AND c.ts >= v.ts - INTERVAL 4 HOUR AND c.ts <= v.ts""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH s AS (SELECT s_suppkey,
+        |    s_acctbal - (s_suppkey % 50) AS s_lo,
+        |    s_acctbal + (s_suppkey % 20) AS s_hi FROM supplier),
+        |c AS (SELECT c_custkey,
+        |    c_acctbal - (c_custkey % 30) AS c_lo,
+        |    c_acctbal + (c_custkey % 40) AS c_hi
+        |  FROM customer WHERE c_custkey <= 1000)
+        |SELECT s_suppkey, count(*) AS n_overlap,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_cust
+        |FROM s JOIN c ON s_lo <= c_hi AND c_lo <= s_hi
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "fn_map_bar" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  element_at(map([n_name, 'x'], [CAST(n_regionkey AS BIGINT), 99]), n_name)[1] AS self_val,
+        |  CAST(cardinality(map([n_name, 'x'], [CAST(n_regionkey AS BIGINT), 99])) AS BIGINT) AS card,
+        |  array_to_string(map_keys(map([n_name, 'x'], [CAST(n_regionkey AS BIGINT), 99])), ',') AS ks,
+        |  CAST(element_at(map_from_entries([{'k': n_name, 'v': n_regionkey}]), n_name)[1] AS BIGINT) AS mfe_val,
+        |  bar(n_nationkey, 0, 24, 10) AS b
+        |FROM nation""".stripMargin,
+
+    "fn_union_type" ->
+      """WITH u AS (
+        |  SELECT n_nationkey,
+        |    (CASE WHEN n_nationkey % 2 = 0
+        |      THEN union_value(num := CAST(n_nationkey AS INTEGER))::UNION(num INTEGER, str VARCHAR)
+        |      ELSE union_value(str := n_name)::UNION(num INTEGER, str VARCHAR) END) AS uv
+        |  FROM nation)
+        |SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  CAST(union_tag(uv) AS VARCHAR) AS tag,
+        |  CAST(union_extract(uv, 'num') AS BIGINT) AS num_val,
+        |  union_extract(uv, 'str') AS str_val
+        |FROM u""".stripMargin
   )
 }

@@ -25,6 +25,18 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("interval overlap join equals nested loop, emits each pair once") {
+    val left = (1 to 120).map(i => (i.toLong, i * 0.9, i * 0.9 + (i % 7) * 5.0)).toDF("lid", "llo", "lhi")
+    val right = (1 to 80).map(i => (i.toLong, i * 1.3 - 3.0, i * 1.3 + (i % 11) * 2.0)).toDF("rid", "rlo", "rhi")
+    val got = RangeJoin.intervalOverlap(left, "llo", "lhi", right, "rlo", "rhi")
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = left.join(right, col("llo") <= col("rhi") && col("rlo") <= col("lhi"))
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == expected.length, "duplicate or missing pairs") // multiset equality
+    assert(got.toSet == expected.toSet)
+    assert(got.nonEmpty)
+  }
+
   test("adaptive point-in-range: variable widths, skew, inverted intervals") {
     // skewed points (clustered near 0) + interval widths from 0.5 to 500
     // — no single bucketWidth fits; quantile buckets adapt
