@@ -62,7 +62,9 @@ object SqlDialect {
     limitPercent.findFirstMatchIn(q) match {
       case Some(m) =>
         val pct = m.group(1).toDouble
-        val base = spark.sql(rewriteCore(spark, q.substring(0, m.start)))
+        // localCheckpoint: the count pass materializes the base result once;
+        // the consuming limit reuses it instead of re-executing the query
+        val base = spark.sql(rewriteCore(spark, q.substring(0, m.start))).localCheckpoint()
         val n = math.ceil(base.count() * pct / 100.0).toLong
         return base.limit(n.toInt)
       case None =>
@@ -146,35 +148,58 @@ object SqlDialect {
     * replacement expressions. Paren-balanced; applied repeatedly so
     * multiple stars / subqueries all rewrite; clauses may chain in either
     * order after the same `*`. */
+  /** Is position `idx` inside a single-quoted string literal? */
+  private def insideQuotes(s: String, idx: Int): Boolean = {
+    var inStr = false
+    var i = 0
+    while (i < idx) {
+      if (s.charAt(i) == '\'') inStr = !inStr
+      i += 1
+    }
+    inStr
+  }
+
   private[graft] def rewriteStarModifiers(query: String): String = {
     val modHead = """(?is)^\s+(EXCLUDE|REPLACE)\s*\(""".r
     var q = query
-    var m = starMod.findFirstMatchIn(q)
+    var from = 0 // skip-ahead cursor: quoted / malformed matches are left alone
+    var m = starMod.findFirstMatchIn(q.substring(from)).map(x => (from + x.start, x))
     while (m.isDefined) {
-      val star = m.get.start // position of '*'
-      var pos = star + 1
-      var excluded = Vector.empty[String]
-      var replaced = Vector.empty[(String, String)] // (expr, alias)
-      var h = modHead.findFirstMatchIn(q.substring(pos))
-      while (h.isDefined) {
-        val open = pos + h.get.end - 1
-        val close = matchParen(q, open)
-        require(close > 0, s"unbalanced ${h.get.group(1)} in: $query")
-        val args = splitTopLevel(q.substring(open + 1, close))
-        if (h.get.group(1).equalsIgnoreCase("EXCLUDE")) excluded ++= args.map(_.trim)
-        else replaced ++= args.map { item =>
-          val ai = item.toUpperCase.lastIndexOf(" AS ")
-          require(ai > 0, s"REPLACE item needs 'expr AS col': $item")
-          (item.substring(0, ai).trim, item.substring(ai + 4).trim)
+      val star = m.get._1 // position of '*'
+      if (insideQuotes(q, star)) {
+        from = star + 1 // a literal like '* EXCLUDE (' — don't mangle it
+      } else {
+        var pos = star + 1
+        var excluded = Vector.empty[String]
+        var replaced = Vector.empty[(String, String)] // (expr, alias)
+        var malformed = false
+        var h = modHead.findFirstMatchIn(q.substring(pos))
+        while (h.isDefined && !malformed) {
+          val open = pos + h.get.end - 1
+          val close = matchParen(q, open)
+          if (close < 0) malformed = true // leave for the SQL parser to report
+          else {
+            val args = splitTopLevel(q.substring(open + 1, close))
+            if (h.get.group(1).equalsIgnoreCase("EXCLUDE")) excluded ++= args.map(_.trim)
+            else args.foreach { item =>
+              val ai = item.toUpperCase.lastIndexOf(" AS ")
+              if (ai <= 0) malformed = true
+              else replaced :+= (item.substring(0, ai).trim, item.substring(ai + 4).trim)
+            }
+            pos = close + 1
+            h = modHead.findFirstMatchIn(q.substring(pos))
+          }
         }
-        pos = close + 1
-        h = modHead.findFirstMatchIn(q.substring(pos))
+        if (malformed) from = star + 1
+        else {
+          val names = excluded ++ replaced.map(_._2)
+          val repl = "* EXCEPT (" + names.mkString(", ") + ")" +
+            replaced.map { case (e, a) => s", $e AS $a" }.mkString
+          q = q.substring(0, star) + repl + q.substring(pos)
+          from = star + repl.length
+        }
       }
-      val names = excluded ++ replaced.map(_._2)
-      val repl = "* EXCEPT (" + names.mkString(", ") + ")" +
-        replaced.map { case (e, a) => s", $e AS $a" }.mkString
-      q = q.substring(0, star) + repl + q.substring(pos)
-      m = starMod.findFirstMatchIn(q)
+      m = starMod.findFirstMatchIn(q.substring(from)).map(x => (from + x.start, x))
     }
     q
   }

@@ -49,6 +49,31 @@ object Aggs {
     def outputEncoder: Encoder[java.lang.Double] = Encoders.DOUBLE
   }
 
+  /** vecsum(v): element-wise sum of array<double> vectors (used by the
+    * k-means centroid update — partial-aggregable, so each map task
+    * reduces its partition to one k×dim buffer before the shuffle;
+    * ragged inputs sum over the common prefix). */
+  object VecSumAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+    def zero: Array[Double] = Array.emptyDoubleArray
+    private def add(b: Array[Double], a: Seq[Double]): Array[Double] =
+      if (a == null || a.isEmpty) b
+      else if (b.isEmpty) a.toArray
+      else {
+        val out = if (b.length >= a.length) b else java.util.Arrays.copyOf(b, a.length)
+        var i = 0
+        val it = a.iterator
+        while (it.hasNext) { out(i) += it.next(); i += 1 }
+        out
+      }
+    def reduce(b: Array[Double], a: Seq[Double]): Array[Double] = add(b, a)
+    def merge(x: Array[Double], y: Array[Double]): Array[Double] =
+      add(x, scala.collection.immutable.ArraySeq.unsafeWrapArray(y))
+    def finish(b: Array[Double]): Seq[Double] =
+      if (b.isEmpty) null else scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    def bufferEncoder: Encoder[Array[Double]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    def outputEncoder: Encoder[Seq[Double]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
   /** histogram(x): value → occurrence count map
     * (reference: nested aggregate `histogram`, duckdb-5.cpp:1246-1249). */
   object HistogramAgg extends Aggregator[String, Map[String, Long], Map[String, Long]] {

@@ -15,6 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `spark.sql.shuffle.partitions` may be "auto" under some AQE configs —
+    * fall back to the scheduler's default parallelism instead of throwing. */
+  private def defaultBuckets(spark: org.apache.spark.sql.SparkSession): Int =
+    scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism)
+
   /** Join `points` rows to `ranges` rows whose [loCol, hiCol] interval
     * contains the point, via bucketed equi-join.
     *
@@ -59,8 +65,7 @@ object RangeJoin {
                            refine: (Column, Column, Column) => Column =
                              (p, lo, hi) => p > lo && p <= hi): DataFrame = {
     val spark = points.sparkSession
-    val nb = if (numBuckets > 0) numBuckets
-    else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nb = if (numBuckets > 0) numBuckets else defaultBuckets(spark)
     // one pass over the point column (sampled sketch) for the boundaries
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val bounds = points.stat
@@ -97,9 +102,12 @@ object RangeJoin {
   def intervalOverlap(left: DataFrame, llo: String, lhi: String,
                       right: DataFrame, rlo: String, rhi: String,
                       numBuckets: Int = 0): DataFrame = {
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty,
+      s"intervalOverlap needs distinct column names on the two sides " +
+        s"(shared: ${dup.mkString(", ")}) — alias one side before joining")
     val spark = left.sparkSession
-    val nb = if (numBuckets > 0) numBuckets
-    else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val nb = if (numBuckets > 0) numBuckets else defaultBuckets(spark)
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val endpoints = left.select(col(llo).cast("double").as("__x"))
       .unionAll(right.select(col(rlo).cast("double").as("__x")))

@@ -66,17 +66,31 @@ object Recursion {
     // flat atomic schemas (nested/binary excluded by the caller)
     val seen = collection.mutable.LinkedHashSet.empty[org.apache.spark.sql.Row]
 
+    // The distributed loop dedups with SQL <=>, which treats -0.0 == 0.0;
+    // Row.equals does not. Normalize negative zeros so the fixpoint result
+    // is identical regardless of which tier runs (or when spill happens).
+    val hasFloat = schema.fields.exists(f =>
+      f.dataType == org.apache.spark.sql.types.DoubleType ||
+        f.dataType == org.apache.spark.sql.types.FloatType)
+    def norm(r: org.apache.spark.sql.Row): org.apache.spark.sql.Row =
+      if (!hasFloat) r
+      else org.apache.spark.sql.Row.fromSeq(r.toSeq.map {
+        case d: Double if d == 0.0 => 0.0
+        case f: Float if f == 0.0f => 0.0f
+        case v => v
+      })
+
     def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
       spark.createDataFrame(rows.asJava, schema)
 
     val first = seed.limit(limit + 1).collect()
     if (first.length > limit)
       return fixpointLoop(seed, step, maxIterations)
-    seen ++= first
+    seen ++= first.map(norm)
     var frontier = seen.toArray[org.apache.spark.sql.Row]
     var i = 0
     while (frontier.nonEmpty && i < maxIterations) {
-      val produced = step(local(frontier.toIndexedSeq)).collect()
+      val produced = step(local(frontier.toIndexedSeq)).collect().map(norm)
       frontier = produced.distinct.filterNot(seen.contains)
       seen ++= frontier
       if (seen.size > limit) {

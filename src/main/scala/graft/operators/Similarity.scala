@@ -65,35 +65,55 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Assign each vector to its nearest centroid (centroids broadcast —
-    * they are k rows). One scan, no shuffle until the group-by. */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(centroids))
-      .withColumn("dist", -cosine(col("v"), col("cv")))
-    scored.groupBy(col("id"))
-      .agg(min_by(col("cid"), col("dist")).as("cid"), first(col("v")).as("v"))
+  /** Per-row scores against driver-known centroids, folded in as literal
+    * arrays: score_i = dot(v, c_i)/|c_i|. |v| is a per-row constant, so
+    * the argmax over i equals the cosine argmax — no need to divide by it.
+    * Everything stays inside whole-stage codegen; zero joins, zero
+    * shuffles.
+    */
+  private def centroidScores(vecCol: Column,
+                             centroids: Array[(Int, Array[Double])]): Array[Column] =
+    centroids.map { case (cid, cv) =>
+      val n = { val s = math.sqrt(cv.map(x => x * x).sum); if (s == 0) 1.0 else s }
+      struct((dot(vecCol, array(cv.map(lit).toIndexedSeq: _*)) / n).as("s"),
+        lit(cid).as("cid"))
+    }
+
+  /** Assign each vector to its nearest centroid. Centroids are k
+    * driver-known rows — folding them into a single
+    * greatest(struct(score, cid)) argmax keeps assignment a pure map
+    * stage (the old crossJoin(broadcast)+groupBy(min_by) pushed n×k rows
+    * through a shuffle per call). */
+  def assignToCentroids(vectors: DataFrame,
+                        centroids: Array[(Int, Array[Double])]): DataFrame = {
+    val scored = centroidScores(col("v"), centroids)
+    val best = if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
+    vectors.withColumn("cid", best.getField("cid"))
   }
 
   /** Distributed Lloyd k-means over array<double> vectors (no MLlib):
-    * deterministic init (first k by id), assignment via broadcast
-    * centroids, centroid update via posexplode + per-dimension mean.
-    * Each iteration is one scan + one (cluster, dim) shuffle.
+    * deterministic init (first k by id), shuffle-free literal-centroid
+    * assignment, centroid update via a partial-aggregable vector-sum
+    * Aggregator — each iteration is one corpus scan + a k-row shuffle
+    * (map-side combine reduces to k×dim doubles per partition).
+    * Returns driver-side centroids (k is small by construction).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iterations: Int): DataFrame = {
+                      k: Int, iterations: Int): Array[(Int, Array[Double])] = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    var centroids = v.orderBy(col("id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"), col("v").as("cv"))
-      .localCheckpoint()
+    var centroids: Array[(Int, Array[Double])] = v.orderBy(col("id")).limit(k).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
+    val vecsum = udaf(graft.functions.Aggs.VecSumAgg)
     for (_ <- 0 until iterations) {
-      val assigned = assignToCentroids(v, centroids)
-      centroids = assigned
-        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("x")).as("x"))
+      centroids = assignToCentroids(v, centroids)
         .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("x")))).as("px"))
-        .select(col("cid"), expr("transform(px, p -> p.x)").as("cv"))
-        .localCheckpoint()
+        .agg(vecsum(col("v")).as("vs"), count(lit(1)).as("n"))
+        .collect()
+        .map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getSeq[Double](1).toArray.map(_ / n))
+        }
+        .sortBy(_._1)
     }
     centroids
   }
@@ -101,7 +121,9 @@ object Similarity {
   /** IVF approximate NN: coarse-quantize the corpus into k-means cells,
     * probe only the `nProbe` cells nearest each query — corpus is
     * scanned once for assignment, search touches ~nProbe/k of the data.
-    * The inverted-file scale path alongside sign-LSH.
+    * The inverted-file scale path alongside sign-LSH. The corpus never
+    * shuffles: assignment is a map stage and the probe set (queries ×
+    * nProbe, small by contract) broadcasts onto it.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               numCells: Int, nProbe: Int, k: Int, trainIterations: Int = 3): DataFrame = {
@@ -109,14 +131,14 @@ object Similarity {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
     val assigned = assignToCentroids(v, centroids)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
-    // nProbe nearest cells per query (tiny: queries × k cells)
-    val wq = Window.partitionBy(col("qid")).orderBy(col("qdist").asc, col("cid").asc)
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("qdist", -cosine(col("qv"), col("cv")))
-      .withColumn("prn", row_number().over(wq)).filter(col("prn") <= nProbe)
-      .select(col("qid"), col("qv"), col("cid"))
+    // nProbe nearest cells per query: literal centroid scores sorted
+    // per-row — no crossJoin, no window shuffle over the query set
+    val cells = array(centroidScores(col("qv"), centroids).toIndexedSeq: _*)
+    val probes = q
+      .select(col("qid"), col("qv"),
+        explode(slice(reverse(array_sort(cells)), 1, nProbe).getField("cid")).as("cid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid").asc)
-    probes.join(assigned, "cid")
+    assigned.join(broadcast(probes), "cid")
       .filter(col("qid") =!= col("id"))
       .select(col("qid"), col("id").as("nid"), cosine(col("qv"), col("v")).as("sim"))
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
@@ -128,10 +150,17 @@ object Similarity {
     * quadratic cross product — the 100-TB-scale variant of cosineTopK.
     */
   def lshNearNeighbors(corpus: DataFrame, idCol: String, vecCol: String,
-                       numPlanes: Int = 12, dim: Int = 64, k: Int = 5): DataFrame = {
+                       numPlanes: Int = 12, dim: Int = 64, k: Int = 5,
+                       maxBucket: Int = 1000): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val b = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
+      // skew guard (same move as Dedup.minhashCandidates): a degenerate
+      // bucket — e.g. all-zero vectors hashing together — would make the
+      // in-bucket self-join quadratic; cap it like a salting cutoff
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("bucket")))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))

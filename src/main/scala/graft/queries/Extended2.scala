@@ -31,10 +31,14 @@ object Extended2 {
     * char-exact vs the reference over a 400-value sweep). */
   def bar(x: Double, lo: Double, hi: Double, width: Double): String = {
     if (x.isNaN || hi <= lo) return ""
-    val frac = math.max(0.0, math.min(1.0, (x - lo) / (hi - lo))) * width
-    val full = frac.toInt
+    // Mirror the oracle's fp operation order exactly: w = width*(x-lo)/(hi-lo)
+    // clamped to [0,width], then eighth-blocks from int(w*8) — a different
+    // order can pick a different partial-block char at boundary values.
+    val w = math.max(0.0, math.min(width, width * (x - lo) / (hi - lo)))
+    val wi = (w * 8).toInt
+    val full = wi / 8
+    val rem = wi % 8
     val partials = " ▏▎▍▌▋▊▉"
-    val rem = ((frac - full) * 8).toInt
     val s = "█" * full + (if (rem > 0) partials(rem).toString else "")
     val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
     s + " " * math.max(0, width.toInt - bytes)

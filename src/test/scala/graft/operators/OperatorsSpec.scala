@@ -91,6 +91,31 @@ class SimilaritySpec extends SparkSpec {
     assert((ivf & brute).size >= 4) // ≥80% recall on planted clusters
   }
 
+  test("centroid assignment plans with no exchange") {
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
+    val centroids = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+    val assigned = Similarity.assignToCentroids(vecs, centroids)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment stage must be shuffle-free:\n$plan")
+    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(byId(1L) == 0 && byId(2L) == 1)
+  }
+
+  test("lshNearNeighbors caps degenerate buckets (no quadratic blowup)") {
+    // all-identical vectors land in ONE bucket; with maxBucket below the
+    // corpus size that bucket must be dropped, not self-joined 500²
+    val corpus = (0 until 500).map(i => (i.toLong, Seq(1.0f, 1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.lshNearNeighbors(corpus, "vec_id", "embedding",
+      numPlanes = 8, dim = 3, k = 3, maxBucket = 100)
+    assert(out.count() == 0L)
+    // sanity: distinct vectors below the cap still produce neighbors
+    val rng = new scala.util.Random(7)
+    val ok = (0 until 50).map(i => (i.toLong,
+      Seq.fill(3)((1.0 + rng.nextGaussian() * 0.05).toFloat))).toDF("vec_id", "embedding")
+    assert(Similarity.lshNearNeighbors(ok, "vec_id", "embedding",
+      numPlanes = 8, dim = 3, k = 3, maxBucket = 100).count() > 0L)
+  }
+
   test("lshBucket groups aligned vectors") {
     val planes = Similarity.hyperplanes(8, 3)
     val df = Seq((1L, Seq(1.0, 0.1, 0.0)), (2L, Seq(0.9, 0.11, 0.01)), (3L, Seq(-1.0, -0.1, 0.0)))
