@@ -80,40 +80,107 @@ object Similarity {
     }
 
   /** Assign each vector to its nearest centroid. Centroids are k
-    * driver-known rows — folding them into a single
-    * greatest(struct(score, cid)) argmax keeps assignment a pure map
-    * stage (the old crossJoin(broadcast)+groupBy(min_by) pushed n×k rows
-    * through a shuffle per call). */
+    * driver-known rows shipped in a compiled UDF closure — assignment is
+    * a pure map stage, zero joins/shuffles (the old
+    * crossJoin(broadcast)+groupBy(min_by) pushed n×k rows through a
+    * shuffle per call). A closure beats folding k×dim literals into a
+    * greatest(struct…) expression here: k-means calls this with fresh
+    * centroid values every iteration, and changed literals force a full
+    * codegen recompile per iteration while a closure is just data. */
   def assignToCentroids(vectors: DataFrame,
                         centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val scored = centroidScores(col("v"), centroids)
-    val best = if (scored.length == 1) scored.head else greatest(scored.toIndexedSeq: _*)
-    vectors.withColumn("cid", best.getField("cid"))
+    val cids = centroids.map(_._1)
+    val cvs = centroids.map(_._2)
+    val invNorms = cvs.map { cv =>
+      val s = math.sqrt(cv.map(x => x * x).sum); if (s == 0) 1.0 else 1.0 / s
+    }
+    // score_i = dot(v, c_i)/|c_i| — |v| is a per-row constant, so the
+    // argmax over i equals the cosine argmax
+    val assignU = udf((v: Seq[Double]) => {
+      val va = v.toArray
+      var best = Int.MinValue
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < cvs.length) {
+        val cv = cvs(i)
+        val n = math.min(cv.length, va.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += va(j) * cv(j); j += 1 }
+        s *= invNorms(i)
+        if (s > bestS) { bestS = s; best = cids(i) }
+        i += 1
+      }
+      best
+    })
+    vectors.withColumn("cid", assignU(col("v")))
   }
 
-  /** Distributed Lloyd k-means over array<double> vectors (no MLlib):
-    * deterministic init (first k by id), shuffle-free literal-centroid
-    * assignment, centroid update via a partial-aggregable vector-sum
-    * Aggregator — each iteration is one corpus scan + a k-row shuffle
-    * (map-side combine reduces to k×dim doubles per partition).
-    * Returns driver-side centroids (k is small by construction).
+  /** Lloyd k-means over array<double> vectors (no MLlib), the way a
+    * coarse IVF quantizer is actually trained at scale: Lloyd iterations
+    * run DRIVER-LOCALLY on a bounded deterministic sample (first
+    * `sampleCap` by id — one TakeOrdered job; FAISS trains IVF on a
+    * corpus sample the same way), then, only if the corpus exceeded the
+    * sample, ONE distributed refinement pass over the full data via the
+    * partial-aggregable vector-sum Aggregator (map-side combine reduces
+    * each partition to k×dim doubles before the k-row shuffle). Total
+    * cluster work: 1 sample job + at most 1 full scan, independent of
+    * iteration count. Returns driver-side centroids (k is small).
     */
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                      k: Int, iterations: Int): Array[(Int, Array[Double])] = {
+                      k: Int, iterations: Int,
+                      sampleCap: Int = 65536): Array[(Int, Array[Double])] = {
     val v = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-    var centroids: Array[(Int, Array[Double])] = v.orderBy(col("id")).limit(k).collect()
-      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1).toArray) }
-    val vecsum = udaf(graft.functions.Aggs.VecSumAgg)
+    val sampleRows = v.orderBy(col("id")).limit(sampleCap + 1).collect()
+    val truncated = sampleRows.length > sampleCap
+    val sample = sampleRows.take(sampleCap).map(_.getSeq[Double](1).toArray)
+    require(sample.nonEmpty, "kmeansCentroids: empty corpus")
+    var centroids: Array[(Int, Array[Double])] =
+      sample.take(k).zipWithIndex.map { case (cv, i) => (i, cv) }
+    // same scoring as assignToCentroids: argmax of dot(v, c)/|c|,
+    // first-wins ties — the two assignment paths must agree
+    def assignLocal(x: Array[Double], cs: Array[(Int, Array[Double])]): Int = {
+      var best = 0
+      var bestS = Double.NegativeInfinity
+      var i = 0
+      while (i < cs.length) {
+        val cv = cs(i)._2
+        val nrm = { val s = math.sqrt(cv.map(c => c * c).sum); if (s == 0) 1.0 else s }
+        val n = math.min(cv.length, x.length)
+        var s = 0.0
+        var j = 0
+        while (j < n) { s += x(j) * cv(j); j += 1 }
+        s /= nrm
+        if (s > bestS) { bestS = s; best = i }
+        i += 1
+      }
+      best
+    }
     for (_ <- 0 until iterations) {
-      centroids = assignToCentroids(v, centroids)
+      val dim = centroids.map(_._2.length).max
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { x =>
+        val c = assignLocal(x, centroids)
+        val n = math.min(dim, x.length)
+        var j = 0
+        while (j < n) { sums(c)(j) += x(j); j += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.zipWithIndex.map { case ((cid, old), i) =>
+        if (counts(i) == 0) (cid, old) // empty cell keeps its centroid
+        else (cid, sums(i).map(_ / counts(i)))
+      }
+    }
+    if (truncated) {
+      val vecsum = udaf(graft.functions.Aggs.VecSumAgg)
+      val updated = assignToCentroids(v, centroids)
         .groupBy(col("cid"))
         .agg(vecsum(col("v")).as("vs"), count(lit(1)).as("n"))
         .collect()
-        .map { r =>
-          val n = r.getLong(2)
-          (r.getInt(0), r.getSeq[Double](1).toArray.map(_ / n))
-        }
-        .sortBy(_._1)
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray.map(_ / r.getLong(2)))
+        .toMap
+      centroids = centroids.map { case (cid, old) => (cid, updated.getOrElse(cid, old)) }
     }
     centroids
   }
