@@ -24,7 +24,8 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.Extended2.queries ++
       graft.queries.Tpch2.queries ++
-      graft.queries.Round2.queries
+      graft.queries.Round2.queries ++
+      graft.queries.Round3.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -33,5 +34,6 @@ object SparkEntry {
       graft.queries.Extended.oracle ++
       graft.queries.Extended2.oracle ++
       graft.queries.Tpch2.oracle ++
-      graft.queries.Round2.oracle
+      graft.queries.Round2.oracle ++
+      graft.queries.Round3.oracle
 }

@@ -186,6 +186,101 @@ object Dedup {
         jaccardSortedLongsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** Deletion neighborhood of depth ≤ k: all distinct strings obtainable
+    * by deleting up to k characters (includes the string itself). The
+    * SymSpell blocking guarantee: ed(a,b) ≤ k ⟹ the neighborhoods
+    * intersect (take an optimal alignment; deleting the ≤k unmatched
+    * characters from each side yields the same string), so equi-joining
+    * on neighborhood keys is a COMPLETE candidate generator for a
+    * Levenshtein-≤k join — a linear key-shuffle instead of a cross join.
+    * Neighborhood size is O(len^k) per row (k is 1-2 in practice), the
+    * right trade for name-length strings; longer texts should block on
+    * PassJoin segments instead.
+    */
+  def deleteNeighborhood(s: String, k: Int): Array[String] = {
+    if (s == null) return Array.empty
+    var frontier = Set(s)
+    val out = scala.collection.mutable.LinkedHashSet(s)
+    var d = 0
+    while (d < k) {
+      frontier = frontier.flatMap(x =>
+        (0 until x.length).map(i => x.substring(0, i) + x.substring(i + 1)))
+      out ++= frontier
+      d += 1
+    }
+    out.toArray
+  }
+
+  val deleteNeighborhoodUdf = udf(deleteNeighborhood _)
+
+  /** All (id_a < id_b) pairs within Levenshtein distance ≤ maxDist, found
+    * WITHOUT a cross join: explode delete-neighborhood keys, equi-join on
+    * the key (one shuffle), dedup candidates, then refine with the exact
+    * levenshtein. Complete by the neighborhood-intersection guarantee —
+    * oracle-verifiable against a brute-force distance join.
+    */
+  def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val keyed = base.select(col("id"),
+      explode(deleteNeighborhoodUdf(col("s"), lit(maxDist))).as("key"))
+    val candidates = keyed.select(col("key"), col("id").as("id_a"))
+      .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDist)
+  }
+
+  /** Sign-LSH near-dup candidates over an embedding column, with
+    * INTEGER-EXACT bucketing: vectors are quantized to floor(x*1000+0.5)
+    * longs, so the plane dot products (±1 components) are exact integer
+    * sums — any engine that replays the same planes computes bit-identical
+    * buckets (the oracle SQL does exactly that). Plan shape: bucket per
+    * row (map-only UDF) → explode (band, bucket) → skew-capped self-join
+    * on the band key = ONE shuffle — the scale path that replaces the
+    * all-pairs cosine product.
+    */
+  def cosineLshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Array[Array[Double]], numBands: Int,
+                          bitsPerBand: Int, maxBucket: Int): DataFrame = {
+    require(planes.length >= numBands * bitsPerBand, "not enough planes")
+    val bucketU = udf((v: Seq[Double]) => {
+      val w = new Array[Long](v.length)
+      var j = 0
+      while (j < w.length) { w(j) = math.floor(v(j) * 1000 + 0.5).toLong; j += 1 }
+      Array.tabulate(numBands) { b =>
+        var bucket = 0L
+        var pb = 0
+        while (pb < bitsPerBand) {
+          val plane = planes(b * bitsPerBand + pb)
+          val n = math.min(plane.length, w.length)
+          var s = 0L
+          var j2 = 0
+          while (j2 < n) { s += w(j2) * plane(j2).toLong; j2 += 1 }
+          if (s >= 0) bucket |= (1L << pb)
+          pb += 1
+        }
+        bucket
+      }
+    })
+    val banded = df
+      .select(col(idCol).as("id"), bucketU(col(vecCol)).as("bks"))
+      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val capped = banded
+      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bucket")))
+      .filter(col("bsize") <= maxBucket)
+    capped.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   /** 64-bit SimHash over whitespace tokens (deterministic; seed via
     * xxhash64). Scalar per-row computation — used as a UDF.
     */

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.{Dedup, Similarity}
+
+/** Round-3 batch: scale-safe replacements for the all-pairs dedup
+  * baselines. Both queries compute the SAME answer as their exact
+  * counterparts would on the candidate set, but generate candidates with
+  * a linear key-shuffle instead of a cross product:
+  *
+  *  - `dedup_fuzzy_names_blocked`: delete-neighborhood (SymSpell)
+  *    blocking is COMPLETE for Levenshtein ≤ k, so the oracle is the
+  *    plain brute-force distance join — a green row proves the blocked
+  *    plan loses nothing.
+  *  - `dedup_embedding_cosine_lsh`: quantized sign-LSH buckets are
+  *    integer-exact, so the oracle SQL replays the identical algorithm
+  *    (same literal hyperplanes) in DuckDB — a green row proves the
+  *    bucketed plan is reproducible cross-engine end to end.
+  */
+object Round3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  /** Shared LSH configuration: 8 bands × 8 bits = 64 ±1 hyperplanes
+    * (Similarity.hyperplanes seed 42), bucket skew cap 250. */
+  private val LshBands = 8
+  private val LshBits = 8
+  private val LshMaxBucket = 250
+  private[graft] lazy val lshPlanes: Array[Array[Double]] =
+    Similarity.hyperplanes(LshBands * LshBits, 64)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "dedup_fuzzy_names_blocked" -> ((s, dir) => {
+      // scale path for dedup_fuzzy_names: one equi-join shuffle on
+      // delete-neighborhood keys replaces the supplier×supplier cross
+      // join; exact-levenshtein refine keeps the answer identical
+      Dedup.fuzzyPairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 2)
+        .groupBy(col("dist").cast("long").as("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).cast("long").as("id_sum"))
+    }),
+
+    "dedup_embedding_cosine_lsh" -> ((s, dir) => {
+      // scale path for dedup_embedding_cosine: banded sign-LSH candidate
+      // generation (one band-key shuffle, skew-capped) + exact cosine
+      // refine. Buckets are integer-exact (quantized vectors, ±1 planes)
+      // so the oracle replays the same bucketing in SQL.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cand = Dedup.cosineLshCandidates(e, "vec_id", "v", lshPlanes,
+        numBands = LshBands, bitsPerBand = LshBits, maxBucket = LshMaxBucket)
+      val ea = e.select(col("vec_id").as("id_a"), col("label").as("la"), col("v").as("va"))
+      val eb = e.select(col("vec_id").as("id_b"), col("label").as("lb"), col("v").as("vb"))
+      cand.join(ea, "id_a").join(eb, "id_b")
+        .select(col("la"), col("lb"),
+          (Similarity.dot(col("va"), col("vb")) /
+            (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("cos"))
+        .groupBy(col("la"), col("lb"))
+        .agg(count(when(col("cos") >= 0.35, 1)).as("n_sim"),
+          count(lit(1)).as("n_cand"),
+          round(max(col("cos")), 6).as("max_cos"))
+    })
+  )
+
+  /** The literal hyperplane rows for the oracle's VALUES clause. */
+  private lazy val planesSqlRows: String =
+    lshPlanes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(",\n    ")
+
+  val oracle: Map[String, String] = Map(
+    "dedup_fuzzy_names_blocked" ->
+      """SELECT CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS d,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(a.s_suppkey + b.s_suppkey) AS BIGINT) AS id_sum
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |GROUP BY 1""".stripMargin,
+
+    "dedup_embedding_cosine_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, list_transform(v, x -> floor(x*1000 + 0.5)) AS w FROM e),
+         |planes(pid, pv) AS (VALUES
+         |    $planesSqlRows),
+         |bb AS (SELECT q.vec_id, p.pid // $LshBits AS band,
+         |         CASE WHEN list_dot_product(q.w, p.pv) >= 0
+         |           THEN 1 << (p.pid % $LshBits) ELSE 0 END AS bit
+         |       FROM q CROSS JOIN planes p),
+         |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bucket
+         |       FROM bb GROUP BY 1, 2),
+         |capped AS (SELECT * FROM bk
+         |           QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $LshMaxBucket),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT ea.label AS la, eb.label AS lb,
+         |         list_cosine_similarity(ea.v, eb.v) AS cos
+         |       FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+         |                 JOIN e eb ON cand.id_b = eb.vec_id)
+         |SELECT la, lb,
+         |  count(*) FILTER (WHERE cos >= 0.35) AS n_sim,
+         |  count(*) AS n_cand,
+         |  round(max(cos), 6) AS max_cos
+         |FROM sc GROUP BY 1, 2""".stripMargin
+  )
+}

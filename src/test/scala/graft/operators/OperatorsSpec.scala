@@ -46,6 +46,62 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashDistance(a, a) == 0)
     assert(Dedup.simhashDistance(a, b) < Dedup.simhashDistance(a, c))
   }
+
+  test("deleteNeighborhood intersects iff within edit distance (spot cases)") {
+    val d1 = Dedup.deleteNeighborhood("abc", 1).toSet
+    assert(d1 == Set("abc", "bc", "ac", "ab"))
+    // substitution, insertion, deletion, and a 2-edit pair all intersect at k=2
+    for ((a, b) <- Seq(("abcdef", "abxdef"), ("abcdef", "abcxdef"),
+      ("abcdef", "abdef"), ("abcdef", "axcdyf"))) {
+      assert(Dedup.deleteNeighborhood(a, 2).toSet
+        .intersect(Dedup.deleteNeighborhood(b, 2).toSet).nonEmpty, s"$a ~ $b")
+    }
+  }
+
+  test("fuzzyPairs matches brute-force levenshtein join exactly") {
+    val names = Seq("Supplier#000000001", "Supplier#000000002", "Supplier#000000012",
+      "Supplier#000000991", "Acme Corp", "Acme Co", "Acme Inc", "Widgets R Us",
+      "completely different", "Supplier#000000100")
+    val df = names.zipWithIndex.map { case (n, i) => (i.toLong, n) }.toDF("id", "name")
+    val blocked = Dedup.fuzzyPairs(df, "id", "name", 2)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = df.select(col("id").as("ia"), col("name").as("na"))
+    val b = df.select(col("id").as("ib"), col("name").as("nb"))
+    val brute = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .withColumn("d", levenshtein(col("na"), col("nb"))).filter(col("d") <= 2)
+      .select("ia", "ib", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty && blocked == brute)
+  }
+
+  test("cosineLshCandidates recovers planted near-dup pairs (exact refine equivalence)") {
+    val rng = new scala.util.Random(7)
+    def vec(): Array[Double] = Array.fill(64)(rng.nextGaussian())
+    // 20 planted near-dup pairs (tiny noise → cos ≈ 0.99) + 160 random rows
+    val planted = (0 until 20).map { i =>
+      val base = vec()
+      val noisy = base.map(_ + rng.nextGaussian() * 0.05)
+      Seq((i.toLong * 2, base.toSeq), (i.toLong * 2 + 1, noisy.toSeq))
+    }.flatten
+    val noise = (0 until 160).map(i => ((100 + i).toLong, vec().toSeq))
+    val df = (planted ++ noise).toDF("id", "v")
+    val planes = graft.queries.Round3.lshPlanes
+    val cand = Dedup.cosineLshCandidates(df, "id", "v", planes,
+      numBands = 8, bitsPerBand = 8, maxBucket = 250)
+    val va = df.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = df.select(col("id").as("id_b"), col("v").as("vb"))
+    def cos = Similarity.dot(col("va"), col("vb")) /
+      (Similarity.norm(col("va")) * Similarity.norm(col("vb")))
+    graft.functions.DuckFunctions.register(spark)
+    val found = cand.join(va, "id_a").join(vb, "id_b")
+      .filter(cos >= 0.9).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = va.crossJoin(vb).filter(col("id_a") < col("id_b")).filter(cos >= 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size >= 20, s"expected >=20 planted pairs, got ${exact.size}")
+    assert(found == exact, "LSH + exact refine must reproduce the brute-force answer")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

@@ -38,6 +38,12 @@ def canon(df):
     df = df.sort_values(by=list(df.columns))
     return df.reset_index(drop=True)
 
+only = os.environ.get('SPARK_GRAFT_ONLY')
+if only:  # local iteration subset: skip oracle entries that weren't dumped
+    keep = {s.strip() for s in only.split(',')}
+    oracle = {k: v for k, v in oracle.items() if k in keep}
+    rows_only = [d for d in rows_only if d in keep]
+
 n_pass = n_fail = 0
 for name, sql in sorted(oracle.items()):
     try:
