@@ -50,9 +50,58 @@ object SqlDialect {
   private val bareCsv = """(?is)\bFROM\s+'([^']+\.csv)'""".r
   private val distinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
 
+  // ---- CREATE MACRO (reference ScalarMacroFunction duckdb-internal.hpp:9920,
+  // TableMacroFunction duckdb-internal.hpp:9955). Macros are bind-time
+  // textual inlining there and here: a scalar macro call becomes its
+  // parenthesized body with parameters substituted, a table macro call
+  // becomes a subquery. Session-scoped registry; macros may reference
+  // other macros (expanded iteratively, depth-capped).
+  private case class Macro(params: Seq[(String, Option[String])], body: String,
+                           isTable: Boolean)
+  private val macros =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), Macro]
+
+  private val createMacroRe =
+    """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+  private val dropMacroRe =
+    """(?is)^\s*DROP\s+MACRO\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+  private val namedArg = "(?s)^[A-Za-z_][A-Za-z0-9_]*\\s*:=.*"
+
   /** Rewrite + execute. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     var q = query.trim.stripSuffix(";")
+
+    // macro DDL
+    createMacroRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val open = m.end - 1
+        val close = matchParen(q, open)
+        require(close > 0, "CREATE MACRO: unbalanced parameter list")
+        val params = splitTopLevel(q.substring(open + 1, close))
+          .map(_.trim).filter(_.nonEmpty).map { p =>
+            val i = p.indexOf(":=")
+            if (i >= 0) (p.substring(0, i).trim, Some(p.substring(i + 2).trim))
+            else (p, None)
+          }
+        val rest = q.substring(close + 1).trim
+        require(rest.toUpperCase.startsWith("AS"), "CREATE MACRO: expected AS")
+        val afterAs = rest.substring(2).trim
+        val isTable = afterAs.toUpperCase.startsWith("TABLE")
+        val body = if (isTable) afterAs.substring("TABLE".length).trim else afterAs
+        macros((spark, m.group(1).toLowerCase)) = Macro(params, body, isTable)
+        return spark.emptyDataFrame
+      case None =>
+    }
+    dropMacroRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        macros.remove((spark, m.group(1).toLowerCase))
+        return spark.emptyDataFrame
+      case None =>
+    }
+
+    // macro calls → inlined bodies (before any other rewrite, so macro
+    // bodies get the full dialect treatment too)
+    q = expandMacros(spark, q)
 
     // replacement scans: read_csv('p') / FROM 'x.csv' → temp view
     q = readCsvFn.replaceAllIn(q, m => registerCsv(spark, m.group(1)))
@@ -140,6 +189,87 @@ object SqlDialect {
     }
 
     q
+  }
+
+  /** Inline every registered-macro call site. Iterative passes handle
+    * macros whose bodies call other macros; the pass cap stops a
+    * self-recursive macro from spinning (the leftover call then fails in
+    * the parser with a clear unresolved-function error, mirroring the
+    * reference's bind-time recursion error).
+    */
+  private[graft] def expandMacros(spark: SparkSession, query: String): String = {
+    var q = query
+    var pass = 0
+    var changed = true
+    val call = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+    while (changed && pass < 10) {
+      changed = false
+      var from = 0
+      var done = false
+      while (!done) {
+        call.findFirstMatchIn(q.substring(from)) match {
+          case None => done = true
+          case Some(m) =>
+            val start = from + m.start
+            val open = from + m.end - 1
+            macros.get((spark, m.group(1).toLowerCase)) match {
+              case Some(mac) if !insideQuotes(q, start) && matchParen(q, open) > 0 =>
+                val close = matchParen(q, open)
+                val args = splitTopLevel(q.substring(open + 1, close))
+                  .map(_.trim).filter(_.nonEmpty)
+                val expansion = "(" + substituteParams(mac, args) + ")"
+                q = q.substring(0, start) + expansion + q.substring(close + 1)
+                // nested macro calls inside the expansion are picked up
+                // by the next pass
+                from = start + expansion.length
+                changed = true
+              case _ => from = open + 1
+            }
+        }
+      }
+      pass += 1
+    }
+    q
+  }
+
+  /** Bind call-site arguments (positional, then named `p := v`, then
+    * declared defaults) and substitute them into the body in ONE pass —
+    * simultaneous substitution, so an argument that happens to contain
+    * another parameter's name is never re-substituted.
+    */
+  private def substituteParams(mac: Macro, args: Seq[String]): String = {
+    val named = args.filter(_.matches(namedArg)).map { a =>
+      val i = a.indexOf(":=")
+      a.substring(0, i).trim.toLowerCase -> a.substring(i + 2).trim
+    }.toMap
+    val positional = args.filterNot(_.matches(namedArg))
+    val bind = mac.params.zipWithIndex.map { case ((name, dflt), i) =>
+      val v =
+        if (i < positional.length) positional(i)
+        else named.getOrElse(name.toLowerCase, dflt.getOrElse(
+          throw new IllegalArgumentException(s"macro parameter '$name' not bound")))
+      name.toLowerCase -> v
+    }.toMap
+    val body = mac.body
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c.isLetter || c == '_') {
+        var j = i
+        while (j < body.length && (body.charAt(j).isLetterOrDigit || body.charAt(j) == '_')) j += 1
+        val tok = body.substring(i, j)
+        bind.get(tok.toLowerCase) match {
+          case Some(v) => sb.append("(").append(v).append(")")
+          case None => sb.append(tok)
+        }
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   private val starMod = """(?is)\*\s+(EXCLUDE|REPLACE)\s*\(""".r

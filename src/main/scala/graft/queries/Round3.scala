@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.Engine
+import graft.{Engine, SqlDialect}
 import graft.operators.{Dedup, Similarity}
 
 /** Round-3 batch: scale-safe replacements for the all-pairs dedup
@@ -64,6 +64,35 @@ object Round3 {
         .agg(count(when(col("cos") >= 0.35, 1)).as("n_sim"),
           count(lit(1)).as("n_cand"),
           round(max(col("cos")), 6).as("max_cos"))
+    }),
+
+    "dialect_macro" -> ((s, dir) => {
+      // CREATE MACRO: bind-time inlining (reference ScalarMacroFunction
+      // duckdb-internal.hpp:9920) — nested macro reference + named
+      // default parameter, exercised through an aggregate
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, "CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d)")
+      SqlDialect.sql(s,
+        "CREATE OR REPLACE MACRO taxed(p, d, t := 0.05) AS disc_price(p, d) * (1 + t)")
+      SqlDialect.sql(s,
+        """SELECT l_returnflag,
+          |  round(sum(disc_price(l_extendedprice, l_discount)), 2) AS sum_disc,
+          |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
+          |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    "dialect_table_macro" -> ((s, dir) => {
+      // CREATE MACRO … AS TABLE (reference TableMacroFunction
+      // duckdb-internal.hpp:9955) — call site in FROM with an alias
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """CREATE OR REPLACE MACRO top_parts(n) AS TABLE
+          |SELECT p_partkey, p_type, p_retailprice FROM part
+          |ORDER BY p_partkey LIMIT n""".stripMargin)
+      SqlDialect.sql(s,
+        """SELECT t.p_type, count(*) AS n, round(sum(t.p_retailprice), 2) AS price_sum
+          |FROM top_parts(50) t GROUP BY t.p_type""".stripMargin)
     })
   )
 
@@ -107,6 +136,22 @@ object Round3 {
          |  count(*) FILTER (WHERE cos >= 0.35) AS n_sim,
          |  count(*) AS n_cand,
          |  round(max(cos), 6) AS max_cos
-         |FROM sc GROUP BY 1, 2""".stripMargin
+         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "dialect_macro" ->
+      """CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d);
+        |CREATE OR REPLACE MACRO taxed(p, d, t := 0.05) AS disc_price(p, d) * (1 + t);
+        |SELECT l_returnflag,
+        |  round(sum(disc_price(l_extendedprice, l_discount)), 2) AS sum_disc,
+        |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
+        |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "dialect_table_macro" ->
+      """CREATE OR REPLACE MACRO top_parts(n) AS TABLE
+        |SELECT p_partkey, p_type, p_retailprice FROM part
+        |ORDER BY p_partkey LIMIT n;
+        |SELECT t.p_type, count(*) AS n, round(sum(t.p_retailprice), 2) AS price_sum
+        |FROM top_parts(50) t GROUP BY t.p_type""".stripMargin
   )
 }

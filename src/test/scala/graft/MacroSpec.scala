@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Dialect-shim rewrites, including CREATE MACRO bind-time inlining
+  * (reference ScalarMacroFunction duckdb-internal.hpp:9920,
+  * TableMacroFunction duckdb-internal.hpp:9955).
+  */
+class MacroSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("scalar macro inlines with parameter substitution") {
+    SqlDialect.sql(spark, "CREATE MACRO m_add(a, b) AS a + b")
+    val out = SqlDialect.sql(spark, "SELECT m_add(2, 3) AS v").head().getInt(0)
+    assert(out == 5)
+  }
+
+  test("macro default and named arguments") {
+    SqlDialect.sql(spark, "CREATE MACRO m_scale(x, f := 10) AS x * f")
+    assert(SqlDialect.sql(spark, "SELECT m_scale(3) AS v").head().getInt(0) == 30)
+    assert(SqlDialect.sql(spark, "SELECT m_scale(3, f := 2) AS v").head().getInt(0) == 6)
+  }
+
+  test("nested macros expand recursively") {
+    SqlDialect.sql(spark, "CREATE MACRO m_inner(x) AS x * 2")
+    SqlDialect.sql(spark, "CREATE MACRO m_outer(y) AS m_inner(y) + 1")
+    assert(SqlDialect.sql(spark, "SELECT m_outer(5) AS v").head().getInt(0) == 11)
+  }
+
+  test("simultaneous substitution: argument containing another param name") {
+    SqlDialect.sql(spark, "CREATE MACRO m_sub(a, b) AS a - b")
+    // a := b+1, b := 2 — naive sequential replace would corrupt the first arg
+    spark.range(1).createOrReplaceTempView("one_row")
+    val v = SqlDialect.sql(spark,
+      "SELECT m_sub(b, 2) AS v FROM (SELECT 10 AS b FROM one_row)").head().getInt(0)
+    assert(v == 8)
+  }
+
+  test("macro name inside a string literal is not expanded") {
+    SqlDialect.sql(spark, "CREATE MACRO m_lit(x) AS x + 1")
+    val out = SqlDialect.sql(spark, "SELECT 'm_lit(9)' AS s, m_lit(1) AS v").head()
+    assert(out.getString(0) == "m_lit(9)" && out.getInt(1) == 2)
+  }
+
+  test("table macro expands to a subquery in FROM") {
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "tag")
+      .createOrReplaceTempView("tm_src")
+    SqlDialect.sql(spark,
+      "CREATE MACRO tm_top(n) AS TABLE SELECT * FROM tm_src ORDER BY id LIMIT n")
+    val rows = SqlDialect.sql(spark,
+      "SELECT t.id FROM tm_top(2) t ORDER BY t.id").collect().map(_.getInt(0))
+    assert(rows.toSeq == Seq(1, 2))
+  }
+
+  test("DROP MACRO removes the definition") {
+    SqlDialect.sql(spark, "CREATE MACRO m_gone(x) AS x")
+    SqlDialect.sql(spark, "DROP MACRO m_gone")
+    intercept[Exception] {
+      SqlDialect.sql(spark, "SELECT m_gone(1) AS v").collect()
+    }
+  }
+}
