@@ -82,6 +82,22 @@ object Round3 {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    "fn_enum" -> ((s, dir) => {
+      // ENUM categorical end-to-end (reference duckdb.hpp:944; enum
+      // registration duckdb-5.cpp:11590): dictionary-order code +
+      // enum_first/enum_last boundaries vs DuckDB's native ENUM type
+      import graft.functions.TypeHelpers._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prio"),
+          enumCode(prios, col("prio")).as("code"),
+          enumFirst(prios).as("first_val"),
+          enumLast(prios).as("last_val"),
+          col("n"))
+    }),
+
     "dialect_table_macro" -> ((s, dir) => {
       // CREATE MACRO … AS TABLE (reference TableMacroFunction
       // duckdb-internal.hpp:9955) — call site in FROM with an alias
@@ -146,6 +162,16 @@ object Round3 {
         |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
         |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "fn_enum" ->
+      """CREATE TYPE prio_t AS ENUM ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW');
+        |SELECT CAST(p AS VARCHAR) AS prio,
+        |  CAST(list_position(enum_range(NULL::prio_t), CAST(p AS VARCHAR)) - 1 AS INTEGER) AS code,
+        |  enum_first(NULL::prio_t) AS first_val,
+        |  enum_last(NULL::prio_t) AS last_val,
+        |  n
+        |FROM (SELECT CAST(o_orderpriority AS prio_t) AS p, count(*) AS n
+        |      FROM orders GROUP BY 1)""".stripMargin,
 
     "dialect_table_macro" ->
       """CREATE OR REPLACE MACRO top_parts(n) AS TABLE
