@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, SqlDialect}
 import graft.operators.{Dedup, Similarity}
+import graft.sources.Csv
 
 /** Round-3 batch: scale-safe replacements for the all-pairs dedup
   * baselines. Both queries compute the SAME answer as their exact
@@ -80,6 +81,44 @@ object Round3 {
           |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
           |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    "csv_options" -> ((s, dir) => {
+      // CSV option long tail (reference read_csv named options,
+      // duckdb-6.cpp:10273-10299): skip + normalize_names,
+      // union_by_name, hive_partitioning — DuckDB reads the
+      // byte-identical files with its native options
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get("/root/repo/target/csv_opts")
+      Files.createDirectories(base.resolve("pt/key=1"))
+      Files.createDirectories(base.resolve("pt/key=2"))
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey")).collect()
+      def put(rel: String, lines: Seq[String]): Unit =
+        Files.write(base.resolve(rel), (lines.mkString("\n") + "\n").getBytes)
+      put("skip_demo.csv",
+        Seq("# generated demo file", "# second preamble line", "N_NationKey|N_Name") ++
+          nation.map(r => s"${r.getLong(0)}|${r.getString(1)}"))
+      val (ua, ub) = nation.splitAt(13)
+      put("u_a.csv", "n_nationkey,n_name" +: ua.map(r => s"${r.getLong(0)},${r.getString(1)}"))
+      put("u_b.csv", "n_nationkey,n_regionkey" +: ub.map(r => s"${r.getLong(0)},${r.getLong(2)}"))
+      val (p1, p2) = nation.partition(_.getLong(0) % 2 == 0)
+      put("pt/key=1/data.csv", "n_nationkey" +: p1.map(r => s"${r.getLong(0)}"))
+      put("pt/key=2/data.csv", "n_nationkey" +: p2.map(r => s"${r.getLong(0)}"))
+      val skipped = Csv.read(s, "/root/repo/target/csv_opts/skip_demo.csv",
+        Map("skip" -> "2", "delim" -> "|", "normalize_names" -> "true"))
+        .agg(count(lit(1)).as("n_skip"), sum(col("n_nationkey")).as("key_sum"))
+      val unioned = Csv.read(s, "/root/repo/target/csv_opts/u_*.csv",
+        Map("union_by_name" -> "true"))
+        .agg(count(lit(1)).as("n_union"), count(col("n_name")).as("n_name_rows"),
+          count(col("n_regionkey")).as("n_region_rows"))
+      val hp = Csv.read(s, "/root/repo/target/csv_opts/pt",
+        Map("hive_partitioning" -> "true"))
+        .agg(count(lit(1)).as("n_hive"),
+          sum(col("key").cast("long")).as("key_part_sum"))
+      skipped.crossJoin(unioned).crossJoin(hp)
     }),
 
     "fn_enum" -> ((s, dir) => {
@@ -162,6 +201,23 @@ object Round3 {
         |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
         |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "csv_options" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS n_skip, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        | FROM read_csv('/root/repo/target/csv_opts/skip_demo.csv',
+        |               skip=2, delim='|', header=true, normalize_names=true))
+        |CROSS JOIN
+        |(SELECT count(*) AS n_union, count(n_name) AS n_name_rows,
+        |        count(n_regionkey) AS n_region_rows
+        | FROM read_csv(['/root/repo/target/csv_opts/u_a.csv',
+        |                '/root/repo/target/csv_opts/u_b.csv'],
+        |               union_by_name=true, header=true))
+        |CROSS JOIN
+        |(SELECT count(*) AS n_hive,
+        |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
+        | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
+        |               hive_partitioning=true, header=true))""".stripMargin,
 
     "fn_enum" ->
       """CREATE TYPE prio_t AS ENUM ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW');

@@ -1,23 +1,39 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, DataFrameReader, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** CSV source/sink with reference-style option names
   * (ReadCSVTableFunction's 30 named options, duckdb-6.cpp:10273-10299;
   * writer = PhysicalCopyToFile, duckdb-4.cpp:4689). Dialect sniffing maps
-  * to Spark's schema inference; explicit options are translated 1:1.
+  * to Spark's schema inference; explicit options are translated 1:1;
+  * options with no DataFrameReader equivalent (`skip`, `union_by_name`,
+  * `filename`, `normalize_names`) are implemented as plan transforms.
+  * Remaining unknown options raise instead of silently diverging.
   */
 object Csv {
 
-  /** Reference option name → Spark CSV option. Unsupported reference
-    * options (`skip`, `sample_size`, …) raise instead of silently
-    * diverging. */
+  /** Reference option name → Spark CSV option. */
   private val optionMap = Map(
     "sep" -> "sep", "delim" -> "sep", "quote" -> "quote",
     "escape" -> "escape", "nullstr" -> "nullValue", "header" -> "header",
     "dateformat" -> "dateFormat",
     "timestampformat" -> "timestampFormat", "compression" -> "compression",
     "ignore_errors" -> "mode", "all_varchar" -> "inferSchema")
+
+  /** Options handled as transforms or accepted as documented no-ops:
+    *  - skip=N            drop N physical lines before the header (per
+    *                      path, emulated via a line-indexed text read)
+    *  - union_by_name     per-file reads + unionByName(allowMissing)
+    *  - filename          append the source file path column
+    *  - normalize_names   lowercase + non-alphanumeric → '_'
+    *  - hive_partitioning Spark discovers key=value directories natively
+    *  - auto_detect       Spark always sniffs (inferSchema)
+    *  - sample_size       sniffer hint; Spark's inference does a full pass
+    */
+  private val transformKeys =
+    Set("skip", "union_by_name", "filename", "normalize_names",
+      "hive_partitioning", "auto_detect", "sample_size")
 
   private def translate(opts: Map[String, String]): Map[String, String] =
     opts.map { case (k, v) =>
@@ -26,26 +42,62 @@ object Csv {
         case Some("inferSchema") => "inferSchema" -> (if (v == "true") "false" else "true")
         case Some(sk) => sk -> v
         case None => throw new IllegalArgumentException(
-          s"unsupported CSV option: $k (supported: ${optionMap.keys.toSeq.sorted.mkString(", ")})")
+          s"unsupported CSV option: $k (supported: ${
+            (optionMap.keys ++ transformKeys).toSeq.sorted.mkString(", ")})")
       }
     }
+
+  private def normalizeName(n: String): String =
+    n.map(c => if (c.isLetterOrDigit) c.toLower else '_')
 
   /** read_csv / read_csv_auto: header + schema inference by default
     * (the sniffer analog — Spark samples the file for dialect/type). */
   def read(spark: SparkSession, path: String,
            options: Map[String, String] = Map.empty): DataFrame = {
-    val r: DataFrameReader = spark.read
-      .option("header", "true").option("inferSchema", "true")
-    translate(options).foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }
-      .csv(path)
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    val skip = lower.get("skip").map(_.toInt).getOrElse(0)
+    val unionByName = lower.get("union_by_name").exists(_.toBoolean)
+    val addFilename = lower.get("filename").exists(_.toBoolean)
+    val normalize = lower.get("normalize_names").exists(_.toBoolean)
+    val translated = translate(lower -- transformKeys)
+
+    def reader: DataFrameReader = translated.foldLeft(
+      spark.read.option("header", "true").option("inferSchema", "true")) {
+      case (acc, (k, v)) => acc.option(k, v)
+    }
+
+    var df =
+      if (skip > 0) {
+        // no reader-level skip in Spark: read lines with their in-file
+        // index (zipWithIndex preserves text-split order), drop the
+        // preamble, parse the remainder as CSV
+        import spark.implicits._
+        val lines = spark.sparkContext.textFile(path)
+          .zipWithIndex().filter(_._2 >= skip).map(_._1)
+        reader.csv(spark.createDataset(lines))
+      } else if (unionByName) {
+        // schema-per-file + name-based union (reference union_by_name):
+        // missing columns null-fill, like MultiFileReader's column map
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
+          .map(_.getPath.toString).sorted
+        require(files.nonEmpty, s"union_by_name: no files match $path")
+        files.map(f => reader.csv(f))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+      } else reader.csv(path)
+
+    if (addFilename) df = df.withColumn("filename", input_file_name())
+    if (normalize) df = df.toDF(df.columns.map(normalizeName).toIndexedSeq: _*)
+    df
   }
 
   /** COPY … TO 'path' (CSV): per-partition parallel write, like the
     * reference's per-thread CSV sink. */
   def write(df: DataFrame, path: String,
             options: Map[String, String] = Map.empty): Unit =
-    translate(options).foldLeft(
-      df.write.mode("overwrite").option("header", "true")) {
-      case (acc, (k, v)) => acc.option(k, v)
-    }.csv(path)
+    translate(options.map { case (k, v) => k.toLowerCase -> v } -- transformKeys)
+      .foldLeft(df.write.mode("overwrite").option("header", "true")) {
+        case (acc, (k, v)) => acc.option(k, v)
+      }.csv(path)
 }

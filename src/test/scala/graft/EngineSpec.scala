@@ -128,7 +128,31 @@ class CsvSpec extends SparkSpec {
 
   test("unsupported reference options raise instead of silently diverging") {
     val e = intercept[IllegalArgumentException](
-      graft.sources.Csv.read(spark, "target/none", Map("skip" -> "2")))
-    assert(e.getMessage.contains("unsupported CSV option: skip"))
+      graft.sources.Csv.read(spark, "target/none", Map("bogus_opt" -> "2")))
+    assert(e.getMessage.contains("unsupported CSV option: bogus_opt"))
+  }
+
+  test("skip drops preamble lines before the header") {
+    val p = java.nio.file.Paths.get("target/graft_csv_test/skip.csv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p,
+      "junk1\njunk2\nid,v\n1,a\n2,b\n".getBytes)
+    val back = graft.sources.Csv.read(spark, p.toString, Map("skip" -> "2"))
+      .orderBy("id").collect()
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("union_by_name merges differing per-file schemas; filename appends path") {
+    val dir = java.nio.file.Paths.get("target/graft_csv_test/ubn")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("a.csv"), "id,x\n1,10\n".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.csv"), "id,y\n2,20\n".getBytes)
+    val back = graft.sources.Csv.read(spark, dir.toString + "/*.csv",
+      Map("union_by_name" -> "true", "filename" -> "true", "normalize_names" -> "true"))
+    assert(back.columns.toSet == Set("id", "x", "y", "filename"))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 2 && rows(0).getAs[Any]("y") == null &&
+      rows(1).getAs[Any]("x") == null)
+    assert(rows.forall(_.getString(3).endsWith(".csv")))
   }
 }
