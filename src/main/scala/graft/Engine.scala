@@ -67,6 +67,11 @@ object Engine {
     }
   }
 
+  /** repeat(val, n) table function (reference RepeatTableFunction,
+    * duckdb-6.cpp:10510-10530): n rows of the constant `value`. */
+  def repeatTable(spark: SparkSession, value: Any, n: Long): DataFrame =
+    spark.range(n).select(org.apache.spark.sql.functions.lit(value).as("value"))
+
   /** Register every table of an sf directory as a temp view so that
     * `Engine.sql` works against it (reference analog: catalog binding in
     * Binder::BindNode, duckdb-8.cpp:18107).

@@ -83,6 +83,14 @@ object Round3 {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    "scan_repeat" -> ((s, dir) => {
+      // repeat(val, n) table function (reference RepeatTableFunction,
+      // duckdb-6.cpp:10510-10530)
+      Engine.repeatTable(s, "ab", 4).agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") === "ab", 1)).as("n_ab"))
+    }),
+
     "csv_options" -> ((s, dir) => {
       // CSV option long tail (reference read_csv named options,
       // duckdb-6.cpp:10273-10299): skip + normalize_names,
@@ -201,6 +209,10 @@ object Round3 {
         |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
         |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "scan_repeat" ->
+      """SELECT count(*) AS n, count(*) FILTER (WHERE ab = 'ab') AS n_ab
+        |FROM repeat('ab', 4)""".stripMargin,
 
     "csv_options" ->
       """SELECT * FROM
