@@ -281,6 +281,13 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** DuckDB `VALUES (pid, [±1.0, …])` rows for replaying
+    * [[cosineLshCandidates]]' literal hyperplanes in an oracle query. */
+  def planesSqlValues(planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
+    }.mkString(",\n    ")
+
   /** 64-bit SimHash over whitespace tokens (deterministic; seed via
     * xxhash64). Scalar per-row computation — used as a UDF.
     */

@@ -78,10 +78,19 @@ object Extended {
     }),
 
     "sample_bernoulli" -> ((s, dir) => {
-      // seeded bernoulli sample (rows-only: RNG streams are engine-local)
-      t(s, dir, "lineitem").sample(0.01, 42L)
-        .agg(count(lit(1)).as("n_sampled"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"))
+      // seeded bernoulli sample. RNG streams are engine-local, so the
+      // oracle checks the SAMPLING contract instead: each engine's own
+      // 1% sample must have a row count within 4σ of n·p and a sample
+      // mean within ±3 of the population mean (≈5σ for quantity)
+      val li = t(s, dir, "lineitem")
+      val pop = li.agg(count(lit(1)).as("n_total"), avg(col("l_quantity")).as("pop_avg"))
+      val samp = li.sample(0.01, 42L)
+        .agg(count(lit(1)).as("n_samp"), avg(col("l_quantity")).as("samp_avg"))
+      samp.crossJoin(pop).select(
+        col("n_total"),
+        (abs(col("n_samp") - col("n_total") * 0.01)
+          <= greatest(sqrt(col("n_total") * 0.01 * 0.99) * 4, lit(10.0))).as("n_ok"),
+        (abs(col("samp_avg") - col("pop_avg")) <= 3.0).as("avg_ok"))
     }),
 
     "csv_roundtrip" -> ((s, dir) => {
@@ -159,6 +168,17 @@ object Extended {
 
     "sample_fixed_count" ->
       "SELECT count(*) AS n FROM (SELECT * FROM lineitem USING SAMPLE 500 ROWS)",
+
+    "sample_bernoulli" ->
+      """WITH pop AS (SELECT count(*) AS n_total, avg(l_quantity) AS pop_avg
+        |             FROM lineitem),
+        |s AS (SELECT count(*) AS n_samp, avg(l_quantity) AS samp_avg
+        |      FROM (SELECT * FROM lineitem USING SAMPLE 1% (bernoulli, 42)))
+        |SELECT n_total,
+        |  abs(n_samp - n_total * 0.01)
+        |    <= greatest(sqrt(n_total * 0.01 * 0.99) * 4, 10.0) AS n_ok,
+        |  abs(samp_avg - pop_avg) <= 3.0 AS avg_ok
+        |FROM s, pop""".stripMargin,
 
     "csv_roundtrip" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,

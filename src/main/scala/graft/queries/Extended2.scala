@@ -90,13 +90,21 @@ object Extended2 {
     }),
 
     "agg_approx_quantile" -> ((s, dir) => {
-      // t-digest approx_quantile analog (reference: holistic list,
-      // duckdb-5.cpp:12-17) — sketches differ across engines, rows-only;
-      // scalar outputs only (the driver compare cannot sort arrays)
+      // approx_quantile analog (reference: holistic list,
+      // duckdb-5.cpp:12-17). Sketches differ across engines, so the
+      // oracle checks the sketch CONTRACT: each engine's own estimate
+      // must sit within 2% (relative, price) / ±1 unit (discrete
+      // quantity) of the exact interpolated quantile, which itself IS
+      // cross-engine comparable
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("apx_median"),
-        percentile_approx(col("l_quantity"), lit(0.1), lit(1000)).as("apx_p10"),
-        percentile_approx(col("l_quantity"), lit(0.9), lit(1000)).as("apx_p90"))
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_med"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          - expr("percentile(l_extendedprice, 0.5)"))
+          <= expr("percentile(l_extendedprice, 0.5)") * 0.02).as("med_ok"),
+        (abs(percentile_approx(col("l_quantity"), lit(0.1), lit(1000))
+          - expr("percentile(l_quantity, 0.1)")) <= 1.0).as("p10_ok"),
+        (abs(percentile_approx(col("l_quantity"), lit(0.9), lit(1000))
+          - expr("percentile(l_quantity, 0.9)")) <= 1.0).as("p90_ok"))
     }),
 
     "fn_typeof" -> ((s, dir) => {
@@ -296,6 +304,15 @@ object Extended2 {
         |  round(gamma(CAST(l_linenumber AS DOUBLE)), 6) AS gam,
         |  round(lgamma(l_quantity), 8) AS lgam
         |FROM lineitem WHERE l_orderkey <= 100""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
+        |  abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |    <= quantile_cont(l_extendedprice, 0.5) * 0.02 AS med_ok,
+        |  abs(approx_quantile(l_quantity, 0.1) - quantile_cont(l_quantity, 0.1)) <= 1.0 AS p10_ok,
+        |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 1.0 AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "fn_typeof" ->
       """SELECT col_name, type_name FROM (VALUES

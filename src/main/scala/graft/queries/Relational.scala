@@ -190,10 +190,16 @@ object Relational {
 
     "agg_approx_distinct" -> ((s, dir) => {
       // HLL sketch (reference vendors hyperloglog, duckdb-hyperloglog.cpp).
-      // Estimates differ across implementations → rows-only check.
+      // Sketch estimates differ across implementations, so the oracle
+      // checks the HLL CONTRACT instead: each engine's own estimate must
+      // land within 10% of the exact distinct count (both are ~0.5-2%
+      // off in practice; bound leaves margin)
       t(s, dir, "lineitem").agg(
-        approx_count_distinct(col("l_partkey")).as("apx_part"),
-        approx_count_distinct(col("l_orderkey")).as("apx_order"))
+        countDistinct(col("l_partkey")).as("n_exact"),
+        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+          <= countDistinct(col("l_partkey")) * 0.1).as("apx_part_ok"),
+        (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
+          <= countDistinct(col("l_orderkey")) * 0.1).as("apx_order_ok"))
     }),
 
     "agg_histogram" -> ((s, dir) => {
@@ -555,6 +561,14 @@ object Relational {
     "agg_entropy" ->
       """SELECT l_returnflag, round(entropy(l_linenumber), 6) AS ent_ln, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_exact,
+        |  abs(approx_count_distinct(l_partkey) - count(DISTINCT l_partkey))
+        |    <= count(DISTINCT l_partkey) * 0.1 AS apx_part_ok,
+        |  abs(approx_count_distinct(l_orderkey) - count(DISTINCT l_orderkey))
+        |    <= count(DISTINCT l_orderkey) * 0.1 AS apx_order_ok
+        |FROM lineitem""".stripMargin,
 
     "agg_product" ->
       """SELECT l_orderkey, round(product(1.0 + l_discount), 6) AS prod_disc, count(*) AS n

@@ -160,10 +160,7 @@ object Round3 {
   )
 
   /** The literal hyperplane rows for the oracle's VALUES clause. */
-  private lazy val planesSqlRows: String =
-    lshPlanes.zipWithIndex.map { case (p, i) =>
-      s"($i, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
-    }.mkString(",\n    ")
+  private lazy val planesSqlRows: String = Dedup.planesSqlValues(lshPlanes)
 
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy_names_blocked" ->
