@@ -18,6 +18,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      // sf0.1 parquet files are single-digit MB — below the default 128MB
+      // split size every scan (and its cached InMemoryRelation) is ONE
+      // partition, so per-query table scans run single-threaded. Small
+      // splits parallelize the scan stage across the local cores; at
+      // cluster scale files are row-group sized and this is moot.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", (1024 * 1024).toString))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
