@@ -103,6 +103,22 @@ object SqlDialect {
     // bodies get the full dialect treatment too)
     q = expandMacros(spark, q)
 
+    // UNION [ALL] BY NAME (reference duckdb-8.cpp:7905): split at the
+    // top-level combinator and column-match the sides (missing columns
+    // null-fill, like the reference's by-name binder). Plain BY NAME
+    // dedups, matching UNION semantics. Trailing ORDER BY/LIMIT on the
+    // combined result is out of this shim's scope.
+    val ubn = """(?is)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r
+    ubn.findAllMatchIn(q).find(m =>
+      !insideQuotes(q, m.start) && parenDepth(q, m.start) == 0) match {
+      case Some(m) =>
+        val left = sql(spark, q.substring(0, m.start))
+        val right = sql(spark, q.substring(m.end))
+        val u = left.unionByName(right, allowMissingColumns = true)
+        return if (m.group(1) != null) u else u.distinct()
+      case None =>
+    }
+
     // replacement scans: read_csv('p') / FROM 'x.csv' → temp view
     q = readCsvFn.replaceAllIn(q, m => registerCsv(spark, m.group(1)))
     q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1)))
@@ -372,6 +388,23 @@ object SqlDialect {
       }
     }
     out.toSeq
+  }
+
+  /** Paren nesting depth at index `idx` (quote-aware). */
+  private def parenDepth(s: String, idx: Int): Int = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < idx) {
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+      }
+      i += 1
+    }
+    depth
   }
 
   /** Index of the ')' matching the '(' at `open`, or -1. */

@@ -83,6 +83,42 @@ object Round3 {
           |FROM lineitem GROUP BY l_returnflag""".stripMargin)
     }),
 
+    "join_lateral" -> ((s, dir) => {
+      // correlated LATERAL join (reference LATERAL binder,
+      // duckdb-9.cpp:1099; duckdb-internal.hpp:73153) — top-2 customers
+      // per nation via a correlated, limited lateral subquery; Catalyst
+      // decorrelates to a ranked window, the plan a 100 TB run wants
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    }),
+
+    "dialect_group_by_all" -> ((s, dir) => {
+      // GROUP BY ALL (reference duckdb-8.cpp:7745) — native in both
+      // engines; groups by every non-aggregated select item
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders GROUP BY ALL""".stripMargin)
+    }),
+
+    "set_union_by_name" -> ((s, dir) => {
+      // UNION ALL BY NAME (reference duckdb-8.cpp:7905): by-name column
+      // matching with null fill for missing columns
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """SELECT n_nationkey AS k, n_name AS name FROM nation
+          |UNION ALL BY NAME
+          |SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region""".stripMargin)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          count(col("extra")).as("n_extra"))
+    }),
+
     "scan_repeat" -> ((s, dir) => {
       // repeat(val, n) table function (reference RepeatTableFunction,
       // duckdb-6.cpp:10510-10530)
@@ -206,6 +242,25 @@ object Round3 {
         |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
         |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+
+    "dialect_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ALL""".stripMargin,
+
+    "set_union_by_name" ->
+      """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+        |  count(extra) AS n_extra
+        |FROM (SELECT n_nationkey AS k, n_name AS name FROM nation
+        |      UNION ALL BY NAME
+        |      SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region)""".stripMargin,
 
     "scan_repeat" ->
       """SELECT count(*) AS n, count(*) FILTER (WHERE ab = 'ab') AS n_ab

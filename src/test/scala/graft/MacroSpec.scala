@@ -52,6 +52,21 @@ class MacroSpec extends SparkSpec {
     assert(rows.toSeq == Seq(1, 2))
   }
 
+  test("UNION ALL BY NAME matches columns by name and null-fills") {
+    val rows = SqlDialect.sql(spark,
+      "SELECT 1 AS a, 'x' AS b UNION ALL BY NAME SELECT 'y' AS b, 2 AS a, 9 AS c")
+      .orderBy("a").collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(rows.map(_.getString(1)).toSeq == Seq("x", "y"))
+    assert(rows(0).isNullAt(2) && rows(1).getInt(2) == 9)
+  }
+
+  test("UNION BY NAME (no ALL) dedups") {
+    val n = SqlDialect.sql(spark,
+      "SELECT 1 AS a UNION BY NAME SELECT 1 AS a UNION BY NAME SELECT 2 AS a").count()
+    assert(n == 2)
+  }
+
   test("DROP MACRO removes the definition") {
     SqlDialect.sql(spark, "CREATE MACRO m_gone(x) AS x")
     SqlDialect.sql(spark, "DROP MACRO m_gone")
