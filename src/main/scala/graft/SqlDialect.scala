@@ -67,6 +67,45 @@ object SqlDialect {
     """(?is)^\s*DROP\s+MACRO\s+(?:IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
   private val namedArg = "(?s)^[A-Za-z_][A-Za-z0-9_]*\\s*:=.*"
 
+  // ---- PREPARE / EXECUTE / DEALLOCATE (reference PrepareStatement,
+  // duckdb-8.cpp:8942): statement text is stored per session; EXECUTE
+  // substitutes `$n` / `?` placeholders (outside string literals) with
+  // the call's literal arguments and runs the result through the full
+  // dialect pipeline.
+  private val prepared =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+  private val prepareRe =
+    """(?is)^\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
+  private val executeRe =
+    """(?is)^\s*EXECUTE\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\((.*)\))?\s*$""".r
+  private val deallocateRe =
+    """(?is)^\s*DEALLOCATE\s+(?:PREPARE\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+
+  /** Replace `$n` and positional `?` placeholders outside quotes. */
+  private def bindPlaceholders(stmt: String, args: Seq[String]): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    var nextQ = 0
+    while (i < stmt.length) {
+      val c = stmt.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '$' && i + 1 < stmt.length && stmt.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < stmt.length && stmt.charAt(j).isDigit) j += 1
+        val idx = stmt.substring(i + 1, j).toInt
+        require(idx >= 1 && idx <= args.length, s"EXECUTE: missing argument $$$idx")
+        sb.append(args(idx - 1))
+        i = j
+      } else if (c == '?') {
+        require(nextQ < args.length, "EXECUTE: not enough arguments for '?'")
+        sb.append(args(nextQ)); nextQ += 1; i += 1
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Rewrite + execute. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     var q = query.trim.stripSuffix(";")
@@ -95,6 +134,28 @@ object SqlDialect {
     dropMacroRe.findFirstMatchIn(q) match {
       case Some(m) =>
         macros.remove((spark, m.group(1).toLowerCase))
+        return spark.emptyDataFrame
+      case None =>
+    }
+    prepareRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        prepared((spark, m.group(1).toLowerCase)) = m.group(2)
+        return spark.emptyDataFrame
+      case None =>
+    }
+    executeRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val name = m.group(1).toLowerCase
+        val stmt = prepared.getOrElse((spark, name),
+          throw new IllegalArgumentException(s"prepared statement '$name' does not exist"))
+        val args = Option(m.group(2))
+          .map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+        return sql(spark, bindPlaceholders(stmt, args))
+      case None =>
+    }
+    deallocateRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        prepared.remove((spark, m.group(1).toLowerCase))
         return spark.emptyDataFrame
       case None =>
     }

@@ -119,6 +119,19 @@ object Round3 {
           count(col("extra")).as("n_extra"))
     }),
 
+    "dialect_prepare" -> ((s, dir) => {
+      // PREPARE / EXECUTE (reference PrepareStatement duckdb-8.cpp:8942):
+      // $n placeholders bound at execute time, run through the dialect
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """PREPARE qty_cut AS
+          |SELECT l_returnflag, count(*) AS n,
+          |  round(sum(l_extendedprice), 2) AS total
+          |FROM lineitem WHERE l_quantity <= $1 AND l_partkey % $2 = 0
+          |GROUP BY l_returnflag""".stripMargin)
+      SqlDialect.sql(s, "EXECUTE qty_cut(10, 3)")
+    }),
+
     "scan_repeat" -> ((s, dir) => {
       // repeat(val, n) table function (reference RepeatTableFunction,
       // duckdb-6.cpp:10510-10530)
@@ -261,6 +274,14 @@ object Round3 {
         |FROM (SELECT n_nationkey AS k, n_name AS name FROM nation
         |      UNION ALL BY NAME
         |      SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region)""".stripMargin,
+
+    "dialect_prepare" ->
+      """PREPARE qty_cut AS
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_quantity <= $1 AND l_partkey % $2 = 0
+        |GROUP BY l_returnflag;
+        |EXECUTE qty_cut(10, 3)""".stripMargin,
 
     "scan_repeat" ->
       """SELECT count(*) AS n, count(*) FILTER (WHERE ab = 'ab') AS n_ab

@@ -67,6 +67,18 @@ class MacroSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("PREPARE/EXECUTE binds $n and ? placeholders outside quotes") {
+    spark.range(1).createOrReplaceTempView("one_row2")
+    SqlDialect.sql(spark,
+      "PREPARE p_add AS SELECT $1 + $2 AS v, '$1 ?' AS lit FROM one_row2")
+    val r = SqlDialect.sql(spark, "EXECUTE p_add(3, 4)").head()
+    assert(r.getInt(0) == 7 && r.getString(1) == "$1 ?")
+    SqlDialect.sql(spark, "PREPARE p_pos AS SELECT ? + ? AS v FROM one_row2")
+    assert(SqlDialect.sql(spark, "EXECUTE p_pos(5, 6)").head().getInt(0) == 11)
+    SqlDialect.sql(spark, "DEALLOCATE p_add")
+    intercept[Exception](SqlDialect.sql(spark, "EXECUTE p_add(1, 2)"))
+  }
+
   test("DROP MACRO removes the definition") {
     SqlDialect.sql(spark, "CREATE MACRO m_gone(x) AS x")
     SqlDialect.sql(spark, "DROP MACRO m_gone")
