@@ -48,7 +48,13 @@ object SqlDialect {
   private val usingSamplePct = """(?is)\bUSING\s+SAMPLE\s+([0-9.]+)\s*%""".r
   private val readCsvFn = """(?is)\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*\)""".r
   private val bareCsv = """(?is)\bFROM\s+'([^']+\.csv)'""".r
+  private val readParquetFn = """(?is)\bread_parquet\s*\(\s*'([^']+)'\s*\)""".r
+  private val bareParquet = """(?is)\bFROM\s+'([^']+\.parquet)'""".r
   private val distinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
+  // COPY (query)|table TO 'path' [(options)] — reference PhysicalCopyToFile,
+  // duckdb-4.cpp:4689
+  private val copyToRe =
+    """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
 
   // ---- CREATE MACRO (reference ScalarMacroFunction duckdb-internal.hpp:9920,
   // TableMacroFunction duckdb-internal.hpp:9955). Macros are bind-time
@@ -180,9 +186,37 @@ object SqlDialect {
       case None =>
     }
 
-    // replacement scans: read_csv('p') / FROM 'x.csv' → temp view
+    // COPY … TO 'path' [(FORMAT …)] → DataFrame write; returns the
+    // copied row count like the reference
+    copyToRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val src = m.group(1).trim
+        val df =
+          if (src.startsWith("(")) sql(spark, src.stripPrefix("(").stripSuffix(")"))
+          else spark.table(src)
+        val opts = Option(m.group(3)).map(splitTopLevel(_).map(_.trim.toUpperCase))
+          .getOrElse(Seq.empty)
+        val fmt = opts.collectFirst { case o if o.startsWith("FORMAT") =>
+          o.split("\\s+").last }.getOrElse(
+          if (m.group(2).toLowerCase.endsWith(".parquet")) "PARQUET" else "CSV")
+        val n = df.count()
+        if (fmt == "PARQUET") df.write.mode("overwrite").parquet(m.group(2))
+        else {
+          val delim = Option(m.group(3)).flatMap(
+            """(?i)DELIMITER\s+'([^']*)'""".r.findFirstMatchIn(_)).map(_.group(1))
+          sources.Csv.write(df, m.group(2), delim.map("sep" -> _).toMap)
+        }
+        import spark.implicits._
+        return Seq(n).toDF("Count")
+      case None =>
+    }
+
+    // replacement scans: read_csv('p') / read_parquet('p') / bare
+    // 'x.csv' / 'x.parquet' → temp views
     q = readCsvFn.replaceAllIn(q, m => registerCsv(spark, m.group(1)))
     q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1)))
+    q = readParquetFn.replaceAllIn(q, m => registerParquet(spark, m.group(1)))
+    q = bareParquet.replaceAllIn(q, m => "FROM " + registerParquet(spark, m.group(1)))
 
     // LIMIT p% → run + limit
     limitPercent.findFirstMatchIn(q) match {
@@ -483,6 +517,12 @@ object SqlDialect {
     val view = "csv_" + math.abs(path.hashCode).toString
     spark.read.option("header", "true").option("inferSchema", "true")
       .csv(path).createOrReplaceTempView(view)
+    view
+  }
+
+  private def registerParquet(spark: SparkSession, path: String): String = {
+    val view = "pq_" + math.abs(path.hashCode).toString
+    spark.read.parquet(path).createOrReplaceTempView(view)
     view
   }
 }

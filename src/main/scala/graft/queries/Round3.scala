@@ -119,6 +119,22 @@ object Round3 {
           count(col("extra")).as("n_extra"))
     }),
 
+    "sql_copy_parquet" -> ((s, dir) => {
+      // SQL-level COPY … TO (FORMAT PARQUET) + read_parquet replacement
+      // scan (reference PhysicalCopyToFile duckdb-4.cpp:4689): each
+      // engine round-trips through its own parquet file; the aggregates
+      // must agree because the source rows do
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """COPY (SELECT l_orderkey, l_quantity, l_extendedprice
+          |      FROM lineitem WHERE l_orderkey <= 2000)
+          |TO '/root/repo/target/copy_spark_li' (FORMAT PARQUET)""".stripMargin)
+      SqlDialect.sql(s,
+        """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_price
+          |FROM read_parquet('/root/repo/target/copy_spark_li')""".stripMargin)
+    }),
+
     "dialect_prepare" -> ((s, dir) => {
       // PREPARE / EXECUTE (reference PrepareStatement duckdb-8.cpp:8942):
       // $n placeholders bound at execute time, run through the dialect
@@ -274,6 +290,14 @@ object Round3 {
         |FROM (SELECT n_nationkey AS k, n_name AS name FROM nation
         |      UNION ALL BY NAME
         |      SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region)""".stripMargin,
+
+    "sql_copy_parquet" ->
+      """COPY (SELECT l_orderkey, l_quantity, l_extendedprice
+        |      FROM lineitem WHERE l_orderkey <= 2000)
+        |TO '/root/repo/target/copy_duck_li.parquet' (FORMAT PARQUET);
+        |SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM read_parquet('/root/repo/target/copy_duck_li.parquet')""".stripMargin,
 
     "dialect_prepare" ->
       """PREPARE qty_cut AS
