@@ -119,6 +119,18 @@ object Round3 {
           count(col("extra")).as("n_extra"))
     }),
 
+    "mm_frames" -> ((s, dir) => {
+      // video-frame sampling dataflow (explode payload → strided chunks):
+      // the oracle recomputes chunk counts/bytes arithmetically from the
+      // payload length — the dataflow shape is what's under test
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("kept_bytes"))
+    }),
+
     "sql_copy_parquet" -> ((s, dir) => {
       // SQL-level COPY … TO (FORMAT PARQUET) + read_parquet replacement
       // scan (reference PhysicalCopyToFile duckdb-4.cpp:4689): each
@@ -290,6 +302,17 @@ object Round3 {
         |FROM (SELECT n_nationkey AS k, n_name AS name FROM nation
         |      UNION ALL BY NAME
         |      SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region)""".stripMargin,
+
+    "mm_frames" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |        list_filter(range(CAST(ceil(n / 32.0) AS BIGINT)),
+        |                    i -> i % 2 = 0) AS kept
+        |      FROM b)
+        |SELECT doc_id AS id, CAST(len(kept) AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(kept, i -> least(32, n - i * 32))) AS BIGINT)
+        |    AS kept_bytes
+        |FROM f""".stripMargin,
 
     "sql_copy_parquet" ->
       """COPY (SELECT l_orderkey, l_quantity, l_extendedprice
