@@ -131,6 +131,39 @@ object Round3 {
           sum(length(col("frame"))).as("kept_bytes"))
     }),
 
+    // ---- further TPC-H-shaped optimizer stress (same SQL text runs on
+    // both engines; adapted to the driver schema — no mktsegment/
+    // commitdate/partsupp, filters substituted with shape preserved) ----
+
+    "tpch_q3ish" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q3Sql)
+    }),
+
+    "tpch_q6ish" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q6Sql)
+    }),
+
+    "tpch_q17ish" -> ((s, dir) => {
+      // correlated scalar subquery on the join key — Catalyst
+      // decorrelates to an aggregate join (reference: delim join)
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q17Sql)
+    }),
+
+    "tpch_q19ish" -> ((s, dir) => {
+      // disjunction of conjunctive range predicates across the join
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q19Sql)
+    }),
+
+    "tpch_q21ish" -> ((s, dir) => {
+      // double-correlated EXISTS + NOT EXISTS on the same relation
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q21Sql)
+    }),
+
     "sql_copy_parquet" -> ((s, dir) => {
       // SQL-level COPY … TO (FORMAT PARQUET) + read_parquet replacement
       // scan (reference PhysicalCopyToFile duckdb-4.cpp:4689): each
@@ -239,6 +272,58 @@ object Round3 {
   /** The literal hyperplane rows for the oracle's VALUES clause. */
   private lazy val planesSqlRows: String = Dedup.planesSqlValues(lshPlanes)
 
+  // Same-text SQL shared by the Spark query and the DuckDB oracle.
+  private[queries] val q3Sql =
+    """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND c_nationkey % 5 = 0
+      |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  private[queries] val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
+  private[queries] val q17Sql =
+    """SELECT round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly, count(*) AS n
+      |FROM lineitem l, part p
+      |WHERE p.p_partkey = l.l_partkey AND p.p_brand = 'Brand#23'
+      |  AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin
+
+  private[queries] val q19Sql =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  count(*) AS n
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |        AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |        AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
+
+  private[queries] val q21Sql =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND EXISTS (SELECT * FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT * FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_shipdate > l1.l_shipdate)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_fuzzy_names_blocked" ->
       """SELECT CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS d,
@@ -313,6 +398,12 @@ object Round3 {
         |  CAST(list_sum(list_transform(kept, i -> least(32, n - i * 32))) AS BIGINT)
         |    AS kept_bytes
         |FROM f""".stripMargin,
+
+    "tpch_q3ish" -> q3Sql,
+    "tpch_q6ish" -> q6Sql,
+    "tpch_q17ish" -> q17Sql,
+    "tpch_q19ish" -> q19Sql,
+    "tpch_q21ish" -> q21Sql,
 
     "sql_copy_parquet" ->
       """COPY (SELECT l_orderkey, l_quantity, l_extendedprice
