@@ -131,6 +131,79 @@ object Round3 {
           sum(length(col("frame"))).as("kept_bytes"))
     }),
 
+    "scan_glob" -> ((s, dir) => {
+      // glob table function (reference duckdb-6.cpp:9491) — file listing
+      // compared against DuckDB's native glob() (Hadoop paths carry a
+      // file: scheme; stripped for the comparison)
+      graft.functions.TypeHelpers.glob(s, s"$dir/*.parquet")
+        .select(regexp_replace(col("file"), "^file:", "").as("file"))
+    }),
+
+    "catalog_export" -> ((s, dir) => {
+      // EXPORT DATABASE → IMPORT DATABASE round-trip (reference
+      // duckdb-4.cpp:9722): re-imported tables must aggregate identically
+      // to the source (oracle computes from the source directly)
+      Engine.createTable(s, "exp_nation",
+        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      Engine.createTable(s, "exp_region",
+        t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
+      Engine.exportDatabase(s, "/root/repo/target/exp_db")
+      Engine.createTable(s, "exp_nation", s.range(0).toDF())  // clobber
+      Engine.importDatabase(s, "/root/repo/target/exp_db")
+      s.table("exp_nation").agg(
+        count(lit(1)).as("n_nation"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"))
+        .crossJoin(s.table("exp_region").agg(count(lit(1)).as("n_region")))
+    }),
+
+    "catalog_dml" -> ((s, dir) => {
+      // INSERT/UPDATE/DELETE over the temp-view catalog (reference
+      // PhysicalInsert/Delete/Update duckdb-4.cpp:9996-10015) — the
+      // oracle replays the identical DML natively and compares the
+      // final table state
+      Engine.registerAll(s, dir)
+      val base = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Engine.createTable(s, "dml_demo", base)
+      Engine.insertInto(s, "dml_demo",
+        base.filter(col("n_nationkey") === 0)
+          .withColumn("n_nationkey", col("n_nationkey") + 100)
+          .withColumn("n_name", lit("NEWLAND")))
+      Engine.updateWhere(s, "dml_demo", col("n_regionkey") === 0,
+        Map("n_name" -> concat(col("n_name"), lit("_X"))))
+      Engine.deleteWhere(s, "dml_demo", col("n_nationkey") % 7 === 3)
+      s.table("dml_demo").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"),
+        count(when(col("n_name").endsWith("_X"), 1)).as("n_upd"))
+    }),
+
+    "catalog_table_info" -> ((s, dir) => {
+      // pragma_table_info analog (reference duckdb-6.cpp:14150): schema
+      // reflection reported in the reference's type names
+      Engine.registerAll(s, dir)
+      val duckType = Map("bigint" -> "BIGINT", "int" -> "INTEGER",
+        "string" -> "VARCHAR", "double" -> "DOUBLE",
+        "timestamp_ntz" -> "TIMESTAMP", "timestamp" -> "TIMESTAMP",
+        "date" -> "DATE", "boolean" -> "BOOLEAN")
+      import s.implicits._
+      Engine.tableInfo(s, "nation").collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          duckType.getOrElse(r.getString(2), r.getString(2).toUpperCase)))
+        .toSeq.toDF("cid", "name", "type")
+    }),
+
+    "fn_collate" -> ((s, dir) => {
+      // NOCASE collation (reference collation registry
+      // duckdb-5.cpp:5156) as expression rewrite + strip_accents
+      graft.functions.DuckFunctions.register(s)
+      t(s, dir, "nation").agg(
+        countDistinct(lower(col("n_name"))).as("n_nocase"),
+        min(struct(lower(col("n_name")).as("k"), col("n_name").as("v")))
+          .getField("v").as("first_name"),
+        first(callUDF("strip_accents", lit("Málagà"))).as("stripped"))
+    }),
+
     // ---- further TPC-H-shaped optimizer stress (same SQL text runs on
     // both engines; adapted to the driver schema — no mktsegment/
     // commitdate/partsupp, filters substituted with shape preserved) ----
@@ -398,6 +471,38 @@ object Round3 {
         |  CAST(list_sum(list_transform(kept, i -> least(32, n - i * 32))) AS BIGINT)
         |    AS kept_bytes
         |FROM f""".stripMargin,
+
+    // the driver's correctness gate always runs at sf0.01 (TESTDATA.md)
+    "scan_glob" ->
+      "SELECT file FROM glob('/root/testdata/sf0.01/*.parquet')",
+
+    "catalog_export" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS n_nation, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        | FROM nation)
+        |CROSS JOIN (SELECT count(*) AS n_region FROM region)""".stripMargin,
+
+    "catalog_dml" ->
+      """CREATE OR REPLACE TABLE dml_demo AS
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation;
+        |INSERT INTO dml_demo
+        |  SELECT n_nationkey + 100, 'NEWLAND', n_regionkey
+        |  FROM nation WHERE n_nationkey = 0;
+        |UPDATE dml_demo SET n_name = n_name || '_X' WHERE n_regionkey = 0;
+        |DELETE FROM dml_demo WHERE n_nationkey % 7 = 3;
+        |SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  count(*) FILTER (WHERE n_name LIKE '%!_X' ESCAPE '!') AS n_upd
+        |FROM dml_demo""".stripMargin,
+
+    "catalog_table_info" ->
+      """SELECT CAST(cid AS INTEGER) AS cid, name, CAST(type AS VARCHAR) AS type
+        |FROM pragma_table_info('nation')""".stripMargin,
+
+    "fn_collate" ->
+      """SELECT count(DISTINCT lower(n_name)) AS n_nocase,
+        |  min(n_name COLLATE NOCASE) AS first_name,
+        |  strip_accents('Málagà') AS stripped
+        |FROM nation""".stripMargin,
 
     "tpch_q3ish" -> q3Sql,
     "tpch_q6ish" -> q6Sql,
