@@ -206,22 +206,36 @@ object Pipeline {
     })
   )
 
-  /** Shared quadratic exact-Jaccard CTE (3-word shingles, same
-    * construction as [[Dedup.hashedShingles]]) — the brute-force ground
-    * truth the banded MinHash plan must reproduce at the 0.8 threshold. */
+  /** Shared exact-Jaccard ground-truth CTE (3-word shingles, same
+    * construction as [[Dedup.hashedShingles]]) the banded MinHash plan
+    * must reproduce at the 0.8 threshold. Candidate generation uses the
+    * PREFIX FILTER (Bayardo et al.): under a global token order, two
+    * sets with jac ≥ t must share a token within their first
+    * |S| - ⌈t·|S|⌉ + 1 sorted tokens (the smallest element of A∩B is
+    * preceded in each set only by elements outside the intersection) —
+    * exact, and subquadratic instead of the 5000²/2 brute-force join. */
   private val exactJaccardPairsCte =
     """WITH d AS (
       |  SELECT doc_id,
-      |    list_distinct(list_transform(
+      |    list_sort(list_distinct(list_transform(
       |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' '))) AS sh
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
       |  FROM documents),
+      |pre AS (
+      |  SELECT doc_id,
+      |    unnest(list_slice(sh, 1,
+      |      len(sh) - CAST(ceil(0.8 * len(sh)) AS BIGINT) + 1)) AS tok
+      |  FROM d),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id),
       |hi AS (
       |  SELECT * FROM (
-      |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |      len(list_intersect(a.sh, b.sh)) * 1.0 /
-      |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jac
-      |    FROM d a JOIN d b ON a.doc_id < b.doc_id)
+      |    SELECT id_a, id_b,
+      |      len(list_intersect(da.sh, db.sh)) * 1.0 /
+      |        (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh))) AS jac
+      |    FROM cand JOIN d da ON cand.id_a = da.doc_id
+      |              JOIN d db ON cand.id_b = db.doc_id)
       |  WHERE jac >= 0.8)""".stripMargin
 
   val oracle: Map[String, String] = Map(
