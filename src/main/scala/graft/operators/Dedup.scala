@@ -281,6 +281,41 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  /** EXACT Jaccard-threshold pair join via the PREFIX FILTER (Bayardo et
+    * al., "Scaling Up All Pairs Similarity Search"): under a global token
+    * order, jac(A,B) ≥ t implies A and B share a token among their first
+    * |S| - ⌈t·|S|⌉ + 1 sorted tokens (the smallest element of A∩B is
+    * preceded only by non-shared elements in each set). So an equi-join
+    * on prefix tokens is a COMPLETE candidate generator: one key shuffle
+    * of ~(1-t)·Σ|S| rows instead of a quadratic product, then an exact
+    * two-pointer refine. The deterministic-exact counterpart of
+    * [[minhashCandidates]] — use MinHash when approximate recall is
+    * acceptable, this when the answer must be exact.
+    */
+  def jaccardThresholdPairs(df: DataFrame, idCol: String, textCol: String,
+                            shingleN: Int, threshold: Double): DataFrame = {
+    // hashedShingles returns sorted distinct longs — numeric order IS the
+    // global token order
+    val sh = df
+      .select(col(idCol).as("id"),
+        hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val prefLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
+      .cast("int")
+    val pre = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+    val candidates = pre.select(col("tok"), col("id").as("id_a"))
+      .join(pre.select(col("tok"), col("id").as("id_b")), Seq("tok"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccardSortedLongsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** DuckDB `VALUES (pid, [±1.0, …])` rows for replaying
     * [[cosineLshCandidates]]' literal hyperplanes in an oracle query. */
   def planesSqlValues(planes: Array[Array[Double]]): String =

@@ -50,6 +50,16 @@ object Pipeline {
         .limit(30)
     }),
 
+    "dedup_prefix_filter" -> ((s, dir) => {
+      // EXACT threshold dedup at scale: prefix-filter candidates (one
+      // key shuffle, complete by the pigeonhole theorem) + two-pointer
+      // refine — the deterministic counterpart of the MinHash path; the
+      // oracle runs the same algorithm shape in SQL
+      Dedup.jaccardThresholdPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // SimHash bounded-property oracle: every true near-dup pair
       // (exact Jaccard ≥ 0.8, brute-forced by the oracle) must land
@@ -243,6 +253,10 @@ object Pipeline {
       "SELECT min(doc_id) AS keep_id, md5(text) AS fp FROM documents GROUP BY text",
 
     "dedup_minhash_pairs" ->
+      s"""$exactJaccardPairsCte
+         |SELECT id_a, id_b, round(jac, 6) AS jac FROM hi""".stripMargin,
+
+    "dedup_prefix_filter" ->
       s"""$exactJaccardPairsCte
          |SELECT id_a, id_b, round(jac, 6) AS jac FROM hi""".stripMargin,
 

@@ -75,6 +75,27 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty && blocked == brute)
   }
 
+  test("jaccardThresholdPairs (prefix filter) equals brute-force exactly") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today ok"
+    val docs = (Seq(base, base.replace("today", "tomorrow"),
+      base.replace("quick", "slow").replace("dog", "cat")) ++
+      (1 to 30).map(i => s"totally different text number $i with other unrelated words $i here"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e9)))
+      .toSet
+    val pf = pairs(Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.5)
+      .select("id_a", "id_b", "jaccard"))
+    val sh = docs.select(col("doc_id"), Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
+    val a = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val brute = pairs(a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardSortedLongsUdf(col("sh_a"), col("sh_b")).as("j"))
+      .filter(col("j") >= 0.5))
+    assert(brute.nonEmpty && pf == brute)
+  }
+
   test("cosineLshCandidates recovers planted near-dup pairs (exact refine equivalence)") {
     val rng = new scala.util.Random(7)
     def vec(): Array[Double] = Array.fill(64)(rng.nextGaussian())
