@@ -142,18 +142,21 @@ object Round3 {
     "catalog_export" -> ((s, dir) => {
       // EXPORT DATABASE → IMPORT DATABASE round-trip (reference
       // duckdb-4.cpp:9722): re-imported tables must aggregate identically
-      // to the source (oracle computes from the source directly)
-      Engine.createTable(s, "exp_nation",
-        t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
-      Engine.createTable(s, "exp_region",
-        t(s, dir, "region").select(col("r_regionkey"), col("r_name")))
-      Engine.exportDatabase(s, "/root/repo/target/exp_db")
-      Engine.createTable(s, "exp_nation", s.range(0).toDF())  // clobber
-      Engine.importDatabase(s, "/root/repo/target/exp_db")
-      s.table("exp_nation").agg(
+      // to the source (oracle computes from the source directly). Runs in
+      // a child session so EXPORT sees only this query's tables, not the
+      // whole shared-session catalog.
+      val ns = s.newSession()
+      Engine.createTable(ns, "exp_nation",
+        t(ns, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      Engine.createTable(ns, "exp_region",
+        t(ns, dir, "region").select(col("r_regionkey"), col("r_name")))
+      Engine.exportDatabase(ns, "/root/repo/target/exp_db")
+      Engine.createTable(ns, "exp_nation", ns.range(0).toDF())  // clobber
+      Engine.importDatabase(ns, "/root/repo/target/exp_db")
+      ns.table("exp_nation").agg(
         count(lit(1)).as("n_nation"),
         sum(col("n_nationkey")).cast("long").as("key_sum"))
-        .crossJoin(s.table("exp_region").agg(count(lit(1)).as("n_region")))
+        .crossJoin(ns.table("exp_region").agg(count(lit(1)).as("n_region")))
     }),
 
     "catalog_dml" -> ((s, dir) => {
