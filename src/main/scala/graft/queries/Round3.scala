@@ -551,7 +551,8 @@ object Round3 {
         |               hive_partitioning=true, header=true))""".stripMargin,
 
     "fn_enum" ->
-      """CREATE TYPE prio_t AS ENUM ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW');
+      """DROP TYPE IF EXISTS prio_t;
+        |CREATE TYPE prio_t AS ENUM ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW');
         |SELECT CAST(p AS VARCHAR) AS prio,
         |  CAST(list_position(enum_range(NULL::prio_t), CAST(p AS VARCHAR)) - 1 AS INTEGER) AS code,
         |  enum_first(NULL::prio_t) AS first_val,
