@@ -46,7 +46,8 @@ object SqlDialect {
   private val limitPercent = """(?is)\bLIMIT\s+([0-9.]+)\s*%\s*$""".r
   private val usingSampleRows = """(?is)\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b""".r
   private val usingSamplePct = """(?is)\bUSING\s+SAMPLE\s+([0-9.]+)\s*%""".r
-  private val readCsvFn = """(?is)\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*\)""".r
+  private val readCsvFn =
+    """(?is)\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*(,[^)]*)?\)""".r
   private val bareCsv = """(?is)\bFROM\s+'([^']+\.csv)'""".r
   private val readParquetFn = """(?is)\bread_parquet\s*\(\s*'([^']+)'\s*\)""".r
   private val bareParquet = """(?is)\bFROM\s+'([^']+\.parquet)'""".r
@@ -211,10 +212,11 @@ object SqlDialect {
       case None =>
     }
 
-    // replacement scans: read_csv('p') / read_parquet('p') / bare
-    // 'x.csv' / 'x.parquet' → temp views
-    q = readCsvFn.replaceAllIn(q, m => registerCsv(spark, m.group(1)))
-    q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1)))
+    // replacement scans: read_csv('p' [, opt=v…]) / read_parquet('p') /
+    // bare 'x.csv' / 'x.parquet' → temp views
+    q = readCsvFn.replaceAllIn(q,
+      m => registerCsv(spark, m.group(1), Option(m.group(2)).getOrElse("")))
+    q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1), ""))
     q = readParquetFn.replaceAllIn(q, m => registerParquet(spark, m.group(1)))
     q = bareParquet.replaceAllIn(q, m => "FROM " + registerParquet(spark, m.group(1)))
 
@@ -445,7 +447,9 @@ object SqlDialect {
     q
   }
 
-  /** Split on top-level commas (outside parens and quotes). */
+  /** Split on top-level commas (outside parens/brackets/braces and
+    * quotes — bracket nesting protects list/struct literals like
+    * `names=['a','b']`). */
   private def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var start = 0; var i = 0
@@ -454,8 +458,8 @@ object SqlDialect {
       if (inStr) { if (c == '\'') inStr = false }
       else c match {
         case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
+        case '(' | '[' | '{' => depth += 1
+        case ')' | ']' | '}' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
         case _ =>
       }
@@ -513,10 +517,19 @@ object SqlDialect {
     -1
   }
 
-  private def registerCsv(spark: SparkSession, path: String): String = {
-    val view = "csv_" + math.abs(path.hashCode).toString
-    spark.read.option("header", "true").option("inferSchema", "true")
-      .csv(path).createOrReplaceTempView(view)
+  /** Register a read_csv scan as a temp view; `optStr` is the raw
+    * `, k=v, k=v` tail (reference named-parameter syntax), routed through
+    * the full [[sources.Csv]] option translation. */
+  private def registerCsv(spark: SparkSession, path: String, optStr: String): String = {
+    val opts = splitTopLevel(optStr.stripPrefix(","))
+      .map(_.trim).filter(_.nonEmpty).flatMap { kv =>
+        val i = kv.indexOf('=')
+        if (i < 0) None
+        else Some(kv.substring(0, i).trim.toLowerCase ->
+          kv.substring(i + 1).trim.stripPrefix("'").stripSuffix("'"))
+      }.toMap
+    val view = "csv_" + math.abs((path, opts).hashCode).toString
+    sources.Csv.read(spark, path, opts).createOrReplaceTempView(view)
     view
   }
 

@@ -221,8 +221,12 @@ object Dedup {
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
     val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // join on the variant HASH, not the variant string: an 8-byte shuffle
+    // key instead of a ~len-char one; hash collisions only add false
+    // candidates, which the exact refine removes
     val keyed = base.select(col("id"),
-      explode(deleteNeighborhoodUdf(col("s"), lit(maxDist))).as("key"))
+      explode(deleteNeighborhoodUdf(col("s"), lit(maxDist))).as("kstr"))
+      .select(col("id"), xxhash64(col("kstr")).as("key"))
     val candidates = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
       .filter(col("id_a") < col("id_b"))

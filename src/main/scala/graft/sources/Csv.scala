@@ -27,13 +27,16 @@ object Csv {
     *  - union_by_name     per-file reads + unionByName(allowMissing)
     *  - filename          append the source file path column
     *  - normalize_names   lowercase + non-alphanumeric → '_'
+    *  - names=[a,b,…]     positional column rename
+    *  - columns={a:T,…}   explicit schema (no inference), reference
+    *                      struct syntax
     *  - hive_partitioning Spark discovers key=value directories natively
     *  - auto_detect       Spark always sniffs (inferSchema)
     *  - sample_size       sniffer hint; Spark's inference does a full pass
     */
   private val transformKeys =
     Set("skip", "union_by_name", "filename", "normalize_names",
-      "hive_partitioning", "auto_detect", "sample_size")
+      "names", "columns", "hive_partitioning", "auto_detect", "sample_size")
 
   private def translate(opts: Map[String, String]): Map[String, String] =
     opts.map { case (k, v) =>
@@ -59,11 +62,24 @@ object Csv {
     val unionByName = lower.get("union_by_name").exists(_.toBoolean)
     val addFilename = lower.get("filename").exists(_.toBoolean)
     val normalize = lower.get("normalize_names").exists(_.toBoolean)
+    // names=[a, b] / columns={a: 'TYPE', …} — reference list/struct syntax
+    val names = lower.get("names").map(
+      _.stripPrefix("[").stripSuffix("]").split(",")
+        .map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
+    val columns = lower.get("columns").map(
+      _.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
+        val Array(n, t) = kv.split(":").map(_.trim.stripPrefix("'").stripSuffix("'"))
+        s"$n ${duckToSparkType(t)}"
+      }.mkString(", "))
     val translated = translate(lower -- transformKeys)
 
-    def reader: DataFrameReader = translated.foldLeft(
-      spark.read.option("header", "true").option("inferSchema", "true")) {
-      case (acc, (k, v)) => acc.option(k, v)
+    def reader: DataFrameReader = {
+      val base = columns.foldLeft(
+        spark.read.option("header", "true")
+          .option("inferSchema", columns.isEmpty.toString)) {
+        case (acc, ddl) => acc.schema(ddl)
+      }
+      translated.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
     }
 
     var df =
@@ -89,7 +105,23 @@ object Csv {
 
     if (addFilename) df = df.withColumn("filename", input_file_name())
     if (normalize) df = df.toDF(df.columns.map(normalizeName).toIndexedSeq: _*)
+    names.foreach { ns =>
+      require(ns.length <= df.columns.length, "names: more names than columns")
+      df = df.toDF((ns ++ df.columns.drop(ns.length)).toIndexedSeq: _*)
+    }
     df
+  }
+
+  /** Reference type name → Spark DDL type. */
+  private def duckToSparkType(t: String): String = t.toUpperCase match {
+    case "VARCHAR" | "TEXT" => "STRING"
+    case "INTEGER" | "INT" | "INT4" => "INT"
+    case "BIGINT" | "INT8" | "HUGEINT" => "BIGINT"
+    case "DOUBLE" | "REAL" | "FLOAT8" => "DOUBLE"
+    case "BOOLEAN" | "BOOL" => "BOOLEAN"
+    case "DATE" => "DATE"
+    case "TIMESTAMP" => "TIMESTAMP"
+    case other => other
   }
 
   /** COPY … TO 'path' (CSV): per-partition parallel write, like the

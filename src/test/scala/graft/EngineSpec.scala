@@ -142,6 +142,30 @@ class CsvSpec extends SparkSpec {
     assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
   }
 
+  test("names / columns options: rename and explicit schema") {
+    val p = java.nio.file.Paths.get("target/graft_csv_test/named.csv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, "c1,c2\n1,x\n2,y\n".getBytes)
+    val renamed = graft.sources.Csv.read(spark, p.toString,
+      Map("names" -> "['id','tag']"))
+    assert(renamed.columns.toSeq == Seq("id", "tag"))
+    val typed = graft.sources.Csv.read(spark, p.toString,
+      Map("columns" -> "{'a': 'BIGINT', 'b': 'VARCHAR'}"))
+    assert(typed.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("a", "bigint"), ("b", "string")))
+  }
+
+  test("SQL read_csv with named options") {
+    val p = java.nio.file.Paths.get("target/graft_csv_test/sqlopts.csv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, "junk\nid|v\n1|a\n2|b\n".getBytes)
+    val rows = graft.SqlDialect.sql(spark,
+      s"SELECT id, v FROM read_csv('${p}', delim='|', skip=1, names=['id','v']) ORDER BY id")
+      .collect()
+    assert(rows.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
   test("union_by_name merges differing per-file schemas; filename appends path") {
     val dir = java.nio.file.Paths.get("target/graft_csv_test/ubn")
     java.nio.file.Files.createDirectories(dir)
