@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract invariants. Map concatenation silently drops
+  * duplicate keys, so a query name accidentally reused across modules
+  * would shadow an earlier query without any visible failure — these
+  * assertions make that (and oracle drift) a red test instead.
+  */
+class ContractSpec extends AnyFunSuite {
+  import graft.queries._
+
+  private val queryModules = Seq(
+    "Relational" -> Relational.queries, "ScalarFns" -> ScalarFns.queries,
+    "Pipeline" -> Pipeline.queries, "Extended" -> Extended.queries,
+    "Extended2" -> Extended2.queries, "Tpch2" -> Tpch2.queries,
+    "Round2" -> Round2.queries, "Round3" -> Round3.queries)
+
+  private val oracleModules = Seq(
+    "Relational" -> Relational.oracle, "ScalarFns" -> ScalarFns.oracle,
+    "Pipeline" -> Pipeline.oracle, "Extended" -> Extended.oracle,
+    "Extended2" -> Extended2.oracle, "Tpch2" -> Tpch2.oracle,
+    "Round2" -> Round2.oracle, "Round3" -> Round3.oracle)
+
+  test("no duplicate query names across modules") {
+    val all = queryModules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicated query names: ${dups.keys.mkString(", ")}")
+    assert(queryModules.map(_._2.size).sum == SparkEntry.queries.size)
+  }
+
+  test("no duplicate oracle names across modules") {
+    val all = oracleModules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
+    val dups = all.groupBy(_._1).filter(_._2.size > 1)
+    assert(dups.isEmpty, s"duplicated oracle names: ${dups.keys.mkString(", ")}")
+  }
+
+  test("every oracle references a defined query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
+  }
+
+  test("every query is oracle-backed except the documented rows-only set") {
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // text_langid: synthetic lang labels are uncorrelated with text
+    // content (see Pipeline.scala) — the only permitted residual
+    assert(rowsOnly == Set("text_langid"),
+      s"undocumented rows-only queries: ${(rowsOnly - "text_langid").mkString(", ")}")
+  }
+}
