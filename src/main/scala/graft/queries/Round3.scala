@@ -315,6 +315,23 @@ object Round3 {
       skipped.crossJoin(unioned).crossJoin(hp)
     }),
 
+    "fn_datetime_parts" -> ((s, dir) => {
+      // date_part long tail (reference date-part registration,
+      // duckdb-5.cpp date funcs): quarter/week/doy/century/decade +
+      // last_day + quarter truncation
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"),
+          expr("extract(quarter FROM d)").cast("long").as("qtr"),
+          expr("extract(week FROM d)").cast("long").as("wk"),
+          expr("extract(doy FROM d)").cast("long").as("doy"),
+          ceil(year(col("d")) / 100.0).cast("long").as("century"),
+          floor(year(col("d")) / 10.0).cast("long").as("decade"),
+          last_day(col("d")).as("month_end"),
+          to_date(date_trunc("quarter", col("d"))).as("qtr_start"))
+    }),
+
     "fn_enum" -> ((s, dir) => {
       // ENUM categorical end-to-end (reference duckdb.hpp:944; enum
       // registration duckdb-5.cpp:11590): dictionary-order code +
@@ -549,6 +566,18 @@ object Round3 {
         |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
         | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
         |               hive_partitioning=true, header=true))""".stripMargin,
+
+    "fn_datetime_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('quarter', d) AS BIGINT) AS qtr,
+        |  CAST(date_part('week', d) AS BIGINT) AS wk,
+        |  CAST(date_part('doy', d) AS BIGINT) AS doy,
+        |  CAST(century(d) AS BIGINT) AS century,
+        |  CAST(decade(d) AS BIGINT) AS decade,
+        |  last_day(d) AS month_end,
+        |  CAST(date_trunc('quarter', d) AS DATE) AS qtr_start
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |      FROM orders WHERE o_orderkey <= 500)""".stripMargin,
 
     "fn_enum" ->
       """DROP TYPE IF EXISTS prio_t;
