@@ -37,7 +37,12 @@ object Pipeline {
     }),
 
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      // exact 3-gram Jaccard over same-source pairs (oracle-matched)
+      // exact 3-gram Jaccard over same-source pairs (oracle-matched).
+      // Deliberately quadratic: the top-30 here reaches into the noise
+      // floor (30th-best jac ≈ 0.02-0.05 on this corpus), so no
+      // threshold-complete pruning (prefix filter, LSH) can bound the
+      // answer — scoring every in-group pair IS the algorithm. The
+      // thresholded scale path is `dedup_prefix_filter`.
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
