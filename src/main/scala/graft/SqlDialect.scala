@@ -174,8 +174,10 @@ object SqlDialect {
     // UNION [ALL] BY NAME (reference duckdb-8.cpp:7905): split at the
     // top-level combinator and column-match the sides (missing columns
     // null-fill, like the reference's by-name binder). Plain BY NAME
-    // dedups, matching UNION semantics. Trailing ORDER BY/LIMIT on the
-    // combined result is out of this shim's scope.
+    // dedups, matching UNION semantics. Out of this shim's scope:
+    // trailing ORDER BY/LIMIT on the combined result, and a leading WITH
+    // whose CTEs are referenced from the right-hand arm (the split does
+    // not re-scope the CTE list).
     val ubn = """(?is)\bUNION\s+(ALL\s+)?BY\s+NAME\b""".r
     ubn.findAllMatchIn(q).find(m =>
       !insideQuotes(q, m.start) && parenDepth(q, m.start) == 0) match {

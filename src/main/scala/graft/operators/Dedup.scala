@@ -304,8 +304,13 @@ object Dedup {
       .select(col(idCol).as("id"),
         hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
-    val prefLen = (size(col("sh")) - ceil(lit(threshold) * size(col("sh"))) + 1)
-      .cast("int")
+    // epsilon guards fp overshoot: t·|S| that is mathematically integral
+    // can evaluate just above it (0.8*90 = 72.000000000000004), and an
+    // overshot ceil would shorten the prefix below the completeness
+    // bound; a longer prefix only adds candidates
+    val prefLen =
+      (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - 1e-9) + 1)
+        .cast("int")
     val pre = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
     val candidates = pre.select(col("tok"), col("id").as("id_a"))
       .join(pre.select(col("tok"), col("id").as("id_b")), Seq("tok"))

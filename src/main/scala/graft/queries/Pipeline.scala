@@ -237,9 +237,11 @@ object Pipeline {
       |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
       |  FROM documents),
       |pre AS (
+      |  -- epsilon guards fp ceil overshoot at integral t*len (see
+      |  -- Dedup.jaccardThresholdPairs)
       |  SELECT doc_id,
       |    unnest(list_slice(sh, 1,
-      |      len(sh) - CAST(ceil(0.8 * len(sh)) AS BIGINT) + 1)) AS tok
+      |      len(sh) - CAST(ceil(0.8 * len(sh) - 1e-9) AS BIGINT) + 1)) AS tok
       |  FROM d),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
