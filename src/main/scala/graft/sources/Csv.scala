@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object Csv {
 
-  /** Reference option name → Spark CSV option. */
+  /** Reference option name → Spark CSV option (full named-parameter list:
+    * ReadCSVAddNamedParameters, duckdb-6.cpp:10271-10299). */
   private val optionMap = Map(
     "sep" -> "sep", "delim" -> "sep", "quote" -> "quote",
     "escape" -> "escape", "nullstr" -> "nullValue", "header" -> "header",
-    "dateformat" -> "dateFormat",
+    "new_line" -> "lineSep", "dateformat" -> "dateFormat",
     "timestampformat" -> "timestampFormat", "compression" -> "compression",
     "ignore_errors" -> "mode", "all_varchar" -> "inferSchema")
 
@@ -32,11 +33,20 @@ object Csv {
     *                      struct syntax
     *  - hive_partitioning Spark discovers key=value directories natively
     *  - auto_detect       Spark always sniffs (inferSchema)
-    *  - sample_size       sniffer hint; Spark's inference does a full pass
+    *  - sample_size / sample_chunk_size / sample_chunks  sniffer hints;
+    *                      Spark's inference does a full pass
+    *  - max_line_size / maximum_line_size / buffer_size / parallel
+    *                      reader tuning knobs; Spark sizes its own
+    *                      buffers and is always parallel
+    *  - decimal_separator only '.' is supported (Spark's parser has no
+    *                      locale separator; a non-default value raises)
     */
   private val transformKeys =
     Set("skip", "union_by_name", "filename", "normalize_names",
-      "names", "columns", "hive_partitioning", "auto_detect", "sample_size")
+      "names", "columns", "hive_partitioning", "auto_detect",
+      "sample_size", "sample_chunk_size", "sample_chunks",
+      "max_line_size", "maximum_line_size", "buffer_size", "parallel",
+      "decimal_separator")
 
   private def translate(opts: Map[String, String]): Map[String, String] =
     opts.map { case (k, v) =>
@@ -58,6 +68,8 @@ object Csv {
   def read(spark: SparkSession, path: String,
            options: Map[String, String] = Map.empty): DataFrame = {
     val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    require(lower.get("decimal_separator").forall(_ == "."),
+      "decimal_separator: only '.' is supported")
     val skip = lower.get("skip").map(_.toInt).getOrElse(0)
     val unionByName = lower.get("union_by_name").exists(_.toBoolean)
     val addFilename = lower.get("filename").exists(_.toBoolean)
