@@ -167,6 +167,31 @@ object SqlDialect {
       case None =>
     }
 
+    // statement-level surface: EXPLAIN / SET / PRAGMA / SHOW TABLES
+    // (reference duckdb.hpp:11995, 12002; pragma fns duckdb-6.cpp:14150)
+    val explainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.+)$""".r
+    explainRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        import spark.implicits._
+        val plan = sql(spark, m.group(1)).queryExecution.executedPlan.toString
+        return Seq(("physical_plan", plan)).toDF("explain_key", "explain_value")
+      case None =>
+    }
+    val setRe = """(?is)^\s*SET\s+([\w.]+)\s*(?:=|TO)\s*(.+)$""".r
+    setRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        spark.conf.set(m.group(1), m.group(2).trim.stripPrefix("'").stripSuffix("'"))
+        return spark.emptyDataFrame
+      case None =>
+    }
+    val pragmaTableInfo =
+      """(?is)^\s*PRAGMA\s+table_info\s*\(\s*'([^']+)'\s*\)\s*$""".r
+    pragmaTableInfo.findFirstMatchIn(q) match {
+      case Some(m) => return Engine.tableInfo(spark, m.group(1))
+      case None =>
+    }
+    if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.tables(spark)
+
     // macro calls → inlined bodies (before any other rewrite, so macro
     // bodies get the full dialect treatment too)
     q = expandMacros(spark, q)

@@ -79,6 +79,18 @@ class MacroSpec extends SparkSpec {
     intercept[Exception](SqlDialect.sql(spark, "EXECUTE p_add(1, 2)"))
   }
 
+  test("EXPLAIN / SET / PRAGMA / SHOW TABLES statement surface") {
+    spark.range(3).toDF("x").createOrReplaceTempView("stmt_demo")
+    val ex = SqlDialect.sql(spark, "EXPLAIN SELECT x FROM stmt_demo WHERE x > 1").head()
+    assert(ex.getString(0) == "physical_plan" && ex.getString(1).contains("Range"))
+    SqlDialect.sql(spark, "SET spark.graft.test.knob = 'on'")
+    assert(spark.conf.get("spark.graft.test.knob") == "on")
+    val ti = SqlDialect.sql(spark, "PRAGMA table_info('stmt_demo')").collect()
+    assert(ti.map(_.getString(1)).toSeq == Seq("x"))
+    assert(SqlDialect.sql(spark, "SHOW TABLES").collect()
+      .exists(_.getString(0) == "stmt_demo"))
+  }
+
   test("DROP MACRO removes the definition") {
     SqlDialect.sql(spark, "CREATE MACRO m_gone(x) AS x")
     SqlDialect.sql(spark, "DROP MACRO m_gone")
