@@ -218,6 +218,14 @@ object Pipeline {
     "stream_session" -> ((s, dir) => {
       EventStreams.runToBatch(s, dir, s"sess_${System.nanoTime()}",
         EventStreams.sessions(_, "30 minutes"))
+    }),
+
+    "stream_dropdup" -> ((s, dir) => {
+      // streaming dropDuplicates within the watermark (real micro-batch
+      // state store); emitting only the key columns makes the result the
+      // exact distinct key set regardless of which arrival won
+      EventStreams.runToBatchAppend(s, dir, s"ddup_${System.nanoTime()}",
+        e => EventStreams.dedup(e).select(col("user_id"), col("event_type")))
     })
   )
 
@@ -325,6 +333,9 @@ object Pipeline {
       """SELECT count(*) AS n_total,
         |  count(DISTINCT (user_id, event_type)) AS n_distinct_pairs
         |FROM events""".stripMargin,
+
+    "stream_dropdup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
