@@ -216,6 +216,36 @@ object Round3 {
       s.sql(Round3.q3Sql)
     }),
 
+    "tpch_q8ish" -> ((s, dir) => {
+      // market-share: conditional share of a two-level aggregate
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q8Sql)
+    }),
+
+    "tpch_q9ish" -> ((s, dir) => {
+      // profit by nation/year: 5-way join + LIKE filter + derived amount
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q9Sql)
+    }),
+
+    "tpch_q11ish" -> ((s, dir) => {
+      // scalar subquery over a reused CTE (global threshold)
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q11Sql)
+    }),
+
+    "tpch_q15ish" -> ((s, dir) => {
+      // argmax via scalar MAX subquery over a derived revenue view
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q15Sql)
+    }),
+
+    "tpch_q20ish" -> ((s, dir) => {
+      // nested IN over a grouped HAVING subquery
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q20Sql)
+    }),
+
     "tpch_q6ish" -> ((s, dir) => {
       Engine.registerAll(s, dir)
       s.sql(Round3.q6Sql)
@@ -403,6 +433,60 @@ object Round3 {
       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
       |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  private[queries] val q8Sql =
+    """SELECT o_year,
+      |  round(sum(CASE WHEN nation = 'BRAZIL' THEN revenue ELSE 0 END)
+      |    / sum(revenue), 6) AS mkt_share
+      |FROM (SELECT extract(year FROM o_orderdate) AS o_year,
+      |        l_extendedprice * (1 - l_discount) AS revenue, n_name AS nation
+      |      FROM lineitem, orders, customer, nation
+      |      WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |        AND c_nationkey = n_nationkey)
+      |GROUP BY o_year""".stripMargin
+
+  private[queries] val q9Sql =
+    """SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+      |FROM (SELECT n_name AS nation,
+      |        extract(year FROM o_orderdate) AS o_year,
+      |        l_extendedprice * (1 - l_discount) - 0.5 * l_quantity AS amount
+      |      FROM lineitem, orders, supplier, nation, part
+      |      WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |        AND s_nationkey = n_nationkey AND l_partkey = p_partkey
+      |        AND p_name LIKE 'red%')
+      |GROUP BY nation, o_year""".stripMargin
+
+  private[queries] val q11Sql =
+    """WITH pv AS (SELECT l_partkey,
+      |              sum(l_extendedprice * l_quantity) AS part_value
+      |            FROM lineitem GROUP BY l_partkey)
+      |SELECT l_partkey, round(part_value, 2) AS part_value
+      |FROM pv
+      |WHERE part_value > (SELECT sum(part_value) * 0.0006 FROM pv)
+      |ORDER BY part_value DESC, l_partkey LIMIT 100""".stripMargin
+
+  private[queries] val q15Sql =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, round(total_revenue, 2) AS total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  private[queries] val q20Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem, part
+      |  WHERE l_partkey = p_partkey AND p_name LIKE 'red%'
+      |  GROUP BY l_suppkey, l_partkey
+      |  HAVING sum(l_quantity) > 100)
+      |ORDER BY s_suppkey""".stripMargin
+
   private[queries] val q21Sql =
     """SELECT s_name, count(*) AS numwait
       |FROM supplier, lineitem l1, orders
@@ -526,8 +610,13 @@ object Round3 {
 
     "tpch_q3ish" -> q3Sql,
     "tpch_q6ish" -> q6Sql,
+    "tpch_q8ish" -> q8Sql,
+    "tpch_q9ish" -> q9Sql,
+    "tpch_q11ish" -> q11Sql,
+    "tpch_q15ish" -> q15Sql,
     "tpch_q17ish" -> q17Sql,
     "tpch_q19ish" -> q19Sql,
+    "tpch_q20ish" -> q20Sql,
     "tpch_q21ish" -> q21Sql,
 
     "sql_copy_parquet" ->
