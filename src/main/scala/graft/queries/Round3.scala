@@ -97,6 +97,13 @@ object Round3 {
           |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
     }),
 
+    "win_named" -> ((s, dir) => {
+      // named WINDOW clause shared by several functions (reference
+      // window binder; same text runs on both engines)
+      Engine.registerAll(s, dir)
+      s.sql(Round3.winNamedSql)
+    }),
+
     "dialect_group_by_all" -> ((s, dir) => {
       // GROUP BY ALL (reference duckdb-8.cpp:7745) — native in both
       // engines; groups by every non-aggregated select item
@@ -433,6 +440,20 @@ object Round3 {
       |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
       |        AND l_quantity BETWEEN 20 AND 30))""".stripMargin
 
+  // run_avg accumulates EXACT integer cents, then ONE shared division —
+  // bit-identical doubles on both engines, so no final round() is needed
+  // (and none would be safe: the engines' round() pipelines disagree on
+  // rational half-cent boundaries — observed 5937.405 → .41 vs .40)
+  private[queries] val winNamedSql =
+    """SELECT c_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS DOUBLE)
+      |    / (100.0 * count(*) OVER w) AS run_avg
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
   private[queries] val q8Sql =
     """SELECT o_year,
       |  round(sum(CASE WHEN nation = 'BRAZIL' THEN revenue ELSE 0 END)
@@ -608,6 +629,7 @@ object Round3 {
         |  strip_accents('Málagà') AS stripped
         |FROM nation""".stripMargin,
 
+    "win_named" -> winNamedSql,
     "tpch_q3ish" -> q3Sql,
     "tpch_q6ish" -> q6Sql,
     "tpch_q8ish" -> q8Sql,
