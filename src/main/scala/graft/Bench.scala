@@ -70,7 +70,7 @@ object Bench {
     // per-query times for a headline subset, rounded, under a hard
     // length guard.
     val headline = Seq(
-      "tpch_q2ish", "tpch_q3ish", "tpch_q7ish", "tpch_q9ish", "tpch_q10ish",
+      "tpch_q2ish", "tpch_q3ish", "tpch_q5ish", "tpch_q7ish", "tpch_q9ish", "tpch_q10ish",
       "tpch_q13ish", "tpch_q17ish", "tpch_q18ish", "tpch_q21ish", "tpch_q22ish",
       "agg_q1_pricing", "agg_grouping_sets", "agg_cube", "agg_quantile",
       "join_inner", "join_multiway_broadcast", "join_range_bucketed",
@@ -78,7 +78,7 @@ object Bench {
       "win_frames_rows", "win_rank_family", "win_named", "sort_topn",
       "set_recursive_cte", "scan_project_filter", "dedup_exact",
       "dedup_minhash_pairs", "dedup_prefix_filter", "dedup_ngram_jaccard",
-      "dedup_fuzzy_names_blocked", "dedup_embedding_cosine_lsh",
+      "dedup_fuzzy_names_blocked", "dedup_embedding_cosine_lsh", "dedup_components",
       "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_ann", "text_tokens_top",
       "stream_tumbling", "stream_session", "stream_stream_join",
       "mm_binary_stats")

@@ -65,21 +65,23 @@ object TypeHelpers {
   // Driver-side monotonic counters: documented single-driver semantics
   // (the reference's sequences are also a single-node catalog object).
 
-  private val sequences = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+  private val sequences = new java.util.concurrent.ConcurrentHashMap[String, (java.util.concurrent.atomic.AtomicLong, Long)]()
 
-  def createSequence(name: String, start: Long = 1L): Unit =
-    sequences.put(name, new java.util.concurrent.atomic.AtomicLong(start - 1))
+  def createSequence(name: String, start: Long = 1L, incrementBy: Long = 1L): Unit = {
+    require(incrementBy != 0L, "INCREMENT BY must be non-zero")
+    sequences.put(name, (new java.util.concurrent.atomic.AtomicLong(start - incrementBy), incrementBy))
+  }
 
   def nextval(name: String): Long = {
     val seq = sequences.get(name)
     require(seq != null, s"sequence $name does not exist")
-    seq.incrementAndGet()
+    seq._1.addAndGet(seq._2)
   }
 
   def currval(name: String): Long = {
     val seq = sequences.get(name)
     require(seq != null, s"sequence $name does not exist")
-    seq.get()
+    seq._1.get()
   }
 
   // ---- glob table function (duckdb-6.cpp:9491) ----

@@ -332,6 +332,77 @@ object Dedup {
       s"($i, [${p.map(x => if (x > 0) "1.0" else "-1.0").mkString(",")}])"
     }.mkString(",\n    ")
 
+  // ---- dedup clustering: connected components over near-dup pairs ----
+
+  /** Distributed connected components via alternating large-star /
+    * small-star rounds — the step that turns near-dup PAIRS (from
+    * [[minhashCandidates]] / [[jaccardThresholdPairs]] / [[fuzzyPairs]])
+    * into canonical dedup GROUPS. The reference reaches clusters through
+    * its recursive-CTE machinery (duckdb-internal.hpp `LogicalRecursiveCTE`,
+    * duckdb-9.cpp binder); a faithful translation would iterate
+    * O(diameter) joins. Large-star/small-star instead converges in
+    * O(log^2 n) rounds regardless of graph shape, each round one
+    * group-by-key shuffle plus one co-partitioned join — the shape that
+    * survives a 100 TB edge list.
+    *
+    * Input: an edge list (two integral id columns). Output: one row per
+    * node incident to an edge, `(id, comp)` with `comp` = the minimum
+    * node id in its component (deterministic canonical representative).
+    */
+  def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    def orientMaxFirst(df: DataFrame): DataFrame = df
+      .where(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      .distinct()
+
+    def checksum(df: DataFrame): (Long, BigDecimal) = {
+      // decimal sum: ANSI-safe (no long overflow) and order-independent
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), BigDecimal(r.getDecimal(1)))
+    }
+
+    var e = orientMaxFirst(edges.select(
+      col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
+      .localCheckpoint()
+    var prev = checksum(e)
+    var converged = prev._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: every neighbor w > u re-links to u's neighborhood
+      // minimum m = min(N(u) ∪ {u}); one shuffle on u (groupBy + join
+      // share the partitioning)
+      val sym = e.select(col("u"), col("v"))
+        .union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mins, "u").where(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+      val lsOriented = orientMaxFirst(ls).localCheckpoint()
+      // small-star: edges already point max→min; every smaller neighbor
+      // (and u itself) re-links to m = min(N(u))
+      val mins2 = lsOriented.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = lsOriented.join(mins2, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .union(mins2.select(col("u").as("a"), col("m").as("b")))
+      val next = orientMaxFirst(ss).localCheckpoint()
+      val cur = checksum(next)
+      converged = cur == prev
+      prev = cur
+      e = next
+      round += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxRounds rounds")
+    // e is now a star forest oriented (member, root)
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** 64-bit SimHash over whitespace tokens (deterministic; seed via
     * xxhash64). Scalar per-row computation — used as a UDF.
     */

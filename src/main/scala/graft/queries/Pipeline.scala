@@ -65,6 +65,19 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
     }),
 
+    "dedup_components" -> ((s, dir) => {
+      // dedup clustering: exact-threshold near-dup pairs → connected
+      // components (large-star/small-star, O(log² n) shuffle rounds) →
+      // canonical group per document. The oracle recomputes the same
+      // edge set in SQL and resolves components with a recursive
+      // min-label propagation CTE — identical groups cross-engine.
+      val pairs = Dedup.jaccardThresholdPairs(
+        t(s, dir, "documents"), "doc_id", "text", shingleN = 3, threshold = 0.8)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"),
+          count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long").as("n_members"))
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // SimHash bounded-property oracle: every true near-dup pair
       // (exact Jaccard ≥ 0.8, brute-forced by the oracle) must land
@@ -278,6 +291,24 @@ object Pipeline {
     "dedup_simhash" ->
       s"""$exactJaccardPairsCte
          |SELECT id_a, id_b, TRUE AS hamming_ok FROM hi""".stripMargin,
+
+    // min-label propagation: a label walks an edge only toward a larger
+    // node id, so the state space is finite and the component minimum
+    // (smaller than every other member) reaches all members
+    "dedup_components" ->
+      s"""WITH RECURSIVE ${exactJaccardPairsCte.stripPrefix("WITH ")},
+         |nodes AS (SELECT id_a AS id FROM hi UNION SELECT id_b FROM hi),
+         |sym AS (SELECT id_a AS u, id_b AS v FROM hi
+         |        UNION SELECT id_b, id_a FROM hi),
+         |reach(id, lab) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.id
+         |  WHERE r.lab < s.v),
+         |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+         |SELECT CAST(id AS BIGINT) AS id, CAST(comp AS BIGINT) AS comp,
+         |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
+         |FROM cc""".stripMargin,
 
     "sim_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -203,6 +203,16 @@ object Round3 {
         .toSeq.toDF("cid", "name", "type")
     }),
 
+    "catalog_sequence" -> ((s, dir) => {
+      // CREATE SEQUENCE / nextval (reference duckdb-6.cpp:2012) —
+      // driver-side monotonic counter, the same single-node catalog
+      // semantics as the reference; oracle replays a native sequence
+      import s.implicits._
+      graft.functions.TypeHelpers.createSequence("r3seq", start = 100, incrementBy = 7)
+      (1L to 6L).map(i => (i, graft.functions.TypeHelpers.nextval("r3seq")))
+        .toDF("i", "v")
+    }),
+
     "fn_collate" -> ((s, dir) => {
       // NOCASE collation (reference collation registry
       // duckdb-5.cpp:5156) as expression rewrite + strip_accents
@@ -221,6 +231,13 @@ object Round3 {
     "tpch_q3ish" -> ((s, dir) => {
       Engine.registerAll(s, dir)
       s.sql(Round3.q3Sql)
+    }),
+
+    "tpch_q5ish" -> ((s, dir) => {
+      // local-supplier volume: 6-way join (2 broadcast dims + region),
+      // customer and supplier constrained to the same nation
+      Engine.registerAll(s, dir)
+      s.sql(Round3.q5Sql)
     }),
 
     "tpch_q8ish" -> ((s, dir) => {
@@ -413,6 +430,18 @@ object Round3 {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
       |LIMIT 10""".stripMargin
+
+  private[queries] val q5Sql =
+    """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
 
   private[queries] val q6Sql =
     """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n
@@ -629,8 +658,15 @@ object Round3 {
         |  strip_accents('Málagà') AS stripped
         |FROM nation""".stripMargin,
 
+    "catalog_sequence" ->
+      """DROP SEQUENCE IF EXISTS r3seq;
+        |CREATE SEQUENCE r3seq START 100 INCREMENT 7;
+        |SELECT CAST(i AS BIGINT) AS i, CAST(nextval('r3seq') AS BIGINT) AS v
+        |FROM range(1, 7) t(i)""".stripMargin,
+
     "win_named" -> winNamedSql,
     "tpch_q3ish" -> q3Sql,
+    "tpch_q5ish" -> q5Sql,
     "tpch_q6ish" -> q6Sql,
     "tpch_q8ish" -> q8Sql,
     "tpch_q9ish" -> q9Sql,
