@@ -78,6 +78,31 @@ object Pipeline {
           count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long").as("n_members"))
     }),
 
+    "pipeline_end2end" -> ((s, dir) => {
+      // the full training-data preparation pipeline composed as one
+      // declarative plan: token-count quality gate → exact dedup
+      // (keep-lowest-id) → near-dup clustering (prefix-filter pairs →
+      // connected components) → keep each cluster's canonical doc →
+      // per-source funnel stats. Shuffle inventory at 100 TB: one
+      // groupBy(text), one prefix-token exchange, O(log² n) component
+      // rounds, one groupBy(source) — no cross products anywhere.
+      val raw = t(s, dir, "documents").select(
+        col("doc_id"), col("source"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val q = raw.filter(col("n_tokens") >= 30)
+      val base = Dedup.exactKeepFirst(q, Seq("text"), "doc_id")
+      val pairs = Dedup.jaccardThresholdPairs(base, "doc_id", "text",
+        shingleN = 3, threshold = 0.8)
+      val dropIds = Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .filter(col("id") =!= col("comp")).select(col("id"))
+      val fin = base.join(dropIds, base("doc_id") === dropIds("id"), "left_anti")
+      raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
+        .join(q.groupBy("source").agg(count(lit(1)).as("n_quality")), "source")
+        .join(base.groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
+        .join(fin.groupBy("source").agg(count(lit(1)).as("n_final"),
+          sum(col("n_tokens")).cast("long").as("tokens_final")), "source")
+    }),
+
     "dedup_simhash" -> ((s, dir) => {
       // SimHash bounded-property oracle: every true near-dup pair
       // (exact Jaccard ≥ 0.8, brute-forced by the oracle) must land
@@ -250,13 +275,16 @@ object Pipeline {
     * |S| - ⌈t·|S|⌉ + 1 sorted tokens (the smallest element of A∩B is
     * preceded in each set only by elements outside the intersection) —
     * exact, and subquadratic instead of the 5000²/2 brute-force join. */
-  private val exactJaccardPairsCte =
-    """WITH d AS (
+  /** CTE chain (no leading WITH) computing exact-threshold Jaccard pairs
+    * `hi(id_a, id_b, jac)` over relation `rel(doc_id, text)` — shared by
+    * the dedup oracles and the composed pipeline oracle. */
+  private def jaccardPairsCteChain(rel: String): String =
+    s"""d AS (
       |  SELECT doc_id,
       |    list_sort(list_distinct(list_transform(
       |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
       |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
-      |  FROM documents),
+      |  FROM $rel),
       |pre AS (
       |  -- epsilon guards fp ceil overshoot at integral t*len (see
       |  -- Dedup.jaccardThresholdPairs)
@@ -275,6 +303,21 @@ object Pipeline {
       |    FROM cand JOIN d da ON cand.id_a = da.doc_id
       |              JOIN d db ON cand.id_b = db.doc_id)
       |  WHERE jac >= 0.8)""".stripMargin
+
+  private val exactJaccardPairsCte = "WITH " + jaccardPairsCteChain("documents")
+
+  /** Min-label propagation CTE chain (no leading WITH; requires
+    * RECURSIVE) resolving `hi` pairs into `cc(id, comp)`. */
+  private val componentsCteChain =
+    """nodes AS (SELECT id_a AS id FROM hi UNION SELECT id_b FROM hi),
+      |sym AS (SELECT id_a AS u, id_b AS v FROM hi
+      |        UNION SELECT id_b, id_a FROM hi),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.id
+      |  WHERE r.lab < s.v),
+      |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" ->
@@ -296,19 +339,38 @@ object Pipeline {
     // node id, so the state space is finite and the component minimum
     // (smaller than every other member) reaches all members
     "dedup_components" ->
-      s"""WITH RECURSIVE ${exactJaccardPairsCte.stripPrefix("WITH ")},
-         |nodes AS (SELECT id_a AS id FROM hi UNION SELECT id_b FROM hi),
-         |sym AS (SELECT id_a AS u, id_b AS v FROM hi
-         |        UNION SELECT id_b, id_a FROM hi),
-         |reach(id, lab) AS (
-         |  SELECT id, id FROM nodes
-         |  UNION
-         |  SELECT s.v, r.lab FROM reach r JOIN sym s ON s.u = r.id
-         |  WHERE r.lab < s.v),
-         |cc AS (SELECT id, min(lab) AS comp FROM reach GROUP BY id)
+      s"""WITH RECURSIVE ${jaccardPairsCteChain("documents")},
+         |$componentsCteChain
          |SELECT CAST(id AS BIGINT) AS id, CAST(comp AS BIGINT) AS comp,
          |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
          |FROM cc""".stripMargin,
+
+    // full training-data pipeline as ONE declarative statement: quality
+    // filter → exact dedup → near-dup clustering → canonical keep →
+    // per-source stats; every stage replayed natively by the oracle
+    "pipeline_end2end" ->
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT doc_id, source, text,
+         |    len(string_split(text, ' ')) AS n_tokens FROM documents),
+         |q AS (SELECT * FROM raw WHERE n_tokens >= 30),
+         |ex AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY text),
+         |base AS (SELECT q.* FROM q JOIN ex USING (doc_id)),
+         |${jaccardPairsCteChain("base")},
+         |$componentsCteChain,
+         |fin AS (SELECT * FROM base
+         |        WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> comp)),
+         |agg_raw AS (SELECT source, count(*) AS n_raw FROM raw GROUP BY source),
+         |agg_q AS (SELECT source, count(*) AS n_quality FROM q GROUP BY source),
+         |agg_base AS (SELECT source, count(*) AS n_exact FROM base GROUP BY source),
+         |agg_fin AS (SELECT source, count(*) AS n_final,
+         |            sum(n_tokens) AS tokens_final FROM fin GROUP BY source)
+         |SELECT source, CAST(n_raw AS BIGINT) AS n_raw,
+         |  CAST(n_quality AS BIGINT) AS n_quality,
+         |  CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_final AS BIGINT) AS n_final,
+         |  CAST(tokens_final AS BIGINT) AS tokens_final
+         |FROM agg_raw JOIN agg_q USING (source)
+         |  JOIN agg_base USING (source) JOIN agg_fin USING (source)""".stripMargin,
 
     "sim_lsh_ann" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -203,6 +203,34 @@ object Round3 {
         .toSeq.toDF("cid", "name", "type")
     }),
 
+    "fn_blob" -> ((s, dir) => {
+      // BLOB surface (reference blob casts duckdb-5.cpp + base64/hex
+      // functions): encode/decode round-trip, base64, hex, octet_length
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        // Spark base64 emits MIME 76-char line chunking; strip to the
+        // unchunked canonical form
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+        md5(col("text").cast("binary")).as("m5"),
+        expr("octet_length(text)").cast("long").as("nbytes"),
+        upper(hex(substring(col("text"), 1, 4).cast("binary"))).as("hx"),
+        (unbase64(base64(col("text").cast("binary"))).cast("string") === col("text")).as("rt"))
+    }),
+
+    "agg_list" -> ((s, dir) => {
+      // ordered list aggregation (reference list(x ORDER BY y),
+      // duckdb-5.cpp ListFunction + ORDER BY modifier): deterministic
+      // via sort-by-key-then-project (the distributed shape: one
+      // groupBy shuffle, order restored inside each group)
+      val sorted = array_sort(collect_list(struct(col("n_nationkey"), col("n_name"))))
+      t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(transform(sorted, x => x.getField("n_name")).as("nm"))
+        .select(col("n_regionkey"),
+          array_join(col("nm"), "|").as("names"),
+          array_join(slice(col("nm"), 1, 2), "|").as("first2"),
+          size(col("nm")).cast("long").as("n"))
+    }),
+
     "catalog_sequence" -> ((s, dir) => {
       // CREATE SEQUENCE / nextval (reference duckdb-6.cpp:2012) —
       // driver-side monotonic counter, the same single-node catalog
@@ -657,6 +685,20 @@ object Round3 {
         |  min(n_name COLLATE NOCASE) AS first_name,
         |  strip_accents('Málagà') AS stripped
         |FROM nation""".stripMargin,
+
+    "fn_blob" ->
+      """SELECT doc_id, base64(encode(text)) AS b64, md5(text) AS m5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |  upper(hex(encode(substring(text, 1, 4)))) AS hx,
+        |  decode(from_base64(base64(encode(text)))) = text AS rt
+        |FROM documents""".stripMargin,
+
+    "agg_list" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list(n_name ORDER BY n_nationkey), '|') AS names,
+        |  array_to_string(list_slice(list(n_name ORDER BY n_nationkey), 1, 2), '|') AS first2,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
 
     "catalog_sequence" ->
       """DROP SEQUENCE IF EXISTS r3seq;
