@@ -348,9 +348,16 @@ object Dedup {
     * Input: an edge list (two integral id columns). Output: one row per
     * node incident to an edge, `(id, comp)` with `comp` = the minimum
     * node id in its component (deterministic canonical representative).
+    *
+    * Two-tier (same design as [[Recursion.fixpoint]]): an edge set at or
+    * under `localEdgeLimit` is resolved with driver-local union-find
+    * (microseconds; skips ~10 scheduler round-trips that dominate at
+    * test scale), larger sets run the distributed star loop. Both tiers
+    * produce the identical mapping.
     */
   def connectedComponents(edges: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 50): DataFrame = {
+                          maxRounds: Int = 50,
+                          localEdgeLimit: Long = 100000L): DataFrame = {
     def orientMaxFirst(df: DataFrame): DataFrame = df
       .where(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("u"),
@@ -369,6 +376,25 @@ object Dedup {
       col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b")))
       .localCheckpoint()
     var prev = checksum(e)
+    if (prev._1 <= localEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val p = parent(c); parent(c) = r; c = p }
+        r
+      }
+      e.collect().foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val keys = parent.keySet.toArray ++
+        parent.values.toArray.filterNot(parent.contains)
+      return keys.distinct.map(k => (k, find(k))).toSeq.toDF("id", "comp")
+    }
     var converged = prev._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
