@@ -70,6 +70,21 @@ object Round2 {
         graft.streaming.EventStreams.viewClickJoin)
     }),
 
+    "stream_stream_left_join" -> ((s, dir) => {
+      // left-outer stream-stream join: outer (null) rows emit on state
+      // eviction, so restrict to the watermark-decided region — views
+      // older than max event time minus (watermark 1h + range 4h + 1h
+      // margin); the oracle applies the identical cutoff
+      val res = graft.streaming.EventStreams.runToBatchAppend(
+        s, dir, s"sslj_${System.nanoTime()}",
+        graft.streaming.EventStreams.viewClickLeftJoin)
+      val mx = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+      res.crossJoin(broadcast(mx))
+        .where(col("vts") <= col("mx") - expr("INTERVAL 6 HOURS"))
+        .select(col("view_id"), col("user_id"), col("vts"), col("cts"),
+          col("click_value"))
+    }),
+
     "join_interval_overlap" -> ((s, dir) => {
       // interval×interval overlap (the FULL IEJoin shape: two-sided
       // inequality with different intervals on each side) — one
@@ -149,6 +164,15 @@ object Round2 {
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id
         | AND c.ts >= v.ts - INTERVAL 4 HOUR AND c.ts <= v.ts""".stripMargin,
+
+    "stream_stream_left_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS vts,
+        |  CAST(c.ts AS TIMESTAMP) AS cts, round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts - INTERVAL 4 HOUR AND c.ts <= v.ts
+        |WHERE v.ts <= (SELECT max(ts) FROM events) - INTERVAL 6 HOUR""".stripMargin,
 
     "join_interval_overlap" ->
       """WITH s AS (SELECT s_suppkey,

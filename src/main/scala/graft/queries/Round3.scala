@@ -203,6 +203,24 @@ object Round3 {
         .toSeq.toDF("cid", "name", "type")
     }),
 
+    "fn_bitstring" -> ((s, dir) => {
+      // BIT-string surface (reference BIT type duckdb.hpp:932, bit fns
+      // duckdb-5.cpp): bit_count/get_bit/set_bit/bit_position plus
+      // bitwise AND/NOT/XOR — Spark side over 0/1 strings + integer
+      // bitwise ops; oracle uses DuckDB's native BIT type
+      val b = bin(col("id"))
+      s.range(5, 200).select(
+        col("id").as("i"),
+        b.as("b"),
+        (length(b) - length(translate(b, "1", ""))).cast("long").as("n_ones"),
+        substring(b, 1, 1).cast("int").as("first_bit"),
+        overlay(b, lit("1"), lit(1), lit(1)).as("set0"),
+        instr(b, "101").cast("long").as("pos101"),
+        lpad(bin(col("id").bitwiseAND(col("id") + 1)), 8, "0").as("band"),
+        lpad(bin(col("id").bitwiseXOR(lit(255))), 8, "0").as("bnot"),
+        lpad(bin(col("id").bitwiseXOR(col("id") + 1)), 8, "0").as("bxor"))
+    }),
+
     "fn_blob" -> ((s, dir) => {
       // BLOB surface (reference blob casts duckdb-5.cpp + base64/hex
       // functions): encode/decode round-trip, base64, hex, octet_length
@@ -685,6 +703,19 @@ object Round3 {
         |  min(n_name COLLATE NOCASE) AS first_name,
         |  strip_accents('Málagà') AS stripped
         |FROM nation""".stripMargin,
+
+    "fn_bitstring" ->
+      """SELECT i, bin(i) AS b,
+        |  CAST(bit_count(CAST(bin(i) AS BIT)) AS BIGINT) AS n_ones,
+        |  CAST(get_bit(CAST(bin(i) AS BIT), 0) AS INTEGER) AS first_bit,
+        |  CAST(set_bit(CAST(bin(i) AS BIT), 0, 1) AS VARCHAR) AS set0,
+        |  CAST(strpos(bin(i), '101') AS BIGINT) AS pos101,
+        |  CAST(CAST(lpad(bin(i), 8, '0') AS BIT)
+        |    & CAST(lpad(bin(i + 1), 8, '0') AS BIT) AS VARCHAR) AS band,
+        |  CAST(~CAST(lpad(bin(i), 8, '0') AS BIT) AS VARCHAR) AS bnot,
+        |  CAST(xor(CAST(lpad(bin(i), 8, '0') AS BIT),
+        |           CAST(lpad(bin(i + 1), 8, '0') AS BIT)) AS VARCHAR) AS bxor
+        |FROM range(5, 200) t(i)""".stripMargin,
 
     "fn_blob" ->
       """SELECT doc_id, base64(encode(text)) AS b64, md5(text) AS m5,

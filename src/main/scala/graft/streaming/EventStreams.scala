@@ -124,6 +124,29 @@ object EventStreams {
         round(col("value"), 2).as("click_value"))
   }
 
+  /** Left-outer stream-stream join: like [[viewClickJoin]] but views
+    * with no click in the window survive with nulls. Outer rows are
+    * emitted on state EVICTION — only once the watermark has passed a
+    * view's join window can "no click arrived" be decided — so the tail
+    * of the stream (within watermark + range of max event time) is
+    * still withheld when the stream ends; callers cut to the decided
+    * region for deterministic results. */
+  def viewClickLeftJoin(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("cts"), col("value"))
+      .withWatermark("cts", "1 hour")
+    views.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("cts") >= col("vts") - expr("INTERVAL 4 HOURS") &&
+        col("cts") <= col("vts"),
+      "leftOuter")
+      .select(col("view_id"), col("user_id"), col("vts"), col("cts"),
+        round(col("value"), 2).as("click_value"))
+  }
+
   /** Custom-state streaming (SURVEY §2.10: mapGroupsWithState surface):
     * per-user running totals via flatMapGroupsWithState — arbitrary state
     * beyond built-in windows. */
