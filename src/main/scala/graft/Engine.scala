@@ -163,6 +163,47 @@ object Engine {
   /** SUMMARIZE analog (duckdb-6.cpp:9493). */
   def summarize(df: DataFrame): DataFrame = df.summary()
 
+  /** Reference type name for a Spark type (shared by pragma_table_info
+    * and SUMMARIZE). */
+  def duckTypeName(t: org.apache.spark.sql.types.DataType): String = t.typeName match {
+    case "long" | "bigint" => "BIGINT"
+    case "integer" | "int" => "INTEGER"
+    case "string" => "VARCHAR"
+    case "double" => "DOUBLE"
+    case "timestamp" | "timestamp_ntz" => "TIMESTAMP"
+    case other => other.toUpperCase
+  }
+
+  /** SUMMARIZE's deterministic column subset (duckdb-6.cpp:9493 — the
+    * full reference output also carries approx_unique and sampled
+    * quantiles, which are engine-specific sketches by design): one
+    * aggregate pass computes min/max/non-null count for every column,
+    * then pivots driver-side to the per-column row layout.
+    */
+  def summarizeTable(spark: SparkSession, df: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fields = df.schema.fields
+    val aggs = count(lit(1)).as("__total") +: fields.zipWithIndex.flatMap {
+      case (f, i) => Seq(
+        min(col(f.name)).cast("string").as(s"__min_$i"),
+        max(col(f.name)).cast("string").as(s"__max_$i"),
+        count(col(f.name)).as(s"__n_$i"))
+    }.toSeq
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val total = row.getLong(0)
+    fields.zipWithIndex.map { case (f, i) =>
+      val nonNull = row.getLong(3 + 3 * i)
+      val nullPct =
+        if (total == 0) 0.0
+        else math.floor((total - nonNull) * 10000.0 / total + 0.5) / 100.0
+      (f.name, duckTypeName(f.dataType),
+        Option(row.getString(1 + 3 * i)).orNull,
+        Option(row.getString(2 + 3 * i)).orNull,
+        total, nullPct)
+    }.toSeq.toDF("column_name", "column_type", "min", "max", "count", "null_pct")
+  }
+
   /** EXPORT DATABASE analog (duckdb-4.cpp:9722): dump every temp-view
     * table to parquet + a schema.sql DDL script into `outDir`. */
   def exportDatabase(spark: SparkSession, outDir: String): Unit = {

@@ -145,6 +145,14 @@ object Dedup {
   val minhashSigUdf = udf(minhashSig _)
   val jaccardSortedLongsUdf = udf(jaccardSortedLongs _)
 
+  /** Codegen form of [[jaccardSortedLongs]] (graft.plans.JaccardSorted):
+    * reads the Tungsten arrays in place — no per-row WrappedArray copy.
+    * Registration is idempotent per session. */
+  def jaccardSortedCol(df: DataFrame)(a: Column, b: Column): Column = {
+    graft.functions.DuckFunctions.register(df.sparkSession)
+    call_function("jaccard_sorted", a, b)
+  }
+
   /** MinHash+LSH near-duplicate candidate pairs, scored with exact
     * shingle Jaccard.
     *
@@ -183,7 +191,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardSortedLongsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSortedCol(df)(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
   /** Deletion neighborhood of depth ≤ k: all distinct strings obtainable
@@ -321,7 +329,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardSortedLongsUdf(col("sh_a"), col("sh_b")).as("jaccard"))
+        jaccardSortedCol(df)(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -50,7 +50,7 @@ object Pipeline {
       val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
-          round(Dedup.jaccardSortedLongsUdf(col("sh_a"), col("sh_b")), 6).as("jac"))
+          round(Dedup.jaccardSortedCol(d)(col("sh_a"), col("sh_b")), 6).as("jac"))
         .orderBy(col("jac").desc, col("id_a").asc, col("id_b").asc)
         .limit(30)
     }),

@@ -249,6 +249,13 @@ object Round3 {
           size(col("nm")).cast("long").as("n"))
     }),
 
+    "catalog_summarize" -> ((s, dir) => {
+      // SUMMARIZE (reference duckdb-6.cpp:9493) — deterministic column
+      // subset; approx_unique/quantiles are engine-specific sketches and
+      // stay out of the oracle on both sides
+      Engine.summarizeTable(s, t(s, dir, "orders"))
+    }),
+
     "catalog_sequence" -> ((s, dir) => {
       // CREATE SEQUENCE / nextval (reference duckdb-6.cpp:2012) —
       // driver-side monotonic counter, the same single-node catalog
@@ -730,6 +737,12 @@ object Round3 {
         |  array_to_string(list_slice(list(n_name ORDER BY n_nationkey), 1, 2), '|') AS first2,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "catalog_summarize" ->
+      """SELECT column_name, column_type, min, max,
+        |  CAST(count AS BIGINT) AS count,
+        |  CAST(null_percentage AS DOUBLE) AS null_pct
+        |FROM (SUMMARIZE orders)""".stripMargin,
 
     "catalog_sequence" ->
       """DROP SEQUENCE IF EXISTS r3seq;
