@@ -96,6 +96,52 @@ object DuckFunctions {
       Double.box(j + prefix * 0.1 * (1.0 - j))
     }
 
+  /** Plain jaro_similarity (reference duckdb-2.cpp jaro registration). */
+  def jaroSimilarity(a: String, b: String): java.lang.Double =
+    if (a == null || b == null) null else Double.box(jaro(a, b))
+
+  // ---- grapheme-cluster string fns (reference *_grapheme family,
+  // utf8proc-backed; here java.text.BreakIterator character instance) ----
+
+  private def graphemeStarts(s: String): Array[Int] = {
+    val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
+    it.setText(s)
+    val starts = scala.collection.mutable.ArrayBuffer[Int]()
+    var b = it.first()
+    while (b != java.text.BreakIterator.DONE) { starts += b; b = it.next() }
+    starts.toArray // includes the end sentinel s.length
+  }
+
+  def lengthGrapheme(s: String): java.lang.Long =
+    if (s == null) null else Long.box(graphemeStarts(s).length - 1L)
+
+  def leftGrapheme(s: String, n: Int): String =
+    if (s == null) null
+    else {
+      val g = graphemeStarts(s)
+      val k = math.max(0, math.min(n, g.length - 1))
+      s.substring(0, g(k))
+    }
+
+  def rightGrapheme(s: String, n: Int): String =
+    if (s == null) null
+    else {
+      val g = graphemeStarts(s)
+      val k = math.max(0, math.min(n, g.length - 1))
+      s.substring(g(g.length - 1 - k))
+    }
+
+  /** substring_grapheme(s, start, len) — 1-based grapheme offsets. */
+  def substringGrapheme(s: String, start: Int, len: Int): String =
+    if (s == null) null
+    else {
+      val g = graphemeStarts(s)
+      val nG = g.length - 1
+      val from = math.max(0, math.min(start - 1, nG))
+      val until = math.max(from, math.min(from + len, nG))
+      s.substring(g(from), g(until))
+    }
+
   // ---- math long tail (duckdb-5.cpp:16306-16344) ----
 
   /** nextafter(a, b): next representable double from a toward b. */
@@ -244,6 +290,11 @@ object DuckFunctions {
       spark.udf.register("hamming", udf(hamming _))
       spark.udf.register("jaccard", udf(jaccardChars _))
       spark.udf.register("jaro_winkler_similarity", udf(jaroWinkler _))
+      spark.udf.register("jaro_similarity", udf(jaroSimilarity _))
+      spark.udf.register("length_grapheme", udf(lengthGrapheme _))
+      spark.udf.register("left_grapheme", udf(leftGrapheme _))
+      spark.udf.register("right_grapheme", udf(rightGrapheme _))
+      spark.udf.register("substring_grapheme", udf(substringGrapheme _))
       spark.udf.register("simhash64", udf(graft.operators.Dedup.simhash64 _))
       spark.udf.register("lang_id", udf(graft.operators.TextAnalysis.langIdHeuristic _))
       spark.udf.register("nfc_normalize", udf(TypeHelpers.nfcNormalize))

@@ -203,6 +203,43 @@ object Round3 {
         .toSeq.toDF("cid", "name", "type")
     }),
 
+    "fn_long_tail" -> ((s, dir) => {
+      // remaining reference scalar surface: interval constructors
+      // (to_days/to_hours/…, duckdb-5.cpp), bit_length,
+      // regexp_full_match (anchored rlike), jaro_similarity, and the
+      // grapheme-cluster family (BreakIterator ≙ utf8proc clusters);
+      // é is built decomposed (e + U+0301) on both sides
+      graft.functions.DuckFunctions.register(s)
+      val ts = lit("1996-03-05 07:08:09").cast("timestamp")
+      val cafe = concat(lit("cafe"), lit("\u0301"))
+      s.range(1).select(
+        (ts + expr("INTERVAL 5 DAYS")).as("d5"),
+        (ts + expr("INTERVAL 30 HOURS")).as("h30"),
+        (ts + expr("INTERVAL 90 MINUTES")).as("m90"),
+        (ts + expr("INTERVAL 3661 SECONDS")).as("s3661"),
+        (ts + expr("INTERVAL 14 MONTHS")).as("mo14"),
+        (ts + expr("INTERVAL 2 YEARS")).as("y2"),
+        bit_length(lit("abc")).cast("long").as("bl"),
+        lit("banana").rlike("^(?:b.n.*)$").as("rfm1"),
+        lit("banana").rlike("^(?:an)$").as("rfm2"),
+        round(callUDF("jaro_similarity", lit("MARTHA"), lit("MARHTA")), 6).as("js"),
+        callUDF("length_grapheme", cafe).cast("long").as("lg"),
+        callUDF("left_grapheme", cafe, lit(4)).as("leftg"),
+        callUDF("right_grapheme", cafe, lit(2)).as("rightg"),
+        callUDF("substring_grapheme", concat(cafe, lit("xyz")), lit(4), lit(2)).as("subg"))
+    }),
+
+    "agg_mad" -> ((s, dir) => {
+      // median absolute deviation (reference mad, duckdb-5.cpp holistic
+      // aggregates): two exact-percentile passes — group median
+      // broadcast back, then median of absolute deviations
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      li.join(med, "l_returnflag").groupBy("l_returnflag")
+        .agg(round(expr("percentile(abs(l_quantity - med), 0.5)"), 2).as("mad_qty"))
+    }),
+
     "fn_bitstring" -> ((s, dir) => {
       // BIT-string surface (reference BIT type duckdb.hpp:932, bit fns
       // duckdb-5.cpp): bit_count/get_bit/set_bit/bit_position plus
@@ -710,6 +747,28 @@ object Round3 {
         |  min(n_name COLLATE NOCASE) AS first_name,
         |  strip_accents('Málagà') AS stripped
         |FROM nation""".stripMargin,
+
+    "fn_long_tail" ->
+      """SELECT
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_days(5) AS d5,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_hours(30) AS h30,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_minutes(90) AS m90,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_seconds(3661) AS s3661,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_months(14) AS mo14,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_years(2) AS y2,
+        |  CAST(bit_length('abc') AS BIGINT) AS bl,
+        |  regexp_full_match('banana', 'b.n.*') AS rfm1,
+        |  regexp_full_match('banana', 'an') AS rfm2,
+        |  round(jaro_similarity('MARTHA', 'MARHTA'), 6) AS js,
+        |  CAST(length_grapheme('cafe' || chr(769)) AS BIGINT) AS lg,
+        |  left_grapheme('cafe' || chr(769), 4) AS leftg,
+        |  right_grapheme('cafe' || chr(769), 2) AS rightg,
+        |  substring_grapheme('cafe' || chr(769) || 'xyz', 4, 2) AS subg""".stripMargin,
+
+    "agg_mad" ->
+      """SELECT l_returnflag,
+        |  round(CAST(mad(l_quantity) AS DOUBLE), 2) AS mad_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "fn_bitstring" ->
       """SELECT i, bin(i) AS b,
