@@ -100,6 +100,16 @@ object DuckFunctions {
   def jaroSimilarity(a: String, b: String): java.lang.Double =
     if (a == null || b == null) null else Double.box(jaro(a, b))
 
+  /** mismatches/hamming (reference duckdb-2.cpp): positional diff count
+    * of equal-length strings. */
+  def mismatches(a: String, b: String): java.lang.Long = {
+    if (a == null || b == null) return null
+    require(a.length == b.length, "mismatches requires equal-length strings")
+    var n = 0L; var i = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) n += 1; i += 1 }
+    Long.box(n)
+  }
+
   // ---- grapheme-cluster string fns (reference *_grapheme family,
   // utf8proc-backed; here java.text.BreakIterator character instance) ----
 
@@ -291,6 +301,7 @@ object DuckFunctions {
       spark.udf.register("jaccard", udf(jaccardChars _))
       spark.udf.register("jaro_winkler_similarity", udf(jaroWinkler _))
       spark.udf.register("jaro_similarity", udf(jaroSimilarity _))
+      spark.udf.register("mismatches", udf(mismatches _))
       spark.udf.register("length_grapheme", udf(lengthGrapheme _))
       spark.udf.register("left_grapheme", udf(leftGrapheme _))
       spark.udf.register("right_grapheme", udf(rightGrapheme _))

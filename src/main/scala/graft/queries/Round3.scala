@@ -229,6 +229,22 @@ object Round3 {
         callUDF("substring_grapheme", concat(cafe, lit("xyz")), lit(4), lit(2)).as("subg"))
     }),
 
+    "fn_string_predicates" -> ((s, dir) => {
+      // prefix/suffix/contains/starts_with + mismatches (hamming) +
+      // editdist3 (levenshtein alias) — reference duckdb-2.cpp string
+      // predicate and distance registrations
+      graft.functions.DuckFunctions.register(s)
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        col("s_name").startsWith("Supplier").as("p"),
+        col("s_name").endsWith("1").as("sx"),
+        col("s_name").contains("#00").as("c"),
+        col("s_name").startsWith("Supp").as("sw"),
+        callUDF("mismatches", col("s_name"), lit("Supplier#000000000"))
+          .cast("long").as("mm"),
+        levenshtein(col("s_name"), lit("Supplier#000000000")).cast("long").as("ed"))
+    }),
+
     "agg_mad" -> ((s, dir) => {
       // median absolute deviation (reference mad, duckdb-5.cpp holistic
       // aggregates): two exact-percentile passes — group median
@@ -764,6 +780,16 @@ object Round3 {
         |  left_grapheme('cafe' || chr(769), 4) AS leftg,
         |  right_grapheme('cafe' || chr(769), 2) AS rightg,
         |  substring_grapheme('cafe' || chr(769) || 'xyz', 4, 2) AS subg""".stripMargin,
+
+    "fn_string_predicates" ->
+      """SELECT s_suppkey,
+        |  prefix(s_name, 'Supplier') AS p,
+        |  suffix(s_name, '1') AS sx,
+        |  contains(s_name, '#00') AS c,
+        |  starts_with(s_name, 'Supp') AS sw,
+        |  CAST(mismatches(s_name, 'Supplier#000000000') AS BIGINT) AS mm,
+        |  CAST(editdist3(s_name, 'Supplier#000000000') AS BIGINT) AS ed
+        |FROM supplier""".stripMargin,
 
     "agg_mad" ->
       """SELECT l_returnflag,
