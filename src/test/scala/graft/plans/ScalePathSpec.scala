@@ -15,7 +15,8 @@ class ScalePathSpec extends SparkSpec {
   private val scalePaths = Seq(
     "dedup_exact", "dedup_minhash_pairs", "dedup_prefix_filter",
     "dedup_simhash", "dedup_fuzzy_names_blocked",
-    "dedup_embedding_cosine_lsh", "sim_lsh_ann")
+    "dedup_embedding_cosine_lsh", "sim_lsh_ann",
+    "dedup_components", "pipeline_end2end")
 
   for (name <- scalePaths) {
     test(s"$name plans without BNLJ or cartesian product") {
