@@ -192,6 +192,28 @@ object SqlDialect {
     }
     if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.tables(spark)
 
+    // DESCRIBE <table> → pragma_table_info shape (reference
+    // DescribeStatement binds to the same table-info source)
+    val describeRe = """(?is)^\s*DESCRIBE\s+([\w.]+)\s*$""".r
+    describeRe.findFirstMatchIn(q) match {
+      case Some(m) => return Engine.tableInfo(spark, m.group(1))
+      case None =>
+    }
+    // CHECKPOINT and autocommit-compatible transaction delimiters are
+    // accepted no-ops: the reference's checkpoint flushes its WAL
+    // (duckdb-10.cpp) — there is no WAL here — and graft always runs
+    // autocommit, under which BEGIN/COMMIT delimit nothing. ROLLBACK is
+    // REFUSED rather than silently ignored: pretending to undo committed
+    // work would be a correctness lie (transactions are a documented
+    // non-goal, SURVEY §8).
+    val trimmed = q.trim.toUpperCase
+    if (trimmed.matches("(FORCE\\s+)?CHECKPOINT") ||
+        trimmed.matches("BEGIN(\\s+TRANSACTION)?") || trimmed == "COMMIT")
+      return spark.emptyDataFrame
+    if (trimmed == "ROLLBACK" || trimmed == "ABORT")
+      throw new UnsupportedOperationException(
+        "ROLLBACK: transactions are a documented non-goal (autocommit only)")
+
     // macro calls → inlined bodies (before any other rewrite, so macro
     // bodies get the full dialect treatment too)
     q = expandMacros(spark, q)

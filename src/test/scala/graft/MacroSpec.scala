@@ -91,6 +91,20 @@ class MacroSpec extends SparkSpec {
       .exists(_.getString(0) == "stmt_demo"))
   }
 
+  test("DESCRIBE / CHECKPOINT / BEGIN / COMMIT / ROLLBACK statements") {
+    spark.range(3).toDF("y").createOrReplaceTempView("stmt_demo2")
+    val d = SqlDialect.sql(spark, "DESCRIBE stmt_demo2").collect()
+    assert(d.map(_.getString(1)).toSeq == Seq("y"))
+    assert(SqlDialect.sql(spark, "CHECKPOINT").isEmpty)
+    assert(SqlDialect.sql(spark, "FORCE CHECKPOINT").isEmpty)
+    assert(SqlDialect.sql(spark, "BEGIN TRANSACTION").isEmpty)
+    assert(SqlDialect.sql(spark, "COMMIT").isEmpty)
+    // silently ignoring ROLLBACK would fake an undo — it must refuse
+    intercept[UnsupportedOperationException] {
+      SqlDialect.sql(spark, "ROLLBACK")
+    }
+  }
+
   test("DROP MACRO removes the definition") {
     SqlDialect.sql(spark, "CREATE MACRO m_gone(x) AS x")
     SqlDialect.sql(spark, "DROP MACRO m_gone")
