@@ -40,11 +40,9 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: ${orphans.mkString(", ")}")
   }
 
-  test("every query is oracle-backed except the documented rows-only set") {
+  test("every query is oracle-backed — no rows-only residuals") {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // text_langid: synthetic lang labels are uncorrelated with text
-    // content (see Pipeline.scala) — the only permitted residual
-    assert(rowsOnly == Set("text_langid"),
-      s"undocumented rows-only queries: ${(rowsOnly - "text_langid").mkString(", ")}")
+    assert(rowsOnly.isEmpty,
+      s"undocumented rows-only queries: ${rowsOnly.mkString(", ")}")
   }
 }
