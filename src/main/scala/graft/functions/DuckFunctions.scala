@@ -302,6 +302,13 @@ object DuckFunctions {
       spark.udf.register("jaro_winkler_similarity", udf(jaroWinkler _))
       spark.udf.register("jaro_similarity", udf(jaroSimilarity _))
       spark.udf.register("mismatches", udf(mismatches _))
+      // session-info surface (reference duckdb-6.cpp system fns) —
+      // values are engine-identifying by nature, so spec-checked only
+      spark.udf.register("graft_version", udf(() => "graft 0.3 (spark 4.1.2)"))
+      spark.udf.register("current_database", udf(() => "memory"))
+      spark.udf.register("current_schema", udf(() => "main"))
+      spark.udf.register("current_schemas", udf(() => Array("main")))
+      spark.udf.register("txid_current", udf(() => 0L))
       spark.udf.register("length_grapheme", udf(lengthGrapheme _))
       spark.udf.register("left_grapheme", udf(leftGrapheme _))
       spark.udf.register("right_grapheme", udf(rightGrapheme _))

@@ -66,6 +66,29 @@ class DuckFunctionsSpec extends AnyFunSuite {
     assert(DuckFunctions.bitPosition("111", "0110") == 0L)
   }
 
+  test("session-info and string-distance registrations") {
+    val spark = graft.TestSession.spark
+    DuckFunctions.register(spark)
+    val cafe = "café" // decomposed accent: 5 codepoints, 4 graphemes
+    val r = spark.sql(
+      s"""SELECT graft_version() AS v, current_database() AS db,
+         |  current_schema() AS sc, current_schemas()[0] AS sc0,
+         |  txid_current() AS tx,
+         |  mismatches('abc', 'abd') AS mm,
+         |  jaro_similarity('MARTHA', 'MARHTA') AS js,
+         |  length_grapheme('$cafe') AS lg,
+         |  left_grapheme('$cafe', 4) AS leftg,
+         |  substring_grapheme('${cafe}xyz', 4, 2) AS subg""".stripMargin)
+      .head()
+    assert(r.getString(0).contains("graft"))
+    assert(r.getString(1) == "memory" && r.getString(2) == "main" && r.getString(3) == "main")
+    assert(r.getLong(4) == 0L && r.getLong(5) == 1L)
+    assert(math.abs(r.getDouble(6) - 0.9444444444444445) < 1e-12)
+    assert(r.getLong(7) == 4L)
+    assert(r.getString(8) == cafe)
+    assert(r.getString(9) == "éx") // grapheme 4 = e+combining accent, then x
+  }
+
   test("glob to regex") {
     assert(DuckFunctions.globToRegex("a*") == "^a.*$")
     assert(DuckFunctions.globToRegex("*.csv") == "^.*\\.csv$")
