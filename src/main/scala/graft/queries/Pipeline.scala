@@ -46,7 +46,14 @@ object Pipeline {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
           Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
-      val a = d.select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      // the build side broadcasts, so ANY probe partitioning is valid —
+      // round-robin spreads the quadratic scoring across every core
+      // (the parquet file is a handful of splits; pair count is x100 the
+      // row count, so scoring parallelism must not follow the scan's)
+      val a = d.repartition(scala.util.Try(
+          s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .getOrElse(s.sparkContext.defaultParallelism))
+        .select(col("source"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
       val b = d.select(col("source"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, Seq("source")).filter(col("id_a") < col("id_b"))
         .select(col("source"), col("id_a"), col("id_b"),
