@@ -74,6 +74,40 @@ object Aggs {
     def outputEncoder: Encoder[Seq[Double]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** Misra-Gries heavy-hitters sketch: top-k frequency estimation in
+    * O(k) memory per partial — the bounded-memory path for token
+    * counting over a corpus too wide for an exact groupBy. Mergeable
+    * (summaries sum, then the (k+1)-largest count is subtracted and
+    * non-positive entries dropped), so map-side combine applies and the
+    * shuffle carries k entries per partition. Guarantees after any
+    * merge tree: est(x) ≤ true(x) and true(x) − est(x) ≤ N/(k+1).
+    */
+  class TopKSketchAgg(k: Int) extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+    def zero: Map[String, Long] = Map.empty
+    def reduce(b: Map[String, Long], a: String): Map[String, Long] = {
+      if (a == null) return b
+      if (b.contains(a)) b.updated(a, b(a) + 1L)
+      else if (b.size < k) b.updated(a, 1L)
+      else {
+        // decrement-all round: removes one occurrence of k+1 distinct
+        // values (the arriving one included) — the classic MG step
+        b.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+    }
+    def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+      val sum = EntropyAgg.merge(x, y)
+      if (sum.size <= k) sum
+      else {
+        val cut = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        sum.view.mapValues(_ - cut).filter(_._2 > 0L).toMap
+      }
+    }
+    def finish(b: Map[String, Long]): Map[String, Long] = b
+    def bufferEncoder: Encoder[Map[String, Long]] = Encoders.kryo[Map[String, Long]]
+    def outputEncoder: Encoder[Map[String, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  }
+
   /** histogram(x): value → occurrence count map
     * (reference: nested aggregate `histogram`, duckdb-5.cpp:1246-1249). */
   object HistogramAgg extends Aggregator[String, Map[String, Long], Map[String, Long]] {

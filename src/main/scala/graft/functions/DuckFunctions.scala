@@ -327,6 +327,8 @@ object DuckFunctions {
       spark.udf.register("product_agg", org.apache.spark.sql.functions.udaf(Aggs.ProductAgg))
       spark.udf.register("entropy_agg", org.apache.spark.sql.functions.udaf(Aggs.EntropyAgg))
       spark.udf.register("histogram_agg", org.apache.spark.sql.functions.udaf(Aggs.HistogramAgg))
+      spark.udf.register("topk_sketch8",
+        org.apache.spark.sql.functions.udaf(new Aggs.TopKSketchAgg(8)))
       // codegen'd native expression (see graft.plans.ArrayDot) — runtime
       // registration mirror of the GraftExtensions injection path
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -202,6 +202,32 @@ object Pipeline {
         .limit(10)
     }),
 
+    "text_topk_sketch" -> ((s, dir) => {
+      // Misra-Gries heavy hitters: O(k)-memory top-k token estimation —
+      // at 100 TB the shuffle carries k entries per partition instead of
+      // the full vocabulary. Bounded contract checked IN-PLAN against
+      // exact counts: every estimate undercounts by at most N/(k+1);
+      // the oracle states the contract plus the engine-independent
+      // corpus scalars.
+      graft.functions.DuckFunctions.register(s)
+      val toks = t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val sk = toks.agg(callUDF("topk_sketch8", col("tok")).as("sk"))
+        .select(explode(col("sk")).as(Seq("tok", "est")))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("true_cnt"))
+      val scalars = toks.agg(count(lit(1)).as("n_total"),
+        countDistinct(col("tok")).as("n_distinct"))
+      sk.join(exact, "tok").crossJoin(broadcast(scalars))
+        .agg(
+          first(col("n_total")).as("n_total"),
+          first(col("n_distinct")).as("n_distinct"),
+          (count(when(col("est") > col("true_cnt"), 1)) === 0).as("never_overcounts"),
+          (count(when(col("true_cnt") - col("est") >
+            col("n_total").cast("double") / 9.0, 1)) === 0).as("within_mg_bound"),
+          (count(lit(1)) >= 1 && count(lit(1)) <= 8).as("reported_ok"))
+    }),
+
     "text_langid" -> ((s, dir) => {
       // heuristic language ID — the synthetic documents' lang labels are
       // uncorrelated with their text (all five langs draw from the same
@@ -454,6 +480,17 @@ object Pipeline {
         |      FROM sc)
         |SELECT qid, nid, CAST(rn AS BIGINT) AS rn, round(sim, 6) AS sim
         |FROM r WHERE rn <= 10""".stripMargin,
+
+    // bounded contract: the MG sketch's guarantees are checked in-plan on
+    // the Spark side; the oracle states them plus the exact corpus scalars
+    "text_topk_sketch" ->
+      """WITH c AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |t2 AS (SELECT tok FROM c WHERE len(tok) > 0)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct,
+        |  TRUE AS never_overcounts, TRUE AS within_mg_bound,
+        |  TRUE AS reported_ok
+        |FROM t2""".stripMargin,
 
     // bounded contract (the per-row labels carry no text signal — see the
     // query comment): prediction codes are valid and the English-vocab
