@@ -437,6 +437,27 @@ object Dedup {
       .distinct()
   }
 
+  /** One-call corpus canonicalization: every row gains a `canonical_id`
+    * column — the minimum id of its near-duplicate cluster (exact
+    * threshold Jaccard ≥ `threshold` via the prefix filter, clusters via
+    * [[connectedComponents]]); rows with no near-dup map to themselves.
+    * The composition a training-data pipeline actually calls: dedup =
+    * `canonicalize(...).filter(col(idCol) === col("canonical_id"))`.
+    */
+  def canonicalize(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = jaccardThresholdPairs(df, idCol, textCol, shingleN, threshold)
+    val mapping = connectedComponents(pairs, "id_a", "id_b")
+      .withColumnRenamed("id", "__cc_id")
+    // plain equi-join: AQE broadcasts the mapping when it is actually
+    // small (the usual case — only clustered ids appear); forcing a
+    // broadcast hint would be wrong on a high-duplication corpus
+    df.join(mapping, df(idCol) === mapping("__cc_id"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("comp"), df(idCol).cast("long")))
+      .drop("__cc_id", "comp")
+  }
+
   /** 64-bit SimHash over whitespace tokens (deterministic; seed via
     * xxhash64). Scalar per-row computation — used as a UDF.
     */

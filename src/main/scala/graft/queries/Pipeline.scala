@@ -85,6 +85,13 @@ object Pipeline {
           count(lit(1)).over(Window.partitionBy(col("comp"))).cast("long").as("n_members"))
     }),
 
+    "dedup_canonicalize" -> ((s, dir) => {
+      // the one-call dedup API: every document mapped to its cluster's
+      // canonical (minimum) id, unclustered docs to themselves
+      Dedup.canonicalize(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id").cast("long").as("doc_id"), col("canonical_id"))
+    }),
+
     "pipeline_end2end" -> ((s, dir) => {
       // the full training-data preparation pipeline composed as one
       // declarative plan: token-count quality gate → exact dedup
@@ -383,6 +390,13 @@ object Pipeline {
          |SELECT CAST(id AS BIGINT) AS id, CAST(comp AS BIGINT) AS comp,
          |  CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS n_members
          |FROM cc""".stripMargin,
+
+    "dedup_canonicalize" ->
+      s"""WITH RECURSIVE ${jaccardPairsCteChain("documents")},
+         |$componentsCteChain
+         |SELECT CAST(d0.doc_id AS BIGINT) AS doc_id,
+         |  CAST(coalesce(cc.comp, d0.doc_id) AS BIGINT) AS canonical_id
+         |FROM documents d0 LEFT JOIN cc ON d0.doc_id = cc.id""".stripMargin,
 
     // full training-data pipeline as ONE declarative statement: quality
     // filter → exact dedup → near-dup clustering → canonical keep →
