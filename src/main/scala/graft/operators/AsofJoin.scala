@@ -20,7 +20,20 @@ object AsofJoin {
 
   def lastValueBefore(probe: DataFrame, build: DataFrame,
                       key: String, time: String, valueCol: String,
-                      as: String): DataFrame = {
+                      as: String): DataFrame =
+    asof(probe, build, key, time, valueCol, as, forward = false)
+
+  /** Forward asof: the EARLIEST build value at or after each probe time
+    * (reference ASOF supports both inequality directions). Same
+    * union+window shape: one shuffle on the key, no join. */
+  def firstValueAfter(probe: DataFrame, build: DataFrame,
+                      key: String, time: String, valueCol: String,
+                      as: String): DataFrame =
+    asof(probe, build, key, time, valueCol, as, forward = true)
+
+  private def asof(probe: DataFrame, build: DataFrame,
+                   key: String, time: String, valueCol: String,
+                   as: String, forward: Boolean): DataFrame = {
     val valueType = build.schema(valueCol).dataType
     val probeCols = probe.columns.toSeq
 
@@ -38,12 +51,21 @@ object AsofJoin {
     val ordered = (probeCols :+ "__v" :+ "__side").map(col)
     val all = p.select(ordered: _*).unionAll(b.select(ordered: _*))
 
-    val w = Window.partitionBy(col(key))
-      .orderBy(col(time).asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    all
-      .withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-      .drop("__v", "__side")
+    // tie order keeps the equal-time build row inside the probe's frame
+    // on either direction (backward: build sorts before the probe row;
+    // forward: after it)
+    val w =
+      if (forward)
+        Window.partitionBy(col(key))
+          .orderBy(col(time).asc, col("__side").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else
+        Window.partitionBy(col(key))
+          .orderBy(col(time).asc, col("__side").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked =
+      if (forward) all.withColumn(as, first(col("__v"), ignoreNulls = true).over(w))
+      else all.withColumn(as, last(col("__v"), ignoreNulls = true).over(w))
+    marked.filter(col("__side") === 1).drop("__v", "__side")
   }
 }

@@ -179,6 +179,20 @@ object Extended2 {
           round(col("prev_click"), 2).as("prev_click_value"))
     }),
 
+    "join_asof_forward" -> ((s, dir) => {
+      // for each view event, the next click by the same user at or after
+      // it (reference ASOF's other inequality direction)
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.firstValueAfter(
+        views, clicks, "user_id", "ts", "value", "next_click")
+        .select(col("event_id"), col("user_id"),
+          round(col("next_click"), 2).as("next_click_value"))
+    }),
+
     "tpch_q18ish" -> ((s, dir) => {
       // large-order shape: join + GROUP BY + HAVING + top-k
       val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
@@ -358,6 +372,12 @@ object Extended2 {
         |FROM (SELECT * FROM events WHERE event_type = 'view') v
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON v.user_id = c.user_id AND v.ts >= c.ts""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT v.event_id, v.user_id, round(c.value, 2) AS next_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts <= c.ts""".stripMargin,
 
     "tpch_q18ish" ->
       """SELECT o_orderkey, round(sum(l_quantity), 2) AS total_qty,
