@@ -192,6 +192,19 @@ object SqlDialect {
     }
     if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.tables(spark)
 
+    // CREATE [OR REPLACE] TABLE <name> AS <select> — CTAS into the
+    // temp-view catalog (reference CreateTableAs, duckdb-9.cpp binder);
+    // materialized eagerly so later DML sees a stable snapshot
+    val ctasRe =
+      """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
+    ctasRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val df = sql(spark, m.group(2)).localCheckpoint()
+        df.createOrReplaceTempView(m.group(1))
+        return df
+      case None =>
+    }
+
     // DESCRIBE <table> → pragma_table_info shape (reference
     // DescribeStatement binds to the same table-info source)
     val describeRe = """(?is)^\s*DESCRIBE\s+([\w.]+)\s*$""".r

@@ -302,6 +302,17 @@ object Round3 {
           size(col("nm")).cast("long").as("n"))
     }),
 
+    "catalog_ctas" -> ((s, dir) => {
+      // SQL-level CREATE TABLE AS (reference CreateTableAs binder,
+      // duckdb-9.cpp) — snapshot semantics into the temp catalog
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """CREATE OR REPLACE TABLE ctas_demo AS
+          |SELECT l_returnflag, round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      SqlDialect.sql(s, "SELECT l_returnflag, qty FROM ctas_demo")
+    }),
+
     "catalog_summarize" -> ((s, dir) => {
       // SUMMARIZE (reference duckdb-6.cpp:9493) — deterministic column
       // subset; approx_unique/quantiles are engine-specific sketches and
@@ -822,6 +833,12 @@ object Round3 {
         |  array_to_string(list_slice(list(n_name ORDER BY n_nationkey), 1, 2), '|') AS first2,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "catalog_ctas" ->
+      """CREATE OR REPLACE TABLE ctas_demo AS
+        |SELECT l_returnflag, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag;
+        |SELECT l_returnflag, qty FROM ctas_demo""".stripMargin,
 
     "catalog_summarize" ->
       """SELECT column_name, column_type, min, max,

@@ -91,6 +91,14 @@ class MacroSpec extends SparkSpec {
       .exists(_.getString(0) == "stmt_demo"))
   }
 
+  test("CREATE TABLE AS takes a snapshot, not a live view") {
+    spark.range(5).toDF("z").createOrReplaceTempView("ctas_src")
+    SqlDialect.sql(spark, "CREATE OR REPLACE TABLE ctas_t AS SELECT sum(z) AS s FROM ctas_src")
+    // mutate the source after the CTAS — the snapshot must not move
+    spark.range(100).toDF("z").createOrReplaceTempView("ctas_src")
+    assert(SqlDialect.sql(spark, "SELECT s FROM ctas_t").head().getLong(0) == 10L)
+  }
+
   test("DESCRIBE / CHECKPOINT / BEGIN / COMMIT / ROLLBACK statements") {
     spark.range(3).toDF("y").createOrReplaceTempView("stmt_demo2")
     val d = SqlDialect.sql(spark, "DESCRIBE stmt_demo2").collect()
