@@ -203,6 +203,31 @@ object Round3 {
         .toSeq.toDF("cid", "name", "type")
     }),
 
+    "win_filtered" -> ((s, dir) => {
+      // FILTER clause on window aggregates (reference window binder
+      // accepts agg FILTER (...) OVER w) — Spark rewrite: agg(CASE)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("n_regionkey"))
+      t(s, dir, "nation").select(
+        col("n_regionkey"), col("n_nationkey"),
+        count(when(col("n_nationkey") % 2 === 0, 1)).over(w).cast("long").as("n_even"),
+        sum(when(col("n_nationkey") > 10, col("n_nationkey"))).over(w).cast("long").as("s_hi"))
+    }),
+
+    "fn_list_ops" -> ((s, dir) => {
+      // list-function aliases over an ordered per-group list:
+      // list_reverse_sort / list_unique (count) / flatten / list_position
+      val sorted = transform(
+        array_sort(collect_list(struct(col("n_nationkey"), col("n_name")))),
+        x => x.getField("n_name"))
+      t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(sorted.as("l"))
+        .select(col("n_regionkey"),
+          array_join(sort_array(col("l"), asc = false), "|").as("rs"),
+          size(array_distinct(concat(col("l"), col("l")))).cast("long").as("uniq"),
+          array_join(flatten(array(col("l"), col("l"))), "|").as("fl"),
+          array_position(col("l"), "NATION_5").cast("long").as("pos5"))
+    }),
+
     "fn_long_tail" -> ((s, dir) => {
       // remaining reference scalar surface: interval constructors
       // (to_days/to_hours/…, duckdb-5.cpp), bit_length,
@@ -774,6 +799,25 @@ object Round3 {
         |  min(n_name COLLATE NOCASE) AS first_name,
         |  strip_accents('Málagà') AS stripped
         |FROM nation""".stripMargin,
+
+    "win_filtered" ->
+      """SELECT n_regionkey, n_nationkey,
+        |  CAST(count(*) FILTER (WHERE n_nationkey % 2 = 0)
+        |    OVER (PARTITION BY n_regionkey) AS BIGINT) AS n_even,
+        |  CAST(sum(n_nationkey) FILTER (WHERE n_nationkey > 10)
+        |    OVER (PARTITION BY n_regionkey) AS BIGINT) AS s_hi
+        |FROM nation""".stripMargin,
+
+    "fn_list_ops" ->
+      """WITH g AS (SELECT n_regionkey,
+        |             list(n_name ORDER BY n_nationkey) AS l
+        |           FROM nation GROUP BY n_regionkey)
+        |SELECT n_regionkey,
+        |  array_to_string(list_reverse_sort(l), '|') AS rs,
+        |  CAST(list_unique(list_concat(l, l)) AS BIGINT) AS uniq,
+        |  array_to_string(flatten([l, l]), '|') AS fl,
+        |  CAST(list_position(l, 'NATION_5') AS BIGINT) AS pos5
+        |FROM g""".stripMargin,
 
     "fn_long_tail" ->
       """SELECT
