@@ -205,6 +205,99 @@ object SqlDialect {
       case None =>
     }
 
+    // ---- SQL-level DML over the temp-view catalog (reference
+    // INSERT/UPDATE/DELETE/ALTER/DROP statement types, duckdb.hpp
+    // StatementType) — routed to the Engine DML primitives; DuckDB
+    // semantics: INSERT is positional, statements return changed rows ----
+    val insertRe =
+      """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:VALUES|SELECT|WITH)\b.+)$""".r
+    insertRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        import spark.implicits._
+        val target = spark.table(m.group(1))
+        val rows = sql(spark, m.group(2)).toDF(target.columns.toSeq: _*)
+        val n = rows.count()
+        Engine.insertInto(spark, m.group(1), rows)
+        return Seq(n).toDF("count")
+      case None =>
+    }
+    val deleteRe =
+      """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*$""".r
+    deleteRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        import spark.implicits._
+        val cond = Option(m.group(2))
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val n = spark.table(m.group(1)).filter(cond).count()
+        Engine.deleteWhere(spark, m.group(1), cond)
+        return Seq(n).toDF("count")
+      case None =>
+    }
+    val updateRe =
+      """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*$""".r
+    updateRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        import spark.implicits._
+        val cond = Option(m.group(3))
+          .map(org.apache.spark.sql.functions.expr)
+          .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val assignments = splitTopLevel(m.group(2)).map { a =>
+          val eq = a.indexOf('=')
+          require(eq > 0, s"UPDATE: malformed assignment '$a'")
+          a.substring(0, eq).trim ->
+            org.apache.spark.sql.functions.expr(a.substring(eq + 1).trim)
+        }.toMap
+        val n = spark.table(m.group(1)).filter(cond).count()
+        Engine.updateWhere(spark, m.group(1), cond, assignments)
+        return Seq(n).toDF("count")
+      case None =>
+    }
+    val dropTableRe =
+      """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
+    dropTableRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val existed = spark.catalog.dropTempView(m.group(2))
+        require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
+        return spark.emptyDataFrame
+      case None =>
+    }
+    val alterRe =
+      """(?is)^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+(.+?)\s*$""".r
+    alterRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val name = m.group(1)
+        val action = m.group(2).trim
+        val renameTo = """(?is)^RENAME\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val renameCol =
+          """(?is)^RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val addCol =
+          """(?is)^ADD\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z0-9_()\s,]+)$""".r
+        val dropCol = """(?is)^DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)$""".r
+        val t = spark.table(name)
+        action match {
+          case renameTo(nn) =>
+            t.localCheckpoint().createOrReplaceTempView(nn)
+            spark.catalog.dropTempView(name)
+          case renameCol(a, b) =>
+            t.withColumnRenamed(a, b).localCheckpoint().createOrReplaceTempView(name)
+          case addCol(c, tpe) =>
+            t.withColumn(c, org.apache.spark.sql.functions.lit(null)
+              .cast(tpe.trim.toLowerCase)).localCheckpoint()
+              .createOrReplaceTempView(name)
+          case dropCol(c) =>
+            t.drop(c).localCheckpoint().createOrReplaceTempView(name)
+          case other =>
+            throw new UnsupportedOperationException(s"ALTER TABLE: $other")
+        }
+        return spark.emptyDataFrame
+      case None =>
+    }
+    // ANALYZE / VACUUM: accepted no-ops (the reference's VACUUM is
+    // likewise a no-op; ANALYZE recomputes stats Catalyst derives itself)
+    if (q.trim.toUpperCase.matches("ANALYZE|VACUUM(\\s+ANALYZE)?"))
+      return spark.emptyDataFrame
+
     // DESCRIBE <table> → pragma_table_info shape (reference
     // DescribeStatement binds to the same table-info source)
     val describeRe = """(?is)^\s*DESCRIBE\s+([\w.]+)\s*$""".r

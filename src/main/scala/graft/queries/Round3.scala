@@ -327,6 +327,15 @@ object Round3 {
           size(col("nm")).cast("long").as("n"))
     }),
 
+    "catalog_sql_dml" -> ((s, dir) => {
+      // the full SQL-level DML statement surface (INSERT positional /
+      // UPDATE assignments / DELETE / ALTER TABLE RENAME COLUMN) —
+      // identical statement text runs natively on the oracle
+      Engine.registerAll(s, dir)
+      Round3.sqlDmlStatements.foreach(stmt => SqlDialect.sql(s, stmt))
+      SqlDialect.sql(s, Round3.sqlDmlSelect)
+    }),
+
     "catalog_ctas" -> ((s, dir) => {
       // SQL-level CREATE TABLE AS (reference CreateTableAs binder,
       // duckdb-9.cpp) — snapshot semantics into the temp catalog
@@ -572,6 +581,19 @@ object Round3 {
       |GROUP BY l_orderkey, o_orderdate
       |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
       |LIMIT 10""".stripMargin
+
+  // Shared DML statement sequence — the Spark side routes each through
+  // SqlDialect; the oracle executes the identical text natively.
+  private[queries] val sqlDmlStatements = Seq(
+    """CREATE OR REPLACE TABLE sdml AS
+      |SELECT n_nationkey AS k, n_name AS name, CAST(0 AS BIGINT) AS flag
+      |FROM nation""".stripMargin,
+    "INSERT INTO sdml VALUES (100, 'X_NATION', CAST(5 AS BIGINT))",
+    "UPDATE sdml SET flag = flag + 9 WHERE k % 5 = 0",
+    "DELETE FROM sdml WHERE k BETWEEN 10 AND 14",
+    "ALTER TABLE sdml RENAME COLUMN flag TO mark")
+  private[queries] val sqlDmlSelect =
+    "SELECT CAST(k AS BIGINT) AS k, name, CAST(mark AS BIGINT) AS mark FROM sdml"
 
   private[queries] val q5Sql =
     """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -877,6 +899,9 @@ object Round3 {
         |  array_to_string(list_slice(list(n_name ORDER BY n_nationkey), 1, 2), '|') AS first2,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "catalog_sql_dml" ->
+      (sqlDmlStatements :+ sqlDmlSelect).mkString(";\n"),
 
     "catalog_ctas" ->
       """CREATE OR REPLACE TABLE ctas_demo AS

@@ -91,6 +91,29 @@ class MacroSpec extends SparkSpec {
       .exists(_.getString(0) == "stmt_demo"))
   }
 
+  test("SQL DML: insert is positional, update/delete report changed rows") {
+    SqlDialect.sql(spark, "CREATE OR REPLACE TABLE dml_t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, v)")
+    val ins = SqlDialect.sql(spark, "INSERT INTO dml_t VALUES (3, 'c'), (4, 'd')")
+    assert(ins.head().getLong(0) == 2L)
+    val upd = SqlDialect.sql(spark, "UPDATE dml_t SET v = 'z' WHERE k >= 3")
+    assert(upd.head().getLong(0) == 2L)
+    val del = SqlDialect.sql(spark, "DELETE FROM dml_t WHERE k = 1")
+    assert(del.head().getLong(0) == 1L)
+    val rows = SqlDialect.sql(spark, "SELECT k, v FROM dml_t ORDER BY k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(rows == Seq((2, "b"), (3, "z"), (4, "z")))
+    SqlDialect.sql(spark, "ALTER TABLE dml_t RENAME TO dml_u")
+    SqlDialect.sql(spark, "ALTER TABLE dml_u ADD COLUMN extra BIGINT")
+    SqlDialect.sql(spark, "ALTER TABLE dml_u DROP COLUMN extra")
+    SqlDialect.sql(spark, "ALTER TABLE dml_u RENAME COLUMN v TO w")
+    assert(SqlDialect.sql(spark, "SELECT w FROM dml_u WHERE k = 2").head().getString(0) == "b")
+    SqlDialect.sql(spark, "DROP TABLE dml_u")
+    intercept[Exception](spark.table("dml_u"))
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS dml_u") // no-throw
+    assert(SqlDialect.sql(spark, "ANALYZE").isEmpty)
+    assert(SqlDialect.sql(spark, "VACUUM").isEmpty)
+  }
+
   test("CREATE TABLE AS takes a snapshot, not a live view") {
     spark.range(5).toDF("z").createOrReplaceTempView("ctas_src")
     SqlDialect.sql(spark, "CREATE OR REPLACE TABLE ctas_t AS SELECT sum(z) AS s FROM ctas_src")
