@@ -336,6 +336,24 @@ object Round3 {
       SqlDialect.sql(s, Round3.sqlDmlSelect)
     }),
 
+    "arrow_roundtrip" -> ((s, dir) => {
+      // Arrow IPC export + import (reference ArrowTableFunction surface,
+      // duckdb-6.cpp:7612): write a slice of orders as a directory of
+      // IPC files (one per partition, executor-side), read it back, and
+      // aggregate — must match the parquet source. Exercises int64,
+      // double, varchar, and timestamp columns through the IPC boundary.
+      val sub = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      graft.sources.ArrowIpc.write(sub, "target/graft_arrow/orders")
+      graft.sources.ArrowIpc.read(s, "target/graft_arrow/orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderdate")).as("first_dt"),
+          max(col("o_orderpriority")).as("top_pri"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     "catalog_ctas" -> ((s, dir) => {
       // SQL-level CREATE TABLE AS (reference CreateTableAs binder,
       // duckdb-9.cpp) — snapshot semantics into the temp catalog
@@ -902,6 +920,14 @@ object Round3 {
 
     "catalog_sql_dml" ->
       (sqlDmlStatements :+ sqlDmlSelect).mkString(";\n"),
+
+    "arrow_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderdate) AS first_dt,
+        |  max(o_orderpriority) AS top_pri
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "catalog_ctas" ->
       """CREATE OR REPLACE TABLE ctas_demo AS
