@@ -25,7 +25,8 @@ object SparkEntry {
       graft.queries.Extended2.queries ++
       graft.queries.Tpch2.queries ++
       graft.queries.Round2.queries ++
-      graft.queries.Round3.queries
+      graft.queries.Round3.queries ++
+      graft.queries.PipelineOps.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
@@ -35,5 +36,6 @@ object SparkEntry {
       graft.queries.Extended2.oracle ++
       graft.queries.Tpch2.oracle ++
       graft.queries.Round2.oracle ++
-      graft.queries.Round3.oracle
+      graft.queries.Round3.oracle ++
+      graft.queries.PipelineOps.oracle
 }

@@ -1,0 +1,240 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+
+/** Round-3 training-data-pipeline batch: the document-preparation
+  * operators a 100 TB LLM corpus build needs beyond dedup/similarity —
+  * PII redaction, token-window chunking, repetition statistics
+  * (Gopher-style quality rules), deterministic hash-based dataset
+  * splits, int8 embedding quantization, and unigram-LM quality scoring.
+  *
+  * All are single-pass or one-shuffle shapes: per-row expressions
+  * (scrub, split, quantize) scale trivially; chunking explodes rows but
+  * stays shuffle-free; repetition and LM scoring are one word-level
+  * shuffle each (explode → groupBy / join on word), which is the
+  * canonical map-side-combinable shape at scale.
+  */
+object PipelineOps {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // deterministic planted PII — the synthetic corpus has none, so both
+  // engines append the same synthetic contact block before scrubbing
+  private def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.withColumn("aug", concat(
+      col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".7 call +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+  private val PhoneRe = "\\+?\\d[\\d-]{7,}\\d"
+
+  private def occurrences(c: Column, token: String): Column =
+    (size(split(c, java.util.regex.Pattern.quote(token))) - 1).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "text_pii_scrub" -> ((s, dir) => {
+      // PII redaction pass: email → IP → phone regex rewrite, applied in
+      // one projection (no shuffle until the reporting groupBy)
+      val scrubbed = withPlantedPii(t(s, dir, "documents"))
+        .withColumn("scrub",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("aug"), EmailRe, "<EMAIL>"),
+              IpRe, "<IP>"),
+            PhoneRe, "<PHONE>"))
+      scrubbed.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(occurrences(col("scrub"), "<EMAIL>")).as("emails"),
+          sum(occurrences(col("scrub"), "<IP>")).as("ips"),
+          sum(occurrences(col("scrub"), "<PHONE>")).as("phones"),
+          sum(length(col("aug")) - length(col("scrub"))).cast("long").as("chars_removed"))
+        .orderBy(col("source"))
+    }),
+
+    "text_chunk" -> ((s, dir) => {
+      // overlapping token-window chunking (window 12, stride 8) — the
+      // standard context-window preparation step; explode is shuffle-free
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      toks
+        .select(col("doc_id"), col("toks"),
+          explode(sequence(lit(1), size(col("toks")), lit(8))).as("gs"))
+        .select(
+          col("doc_id"),
+          col("gs").cast("long").as("chunk_start"),
+          size(slice(col("toks"), col("gs"), lit(12))).cast("long").as("n_tok"),
+          array_join(slice(col("toks"), col("gs"), lit(12)), " ").as("chunk_text"))
+    }),
+
+    "text_repetition" -> ((s, dir) => {
+      // Gopher-style repetition stats: corpus-level duplicate-word
+      // fraction per source plus the worst single-document top-word
+      // share. Integer counts are aggregated exactly; each ratio is one
+      // double division (bit-identical cross-engine, per
+      // spark-duckdb-semantic-gaps).
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("word"))
+      val perWord = words.groupBy("doc_id", "source", "word")
+        .agg(count(lit(1)).as("c"))
+      val perDoc = perWord.groupBy("doc_id", "source")
+        .agg(sum("c").as("ntot"), count(lit(1)).as("ndist"), max("c").as("maxc"))
+      perDoc.groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("ndist").cast("long").as("sum_distinct"),
+          sum("ntot").cast("long").as("sum_words"),
+          round(lit(1.0) - sum("ndist") / sum("ntot"), 6).as("dup_word_frac"),
+          round(max(col("maxc") / col("ntot")), 6).as("worst_top_share"))
+        .orderBy(col("source"))
+    }),
+
+    "pipeline_train_split" -> ((s, dir) => {
+      // deterministic content-hash dataset split (80/10/10) — md5 is
+      // identical cross-engine, so the assignment is reproducible on any
+      // cluster layout; a pure projection, no shuffle before reporting
+      val bucket = conv(substring(md5(col("text")), 1, 4), 16, 10)
+        .cast("int") % 100
+      t(s, dir, "documents")
+        .withColumn("split",
+          when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).cast("long").as("chars"))
+        .orderBy(col("split"), col("lang"))
+    }),
+
+    "emb_quantize" -> ((s, dir) => {
+      // int8 symmetric max-abs quantization + reconstruction error —
+      // per-row arrays only, embarrassingly parallel
+      val base = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("scale", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("q", transform(col("v"), x => round(x * 127d / col("scale"))))
+      val err = aggregate(
+        zip_with(col("v"), col("q"), (a, b) => abs(a - b * col("scale") / 127d)),
+        lit(0.0d), (acc, x) => acc + x) / size(col("v"))
+      base.withColumn("err", err)
+        .groupBy(col("label"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(avg(col("scale")), 6).as("avg_scale"),
+          round(avg(col("err")), 6).as("avg_abs_err"),
+          round(max(col("err")), 6).as("max_abs_err"))
+        .orderBy(col("label"))
+    }),
+
+    "text_unigram_lm" -> ((s, dir) => {
+      // unigram language-model quality score (CCNet-style): per-doc mean
+      // log corpus frequency of its tokens. One shuffle to build the
+      // frequency table, one broadcast-able join back (the vocabulary is
+      // small relative to the corpus at any scale).
+      val words = t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("word"))
+      val freq = words.groupBy("word").agg(count(lit(1)).as("wc"))
+      val total = freq.agg(sum("wc").as("nw"))
+      val perDoc = words.join(broadcast(freq), "word")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(avg(log(col("wc") / col("nw"))).as("score"))
+      perDoc.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("score")), 4).as("avg_logprob"))
+        .orderBy(col("source"))
+    }))
+
+  val oracle: Map[String, String] = Map(
+
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT source,
+        |    concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+        |           '@mail.example.com or 10.0.', CAST(doc_id % 256 AS VARCHAR),
+        |           '.7 call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS aug
+        |  FROM documents),
+        |scrub AS (
+        |  SELECT source, aug,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g'),
+        |      '\+?\d[\d-]{7,}\d', '<PHONE>', 'g') AS scrub
+        |  FROM aug)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(len(string_split(scrub, '<EMAIL>')) - 1) AS BIGINT) AS emails,
+        |  CAST(sum(len(string_split(scrub, '<IP>')) - 1) AS BIGINT) AS ips,
+        |  CAST(sum(len(string_split(scrub, '<PHONE>')) - 1) AS BIGINT) AS phones,
+        |  CAST(sum(len(aug) - len(scrub)) AS BIGINT) AS chars_removed
+        |FROM scrub GROUP BY source ORDER BY source""".stripMargin,
+
+    "text_chunk" ->
+      """SELECT doc_id, CAST(gs AS BIGINT) AS chunk_start,
+        |  CAST(len(toks[gs:gs+11]) AS BIGINT) AS n_tok,
+        |  array_to_string(toks[gs:gs+11], ' ') AS chunk_text
+        |FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 8)) AS gs
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))""".stripMargin,
+
+    "text_repetition" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |per_word AS (
+        |  SELECT doc_id, source, word, count(*) AS c
+        |  FROM words GROUP BY doc_id, source, word),
+        |per_doc AS (
+        |  SELECT doc_id, source, sum(c) AS ntot, count(*) AS ndist, max(c) AS maxc
+        |  FROM per_word GROUP BY doc_id, source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ndist) AS BIGINT) AS sum_distinct,
+        |  CAST(sum(ntot) AS BIGINT) AS sum_words,
+        |  round(1.0 - CAST(sum(ndist) AS DOUBLE) / CAST(sum(ntot) AS DOUBLE), 6) AS dup_word_frac,
+        |  round(max(CAST(maxc AS DOUBLE) / CAST(ntot AS DOUBLE)), 6) AS worst_top_share
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_train_split" ->
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  lang, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM (SELECT lang, n_chars,
+        |        CAST(concat('0x', substr(md5(text), 1, 4)) AS INTEGER) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "emb_quantize" ->
+      """WITH base AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |scaled AS (
+        |  SELECT vec_id, label, v,
+        |    list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM base),
+        |quant AS (
+        |  SELECT label, scale,
+        |    list_sum(list_transform(generate_series(1, len(v)),
+        |      i -> abs(v[i] - round(v[i] * 127 / scale) * scale / 127))) / len(v) AS err
+        |  FROM scaled)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(scale), 6) AS avg_scale,
+        |  round(avg(err), 6) AS avg_abs_err,
+        |  round(max(err), 6) AS max_abs_err
+        |FROM quant GROUP BY label ORDER BY label""".stripMargin,
+
+    "text_unigram_lm" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |freq AS (SELECT word, count(*) AS wc FROM words GROUP BY word),
+        |total AS (SELECT sum(wc) AS nw FROM freq),
+        |per_doc AS (
+        |  SELECT doc_id, source, avg(ln(CAST(wc AS DOUBLE) / nw)) AS score
+        |  FROM words JOIN freq USING (word), total
+        |  GROUP BY doc_id, source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(avg(score), 4) AS avg_logprob
+        |FROM per_doc GROUP BY source ORDER BY source""".stripMargin)
+}
