@@ -336,6 +336,78 @@ object Round3 {
       SqlDialect.sql(s, Round3.sqlDmlSelect)
     }),
 
+    "dialect_pivot" -> ((s, dir) => {
+      // PIVOT (DuckDB dialect statement → Spark's native groupBy().pivot;
+      // explicit value list keeps the plan single-pass: no distinct-scan)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          round(col("F"), 2).as("f"), round(col("O"), 2).as("o"),
+          round(col("P"), 2).as("p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "dialect_unpivot" -> ((s, dir) => {
+      // UNPIVOT round-trips the pivoted frame back to long form
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(sum(col("o_totalprice")))
+      wide.unpivot(
+          Array(col("o_orderstatus")), priorities.map(col).toArray, "k", "v")
+        .select(col("o_orderstatus"), col("k"), round(col("v"), 2).as("v"))
+        .orderBy(col("o_orderstatus"), col("k"))
+    }),
+
+    "fn_json_wide" -> ((s, dir) => {
+      // JSON function long tail beyond fn_json_props: nested-path
+      // extraction, array length, validity — over a constructed
+      // integer-only document (float rendering differs cross-engine)
+      val j = concat(
+        lit("{\"a\": {\"b\": "), (col("event_id") % 97).cast("string"),
+        lit("}, \"arr\": [1, 2, "), (col("event_id") % 10).cast("string"),
+        lit("]}"))
+      t(s, dir, "events")
+        .withColumn("j", j)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(get_json_object(col("j"), "$.a.b").cast("long")).as("sum_b"),
+          sum(expr("json_array_length(get_json_object(j, '$.arr'))")).cast("long")
+            .as("sum_arr_len"),
+          sum(when(get_json_object(col("props"), "$.k").isNotNull, 1L)
+            .otherwise(0L)).as("n_valid"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    "fn_list_setops" -> ((s, dir) => {
+      // list set algebra + regexp_extract_all (order-normalized: Spark
+      // preserves first-argument order where DuckDB's list_intersect is
+      // unordered — both sides sort before rendering)
+      val a = array((col("event_id") % 5).cast("int"),
+        (col("event_id") % 7).cast("int"), (col("event_id") % 11).cast("int"))
+      val b = array((col("event_id") % 3).cast("int"),
+        (col("event_id") % 7).cast("int"), lit(4).cast("int"))
+      val txt = concat(lit("a"), col("event_id").cast("string"),
+        lit(" b"), (col("event_id") % 7).cast("string"))
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), a.as("a"), b.as("b"), txt.as("txt"))
+        .select(
+          col("event_id"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("inter"),
+          array_join(array_sort(array_except(col("a"), col("b"))), ",").as("exc"),
+          array_join(array_sort(array_distinct(concat(col("a"), col("b")))), ",").as("uni"),
+          arrays_overlap(col("a"), col("b")).as("has_any"),
+          forall(col("b"), x => array_contains(col("a"), x)).as("has_all"),
+          array_join(regexp_extract_all(col("txt"), lit("[0-9]+"), lit(0)), ",").as("nums"))
+        .orderBy(col("event_id"))
+    }),
+
     "arrow_roundtrip" -> ((s, dir) => {
       // Arrow IPC export + import (reference ArrowTableFunction surface,
       // duckdb-6.cpp:7612): write a slice of orders as a directory of
@@ -920,6 +992,48 @@ object Round3 {
 
     "catalog_sql_dml" ->
       (sqlDmlStatements :+ sqlDmlSelect).mkString(";\n"),
+
+    "dialect_pivot" ->
+      """SELECT o_orderpriority, round(F, 2) AS f, round(O, 2) AS o, round(P, 2) AS p
+        |FROM (PIVOT orders ON o_orderstatus USING sum(o_totalprice) GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "dialect_unpivot" ->
+      """SELECT o_orderstatus, k, round(v, 2) AS v
+        |FROM (UNPIVOT (PIVOT orders ON o_orderpriority USING sum(o_totalprice)
+        |               GROUP BY o_orderstatus)
+        |      ON COLUMNS(* EXCLUDE (o_orderstatus)) INTO NAME k VALUE v)
+        |ORDER BY o_orderstatus, k""".stripMargin,
+
+    "fn_json_wide" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(j, '$.a.b') AS BIGINT)) AS BIGINT) AS sum_b,
+        |  CAST(sum(json_array_length(j, '$.arr')) AS BIGINT) AS sum_arr_len,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type, props,
+        |        concat('{"a": {"b": ', CAST(event_id % 97 AS VARCHAR),
+        |               '}, "arr": [1, 2, ', CAST(event_id % 10 AS VARCHAR), ']}') AS j
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_list_setops" ->
+      """SELECT event_id,
+        |  coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS exc,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS uni,
+        |  list_has_any(a, b) AS has_any,
+        |  list_has_all(a, b) AS has_all,
+        |  array_to_string(regexp_extract_all(txt, '[0-9]+'), ',') AS nums
+        |FROM (SELECT event_id,
+        |        [CAST(event_id % 5 AS INTEGER), CAST(event_id % 7 AS INTEGER),
+        |         CAST(event_id % 11 AS INTEGER)] AS a,
+        |        [CAST(event_id % 3 AS INTEGER), CAST(event_id % 7 AS INTEGER),
+        |         CAST(4 AS INTEGER)] AS b,
+        |        concat('a', CAST(event_id AS VARCHAR), ' b',
+        |               CAST(event_id % 7 AS VARCHAR)) AS txt
+        |      FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin,
 
     "arrow_roundtrip" ->
       """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
