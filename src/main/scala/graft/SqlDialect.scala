@@ -205,6 +205,19 @@ object SqlDialect {
       case None =>
     }
 
+    // CREATE [OR REPLACE] VIEW <name> AS <select> — LIVE view semantics
+    // (re-evaluated per reference, reference CreateViewInfo duckdb-9.cpp),
+    // unlike the CTAS snapshot above
+    val cviewRe =
+      """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
+    cviewRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val df = sql(spark, m.group(2))
+        df.createOrReplaceTempView(m.group(1))
+        return df
+      case None =>
+    }
+
     // ---- SQL-level DML over the temp-view catalog (reference
     // INSERT/UPDATE/DELETE/ALTER/DROP statement types, duckdb.hpp
     // StatementType) — routed to the Engine DML primitives; DuckDB

@@ -336,6 +336,21 @@ object Round3 {
       SqlDialect.sql(s, Round3.sqlDmlSelect)
     }),
 
+    "dialect_create_view" -> ((s, dir) => {
+      // CREATE OR REPLACE VIEW (reference CreateViewInfo, duckdb-9.cpp)
+      // — plan-level view, re-evaluated per query (vs the CTAS snapshot)
+      Engine.registerAll(s, dir)
+      dialectViewStatements.foreach(stmt => SqlDialect.sql(s, stmt))
+      SqlDialect.sql(s, dialectViewSelect)
+    }),
+
+    "dialect_with_recursive" -> ((s, dir) => {
+      // SQL-level WITH RECURSIVE — native in Spark 4 (recursive CTE
+      // resolution); identical statement text runs on both engines
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, withRecursiveSql)
+    }),
+
     "dialect_pivot" -> ((s, dir) => {
       // PIVOT (DuckDB dialect statement → Spark's native groupBy().pivot;
       // explicit value list keeps the plan single-pass: no distinct-scan)
@@ -672,6 +687,25 @@ object Round3 {
       |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
       |LIMIT 10""".stripMargin
 
+  // Shared CREATE VIEW statement sequence (identical text both engines)
+  private[queries] val dialectViewStatements = Seq(
+    """CREATE OR REPLACE VIEW nation_per_region AS
+      |SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey""".stripMargin)
+  private[queries] val dialectViewSelect =
+    """SELECT CAST(n_regionkey AS BIGINT) AS rk, CAST(n AS BIGINT) AS n, first_name
+      |FROM nation_per_region ORDER BY rk""".stripMargin
+
+  // Shared WITH RECURSIVE text — native recursive CTE resolution on both
+  // engines (Spark 4 UnionLoop; reference RecursiveCTENode duckdb-9.cpp)
+  private[queries] val withRecursiveSql =
+    """WITH RECURSIVE seq(k) AS (
+      |  SELECT CAST(0 AS BIGINT) UNION ALL SELECT k + 1 FROM seq WHERE k < 24
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+      |FROM seq JOIN nation ON n_nationkey = k""".stripMargin
+
   // Shared DML statement sequence — the Spark side routes each through
   // SqlDialect; the oracle executes the identical text natively.
   private[queries] val sqlDmlStatements = Seq(
@@ -992,6 +1026,11 @@ object Round3 {
 
     "catalog_sql_dml" ->
       (sqlDmlStatements :+ sqlDmlSelect).mkString(";\n"),
+
+    "dialect_create_view" ->
+      (dialectViewStatements :+ dialectViewSelect).mkString(";\n"),
+
+    "dialect_with_recursive" -> withRecursiveSql,
 
     "dialect_pivot" ->
       """SELECT o_orderpriority, round(F, 2) AS f, round(O, 2) AS o, round(P, 2) AS p
