@@ -66,6 +66,23 @@ class ArrowIpcSpec extends SparkSpec {
     assert(agg == exp)
   }
 
+  test("decimal and zoned-timestamp columns roundtrip") {
+    val schema = StructType(Seq(
+      StructField("dec", DecimalType(12, 4)),
+      StructField("tsz", TimestampType)))
+    val rows = Seq(
+      Row(new java.math.BigDecimal("12345678.9012"),
+        java.sql.Timestamp.valueOf("2024-06-15 08:30:00.5")),
+      Row(new java.math.BigDecimal("-0.0001"), null),
+      Row(null, java.sql.Timestamp.valueOf("1969-12-31 23:59:59")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    ArrowIpc.write(df, "target/graft_arrow/spec_dec")
+    val back = ArrowIpc.read(spark, "target/graft_arrow/spec_dec")
+    assert(back.schema == df.schema)
+    assert(back.collect().map(_.toSeq.toList).toSet ==
+      df.collect().map(_.toSeq.toList).toSet)
+  }
+
   test("empty partitions produce readable schema-only files") {
     import spark.implicits._
     val df = Seq(1, 2).toDF("x").repartition(4)

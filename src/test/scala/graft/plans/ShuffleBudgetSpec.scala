@@ -23,7 +23,18 @@ class ShuffleBudgetSpec extends SparkSpec {
     "agg_q1_pricing" -> 2, // agg exchange + output range sort
     "tpch_q5ish" -> 2, // one fact-side shuffle + output range sort
     "sim_cosine_topk" -> 1, // corpus scanned once; queries broadcast
-    "dedup_minhash_pairs" -> 3) // band key + two scoring re-joins
+    "dedup_minhash_pairs" -> 3, // band key + two scoring re-joins
+    // round-3 pipeline batch
+    "text_pii_scrub" -> 2, // scrub is a projection; groupBy + output sort
+    "text_chunk" -> 0, // sequence+explode+slice: fully narrow
+    "text_repetition" -> 4, // word agg, doc agg, source agg, output sort
+    "pipeline_train_split" -> 2, // md5 bucket is a projection; agg + sort
+    "emb_quantize" -> 2, // per-row quantize; label agg + output sort
+    "text_unigram_lm" -> 6, // vocab agg + per-doc agg are the two wide ones
+    "dialect_pivot" -> 3, // pivot agg + output sort (AQE coalesce counted)
+    "fn_list_setops" -> 1, // projection + output range sort
+    "arrow_roundtrip" -> 2, // IPC scan → agg + output sort
+    "dialect_with_recursive" -> 1) // UnionLoop + final global agg
 
   for ((name, budget) <- budgets) {
     test(s"$name stays within $budget shuffle(s)") {
