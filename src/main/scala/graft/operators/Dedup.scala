@@ -221,6 +221,50 @@ object Dedup {
 
   val deleteNeighborhoodUdf = udf(deleteNeighborhood _)
 
+  /** Delete-neighborhood as FNV-1a hashes computed in place — no variant
+    * string is ever allocated (the k≤2 hot path hashes the original with
+    * 0, 1, or 2 skipped positions). Equal variant strings hash equal by
+    * construction; a distinct-variant collision (p ≈ 2⁻⁶⁴ per pair) can
+    * only merge two candidate keys, which the exact refine absorbs.
+    * k>2 falls back to the string neighborhood, hashed the same way. */
+  def hashedDeleteNeighborhood(s: String, k: Int): Array[Long] = {
+    if (s == null) return Array.empty[Long]
+    val n = s.length
+    def hashSkipping(skip1: Int, skip2: Int): Long = {
+      var h = 0xcbf29ce484222325L
+      var i = 0
+      while (i < n) {
+        if (i != skip1 && i != skip2) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L }
+        i += 1
+      }
+      h
+    }
+    if (k > 2) {
+      return deleteNeighborhood(s, k).map { v =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < v.length) { h ^= v.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+        h
+      }
+    }
+    val seen = new java.util.HashSet[java.lang.Long](2 * (1 + n + n * n / 2))
+    val out = scala.collection.mutable.ArrayBuilder.make[Long]
+    def add(h: Long): Unit = if (seen.add(h)) out += h
+    add(hashSkipping(-1, -1))
+    if (k >= 1) { var i = 0; while (i < n) { add(hashSkipping(i, -1)); i += 1 } }
+    if (k >= 2) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { add(hashSkipping(i, j)); j += 1 }
+        i += 1
+      }
+    }
+    out.result()
+  }
+
+  val hashedDeleteNeighborhoodUdf = udf(hashedDeleteNeighborhood _)
+
   /** All (id_a < id_b) pairs within Levenshtein distance ≤ maxDist, found
     * WITHOUT a cross join: explode delete-neighborhood keys, equi-join on
     * the key (one shuffle), dedup candidates, then refine with the exact
@@ -228,13 +272,14 @@ object Dedup {
     * oracle-verifiable against a brute-force distance join.
     */
   def fuzzyPairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    val base = df.select(col(idCol).cast("long").as("id"), col(strCol).as("s"))
     // join on the variant HASH, not the variant string: an 8-byte shuffle
-    // key instead of a ~len-char one; hash collisions only add false
-    // candidates, which the exact refine removes
+    // key instead of a ~len-char one, and the hash is computed IN PLACE
+    // (no variant string allocation). Pair generation goes through one
+    // groupBy of that single pass — the neighborhood kernel runs once,
+    // not once per join side.
     val keyed = base.select(col("id"),
-      explode(deleteNeighborhoodUdf(col("s"), lit(maxDist))).as("kstr"))
-      .select(col("id"), xxhash64(col("kstr")).as("key"))
+      explode(hashedDeleteNeighborhoodUdf(col("s"), lit(maxDist))).as("key"))
     val candidates = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
       .filter(col("id_a") < col("id_b"))

@@ -58,6 +58,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hashedDeleteNeighborhood ≡ FNV of the string neighborhood") {
+    def fnv(v: String): Long = {
+      var h = 0xcbf29ce484222325L
+      v.foreach { c => h ^= c.toLong; h *= 0x100000001b3L }
+      h
+    }
+    for (s <- Seq("abc", "aabbaa", "Supplier#000000001", "x", "")) {
+      for (k <- 0 to 2) {
+        assert(Dedup.hashedDeleteNeighborhood(s, k).toSet ==
+          Dedup.deleteNeighborhood(s, k).map(fnv).toSet, s"s=$s k=$k")
+      }
+    }
+  }
+
   test("fuzzyPairs matches brute-force levenshtein join exactly") {
     val names = Seq("Supplier#000000001", "Supplier#000000002", "Supplier#000000012",
       "Supplier#000000991", "Acme Corp", "Acme Co", "Acme Inc", "Widgets R Us",
