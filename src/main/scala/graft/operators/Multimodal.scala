@@ -55,6 +55,38 @@ object Multimodal {
     }
   }
 
+  /** A resized media row (nearest-neighbor output + checksum feature). */
+  case class ResizedMedia(id: Long, outW: Int, outH: Int, nBytes: Long,
+                          checksum: Long, pixels: Array[Byte])
+
+  /** Nearest-neighbor resize over the decoded pixel grid — the
+    * image-resize step of a preprocessing pipeline. Runs per partition
+    * inside executors (same dataflow as [[extractFeatures]]); only the
+    * decode is the documented stub, the resampling math is real. */
+  def resize(ds: Dataset[MediaRecord], tw: Int, th: Int): Dataset[ResizedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val src = fakeDecode(r.payload, r.width, r.height)
+        val out = new Array[Byte](tw * th)
+        var y = 0
+        while (y < th) {
+          var x = 0
+          while (x < tw) {
+            val sy = y * r.height / th
+            val sx = x * r.width / tw
+            out(y * tw + x) = src(sy * r.width + sx)
+            x += 1
+          }
+          y += 1
+        }
+        var sum = 0L
+        out.foreach(b => sum += (b & 0xff))
+        ResizedMedia(r.id, tw, th, out.length.toLong, sum, out)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th chunk of
     * `frameBytes` — demonstrates the explode-to-frames dataflow shape. */
   def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int, stride: Int): DataFrame = {

@@ -131,6 +131,20 @@ object PipelineOps {
         .orderBy(col("label"))
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // image-resize pipeline step: decode (stub) → nearest-neighbor
+      // 8×8 → 4×4 inside mapPartitions. The checksum is a FULL-VALUE
+      // oracle: payload bytes are the document's utf-8 text (ASCII), so
+      // the oracle replays the tiling + resampling index math in SQL.
+      val media = graft.operators.Multimodal
+        .mediaFromDocuments(s, t(s, dir, "documents"))
+      graft.operators.Multimodal.resize(media, 4, 4).toDF()
+        .select(col("id").as("doc_id"),
+          col("outW").cast("long").as("w"), col("outH").cast("long").as("h"),
+          col("nBytes").as("n_bytes"), col("checksum"))
+        .orderBy(col("doc_id"))
+    }),
+
     "text_unigram_lm" -> ((s, dir) => {
       // unigram language-model quality score (CCNet-style): per-doc mean
       // log corpus frequency of its tokens. One shuffle to build the
@@ -223,6 +237,14 @@ object PipelineOps {
         |  round(avg(err), 6) AS avg_abs_err,
         |  round(max(err), 6) AS max_abs_err
         |FROM quant GROUP BY label ORDER BY label""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+        |  CAST(16 AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(generate_series(0, 15),
+        |    k -> ascii(substr(text, ((2*(k//4))*8 + 2*(k%4)) % len(text) + 1, 1))))
+        |    AS BIGINT) AS checksum
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_unigram_lm" ->
       """WITH words AS (

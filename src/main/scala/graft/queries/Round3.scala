@@ -336,6 +336,17 @@ object Round3 {
       SqlDialect.sql(s, Round3.sqlDmlSelect)
     }),
 
+    "agg_grouping_fn" -> ((s, dir) => {
+      // GROUPING() marker function over ROLLUP (distinguishes "NULL
+      // because superaggregate" from data NULLs — reference GroupingFn)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
     "dialect_create_view" -> ((s, dir) => {
       // CREATE OR REPLACE VIEW (reference CreateViewInfo, duckdb-9.cpp)
       // — plan-level view, re-evaluated per query (vs the CTAS snapshot)
@@ -1026,6 +1037,13 @@ object Round3 {
 
     "catalog_sql_dml" ->
       (sqlDmlStatements :+ sqlDmlSelect).mkString(";\n"),
+
+    "agg_grouping_fn" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
     "dialect_create_view" ->
       (dialectViewStatements :+ dialectViewSelect).mkString(";\n"),
