@@ -31,33 +31,37 @@ object Recursion {
     */
   def fixpoint(seed: DataFrame, step: DataFrame => DataFrame,
                maxIterations: Int = 100, localRowLimit: Int = 100000): DataFrame = {
-    val spark = seed.sparkSession
-    // AQE re-plans every micro-iteration (several jobs per round) — for
-    // the small per-step frames of a recursion that's pure overhead.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
-    try {
-      import org.apache.spark.sql.types._
-      val localable = seed.schema.fields.forall(_.dataType match {
-        case BinaryType | _: ArrayType | _: MapType | _: StructType |
-             CalendarIntervalType | NullType => false
-        case _ => true
-      })
-      if (localable) fixpointLocalFirst(seed, step, maxIterations, localRowLimit)
-      else fixpointLoop(seed, step, maxIterations)
-    } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
-      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    import org.apache.spark.sql.types._
+    val localable = seed.schema.fields.forall(_.dataType match {
+      case BinaryType | _: ArrayType | _: MapType | _: StructType |
+           CalendarIntervalType | NullType => false
+      case _ => true
+    })
+    if (!localable) fixpointLoop(seed, step, maxIterations)
+    else fixpointLocalFirst(seed, step, maxIterations, localRowLimit) match {
+      case Left(done) => done
+      // Spill tier runs with the session's own parallelism + AQE — a
+      // fixpoint too big for the driver must not funnel its anti-join
+      // shuffles through one partition (the local tier's conf pin is
+      // restored before this call).
+      case Right((spillSeed, remaining)) => fixpointLoop(spillSeed, step, remaining)
     }
   }
 
   /** Driver-local tier: rows live in a driver hash set, the frontier is a
-    * LocalRelation per step. Falls back to the distributed loop mid-flight
-    * if the working set exceeds the limit. */
+    * LocalRelation per step. Returns Left(result) when the fixpoint closes
+    * within the limit, Right(spillSeed, remainingIterations) the moment the
+    * working set outgrows it.
+    *
+    * The shuffle.partitions=1 / AQE-off pin lives HERE, scoped to the
+    * millisecond micro-jobs over LocalRelations (AQE re-plans every
+    * micro-iteration — pure overhead at this size; a 1-partition shuffle is
+    * optimal for a <=limit-row frame). It is restored before returning, so
+    * a spill continues under the session defaults.
+    */
   private def fixpointLocalFirst(seed: DataFrame, step: DataFrame => DataFrame,
-                                 maxIterations: Int, limit: Int): DataFrame = {
+                                 maxIterations: Int, limit: Int)
+      : Either[DataFrame, (DataFrame, Int)] = {
     val spark = seed.sparkSession
     val schema = seed.schema
     import scala.jdk.CollectionConverters._
@@ -83,25 +87,34 @@ object Recursion {
     def local(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
       spark.createDataFrame(rows.asJava, schema)
 
-    val first = seed.limit(limit + 1).collect()
-    if (first.length > limit)
-      return fixpointLoop(seed, step, maxIterations)
-    seen ++= first.map(norm)
-    var frontier = seen.toArray[org.apache.spark.sql.Row]
-    var i = 0
-    while (frontier.nonEmpty && i < maxIterations) {
-      val produced = step(local(frontier.toIndexedSeq)).collect().map(norm)
-      frontier = produced.distinct.filterNot(seen.contains)
-      seen ++= frontier
-      if (seen.size > limit) {
-        // spill: accumulated state becomes the seed of the distributed
-        // loop; UNION semantics are preserved (seen is already distinct,
-        // and re-stepping previously stepped rows dedups to nothing)
-        return fixpointLoop(local(seen.toSeq), step, maxIterations - i)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val first = seed.limit(limit + 1).collect()
+      if (first.length > limit)
+        return Right((seed, maxIterations))
+      seen ++= first.map(norm)
+      var frontier = seen.toArray[org.apache.spark.sql.Row]
+      var i = 0
+      while (frontier.nonEmpty && i < maxIterations) {
+        val produced = step(local(frontier.toIndexedSeq)).collect().map(norm)
+        frontier = produced.distinct.filterNot(seen.contains)
+        seen ++= frontier
+        if (seen.size > limit) {
+          // spill: accumulated state becomes the seed of the distributed
+          // loop; UNION semantics are preserved (seen is already distinct,
+          // and re-stepping previously stepped rows dedups to nothing)
+          return Right((local(seen.toSeq), maxIterations - i))
+        }
+        i += 1
       }
-      i += 1
+      Left(local(seen.toSeq))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
     }
-    local(seen.toSeq)
   }
 
   private def fixpointLoop(seed: DataFrame, step: DataFrame => DataFrame,

@@ -291,4 +291,32 @@ class RecursionSpec extends SparkSpec {
       .as[Long].collect().sorted
     assert(localOnly.toSeq == (1L to 50L))
   }
+
+  test("fixpoint spill tier runs with session parallelism and AQE, not the local pin") {
+    // Record the confs the step callback observes: the distributed loop
+    // builds (and eagerly materializes) its plans while the loop runs, so
+    // the confs seen here are the ones its shuffles execute under.
+    val observed = collection.mutable.ArrayBuffer.empty[(String, String)]
+    val step = (f: org.apache.spark.sql.DataFrame) => {
+      observed += ((spark.conf.get("spark.sql.shuffle.partitions"),
+        spark.conf.get("spark.sql.adaptive.enabled")))
+      f.filter(col("i") < 30).select((col("i") + 1).as("i"))
+    }
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions")
+
+    // localRowLimit=0 → immediate spill: every step runs in the
+    // distributed tier and must see >1 shuffle partitions + AQE on.
+    observed.clear()
+    val seed = Seq(1L).toDF("i")
+    val res = Recursion.fixpoint(seed, step, maxIterations = 40, localRowLimit = 0)
+      .as[Long].collect().sorted
+    assert(res.toSeq == (1L to 30L))
+    assert(observed.nonEmpty)
+    assert(observed.forall { case (p, aqe) => p == defaultParts && aqe == "true" },
+      s"spill tier saw pinned confs: $observed")
+    assert(defaultParts.toInt > 1)
+
+    // confs restored after the run
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == defaultParts)
+  }
 }
