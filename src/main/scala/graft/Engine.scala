@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, when}
+import org.apache.spark.sql.functions.{coalesce, col, lit, when}
 
 /** Session + catalog facade for the graft engine.
   *
@@ -47,17 +47,22 @@ object Engine {
     * scan are automatic (the reference's zone-map skipping,
     * duckdb-10.cpp:5441, maps to Parquet row-group stats pruning).
     */
-  // Resolved-DataFrame memo: spark.read.parquet re-lists files and
-  // re-reads footers on every call; the resolved plan is immutable, so
-  // repeated reads of the same table (every query in a Verify/Bench run)
-  // can share it. Cache substitution still applies — the logical plan is
-  // identical by construction.
-  private val tableMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  // Schema memo: spark.read.parquet without a schema re-reads footers
+  // (inference) on every call — that was a ~0.2s floor under every
+  // trivial query. The memo keys on (dir, name) ONLY, deliberately not on
+  // the session: a session in the key would pin child/stopped sessions
+  // (and their resolved plans) for the JVM lifetime. A StructType holds
+  // no session reference, any number of sessions share it, and because
+  // only the schema (not the file list) is memoized, data appended under
+  // the same path is picked up on the next read — only an on-disk SCHEMA
+  // change under a memoized path is unsupported (documented).
+  // Cache-manager substitution still applies: plans for the same
+  // path+schema canonicalize equal.
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), org.apache.spark.sql.types.StructType]()
 
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    tableMemo.computeIfAbsent((spark, dir, name),
-      _ => resolveTable(spark, dir, name))
+    resolveTable(spark, dir, name)
 
   private def resolveTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     functions.DuckFunctions.register(spark)
@@ -66,7 +71,10 @@ object Engine {
     // (truncation documented — all graft time semantics are µs, like the
     // reference's TIMESTAMP, duckdb.hpp:915).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    val path = s"$dir/$name.parquet"
+    val schema = schemaMemo.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(path).schema)
+    val raw = spark.read.schema(schema).parquet(path)
     raw.schema.fields.find(f => f.name == "ts" &&
       f.dataType == org.apache.spark.sql.types.LongType) match {
       case Some(_) =>
@@ -88,14 +96,18 @@ object Engine {
     * `Engine.sql` works against it (reference analog: catalog binding in
     * Binder::BindNode, duckdb-8.cpp:18107).
     */
-  private val registeredDirs =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), java.lang.Boolean]()
+  // Weak-keyed on the session so stopped/child sessions don't accumulate
+  // (their temp views die with the session anyway).
+  private val registeredDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
 
   def registerAll(spark: SparkSession, dir: String): Unit = {
     functions.DuckFunctions.register(spark)
     // memoized per (session, dir): several queries call this and each
-    // plain registration re-reads 10 parquet footers
-    if (registeredDirs.putIfAbsent((spark, dir), java.lang.Boolean.TRUE) == null) {
+    // plain registration resolves 10 tables
+    val dirs = registeredDirs.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+    if (dirs.add(dir)) {
       TableNames.foreach { n =>
         table(spark, dir, n).createOrReplaceTempView(n)
       }
@@ -121,9 +133,12 @@ object Engine {
   def insertInto(spark: SparkSession, name: String, rows: DataFrame): Unit =
     spark.table(name).unionByName(rows).localCheckpoint().createOrReplaceTempView(name)
 
-  /** DELETE FROM name WHERE cond. */
+  /** DELETE FROM name WHERE cond. SQL DELETE removes only rows where the
+    * predicate is TRUE — a NULL predicate keeps the row (filter(!cond)
+    * alone would drop it, since NOT NULL = NULL filters out). */
   def deleteWhere(spark: SparkSession, name: String, cond: Column): Unit =
-    spark.table(name).filter(!cond).localCheckpoint().createOrReplaceTempView(name)
+    spark.table(name).filter(!coalesce(cond, lit(false)))
+      .localCheckpoint().createOrReplaceTempView(name)
 
   /** UPDATE name SET col = value WHERE cond. */
   def updateWhere(spark: SparkSession, name: String, cond: Column,

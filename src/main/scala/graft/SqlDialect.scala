@@ -65,8 +65,15 @@ object SqlDialect {
   // other macros (expanded iteratively, depth-capped).
   private case class Macro(params: Seq[(String, Option[String])], body: String,
                            isTable: Boolean)
-  private val macros =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), Macro]
+  // Weak-keyed per session: a stopped/child session's registry is
+  // collectible (the values are plain strings — nothing references the
+  // session back, so WeakHashMap semantics are sound here).
+  private val macros = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Macro]]())
+  private def macrosFor(spark: SparkSession) =
+    macros.computeIfAbsent(spark,
+      _ => new scala.collection.concurrent.TrieMap[String, Macro])
 
   private val createMacroRe =
     """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?MACRO\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
@@ -79,8 +86,12 @@ object SqlDialect {
   // substitutes `$n` / `?` placeholders (outside string literals) with
   // the call's literal arguments and runs the result through the full
   // dialect pipeline.
-  private val prepared =
-    new scala.collection.concurrent.TrieMap[(SparkSession, String), String]
+  private val prepared = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]())
+  private def preparedFor(spark: SparkSession) =
+    prepared.computeIfAbsent(spark,
+      _ => new scala.collection.concurrent.TrieMap[String, String])
   private val prepareRe =
     """(?is)^\s*PREPARE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
   private val executeRe =
@@ -134,26 +145,26 @@ object SqlDialect {
         val afterAs = rest.substring(2).trim
         val isTable = afterAs.toUpperCase.startsWith("TABLE")
         val body = if (isTable) afterAs.substring("TABLE".length).trim else afterAs
-        macros((spark, m.group(1).toLowerCase)) = Macro(params, body, isTable)
+        macrosFor(spark)(m.group(1).toLowerCase) = Macro(params, body, isTable)
         return spark.emptyDataFrame
       case None =>
     }
     dropMacroRe.findFirstMatchIn(q) match {
       case Some(m) =>
-        macros.remove((spark, m.group(1).toLowerCase))
+        macrosFor(spark).remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
       case None =>
     }
     prepareRe.findFirstMatchIn(q) match {
       case Some(m) =>
-        prepared((spark, m.group(1).toLowerCase)) = m.group(2)
+        preparedFor(spark)(m.group(1).toLowerCase) = m.group(2)
         return spark.emptyDataFrame
       case None =>
     }
     executeRe.findFirstMatchIn(q) match {
       case Some(m) =>
         val name = m.group(1).toLowerCase
-        val stmt = prepared.getOrElse((spark, name),
+        val stmt = preparedFor(spark).getOrElse(name,
           throw new IllegalArgumentException(s"prepared statement '$name' does not exist"))
         val args = Option(m.group(2))
           .map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
@@ -162,7 +173,7 @@ object SqlDialect {
     }
     deallocateRe.findFirstMatchIn(q) match {
       case Some(m) =>
-        prepared.remove((spark, m.group(1).toLowerCase))
+        preparedFor(spark).remove(m.group(1).toLowerCase)
         return spark.emptyDataFrame
       case None =>
     }
@@ -493,7 +504,7 @@ object SqlDialect {
           case Some(m) =>
             val start = from + m.start
             val open = from + m.end - 1
-            macros.get((spark, m.group(1).toLowerCase)) match {
+            macrosFor(spark).get(m.group(1).toLowerCase) match {
               case Some(mac) if !insideQuotes(q, start) && matchParen(q, open) > 0 =>
                 val close = matchParen(q, open)
                 val args = splitTopLevel(q.substring(open + 1, close))
@@ -618,7 +629,7 @@ object SqlDialect {
   /** Split on top-level commas (outside parens/brackets/braces and
     * quotes — bracket nesting protects list/struct literals like
     * `names=['a','b']`). */
-  private def splitTopLevel(s: String): Seq[String] = {
+  private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; var inStr = false; var start = 0; var i = 0
     while (i < s.length) {

@@ -29,7 +29,18 @@ object Pipeline {
       // planted near-dup level (jaccard ≥ 0.8; the sf corpus separates
       // cleanly: planted pairs ≥ 0.9, next tier < 0.5). The oracle is the
       // brute-force quadratic Jaccard join — a green row proves the
-      // banded plan achieves recall 1 on every true near-dup pair
+      // banded plan achieves recall 1 on every true near-dup pair.
+      //
+      // PLANTED-CORPUS ASSUMPTION (holds for the sf generators, by
+      // construction): banding is probabilistic — a pair at exactly
+      // j = 0.8 is missed with probability (1 - j²)^bands ≈ 3e-4. The
+      // recall-1 assertion is sound only because every true pair here
+      // sits at j ≥ 0.9 (miss prob ≤ (1-0.81)^8 ≈ 2e-6 per pair, and the
+      // 16-hash/8-band layout was chosen so the planted tier collides in
+      // at least one band with near-certainty). On a corpus with true
+      // pairs NEAR the threshold this oracle would intermittently go red
+      // by design, not engine error — re-threshold the verified region
+      // (e.g. jac ≥ 0.9) before blaming the plan.
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, numBands = 8)
         .filter(col("jaccard") >= 0.8)
@@ -121,7 +132,11 @@ object Pipeline {
       // SimHash bounded-property oracle: every true near-dup pair
       // (exact Jaccard ≥ 0.8, brute-forced by the oracle) must land
       // within Hamming distance 12 (measured ≤ 8 on the planted pairs) —
-      // the fingerprint itself is engine-specific, the property is not
+      // the fingerprint itself is engine-specific, the property is not.
+      // Same planted-corpus assumption as dedup_minhash_pairs above: the
+      // candidate set comes from LSH banding, so recall 1 is guaranteed
+      // only because every true pair sits at j ≥ 0.9, far from the band
+      // miss region.
       val docs = t(s, dir, "documents")
       val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
         shingleN = 3, numHashes = 16, numBands = 8)

@@ -74,15 +74,22 @@ object Csv {
     val unionByName = lower.get("union_by_name").exists(_.toBoolean)
     val addFilename = lower.get("filename").exists(_.toBoolean)
     val normalize = lower.get("normalize_names").exists(_.toBoolean)
-    // names=[a, b] / columns={a: 'TYPE', …} — reference list/struct syntax
+    // names=[a, b] / columns={a: 'TYPE', …} — reference list/struct syntax.
+    // Split bracket/quote-aware (graft.SqlDialect.splitTopLevel) and on the
+    // FIRST ':' only, so parenthesized types (DECIMAL(10,2), STRUCT<…>)
+    // survive instead of MatchError-ing.
     val names = lower.get("names").map(
       _.stripPrefix("[").stripSuffix("]").split(",")
         .map(_.trim.stripPrefix("'").stripSuffix("'")).toSeq)
-    val columns = lower.get("columns").map(
-      _.stripPrefix("{").stripSuffix("}").split(",").map { kv =>
-        val Array(n, t) = kv.split(":").map(_.trim.stripPrefix("'").stripSuffix("'"))
-        s"$n ${duckToSparkType(t)}"
-      }.mkString(", "))
+    val columns = lower.get("columns").map(c =>
+      graft.SqlDialect.splitTopLevel(c.trim.stripPrefix("{").stripSuffix("}"))
+        .map(_.trim).filter(_.nonEmpty).map { kv =>
+          val ci = kv.indexOf(':')
+          require(ci > 0, s"columns: malformed entry '$kv' (expected name: 'TYPE')")
+          val n = kv.substring(0, ci).trim.stripPrefix("'").stripSuffix("'")
+          val t = kv.substring(ci + 1).trim.stripPrefix("'").stripSuffix("'")
+          s"$n ${duckToSparkType(t)}"
+        }.mkString(", "))
     val translated = translate(lower -- transformKeys)
 
     def reader: DataFrameReader = {
@@ -94,22 +101,29 @@ object Csv {
       translated.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
     }
 
+    require(skip == 0 || !unionByName,
+      "skip cannot be combined with union_by_name (skip is applied per file " +
+        "before parsing; combine them by reading each file separately)")
+
     var df =
       if (skip > 0) {
-        // no reader-level skip in Spark: read lines with their in-file
-        // index (zipWithIndex preserves text-split order), drop the
-        // preamble, parse the remainder as CSV
+        // no reader-level skip in Spark: read each file's lines with their
+        // in-file index (zipWithIndex preserves text-split order), drop
+        // the preamble PER FILE — the reference skips N lines of every
+        // input file, so a global line index over a glob would only skip
+        // the first file's preamble — and parse each remainder as CSV
         import spark.implicits._
-        val lines = spark.sparkContext.textFile(path)
-          .zipWithIndex().filter(_._2 >= skip).map(_._1)
-        reader.csv(spark.createDataset(lines))
+        val files = globFiles(spark, path)
+        require(files.nonEmpty, s"skip: no files match $path")
+        files.map { f =>
+          val lines = spark.sparkContext.textFile(f)
+            .zipWithIndex().filter(_._2 >= skip).map(_._1)
+          reader.csv(spark.createDataset(lines))
+        }.reduce(_ unionByName _)
       } else if (unionByName) {
         // schema-per-file + name-based union (reference union_by_name):
         // missing columns null-fill, like MultiFileReader's column map
-        val p = new org.apache.hadoop.fs.Path(path)
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val files = Option(fs.globStatus(p)).getOrElse(Array.empty)
-          .map(_.getPath.toString).sorted
+        val files = globFiles(spark, path)
         require(files.nonEmpty, s"union_by_name: no files match $path")
         files.map(f => reader.csv(f))
           .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -122,6 +136,13 @@ object Csv {
       df = df.toDF((ns ++ df.columns.drop(ns.length)).toIndexedSeq: _*)
     }
     df
+  }
+
+  private def globFiles(spark: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(p)).getOrElse(Array.empty)
+      .map(_.getPath.toString).sorted.toSeq
   }
 
   /** Reference type name → Spark DDL type. */

@@ -85,6 +85,15 @@ class CatalogDmlSpec extends SparkSpec {
     assert(spark.table("t_dml").filter(col("id") === 1).isEmpty)
   }
 
+  test("DELETE with a NULL-evaluating predicate keeps the row (SQL semantics)") {
+    Engine.createTable(spark, "t_del_null",
+      Seq((1L, Some(5L)), (2L, None), (3L, Some(50L))).toDF("id", "v"))
+    // v > 10 is NULL for id=2 — SQL DELETE removes only TRUE rows
+    val n = Engine.sql(spark, "DELETE FROM t_del_null WHERE v > 10").head().getLong(0)
+    assert(n == 1)
+    assert(spark.table("t_del_null").select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("tables / tableInfo / summarize introspection") {
     Engine.createTable(spark, "t_intro", Seq((1L, 2.5)).toDF("k", "v"))
     assert(Engine.tables(spark).filter(col("table_name") === "t_intro").count() == 1)
@@ -140,6 +149,35 @@ class CsvSpec extends SparkSpec {
     val back = graft.sources.Csv.read(spark, p.toString, Map("skip" -> "2"))
       .orderBy("id").collect()
     assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "a"), (2, "b")))
+  }
+
+  test("skip applies per file across a glob, not once globally") {
+    val dir = java.nio.file.Paths.get("target/graft_csv_test/skipglob")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("a.csv"), "junk\nid,v\n1,a\n".getBytes)
+    java.nio.file.Files.write(dir.resolve("b.csv"), "junk\nid,v\n2,b\n".getBytes)
+    val back = graft.sources.Csv.read(spark, dir.toString + "/*.csv",
+      Map("skip" -> "1")).orderBy("id").collect()
+    // a global skip would leave b.csv's preamble as a data row
+    assert(back.map(r => (r.getInt(0), r.getString(1))).toSeq ==
+      Seq((1, "a"), (2, "b")))
+  }
+
+  test("skip combined with union_by_name is rejected explicitly") {
+    val e = intercept[IllegalArgumentException](graft.sources.Csv.read(
+      spark, "target/none", Map("skip" -> "1", "union_by_name" -> "true")))
+    assert(e.getMessage.contains("union_by_name"))
+  }
+
+  test("columns option carries parenthesized types (DECIMAL(10,2))") {
+    val p = java.nio.file.Paths.get("target/graft_csv_test/dec.csv")
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, "a,b\n1.25,x\n".getBytes)
+    val typed = graft.sources.Csv.read(spark, p.toString,
+      Map("columns" -> "{'a': 'DECIMAL(10,2)', 'b': 'VARCHAR'}"))
+    assert(typed.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ==
+      Seq(("a", "decimal(10,2)"), ("b", "string")))
+    assert(typed.head().getDecimal(0).toPlainString == "1.25")
   }
 
   test("names / columns options: rename and explicit schema") {
