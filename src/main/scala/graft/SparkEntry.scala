@@ -26,6 +26,7 @@ object SparkEntry {
       graft.queries.Tpch2.queries ++
       graft.queries.Round2.queries ++
       graft.queries.Round3.queries ++
+      graft.queries.Round4.queries ++
       graft.queries.PipelineOps.queries
 
   def oracleSql: Map[String, String] =
@@ -37,5 +38,6 @@ object SparkEntry {
       graft.queries.Tpch2.oracle ++
       graft.queries.Round2.oracle ++
       graft.queries.Round3.oracle ++
+      graft.queries.Round4.oracle ++
       graft.queries.PipelineOps.oracle
 }

@@ -21,6 +21,16 @@ object RangeJoin {
     scala.util.Try(spark.conf.get("spark.sql.shuffle.partitions").toInt)
       .getOrElse(spark.sparkContext.defaultParallelism)
 
+  /** bucket(x) = #boundaries <= x, as the codegen'd
+    * [[graft.plans.BucketIndex]] expression (a Scala UDF here would block
+    * whole-stage codegen for the entire probe-side stage). The boundary
+    * array folds into the plan as a literal. */
+  private def bucketCol(spark: org.apache.spark.sql.SparkSession,
+                        bounds: Array[Double])(x: Column): Column = {
+    graft.functions.DuckFunctions.register(spark)
+    call_function("bucket_index", x.cast("double"), lit(bounds))
+  }
+
   /** Join `points` rows to `ranges` rows whose [loCol, hiCol] interval
     * contains the point, via bucketed equi-join.
     *
@@ -70,18 +80,12 @@ object RangeJoin {
     val probs = (1 until nb).map(_.toDouble / nb).toArray
     val bounds = points.stat
       .approxQuantile(pointCol, probs, 0.001).distinct.sorted
-    // bucket(x) = #boundaries <= x (binary search over the tiny folded-in
-    // boundary array; monotonic, so an interval spans a contiguous run)
-    val bucketU = udf((x: java.lang.Double) =>
-      if (x == null) null
-      else {
-        val i = java.util.Arrays.binarySearch(bounds, x.doubleValue())
-        Integer.valueOf(if (i >= 0) i + 1 else -i - 1)
-      })
-    val pb = points.withColumn("__bucket", bucketU(col(pointCol).cast("double")))
+    // bucket(x) = #boundaries <= x (codegen binary search; monotonic, so
+    // an interval spans a contiguous run)
+    val bucketU = bucketCol(spark, bounds) _
+    val pb = points.withColumn("__bucket", bucketU(col(pointCol)))
     val rb = ranges.filter(col(loCol) <= col(hiCol)).withColumn("__bucket",
-      explode(sequence(bucketU(col(loCol).cast("double")),
-        bucketU(col(hiCol).cast("double")))))
+      explode(sequence(bucketU(col(loCol)), bucketU(col(hiCol)))))
     pb.join(rb, Seq("__bucket"))
       .filter(refine(col(pointCol), col(loCol), col(hiCol)))
       .drop("__bucket")
@@ -112,19 +116,13 @@ object RangeJoin {
     val endpoints = left.select(col(llo).cast("double").as("__x"))
       .unionAll(right.select(col(rlo).cast("double").as("__x")))
     val bounds = endpoints.stat.approxQuantile("__x", probs, 0.001).distinct.sorted
-    val bucketU = udf((x: java.lang.Double) =>
-      if (x == null) null
-      else {
-        val i = java.util.Arrays.binarySearch(bounds, x.doubleValue())
-        Integer.valueOf(if (i >= 0) i + 1 else -i - 1)
-      })
+    val bucketU = bucketCol(spark, bounds) _
     def span(df: DataFrame, lo: String, hi: String): DataFrame =
       df.filter(col(lo) <= col(hi)).withColumn("__bucket",
-        explode(sequence(bucketU(col(lo).cast("double")),
-          bucketU(col(hi).cast("double")))))
+        explode(sequence(bucketU(col(lo)), bucketU(col(hi)))))
     span(left, llo, lhi).join(span(right, rlo, rhi), Seq("__bucket"))
       .filter(col(llo) <= col(rhi) && col(rlo) <= col(lhi) &&
-        col("__bucket") === bucketU(greatest(col(llo), col(rlo)).cast("double")))
+        col("__bucket") === bucketU(greatest(col(llo), col(rlo))))
       .drop("__bucket")
   }
 }

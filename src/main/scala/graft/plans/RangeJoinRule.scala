@@ -1,24 +1,45 @@
 package graft.plans
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, NumericType, TimestampNTZType, TimestampType}
 
-/** Automatic range-join planning (the IEJoin-class gap: reference
-  * PhysicalPiecewiseMergeJoin/PhysicalIEJoin, duckdb-3.cpp:17261/15445).
+/** Automatic range-join planning (the IEJoin-class gap: reference join
+  * selection duckdb-4.cpp:9054-9168, PhysicalPiecewiseMergeJoin/
+  * PhysicalIEJoin duckdb-3.cpp:17261/15445 — the reference picks these
+  * operators from the join-condition shape alone, no user opt-in).
   *
-  * Detects an INNER join whose condition is exactly a two-sided band —
-  * `lo ⋈ point ⋈ hi` with the point from one child and the interval from
-  * the other, and NO equi conjunct — which Spark would otherwise execute
-  * as a broadcast-nested-loop (O(n·m)). Rewrites it to: bucket the point
-  * side, explode the interval side over the buckets it spans, equi-join
-  * on the bucket, keep the original predicate as the exact refinement.
+  * Detects an INNER join with NO equi conjunct whose condition is one of:
   *
-  * Opt-in: set `spark.graft.rangeJoin.bucketWidth` to (at least) the
-  * maximum interval width. Zero/unset disables the rule. Registered via
-  * [[GraftExtensions]] and `spark.experimental.extraOptimizations`.
+  *  - a two-sided BAND — `lo ⋈ point ⋈ hi`, point from one child and both
+  *    bounds from the other. Rewrites to: bucket the point side, explode
+  *    the interval side over the buckets it spans, equi-join on the
+  *    bucket, keep the original predicate as the exact refinement.
+  *  - a two-sided INTERVAL OVERLAP — two inequality conjuncts in opposite
+  *    directions over four distinct expressions (`l.lo <= r.hi AND
+  *    r.lo <= l.hi`). Both sides explode over their spanned buckets; a
+  *    pair overlapping several buckets is emitted exactly once, in the
+  *    bucket of max(l.lo, r.lo), which every qualifying pair shares.
+  *
+  * Either shape would otherwise execute as broadcast-nested-loop — fine
+  * for a broadcastable side, O(n·m) disaster at scale.
+  *
+  * Bucket boundaries: with `spark.graft.rangeJoin.bucketWidth` set, the
+  * band shape uses fixed-width buckets (zero-job planning). Otherwise —
+  * and always for the overlap shape — boundaries are approximate
+  * quantiles of the point/lower-endpoint distribution, computed by a
+  * small sampling job AT PLAN TIME (the reference's planner reads
+  * zone-map statistics at bind time in the same spirit; here the stats
+  * must be gathered). Quantile buckets hold ~1/nb of the rows each by
+  * construction, so skewed distributions stay balanced. Auto planning is
+  * on by default; `spark.graft.rangeJoin.auto=false` disables it (the
+  * explicit-width path stays).
+  *
+  * Registered via [[GraftExtensions]] and
+  * `spark.experimental.extraOptimizations`.
   */
 object RangeJoinRule extends Rule[LogicalPlan] {
 
@@ -53,11 +74,26 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     else if (refsOnly(b, pointSide) && refsOnly(a, rangeSide)) Some(Band(b, a, isLower = false))
     else None
 
+  /** A conjunct normalized to `small <(=) big`. */
+  private case class Ineq(small: Expression, big: Expression)
+
+  private def asIneq(e: Expression): Option[Ineq] = e match {
+    case LessThan(a, b) => Some(Ineq(a, b))
+    case LessThanOrEqual(a, b) => Some(Ineq(a, b))
+    case GreaterThan(a, b) => Some(Ineq(b, a))
+    case GreaterThanOrEqual(a, b) => Some(Ineq(b, a))
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     val width = conf.getConfString("spark.graft.rangeJoin.bucketWidth", "0").toDouble
-    if (width <= 0) return plan
+    val auto = conf.getConfString("spark.graft.rangeJoin.auto", "true").toBoolean
+    if (width <= 0 && !auto) return plan
     plan.transform {
-      case j @ Join(left, right, Inner, Some(cond), hint) =>
+      case j @ Join(left, right, Inner, Some(cond), hint)
+          // the auto path runs a plan-time sampling job — impossible on a
+          // streaming child, and pointless on tiny local relations
+          if !left.isStreaming && !right.isStreaming =>
         val conjuncts = splitConjuncts(cond)
         val noEqui = !conjuncts.exists {
           case EqualTo(a, b) =>
@@ -70,10 +106,11 @@ object RangeJoinRule extends Rule[LogicalPlan] {
           val asPointRight = conjuncts.flatMap(asBand(_, right, left))
           if (asPointLeft.size == 2 && asPointLeft.map(_.isLower).toSet.size == 2 &&
             samePoint(asPointLeft))
-            Some(rewrite(left, right, asPointLeft, cond, hint, width, pointIsLeft = true))
+            rewriteBand(left, right, asPointLeft, cond, hint, width, pointIsLeft = true)
           else if (asPointRight.size == 2 && asPointRight.map(_.isLower).toSet.size == 2 &&
             samePoint(asPointRight))
-            Some(rewrite(right, left, asPointRight, cond, hint, width, pointIsLeft = false))
+            rewriteBand(right, left, asPointRight, cond, hint, width, pointIsLeft = false)
+          else if (auto) tryRewriteOverlap(left, right, conjuncts, cond, hint)
           else None
         } else None
         rewritten.getOrElse(j)
@@ -88,26 +125,68 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
-  private def bucketOf(e: Expression, width: Double): Expression =
+  // ---- bucket expressions ----
+
+  private def widthBucket(e: Expression, width: Double): Expression =
     Cast(Floor(Divide(Cast(e, DoubleType), Literal(width))), LongType)
 
-  private def rewrite(pointSide: LogicalPlan, rangeSide: LogicalPlan,
-                      bands: Seq[Band], cond: Expression, hint: JoinHint,
-                      width: Double, pointIsLeft: Boolean): LogicalPlan = {
+  private def quantBucket(e: Expression, bounds: Array[Double]): Expression =
+    BucketIndex(Cast(e, DoubleType), bounds)
+
+  /** Approximate quantile boundaries of the given (plan, expression)
+    * pairs' union, computed eagerly at plan time. The result only shapes
+    * load balance, never correctness — ANY monotone bucketing yields the
+    * same rows — so the small LRU keyed on canonicalized inputs is safe
+    * (a stale entry just means slightly staler balance).
+    */
+  private val boundsCache =
+    new java.util.LinkedHashMap[Seq[Int], Array[Double]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[Seq[Int], Array[Double]]): Boolean = size > 64
+    }
+
+  private def quantileBounds(parts: Seq[(LogicalPlan, Expression)]): Array[Double] = {
+    val key = parts.flatMap { case (p, e) =>
+      Seq(p.semanticHash(), e.canonicalized.hashCode) }
+    val cached = boundsCache.synchronized(Option(boundsCache.get(key)))
+    cached.getOrElse {
+      val spark = SparkSession.active
+      val nb = math.max(16, math.min(128, conf.numShufflePartitions))
+      val union = parts.map { case (p, e) =>
+        Project(Seq(Alias(Cast(e, DoubleType), "__graft_q")()), p): LogicalPlan
+      }.reduce((a, b) => Union(a, b))
+      val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, union)
+      val probs = (1 until nb).map(_.toDouble / nb).toArray
+      val bounds = df.stat.approxQuantile("__graft_q", probs, 0.01).distinct.sorted
+      boundsCache.synchronized(boundsCache.put(key, bounds))
+      bounds
+    }
+  }
+
+  // ---- band rewrite (point-in-interval) ----
+
+  private def rewriteBand(pointSide: LogicalPlan, rangeSide: LogicalPlan,
+                          bands: Seq[Band], cond: Expression, hint: JoinHint,
+                          width: Double, pointIsLeft: Boolean): Option[LogicalPlan] = {
     val point = bands.head.point
     val lo = bands.find(_.isLower).get.bound
     val hi = bands.find(!_.isLower).get.bound
 
-    val pBucket = Alias(bucketOf(point, width), "__graft_pbucket")()
+    val bucket: Expression => Expression =
+      if (width > 0) widthBucket(_, width)
+      else quantBucket(_, quantileBounds(Seq((pointSide, point))))
+
+    val pBucket = Alias(bucket(point), "__graft_pbucket")()
     val newPointSide = Project(pointSide.output :+ pBucket, pointSide)
 
     val rBucketAttr = AttributeReference("__graft_rbucket", LongType, nullable = true)()
     // Sequence is TimeZoneAwareExpression — unresolved without a zone
-    val buckets = new Sequence(bucketOf(lo, width), bucketOf(hi, width), Literal(1L))
+    val buckets = new Sequence(bucket(lo), bucket(hi), Literal(1L))
       .withTimeZone(conf.sessionLocalTimeZone)
     // Sequence throws on start > stop with step 1 — an inverted/empty
-    // interval (hi < lo) must contribute no rows, not fail the query
-    val seq = If(LessThanOrEqual(bucketOf(lo, width), bucketOf(hi, width)),
+    // interval (hi < lo) can satisfy neither band conjunct, so it must
+    // contribute no rows, not fail the query
+    val seq = If(LessThanOrEqual(bucket(lo), bucket(hi)),
       buckets, Literal.create(Array.empty[Long], ArrayType(LongType)))
     val newRangeSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
       outer = false, qualifier = None, generatorOutput = Seq(rBucketAttr), rangeSide)
@@ -119,6 +198,56 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     // restore the original output (drop the bucket columns)
     val originalOutput = if (pointIsLeft) pointSide.output ++ rangeSide.output
     else rangeSide.output ++ pointSide.output
-    Project(originalOutput, joined)
+    Some(Project(originalOutput, joined))
+  }
+
+  // ---- interval-overlap rewrite (two-sided IEJoin) ----
+
+  /** `A1 <= B1 AND B2 <= A2` with A* from the left child and B* from the
+    * right = the interval-overlap shape, reading (llo, lhi) := (A1, A2)
+    * and (rlo, rhi) := (B2, B1). No interval assumption is made about the
+    * four expressions: a row whose "interval" is inverted (lo > hi) can
+    * still satisfy the raw predicate, so each side replicates over
+    * [min(lo,hi), max(lo,hi)] and the exact condition refines — semantics
+    * are those of the original predicate, exactly.
+    */
+  private def tryRewriteOverlap(left: LogicalPlan, right: LogicalPlan,
+                                conjuncts: Seq[Expression], cond: Expression,
+                                hint: JoinHint): Option[LogicalPlan] = {
+    val ineqs = conjuncts.flatMap(asIneq)
+    if (ineqs.size != 2) return None
+    val lToR = ineqs.filter(i => refsOnly(i.small, left) && refsOnly(i.big, right))
+    val rToL = ineqs.filter(i => refsOnly(i.small, right) && refsOnly(i.big, left))
+    if (lToR.size != 1 || rToL.size != 1) return None
+    val (llo, rhi) = (lToR.head.small, lToR.head.big)
+    val (rlo, lhi) = (rToL.head.small, rToL.head.big)
+    if (!Seq(llo, lhi, rlo, rhi).forall(bucketable)) return None
+
+    // boundaries from the union of both sides' lower endpoints: every
+    // qualifying pair is emitted in bucket(max(l.lo, r.lo)), so this is
+    // the distribution that determines per-bucket load
+    val bounds = quantileBounds(Seq((left, llo), (right, rlo)))
+    def b(e: Expression): Expression = quantBucket(e, bounds)
+
+    def span(side: LogicalPlan, lo: Expression, hi: Expression,
+             name: String): (LogicalPlan, AttributeReference) = {
+      val attr = AttributeReference(name, LongType, nullable = true)()
+      // Least <= Greatest always — no inverted-sequence guard needed
+      val seq = new Sequence(b(Least(Seq(lo, hi))), b(Greatest(Seq(lo, hi))),
+        Literal(1L)).withTimeZone(conf.sessionLocalTimeZone)
+      (Generate(Explode(seq), unrequiredChildIndex = Nil, outer = false,
+        qualifier = None, generatorOutput = Seq(attr), side), attr)
+    }
+    val (lGen, lAttr) = span(left, llo, lhi, "__graft_lbucket")
+    val (rGen, rAttr) = span(right, rlo, rhi, "__graft_rbucket")
+
+    // exactly-once emission: of the buckets a qualifying pair shares,
+    // keep only the one containing max(l.lo, r.lo) — both sides' spans
+    // provably contain it (l.lo <= max <= l.hi-or-l.lo via the conjuncts,
+    // symmetrically for r), so no match is lost and none duplicates
+    val emitOnce = EqualTo(lAttr, b(Greatest(Seq(llo, rlo))))
+    val joined = Join(lGen, rGen, Inner,
+      Some(And(And(EqualTo(lAttr, rAttr), emitOnce), cond)), hint)
+    Some(Project(left.output ++ right.output, joined))
   }
 }

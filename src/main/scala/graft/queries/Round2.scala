@@ -87,15 +87,20 @@ object Round2 {
 
     "join_interval_overlap" -> ((s, dir) => {
       // interval×interval overlap (the FULL IEJoin shape: two-sided
-      // inequality with different intervals on each side) — one
-      // quantile-bucketed equi-join shuffle, canonical-bucket dedup
+      // inequality with different intervals on each side), written as a
+      // PLAIN join — graft.plans.RangeJoinRule detects the shape and
+      // rewrites it to the quantile-bucketed equi-join automatically
+      // (reference join selection, duckdb-4.cpp:9054-9168; no conf
+      // needed). The programmatic RangeJoin.intervalOverlap API remains
+      // for callers that want explicit control (spec-covered).
+      graft.functions.DuckFunctions.register(s)
       val su = t(s, dir, "supplier")
         .withColumn("s_lo", col("s_acctbal") - (col("s_suppkey") % 50).cast("double"))
         .withColumn("s_hi", col("s_acctbal") + (col("s_suppkey") % 20).cast("double"))
       val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
         .withColumn("c_lo", col("c_acctbal") - (col("c_custkey") % 30).cast("double"))
         .withColumn("c_hi", col("c_acctbal") + (col("c_custkey") % 40).cast("double"))
-      RangeJoin.intervalOverlap(su, "s_lo", "s_hi", c, "c_lo", "c_hi")
+      su.join(c, col("s_lo") <= col("c_hi") && col("c_lo") <= col("s_hi"))
         .groupBy(col("s_suppkey"))
         .agg(count(lit(1)).as("n_overlap"), sum(col("c_custkey")).as("sum_cust"))
     }),

@@ -57,9 +57,12 @@ class RangeJoinRuleSpec extends SparkSpec {
   }
 
   test("rule leaves equi-joins and disabled sessions alone") {
-    // disabled: BNLJ stays
-    val plan0 = bandJoin().queryExecution.executedPlan.toString
-    assert(plan0.contains("NestedLoopJoin") || plan0.contains("CartesianProduct"), plan0)
+    // fully disabled (auto off, no width): BNLJ stays
+    spark.conf.set("spark.graft.rangeJoin.auto", "false")
+    try {
+      val plan0 = bandJoin().queryExecution.executedPlan.toString
+      assert(plan0.contains("NestedLoopJoin") || plan0.contains("CartesianProduct"), plan0)
+    } finally spark.conf.unset("spark.graft.rangeJoin.auto")
     // enabled but equi conjunct present: native hash join keeps priority
     spark.conf.set("spark.graft.rangeJoin.bucketWidth", "8.0")
     try {
@@ -68,5 +71,64 @@ class RangeJoinRuleSpec extends SparkSpec {
       assert(!plan1.contains("__graft_pbucket"), plan1)
       assert(equi.count() > 0)
     } finally spark.conf.unset("spark.graft.rangeJoin.bucketWidth")
+  }
+
+  test("auto mode rewrites a band join with NO conf set (quantile buckets)") {
+    spark.conf.set("spark.graft.rangeJoin.auto", "false")
+    val baseline =
+      try bandJoin().select("pid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.rangeJoin.auto")
+    // default session state: no width conf, auto defaults to true
+    assert(spark.conf.getOption("spark.graft.rangeJoin.bucketWidth").isEmpty)
+    val rewritten = bandJoin()
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_pbucket"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = rewritten.select("pid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == baseline && got.nonEmpty)
+  }
+
+  test("auto mode rewrites a two-sided interval-overlap join exactly once per pair") {
+    // intervals on BOTH sides; include an inverted left "interval"
+    // (lo > hi) that still satisfies the raw predicate against rid=1 —
+    // the rewrite must preserve predicate semantics, not interval ones
+    // (900, lo=2, hi=-1) is inverted yet matches rid=1 ([-1, 6]):
+    // 2 <= 6 and -1 <= -1 — raw predicate semantics, no interval reading
+    val lhs = (Seq((900L, 2.0, -1.0)) ++ (1 to 300).map(i =>
+      (i.toLong, i * 0.7, i * 0.7 + 5.0))).toDF("lid", "l_lo", "l_hi")
+    val rhs = (1 to 80).map(i =>
+      (i.toLong, i * 2.0 - 3.0, i * 2.0 + 4.0)).toDF("rid", "r_lo", "r_hi")
+    def overlap() = lhs.join(rhs,
+      col("l_lo") <= col("r_hi") && col("r_lo") <= col("l_hi"))
+    spark.conf.set("spark.graft.rangeJoin.auto", "false")
+    val baseline =
+      try overlap().select("lid", "rid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      finally spark.conf.unset("spark.graft.rangeJoin.auto")
+    assert(baseline.exists(_._1 == 900L), "inverted-interval row must match in the baseline")
+    val rewritten = overlap()
+    val plan = rewritten.queryExecution.executedPlan.toString
+    assert(plan.contains("__graft_lbucket"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    val got = rewritten.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // exactly-once: compare as multisets (no dedup shuffle in the plan)
+    assert(got.groupBy(identity).view.mapValues(_.length).toMap ==
+      baseline.groupBy(identity).view.mapValues(_.length).toMap)
+  }
+
+  test("bucket_index expression: boundary semantics, null, codegen parity") {
+    graft.functions.DuckFunctions.register(spark)
+    val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 1.0, 7.3, null)
+      .toDF("x")
+      .selectExpr("x", "bucket_index(x, array(0.0D, 1.0D, 5.0D)) AS b")
+    val got = df.collect().map(r => if (r.isNullAt(1)) null else r.getLong(1))
+    // #bounds <= x: -5→0, 0→1, 0.5→1, 1→2, 7.3→3, null→null
+    assert(got.toSeq == Seq(0L, 1L, 1L, 2L, 3L, null))
+    // probe side stays inside whole-stage codegen (no ScalaUDF / BatchEval)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEval"), plan)
   }
 }

@@ -16,7 +16,10 @@ class ScalePathSpec extends SparkSpec {
     "dedup_exact", "dedup_minhash_pairs", "dedup_prefix_filter",
     "dedup_simhash", "dedup_fuzzy_names_blocked",
     "dedup_embedding_cosine_lsh", "sim_lsh_ann",
-    "dedup_components", "pipeline_end2end")
+    "dedup_components", "pipeline_end2end",
+    // auto range-join planning: written as PLAIN inequality joins, the
+    // optimizer rule must supply the bucketed shape with no conf set
+    "join_interval_overlap", "join_range_autoplan")
 
   for (name <- scalePaths) {
     test(s"$name plans without BNLJ or cartesian product") {
