@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, when}
+import org.apache.spark.sql.functions.{coalesce, col, expr, floor, hash, lit, monotonically_increasing_id, pmod, when}
 
 /** Session + catalog facade for the graft engine.
   *
@@ -150,6 +150,62 @@ object Engine {
     updated.localCheckpoint().createOrReplaceTempView(name)
   }
 
+  // ---- conflict-clause DML (reference ON CONFLICT binding,
+  // duckdb-4.cpp:9996-10015: OR REPLACE = delete-then-insert on the key,
+  // DO NOTHING = skip conflicting rows, DO UPDATE = in-place assignment).
+  // The key comes from the dialect's PRIMARY KEY registry — Spark has no
+  // constraint enforcement, so the key is planning metadata, not an
+  // integrity guarantee (documented).
+
+  /** INSERT OR REPLACE: rows whose key already exists replace the stored
+    * row (delete-then-insert). Returns the number of rows written. */
+  def insertOrReplace(spark: SparkSession, name: String, rows: DataFrame,
+                      keys: Seq[String]): Long = {
+    val target = spark.table(name)
+    val n = rows.count()
+    val kept = target.join(
+      rows.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    kept.unionByName(rows).localCheckpoint().createOrReplaceTempView(name)
+    n
+  }
+
+  /** ON CONFLICT DO NOTHING: insert only rows whose key is absent.
+    * Returns the number of rows actually inserted. */
+  def insertOrIgnore(spark: SparkSession, name: String, rows: DataFrame,
+                     keys: Seq[String]): Long = {
+    val target = spark.table(name)
+    val fresh = rows.join(
+      target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .localCheckpoint()
+    val n = fresh.count()
+    target.unionByName(fresh).localCheckpoint().createOrReplaceTempView(name)
+    n
+  }
+
+  /** ON CONFLICT (keys) DO UPDATE SET c = expr: conflicting target rows
+    * get the assignments applied (the incoming row is visible as
+    * `excluded.<col>` in the expressions, like the reference); fresh rows
+    * insert as-is. Returns the number of incoming rows. */
+  def insertOnConflictUpdate(spark: SparkSession, name: String, rows: DataFrame,
+                             keys: Seq[String],
+                             assignments: Map[String, String]): Long = {
+    val target = spark.table(name)
+    val n = rows.count()
+    val excl = rows.select(target.columns.map(c => col(c).as(s"__excl_$c")).toSeq: _*)
+    val joined = target.join(excl,
+      keys.map(k => col(k) === col(s"__excl_$k")).reduce(_ && _), "left")
+    val matched = keys.map(k => col(s"__excl_$k").isNotNull).reduce(_ && _)
+    def rewriteExcluded(e: String): String =
+      e.replaceAll("(?i)\\bexcluded\\s*\\.\\s*([A-Za-z_][A-Za-z0-9_]*)", "__excl_$1")
+    val updated = assignments.foldLeft(joined) { case (acc, (c, e)) =>
+      acc.withColumn(c, when(matched, expr(rewriteExcluded(e))).otherwise(col(c)))
+    }.select(target.columns.map(col).toSeq: _*)
+    val freshRows = rows.join(
+      target.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    updated.unionByName(freshRows).localCheckpoint().createOrReplaceTempView(name)
+    n
+  }
+
   // ---- introspection (reference: duckdb_tables()/pragma_table_info,
   // duckdb-6.cpp:14150-14176) ----
 
@@ -168,6 +224,29 @@ object Engine {
       .map { case (f, i) => (i, f.name, f.dataType.simpleString, f.nullable) }.toSeq
       .toDF("cid", "name", "type", "nullable")
   }
+
+  /** duckdb_functions() analog (duckdb-6.cpp:14150-14176): every function
+    * name resolvable in this session — Spark/graft built-ins plus the
+    * DuckDB-name registry — one row per distinct name. */
+  def functionsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    functions.DuckFunctions.register(spark)
+    spark.catalog.listFunctions().collect()
+      .map(f => f.name.toLowerCase).distinct.sorted.toSeq
+      .toDF("function_name")
+  }
+
+  /** `USING SAMPLE p% (system, seed)` analog: block-level sampling — a
+    * block (2048 rows, the reference's vector granularity,
+    * duckdb.hpp:20017 SampleMethod::SYSTEM_SAMPLE) is kept or dropped
+    * wholesale by a seeded hash of its block id. Deterministic for a
+    * fixed seed and input partitioning; zero shuffle (a pure filter, so
+    * at scale it prunes before any downstream work). */
+  def sampleSystem(df: DataFrame, pct: Double, seed: Long,
+                   blockRows: Int = 2048): DataFrame =
+    df.withColumn("__gblk", floor(monotonically_increasing_id() / blockRows))
+      .filter(pmod(hash(col("__gblk"), lit(seed)), lit(100)) < lit(pct))
+      .drop("__gblk")
 
   /** current_setting / SET analogs (duckdb.hpp:12002). */
   def currentSetting(spark: SparkSession, key: String): String =

@@ -86,6 +86,17 @@ object SqlDialect {
   // substitutes `$n` / `?` placeholders (outside string literals) with
   // the call's literal arguments and runs the result through the full
   // dialect pipeline.
+  // ---- PRIMARY KEY registry (reference: constraint binding for ON
+  // CONFLICT, duckdb-4.cpp:9996). Spark enforces no constraints — the
+  // declared key is conflict-resolution metadata only (documented), the
+  // same role it plays in the reference's OR REPLACE/ON CONFLICT path.
+  private val primaryKeys = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Seq[String]]]())
+  private def primaryKeysFor(spark: SparkSession) =
+    primaryKeys.computeIfAbsent(spark,
+      _ => new scala.collection.concurrent.TrieMap[String, Seq[String]])
+
   private val prepared = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, String]]())
@@ -124,9 +135,36 @@ object SqlDialect {
     sb.toString
   }
 
+  // Known reference constructs graft deliberately does NOT implement —
+  // fail with a named error instead of letting Spark's parser produce a
+  // misleading one (SURVEY §2.11 non-goals). Each entry: display name,
+  // detection regex (applied outside string literals).
+  private val unsupportedConstructs: Seq[(String, scala.util.matching.Regex)] = Seq(
+    ("ATTACH (multi-database catalogs)", """(?is)^\s*ATTACH\b""".r),
+    ("DETACH", """(?is)^\s*DETACH\b""".r),
+    ("INSTALL (extensions)", """(?is)^\s*(?:FORCE\s+)?INSTALL\b""".r),
+    ("LOAD (extensions)", """(?is)^\s*LOAD\b""".r),
+    ("CREATE INDEX (ART indexes; pruning/broadcast subsume the query role)",
+      """(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b""".r),
+    ("DROP INDEX", """(?is)^\s*DROP\s+INDEX\b""".r),
+    ("COPY ... FROM (imports; use read_csv/read_parquet scans)",
+      """(?is)^\s*COPY\s+[A-Za-z_][A-Za-z0-9_]*\s+FROM\b""".r),
+    ("RETURNING clause", """(?is)\bRETURNING\b""".r),
+    ("SIMILAR TO (use regexp_matches / LIKE)", """(?is)\bSIMILAR\s+TO\b""".r))
+
+  private def guardUnsupported(q: String): Unit =
+    unsupportedConstructs.foreach { case (name, re) =>
+      re.findFirstMatchIn(q).foreach { m =>
+        if (!insideQuotes(q, m.start))
+          throw new UnsupportedOperationException(
+            s"unsupported DuckDB construct: $name")
+      }
+    }
+
   /** Rewrite + execute. */
   def sql(spark: SparkSession, query: String): DataFrame = {
     var q = query.trim.stripSuffix(";")
+    guardUnsupported(q)
 
     // macro DDL
     createMacroRe.findFirstMatchIn(q) match {
@@ -229,19 +267,92 @@ object SqlDialect {
       case None =>
     }
 
+    // CREATE TABLE <name> (<column defs>) — empty typed table; PRIMARY
+    // KEY columns are recorded for the conflict-clause DML below
+    // (reference CreateTableInfo + constraint binding, duckdb-9.cpp)
+    val createDefRe =
+      """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s*\((.+)\)\s*$""".r
+    createDefRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val name = m.group(1)
+        var keys = Vector.empty[String]
+        val fields = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty).flatMap { d =>
+          val tablePk = """(?is)^PRIMARY\s+KEY\s*\((.+)\)$""".r
+          d match {
+            case tablePk(cols) =>
+              keys ++= cols.split(",").map(_.trim); None
+            case _ =>
+              val parts = d.split("\\s+", 2)
+              require(parts.length == 2, s"CREATE TABLE: malformed column '$d'")
+              val tpe = parts(1)
+              val isPk = """(?i)\bPRIMARY\s+KEY\b""".r.findFirstIn(tpe).isDefined
+              if (isPk) keys :+= parts(0)
+              val cleaned = tpe.replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
+                .replaceAll("(?i)\\bNOT\\s+NULL\\b", "").trim
+              Some(s"${parts(0)} ${sources.Csv.duckToSparkDdl(cleaned)}")
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(fields.mkString(", "))
+        spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema).createOrReplaceTempView(name)
+        if (keys.nonEmpty) primaryKeysFor(spark)(name.toLowerCase) = keys
+        else primaryKeysFor(spark).remove(name.toLowerCase)
+        return spark.emptyDataFrame
+      case None =>
+    }
+
     // ---- SQL-level DML over the temp-view catalog (reference
     // INSERT/UPDATE/DELETE/ALTER/DROP statement types, duckdb.hpp
     // StatementType) — routed to the Engine DML primitives; DuckDB
     // semantics: INSERT is positional, statements return changed rows ----
     val insertRe =
-      """(?is)^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:VALUES|SELECT|WITH)\b.+)$""".r
+      """(?is)^\s*INSERT\s+(OR\s+REPLACE\s+|OR\s+IGNORE\s+)?INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:VALUES|SELECT|WITH)\b.+)$""".r
     insertRe.findFirstMatchIn(q) match {
       case Some(m) =>
         import spark.implicits._
-        val target = spark.table(m.group(1))
-        val rows = sql(spark, m.group(2)).toDF(target.columns.toSeq: _*)
-        val n = rows.count()
-        Engine.insertInto(spark, m.group(1), rows)
+        val name = m.group(2)
+        val target = spark.table(name)
+        // ON CONFLICT tail (reference duckdb-4.cpp:9996): [(cols)] +
+        // DO NOTHING / DO UPDATE SET a = expr[, ...]
+        val conflictRe =
+          ("""(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\)\s*)?""" +
+            """DO\s+(NOTHING|UPDATE\s+SET\s+.+)$""").r
+        val (body, conflict) = m.group(3) match {
+          case conflictRe(b, cols, action) =>
+            (b, Some((Option(cols).map(_.split(",").map(_.trim).toSeq), action)))
+          case b => (b, None)
+        }
+        val rows = sql(spark, body).toDF(target.columns.toSeq: _*)
+        def declaredKeys: Seq[String] = primaryKeysFor(spark)
+          .getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+            s"INSERT conflict clause on '$name': no PRIMARY KEY declared " +
+              "(create the table with a PRIMARY KEY column)"))
+        val mode = m.group(1) match {
+          case null => ""
+          case s => s.trim.toUpperCase.replaceAll("\\s+", " ")
+        }
+        val n = (mode, conflict) match {
+          case ("", None) =>
+            val c = rows.count(); Engine.insertInto(spark, name, rows); c
+          case ("OR REPLACE", None) =>
+            Engine.insertOrReplace(spark, name, rows, declaredKeys)
+          case ("OR IGNORE", None) =>
+            Engine.insertOrIgnore(spark, name, rows, declaredKeys)
+          case ("", Some((cols, action))) if action.equalsIgnoreCase("NOTHING") =>
+            Engine.insertOrIgnore(spark, name, rows, cols.getOrElse(declaredKeys))
+          case ("", Some((cols, action))) =>
+            val assigns = splitTopLevel(
+              action.replaceAll("(?is)^UPDATE\\s+SET\\s+", "")).map { a =>
+              val eq = a.indexOf('=')
+              require(eq > 0, s"ON CONFLICT DO UPDATE: malformed assignment '$a'")
+              a.substring(0, eq).trim -> a.substring(eq + 1).trim
+            }.toMap
+            Engine.insertOnConflictUpdate(spark, name, rows,
+              cols.getOrElse(declaredKeys), assigns)
+          case other =>
+            throw new UnsupportedOperationException(
+              s"INSERT: cannot combine $other")
+        }
         return Seq(n).toDF("count")
       case None =>
     }
@@ -283,6 +394,7 @@ object SqlDialect {
       case Some(m) =>
         val existed = spark.catalog.dropTempView(m.group(2))
         require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
+        primaryKeysFor(spark).remove(m.group(2).toLowerCase)
         return spark.emptyDataFrame
       case None =>
     }
@@ -391,6 +503,14 @@ object SqlDialect {
       case None =>
     }
 
+    // duckdb_functions() catalog table fn (duckdb-6.cpp:14150) →
+    // registered view over the session's resolvable function names
+    val duckdbFunctionsFn = """(?i)\bduckdb_functions\s*\(\s*\)""".r
+    if (duckdbFunctionsFn.findFirstIn(q).isDefined) {
+      Engine.functionsTable(spark).createOrReplaceTempView("__graft_functions")
+      q = duckdbFunctionsFn.replaceAllIn(q, "__graft_functions")
+    }
+
     // replacement scans: read_csv('p' [, opt=v…]) / read_parquet('p') /
     // bare 'x.csv' / 'x.parquet' → temp views
     q = readCsvFn.replaceAllIn(q,
@@ -410,6 +530,21 @@ object SqlDialect {
         return base.limit(n.toInt)
       case None =>
     }
+
+    // USING SAMPLE p% (system[, seed]) — block-level sampling (reference
+    // SampleMethod::SYSTEM_SAMPLE, duckdb.hpp:20017): a 2048-row block
+    // (the reference's vector granularity) is kept or dropped wholesale
+    // by a seeded hash of its block id. Must rewrite BEFORE the generic
+    // percent rewrite below (whose pattern is a prefix of this one).
+    val usingSampleSystem =
+      ("""(?is)\bFROM\s+([A-Za-z_][A-Za-z0-9_]*)\s+USING\s+SAMPLE\s+""" +
+        """([0-9.]+)\s*%\s*\(\s*system\s*(?:,\s*(\d+))?\s*\)""").r
+    q = usingSampleSystem.replaceAllIn(q, m => {
+      val seed = Option(m.group(3)).getOrElse("42")
+      s"FROM (SELECT * EXCEPT (__gblk) FROM (SELECT *, " +
+        s"floor(monotonically_increasing_id() / 2048) AS __gblk " +
+        s"FROM ${m.group(1)}) WHERE pmod(hash(__gblk, $seed), 100) < ${m.group(2)})"
+    })
 
     // USING SAMPLE → Spark TABLESAMPLE (works at any nesting depth)
     q = usingSampleRows.replaceAllIn(q, m => s"TABLESAMPLE (${m.group(1)} ROWS)")

@@ -145,7 +145,10 @@ object Csv {
       .map(_.getPath.toString).sorted.toSeq
   }
 
-  /** Reference type name → Spark DDL type. */
+  /** Reference type name → Spark DDL type (shared with the dialect's
+    * CREATE TABLE column-definition parsing). */
+  private[graft] def duckToSparkDdl(t: String): String = duckToSparkType(t)
+
   private def duckToSparkType(t: String): String = t.toUpperCase match {
     case "VARCHAR" | "TEXT" => "STRING"
     case "INTEGER" | "INT" | "INT4" => "INT"

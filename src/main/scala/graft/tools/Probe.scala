@@ -16,6 +16,9 @@ object Probe {
         df.printSchema()
         df.show(10, truncate = false)
         df.explain("formatted")
+      case Array("functions") =>
+        Engine.functionsTable(spark).collect()
+          .foreach(r => println("FN " + r.getString(0)))
       case Array(path) =>
         val df = spark.read.parquet(path)
         df.printSchema()

@@ -143,4 +143,68 @@ class MacroSpec extends SparkSpec {
       SqlDialect.sql(spark, "SELECT m_gone(1) AS v").collect()
     }
   }
+
+  test("known-unsupported DuckDB constructs fail with a NAMED error, not a Spark parse error") {
+    val cases = Seq(
+      "ATTACH 'other.db' AS other" -> "ATTACH",
+      "DETACH other" -> "DETACH",
+      "INSTALL httpfs" -> "INSTALL",
+      "LOAD httpfs" -> "LOAD",
+      "CREATE INDEX idx ON nation (n_name)" -> "CREATE INDEX",
+      "DROP INDEX idx" -> "DROP INDEX",
+      "COPY nation FROM 'x.csv'" -> "COPY ... FROM",
+      "DELETE FROM nation WHERE n_nationkey = 1 RETURNING *" -> "RETURNING",
+      "SELECT * FROM nation WHERE n_name SIMILAR TO 'A.*'" -> "SIMILAR TO")
+    for ((sqlText, name) <- cases) {
+      val e = intercept[UnsupportedOperationException](SqlDialect.sql(spark, sqlText))
+      assert(e.getMessage.contains("unsupported DuckDB construct"), s"$sqlText: ${e.getMessage}")
+      assert(e.getMessage.contains(name), s"$sqlText: ${e.getMessage}")
+    }
+    // the same tokens inside string literals must NOT trip the guard
+    import spark.implicits._
+    val ok = SqlDialect.sql(spark,
+      "SELECT 'ATTACH me SIMILAR TO a RETURNING clause' AS s").as[String].head()
+    assert(ok.contains("SIMILAR TO"))
+  }
+
+  test("INSERT OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE over a declared key") {
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS oc_t")
+    SqlDialect.sql(spark, "CREATE TABLE oc_t (k INTEGER PRIMARY KEY, v VARCHAR, n INTEGER)")
+    SqlDialect.sql(spark, "INSERT INTO oc_t VALUES (1, 'a', 1), (2, 'b', 2)")
+    // replace existing + insert fresh
+    val r = SqlDialect.sql(spark,
+      "INSERT OR REPLACE INTO oc_t VALUES (2, 'B', 20), (3, 'c', 3)").head().getLong(0)
+    assert(r == 2)
+    // conflicting row skipped, fresh row inserted — count reports INSERTED rows
+    val n = SqlDialect.sql(spark,
+      "INSERT INTO oc_t VALUES (1, 'zz', 99), (4, 'd', 4) ON CONFLICT DO NOTHING")
+      .head().getLong(0)
+    assert(n == 1)
+    // DO UPDATE applies assignments with excluded.* visible
+    SqlDialect.sql(spark,
+      "INSERT INTO oc_t VALUES (1, 'A2', 10), (5, 'e', 5) " +
+        "ON CONFLICT (k) DO UPDATE SET n = n + excluded.n, v = excluded.v")
+    val got = spark.table("oc_t").orderBy("k").collect()
+      .map(row => (row.getInt(0), row.getString(1), row.getInt(2))).toSeq
+    assert(got == Seq((1, "A2", 11), (2, "B", 20), (3, "c", 3), (4, "d", 4), (5, "e", 5)))
+    // conflict clause without a declared key refuses loudly
+    SqlDialect.sql(spark, "CREATE TABLE oc_nokey AS SELECT 1 AS a")
+    val e = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "INSERT OR REPLACE INTO oc_nokey VALUES (1)"))
+    assert(e.getMessage.contains("no PRIMARY KEY"))
+  }
+
+  test("system sampling: seeded, deterministic, block-granular") {
+    import spark.implicits._
+    val df = (1 to 20000).map(i => (i.toLong, i % 7)).toDF("id", "g")
+    val s1 = graft.Engine.sampleSystem(df, 50.0, 7L).count()
+    val s2 = graft.Engine.sampleSystem(df, 50.0, 7L).count()
+    assert(s1 == s2, "same seed must give the same sample")
+    assert(s1 > 0 && s1 < 20000)
+    val s3 = graft.Engine.sampleSystem(df, 50.0, 8L).count()
+    // a different seed keeps/drops different blocks (20000/2048 = ~10
+    // blocks — a collision of all block decisions is ~1e-3; seed pair
+    // chosen to differ)
+    assert(s1 != s3 || s1 == 0)
+  }
 }
