@@ -298,6 +298,44 @@ object Engine {
     }.toSeq.toDF("column_name", "column_type", "min", "max", "count", "null_pct")
   }
 
+  /** EXPLAIN ANALYZE analog (reference QueryProfiler,
+    * duckdb-7.cpp:5536 `QueryProfiler::StartQuery` /
+    * duckdb.hpp:11996 `EXPLAIN_ANALYZE`): execute the query once and
+    * report the executed physical plan tree with per-operator output-row
+    * counts read back from Spark's SQLMetrics — the same numbers the
+    * reference profiler prints per operator. Timings are deliberately not
+    * surfaced per operator: under whole-stage codegen several operators
+    * share one pipeline, so per-operator wall-clock would be fiction.
+    */
+  def explainAnalyze(spark: SparkSession, df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // Drive the compiled plan itself (df.count() would re-plan with a
+    // different aggregate on top and leave these metrics untouched).
+    df.queryExecution.toRdd.foreach(_ => ())
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Int, String, java.lang.Long)]
+    var nextId = 0
+    def walk(p: SparkPlan, depth: Int): Unit = p match {
+      case a: AdaptiveSparkPlanExec =>
+        // AQE wrapper: report the final (re-optimized) plan it settled on
+        walk(a.executedPlan, depth)
+      case q: QueryStageExec =>
+        // AQE stage bookkeeping node — its children list is empty; the
+        // materialized stage plan hangs off `.plan`
+        walk(q.plan, depth)
+      case _ =>
+        val rows: java.lang.Long =
+          p.metrics.get("numOutputRows").map(m => Long.box(m.value)).orNull
+        out += ((nextId, depth, p.nodeName, rows))
+        nextId += 1
+        p.children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    import spark.implicits._
+    out.toSeq.toDF("operator_id", "depth", "operator", "output_rows")
+  }
+
   /** EXPORT DATABASE analog (duckdb-4.cpp:9722): dump every temp-view
     * table to parquet + a schema.sql DDL script into `outDir`. */
   def exportDatabase(spark: SparkSession, outDir: String): Unit = {

@@ -218,11 +218,15 @@ object SqlDialect {
 
     // statement-level surface: EXPLAIN / SET / PRAGMA / SHOW TABLES
     // (reference duckdb.hpp:11995, 12002; pragma fns duckdb-6.cpp:14150)
-    val explainRe = """(?is)^\s*EXPLAIN\s+(?:ANALYZE\s+)?(.+)$""".r
+    val explainRe = """(?is)^\s*EXPLAIN\s+(ANALYZE\s+)?(.+)$""".r
     explainRe.findFirstMatchIn(q) match {
+      case Some(m) if m.group(1) != null =>
+        // EXPLAIN ANALYZE: run the query, report per-operator row counts
+        // (reference QueryProfiler, duckdb-7.cpp:5536)
+        return Engine.explainAnalyze(spark, sql(spark, m.group(2)))
       case Some(m) =>
         import spark.implicits._
-        val plan = sql(spark, m.group(1)).queryExecution.executedPlan.toString
+        val plan = sql(spark, m.group(2)).queryExecution.executedPlan.toString
         return Seq(("physical_plan", plan)).toDF("explain_key", "explain_value")
       case None =>
     }

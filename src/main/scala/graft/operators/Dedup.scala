@@ -350,9 +350,11 @@ object Dedup {
     * acceptable, this when the answer must be exact.
     */
   def jaccardThresholdPairs(df: DataFrame, idCol: String, textCol: String,
-                            shingleN: Int, threshold: Double): DataFrame = {
-    // hashedShingles returns sorted distinct longs — numeric order IS the
-    // global token order
+                            shingleN: Int, threshold: Double,
+                            freqOrdered: Boolean = true): DataFrame = {
+    // hashedShingles returns sorted distinct longs — numeric order is A
+    // global token order (any fixed total order satisfies the prefix
+    // lemma)
     val sh = df
       .select(col(idCol).as("id"),
         hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
@@ -364,7 +366,34 @@ object Dedup {
     val prefLen =
       (size(col("sh")) - ceil(lit(threshold) * size(col("sh")) - 1e-9) + 1)
         .cast("int")
-    val pre = sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+    // Prefix token choice. Hash order is correct but scale-hostile: a
+    // FREQUENT token that happens to hash small sits in the prefix of
+    // every document containing it — one hot join key, quadratic
+    // candidates. Bayardo's canonical order is ascending document
+    // frequency: prefixes then hold each document's RAREST tokens, so
+    // join keys are rare by construction and candidate volume collapses.
+    // Any fixed total order preserves completeness (the lemma only needs
+    // the order to be global), and the refine below always scores the
+    // ORIGINAL shingle sets — so both paths return identical pairs; the
+    // df-computation costs two extra token-key shuffles (dfreq aggregate
+    // + join), which the candidate reduction repays many times over at
+    // corpus scale. The per-id window is per-document work; the dfreq
+    // aggregate is vocabulary-sized (bounded by |alphabet|^n for char
+    // n-grams), not corpus-sized.
+    val pre =
+      if (!freqOrdered)
+        sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
+      else {
+        val toks = sh.select(col("id"), size(col("sh")).as("sz"),
+          explode(col("sh")).as("tok"))
+        val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("dfreq"))
+        toks.join(dfreq, "tok")
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("id").orderBy(col("dfreq"), col("tok"))))
+          .filter(col("pos") <=
+            col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
+          .select(col("id"), col("tok"))
+      }
     val candidates = pre.select(col("tok"), col("id").as("id_a"))
       .join(pre.select(col("tok"), col("id").as("id_b")), Seq("tok"))
       .filter(col("id_a") < col("id_b"))

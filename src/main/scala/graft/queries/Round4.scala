@@ -61,6 +61,22 @@ object Round4 {
       SqlDialect.sql(s, sampleSystemSql)
     }),
 
+    "catalog_explain_analyze" -> ((s, dir) => {
+      // EXPLAIN ANALYZE (reference QueryProfiler, duckdb-7.cpp:5536):
+      // profiler output itself is engine-specific, so the oracle checks
+      // the plan-independent invariant — the topmost operator that
+      // reports an output-row metric emits exactly the query's result
+      // cardinality, whatever physical plan either engine picked.
+      Engine.registerAll(s, dir)
+      val prof = SqlDialect.sql(s,
+        "EXPLAIN ANALYZE SELECT o_orderpriority, count(*) AS n " +
+          "FROM orders GROUP BY o_orderpriority")
+      prof.filter(col("output_rows").isNotNull)
+        .orderBy(col("operator_id"))
+        .limit(1)
+        .select(col("output_rows").cast("long").as("top_rows"))
+    }),
+
     "catalog_functions" -> ((s, dir) => {
       // duckdb_functions() catalog fn (duckdb-6.cpp:14150-14176): the
       // probe list is a fixed set of DuckDB function names graft claims —
@@ -128,6 +144,10 @@ object Round4 {
       (onConflictStatements :+ onConflictSelect).mkString(";\n"),
 
     "sample_system" -> sampleSystemSql,
+
+    "catalog_explain_analyze" ->
+      """SELECT CAST(count(*) AS BIGINT) AS top_rows
+        |FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority)""".stripMargin,
 
     "catalog_functions" -> functionsSql
   )

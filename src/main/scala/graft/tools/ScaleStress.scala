@@ -1,0 +1,287 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Engine
+import graft.operators.{Dedup, Similarity}
+
+/** Scale-stress harness for the dedup/ANN scale paths beyond sf0.1.
+  *
+  * Generates a deterministic (hash-seeded, no RNG state) corpus at a
+  * multiplier of the sf0.1 documents/embeddings tables, with the three
+  * hostile features a 100 TB crawl actually has:
+  *   - planted near-dup twins (known ground truth → recall asserts),
+  *   - skew: empty documents, a boilerplate-heavy source whose docs share
+  *     most of their text (pairwise jaccard ≈ 0.6, below threshold), and
+  *     a block of byte-identical documents / vectors (hot LSH buckets),
+  *   - synthetic long-tail docs that are near-dups of nothing.
+  *
+  * For each operator it records wall seconds, shuffle bytes and shuffle
+  * records (SparkListener stage totals), plus planted-pair recall. The
+  * `main` runs two multipliers and prints a JSON report (committed as
+  * SCALE_STRESS_r{N}.json); ScaleStressSpec runs the small multiplier and
+  * asserts recall = 1.0 and the shuffle budgets.
+  *
+  * Parameter scaling rules (the 100 TB story, applied here concretely):
+  *   - sign-LSH bits per band grow with log2(n) so expected bucket size
+  *     stays constant — a FIXED bucket width would converge to every
+  *     bucket exceeding the skew cap as n grows;
+  *   - IVF cell count grows with sqrt(n) (constant probe work per cell);
+  *   - the prefix filter needs no knob: freq-ordered prefixes keep join
+  *     keys rare at any n (see Dedup.jaccardThresholdPairs).
+  */
+object ScaleStress {
+
+  /** Ids: base replicas in [0, 5000·mult); twins at +1e8; skew at +2e8. */
+  val TwinOffset = 100000000L
+  val SkewOffset = 200000000L
+
+  private def token(seedCol: org.apache.spark.sql.Column) =
+    format_string("t%05d", pmod(xxhash64(seedCol), lit(20011)))
+
+  /** Synthetic token-soup text: 10-60 five-char tokens drawn from a
+    * 20011-token vocabulary by per-(id, position) hash — documents share
+    * tokens (realistic trigram overlap) but no two are near-dups. */
+  private def soupText(idCol: org.apache.spark.sql.Column) = {
+    val nTok = (pmod(xxhash64(idCol, lit("len")), lit(51)) + 10).cast("int")
+    concat_ws(" ", transform(sequence(lit(0), nTok - 1),
+      i => token(concat(idCol.cast("string"), lit("_"), i.cast("string")))))
+  }
+
+  /** Scaled documents table: 5000·mult base rows + planted twins + skew.
+    * Planted twins drop the last 3 chars of a ≥60-char doc → ≥0.92
+    * jaccard on char trigrams, safely above the 0.8 threshold. */
+  def scaledDocuments(spark: SparkSession, baseDir: String, mult: Int): DataFrame = {
+    val base = Engine.table(spark, baseDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val replicas = base
+      .select(col("doc_id"), col("text"), col("source"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("doc_id") * mult + col("r")).as("doc_id"),
+        when(col("r") === 0, col("text"))
+          .otherwise(soupText(col("doc_id") * mult + col("r"))).as("text"),
+        col("source"))
+    val twins = replicas
+      .filter(pmod(col("doc_id"), lit(101)) === 0 && length(col("text")) >= 60)
+      .select((col("doc_id") + TwinOffset).as("doc_id"),
+        expr("substring(text, 1, length(text) - 3)").as("text"),
+        lit("twin").as("source"))
+    // skew block A: empty documents (shingle stage must drop them)
+    val empties = spark.range(mult * 100L)
+      .select((col("id") + SkewOffset).as("doc_id"), lit("").as("text"),
+        lit("empty").as("source"))
+    // skew block B: boilerplate-heavy source — 20 shared tokens + 8
+    // unique ones per doc: pairwise jaccard ≈ 0.6 (below threshold), but
+    // the shared trigrams appear in EVERY one of these docs (the hot
+    // tokens that break hash-ordered prefixes)
+    val boilerBase = (0 until 20).map(i => s"boilerplate$i").mkString(" ")
+    val boiler = spark.range(mult * 100L)
+      .select((col("id") + SkewOffset + 1000000L).as("doc_id"),
+        concat(lit(boilerBase + " "),
+          concat_ws(" ", transform(sequence(lit(0), lit(7)),
+            i => token(concat(col("id").cast("string"), lit("b"), i.cast("string"))))))
+          .as("text"),
+        lit("boiler").as("source"))
+    // skew block C: byte-identical documents (true jac=1.0 pairs; the
+    // exact path must emit all C(n,2) of them, LSH paths may cap)
+    val identText = "identical stress document body shared verbatim by every row of this block"
+    val ident = spark.range(mult * 25L)
+      .select((col("id") + SkewOffset + 2000000L).as("doc_id"),
+        lit(identText).as("text"), lit("ident").as("source"))
+    replicas.unionByName(twins).unionByName(empties)
+      .unionByName(boiler).unionByName(ident)
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  /** Planted document twin pairs (id_a < id_b). */
+  def plantedDocPairs(docs: DataFrame): DataFrame =
+    docs.filter(col("source") === "twin")
+      .select((col("doc_id") - TwinOffset).as("id_a"), col("doc_id").as("id_b"))
+
+  /** Scaled supplier-name table for the fuzzy (Levenshtein ≤ 2) join:
+    * distinct synthetic names + planted edit-distance-1 twins + an
+    * identical-name block. */
+  def scaledNames(spark: SparkSession, baseDir: String, mult: Int): DataFrame = {
+    val base = Engine.table(spark, baseDir, "supplier")
+      .select(col("s_suppkey"), col("s_name"))
+    val replicas = base
+      .select(col("s_suppkey"), col("s_name"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("s_suppkey") * mult + col("r")).as("id"),
+        when(col("r") === 0, col("s_name"))
+          .otherwise(format_string("Supplier#%09d",
+            pmod(xxhash64(col("s_suppkey") * mult + col("r")), lit(999999937L))))
+          .as("name"))
+    val twins = replicas.filter(pmod(col("id"), lit(97)) === 0)
+      .select((col("id") + TwinOffset).as("id"),
+        // substitute the last char → edit distance exactly 1
+        concat(expr("substring(name, 1, length(name) - 1)"), lit("Z")).as("name"))
+    val ident = spark.range(mult * 25L)
+      .select((col("id") + SkewOffset).as("id"), lit("Supplier#000000000").as("name"))
+    replicas.unionByName(twins).unionByName(ident)
+  }
+
+  def plantedNamePairs(names: DataFrame): DataFrame =
+    names.filter(col("id") >= TwinOffset && col("id") < SkewOffset)
+      .select((col("id") - TwinOffset).as("id_a"), col("id").as("id_b"))
+
+  /** Scaled embeddings: fresh pseudo-random unit-ish vectors per replica
+    * (cosine of distinct rows ≈ 0), planted byte-identical twins, and an
+    * identical-vector skew block (hot LSH bucket). */
+  def scaledEmbeddings(spark: SparkSession, baseDir: String, mult: Int): DataFrame = {
+    val base = Engine.table(spark, baseDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val replicas = base
+      .select(col("vec_id"), col("v"),
+        explode(sequence(lit(0), lit(mult - 1))).as("r"))
+      .select((col("vec_id") * mult + col("r")).as("vec_id"),
+        when(col("r") === 0, col("v")).otherwise(
+          transform(sequence(lit(0), lit(63)),
+            j => (pmod(xxhash64(col("vec_id") * mult + col("r"), j), lit(2001)) - 1000)
+              .cast("double") / 1000.0)).as("v"))
+    val twins = replicas.filter(pmod(col("vec_id"), lit(101)) === 0)
+      .select((col("vec_id") + TwinOffset).as("vec_id"), col("v"))
+    val ident = spark.range(mult * 100L)
+      .select((col("id") + SkewOffset).as("vec_id"),
+        transform(sequence(lit(0), lit(63)), _ => lit(1.0)).as("v"))
+    replicas.unionByName(twins).unionByName(ident)
+  }
+
+  def plantedVecPairs(embs: DataFrame): DataFrame =
+    embs.filter(col("vec_id") >= TwinOffset && col("vec_id") < SkewOffset)
+      .select((col("vec_id") - TwinOffset).as("id_a"), col("vec_id").as("id_b"))
+
+  /** Stage-total shuffle accounting across every job run while active. */
+  final class ShuffleMeter extends SparkListener {
+    private val bytes = new java.util.concurrent.atomic.AtomicLong
+    private val records = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val m = sc.stageInfo.taskMetrics
+      if (m != null) {
+        bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+      }
+    }
+    def reset(): Unit = { bytes.set(0L); records.set(0L) }
+    def snapshot: (Long, Long) = (bytes.get, records.get)
+  }
+
+  final case class OpResult(name: String, wallSec: Double, shuffleBytes: Long,
+                            shuffleRecords: Long, outRows: Long,
+                            plantedTotal: Long, plantedFound: Long) {
+    def recall: Double =
+      if (plantedTotal == 0) 1.0 else plantedFound.toDouble / plantedTotal
+  }
+
+  /** Run one operator under the meter; count planted pairs found. */
+  def measure(spark: SparkSession, meter: ShuffleMeter, name: String,
+              result: DataFrame, planted: Option[DataFrame]): OpResult = {
+    meter.reset()
+    val t0 = System.nanoTime()
+    val out = result.localCheckpoint() // materialize once under the meter
+    val n = out.count()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val (b, r) = meter.snapshot
+    val (pTot, pHit) = planted match {
+      case Some(p) =>
+        val tot = p.count()
+        val hit = p.join(out.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
+          .count()
+        (tot, hit)
+      case None => (0L, 0L)
+    }
+    OpResult(name, wall, b, r, n, pTot, pHit)
+  }
+
+  /** LSH bits per band scaled so expected bucket size stays ~32. */
+  def lshBits(n: Long): Int =
+    math.max(8, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
+
+  def runAll(spark: SparkSession, baseDir: String, mult: Int): Seq[OpResult] = {
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+    try {
+      val docs = scaledDocuments(spark, baseDir, mult).localCheckpoint()
+      val names = scaledNames(spark, baseDir, mult).localCheckpoint()
+      val embs = scaledEmbeddings(spark, baseDir, mult).localCheckpoint()
+      val nEmb = embs.count()
+      val docPairs = plantedDocPairs(docs).localCheckpoint()
+      val namePairs = plantedNamePairs(names).localCheckpoint()
+      val vecPairs = plantedVecPairs(embs).localCheckpoint()
+
+      val prefix = measure(spark, meter, "dedup_prefix_filter",
+        Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b")),
+        Some(docPairs))
+
+      val minhash = measure(spark, meter, "dedup_minhash_pairs",
+        Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, maxBucket = 100)
+          .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b")),
+        Some(docPairs))
+
+      val fuzzy = measure(spark, meter, "dedup_fuzzy_names_blocked",
+        Dedup.fuzzyPairs(names, "id", "name", 2)
+          .filter(col("dist") <= 1).select(col("id_a"), col("id_b")),
+        Some(namePairs))
+
+      val bits = lshBits(nEmb)
+      val planes = Similarity.hyperplanes(8 * bits, 64)
+      val lsh = measure(spark, meter, "dedup_embedding_cosine_lsh",
+        Dedup.cosineLshCandidates(embs, "vec_id", "v", planes,
+          numBands = 8, bitsPerBand = bits, maxBucket = 250)
+          .select(col("id_a"), col("id_b")),
+        Some(vecPairs))
+
+      // components over the exact near-dup edge set (prefix-filter pairs):
+      // planted twins must resolve into the SAME component
+      val edges = Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val compDf = Dedup.connectedComponents(edges, "id_a", "id_b")
+      val compPairs = compDf.select(col("id").as("id_a"), col("comp").as("ca"))
+        .join(docPairs, Seq("id_a"))
+        .join(compDf.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"))
+        .filter(col("ca") === col("cb"))
+        .select(col("id_a"), col("id_b"))
+      val comps = measure(spark, meter, "dedup_components",
+        compDf.select(col("id").as("id_a"), col("comp").as("id_b")), None)
+      val compRecallHit = docPairs.join(compPairs, Seq("id_a", "id_b")).count()
+      val compResult = comps.copy(plantedTotal = docPairs.count(),
+        plantedFound = compRecallHit)
+
+      // IVF ANN: queries are 5 planted twins; the byte-identical base
+      // vector must appear in the twin's top-k (sim = 1.0 exactly)
+      val queries = embs.filter(col("vec_id") >= TwinOffset && col("vec_id") < SkewOffset)
+        .orderBy(col("vec_id")).limit(5)
+      val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+      val ivfOut = Similarity.ivfTopK(embs, queries, "vec_id", "v",
+        numCells = cells, nProbe = 4, k = 10)
+      val ivfPlanted = queries.select((col("vec_id") - TwinOffset).as("id_a"),
+        col("vec_id").as("id_b")).localCheckpoint()
+      val ivf = measure(spark, meter, "sim_ivf_topk",
+        ivfOut.select(col("nid").as("id_a"), col("qid").as("id_b")),
+        Some(ivfPlanted))
+
+      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf)
+    } finally spark.sparkContext.removeSparkListener(meter)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val mults = (if (args.length > 1) args(1) else "4,16").split(",").map(_.toInt)
+    val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    val sections = mults.map { m =>
+      val rs = runAll(spark, baseDir, m)
+      val items = rs.map { r =>
+        f""""${r.name}":{"wall_sec":${r.wallSec}%.3f,"shuffle_mb":${r.shuffleBytes / 1e6}%.2f,""" +
+          s""""shuffle_records":${r.shuffleRecords},"out_rows":${r.outRows},""" +
+          s""""planted":${r.plantedTotal},"found":${r.plantedFound},"recall":${r.recall}}"""
+      }.mkString(",")
+      s""""x$m":{$items}"""
+    }
+    println(s"""{"scale_stress":{${sections.mkString(",")}},"base":"$baseDir"}""")
+    spark.stop()
+  }
+}

@@ -91,6 +91,23 @@ class MacroSpec extends SparkSpec {
       .exists(_.getString(0) == "stmt_demo"))
   }
 
+  test("EXPLAIN ANALYZE reports executed-plan operators with row counts") {
+    spark.range(100).selectExpr("id % 7 AS g", "id AS v")
+      .createOrReplaceTempView("ea_demo")
+    val prof = SqlDialect.sql(spark,
+      "EXPLAIN ANALYZE SELECT g, sum(v) AS s FROM ea_demo GROUP BY g").collect()
+    assert(prof.nonEmpty)
+    assert(prof.map(_.getInt(0)).toSeq == prof.indices.toSeq) // stable ids
+    // the topmost operator with an output-rows metric emits the result
+    // cardinality (7 groups) regardless of the physical plan chosen
+    val top = prof.find(!_.isNullAt(3)).get
+    assert(top.getLong(3) == 7L)
+    // some operator observed the 100 scanned input rows
+    assert(prof.exists(r => !r.isNullAt(3) && r.getLong(3) == 100L))
+    // tree shape: child depth strictly increases from the root
+    assert(prof.head.getInt(1) == 0 && prof.exists(_.getInt(1) > 0))
+  }
+
   test("SQL DML: insert is positional, update/delete report changed rows") {
     SqlDialect.sql(spark, "CREATE OR REPLACE TABLE dml_t AS SELECT * FROM VALUES (1, 'a'), (2, 'b') AS t(k, v)")
     val ins = SqlDialect.sql(spark, "INSERT INTO dml_t VALUES (3, 'c'), (4, 'd')")
