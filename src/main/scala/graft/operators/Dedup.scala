@@ -163,6 +163,24 @@ object Dedup {
     * = degenerate text, e.g. empty docs — the cross product would
     * explode; same move as a salting cutoff).
     */
+  /** Drop every row belonging to a bucket larger than `maxBucket` — the
+    * skew cap shared by the LSH candidate generators. Implemented as a
+    * partial-aggregated bucket count + LEFT ANTI join against only the
+    * HOT buckets, not a `count().over(Window.partitionBy(bucket))`: the
+    * window form shuffles and sorts EVERY banded row just to learn its
+    * bucket's size, while the groupBy count combines map-side and the
+    * anti join's right side is at most (rows / maxBucket) buckets — tiny
+    * by construction, so AQE broadcasts it and the big side never moves.
+    */
+  private[graft] def dropHotBuckets(banded: DataFrame, bucketCols: Seq[String],
+                                    maxBucket: Int): DataFrame = {
+    val hot = banded.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("bsize"))
+      .filter(col("bsize") > maxBucket)
+      .select(bucketCols.map(col): _*)
+    banded.join(hot, bucketCols, "left_anti")
+  }
+
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
@@ -178,9 +196,7 @@ object Dedup {
       .select(col("id"), minhashSigUdf(col("sh"), lit(numHashes)).as("sig"))
       .select(col("id"), explode(bandKeys(col("sig"), numBands, rows)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val pruned = withBands
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsize") <= maxBucket)
+    val pruned = dropHotBuckets(withBands, Seq("band", "bucket"), maxBucket)
     val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
@@ -327,9 +343,7 @@ object Dedup {
     val banded = df
       .select(col(idCol).as("id"), bucketU(col(vecCol)).as("bks"))
       .select(col("id"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    val capped = banded
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("band", "bucket")))
-      .filter(col("bsize") <= maxBucket)
+    val capped = dropHotBuckets(banded, Seq("band", "bucket"), maxBucket)
     capped.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))

@@ -220,14 +220,15 @@ object Similarity {
                        numPlanes: Int = 12, dim: Int = 64, k: Int = 5,
                        maxBucket: Int = 1000): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("bucket", lshBucket(col("v"), planes))
-      // skew guard (same move as Dedup.minhashCandidates): a degenerate
-      // bucket — e.g. all-zero vectors hashing together — would make the
-      // in-bucket self-join quadratic; cap it like a salting cutoff
-      .withColumn("bsize", count(lit(1)).over(Window.partitionBy("bucket")))
-      .filter(col("bsize") <= maxBucket)
-      .drop("bsize")
+    // skew guard (same move as Dedup.minhashCandidates): a degenerate
+    // bucket — e.g. all-zero vectors hashing together — would make the
+    // in-bucket self-join quadratic; cap it like a salting cutoff
+    // (partial-agg count + anti join on hot buckets — see
+    // Dedup.dropHotBuckets for why not a window)
+    val b = Dedup.dropHotBuckets(
+      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+        .withColumn("bucket", lshBucket(col("v"), planes)),
+      Seq("bucket"), maxBucket)
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))

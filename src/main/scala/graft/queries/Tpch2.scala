@@ -51,14 +51,24 @@ object Tpch2 {
     }),
 
     "tpch_q10ish" -> ((s, dir) => {
+      // aggregate the FACT side down to one row per customer key before
+      // the dimension join: the lineitem⋈orders revenue rolls up to
+      // |customer| rows first, then the (broadcastable) customer table
+      // attaches name/acctbal — c_name never rides through the fact
+      // shuffle and the dim join moves |customer| rows, not |lineitem|
       val c = t(s, dir, "customer"); val o = t(s, dir, "orders")
       val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
       val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
-        .agg(round(sum(rev), 2).as("revenue"),
-          round(first(col("c_acctbal")), 2).as("c_acctbal"))
+      val perCust = l.select(col("l_orderkey"), rev.as("rev"))
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("rev")).as("raw_rev"))
+      perCust
+        .join(c.select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+          col("c_custkey") === col("o_custkey"))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("raw_rev"), 2).as("revenue"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
     }),

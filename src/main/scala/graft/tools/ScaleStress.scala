@@ -50,8 +50,9 @@ object ScaleStress {
   }
 
   /** Scaled documents table: 5000·mult base rows + planted twins + skew.
-    * Planted twins drop the last 3 chars of a ≥60-char doc → ≥0.92
-    * jaccard on char trigrams, safely above the 0.8 threshold. */
+    * Planted twins truncate the last 3 chars (mutating only the final
+    * token) of a ≥12-token doc → word-3-gram jaccard ≥ (S-1)/(S+1) ≥
+    * 0.818, safely above the 0.8 threshold. */
   def scaledDocuments(spark: SparkSession, baseDir: String, mult: Int): DataFrame = {
     val base = Engine.table(spark, baseDir, "documents")
       .select(col("doc_id"), col("text"), col("source"))
@@ -63,7 +64,12 @@ object ScaleStress {
           .otherwise(soupText(col("doc_id") * mult + col("r"))).as("text"),
         col("source"))
     val twins = replicas
-      .filter(pmod(col("doc_id"), lit(101)) === 0 && length(col("text")) >= 60)
+      // shingles are word 3-grams: a doc with T tokens has S = T-2
+      // shingles, and the twin (last token truncated) differs in exactly
+      // one → jac = (S-1)/(S+1), which clears the 0.8 threshold only for
+      // S ≥ 9 — so plant only on docs with ≥ 12 tokens (margin of one)
+      .filter(pmod(col("doc_id"), lit(101)) === 0 &&
+        size(split(col("text"), " ")) >= 12)
       .select((col("doc_id") + TwinOffset).as("doc_id"),
         expr("substring(text, 1, length(text) - 3)").as("text"),
         lit("twin").as("source"))
@@ -175,19 +181,23 @@ object ScaleStress {
       if (plantedTotal == 0) 1.0 else plantedFound.toDouble / plantedTotal
   }
 
-  /** Run one operator under the meter; count planted pairs found. */
+  /** Run one operator under the meter; count planted pairs found. The
+    * result is deliberately NOT cached/checkpointed: pinned blocks from
+    * earlier operators would bleed GC pressure into later measurements
+    * (observed as a 20× wall inflation at x16 under an 8g heap). The
+    * planted-recall join recomputes the operator once, outside the timed
+    * window and after the meter snapshot. */
   def measure(spark: SparkSession, meter: ShuffleMeter, name: String,
               result: DataFrame, planted: Option[DataFrame]): OpResult = {
     meter.reset()
     val t0 = System.nanoTime()
-    val out = result.localCheckpoint() // materialize once under the meter
-    val n = out.count()
+    val n = result.count()
     val wall = (System.nanoTime() - t0) / 1e9
     val (b, r) = meter.snapshot
     val (pTot, pHit) = planted match {
       case Some(p) =>
         val tot = p.count()
-        val hit = p.join(out.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
+        val hit = p.join(result.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
           .count()
         (tot, hit)
       case None => (0L, 0L)
@@ -235,10 +245,15 @@ object ScaleStress {
         Some(vecPairs))
 
       // components over the exact near-dup edge set (prefix-filter pairs):
-      // planted twins must resolve into the SAME component
+      // planted twins must resolve into the SAME component.
+      // localEdgeLimit=0 forces the DISTRIBUTED large-star/small-star
+      // loop — the tier a 100 TB edge list would take — instead of the
+      // driver-local union-find shortcut that these edge counts (≤100k)
+      // would otherwise use.
       val edges = Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
         .select(col("id_a"), col("id_b")).localCheckpoint()
-      val compDf = Dedup.connectedComponents(edges, "id_a", "id_b")
+      val compDf = Dedup.connectedComponents(edges, "id_a", "id_b",
+        localEdgeLimit = 0L)
       val compPairs = compDf.select(col("id").as("id_a"), col("comp").as("ca"))
         .join(docPairs, Seq("id_a"))
         .join(compDf.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"))
@@ -263,6 +278,11 @@ object ScaleStress {
         ivfOut.select(col("nid").as("id_a"), col("qid").as("id_b")),
         Some(ivfPlanted))
 
+      // free this section's pinned checkpoint blocks so the next
+      // multiplier's measurements start from a clean heap
+      Seq(docs, names, embs, docPairs, namePairs, vecPairs, edges, ivfPlanted)
+        .foreach(df => try df.unpersist(blocking = true)
+        catch { case _: Throwable => () })
       Seq(prefix, minhash, fuzzy, lsh, compResult, ivf)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
