@@ -128,6 +128,35 @@ object Dedup {
     out
   }
 
+  /** MinHash signature + LSH banding fused in one compiled kernel:
+    * returns `numBands` bucket hashes (index = band). Semantically the
+    * composition minhashSig → bandKeys, but the banding happens on the
+    * signature array in place — no interpreted `transform`/`slice`/
+    * `concat_ws` lambdas on the hot path, and the per-row generated code
+    * stays small enough to JIT. Docs sharing a bucket at index b agree on
+    * signature slots [b·rows, (b+1)·rows). */
+  def minhashBandBuckets(sh: Seq[Long], numHashes: Int, numBands: Int): Array[Long] = {
+    val sig = minhashSig(sh, numHashes)
+    val rows = numHashes / numBands
+    val out = new Array[Long](numBands)
+    var b = 0
+    while (b < numBands) {
+      var h = 0xcbf29ce484222325L ^ b
+      var i = b * rows
+      val end = i + rows
+      while (i < end) {
+        // FNV-1a over the 8 bytes of each slot value
+        var v = sig(i)
+        var byte = 0
+        while (byte < 8) { h ^= (v & 0xffL); h *= 0x100000001b3L; v >>>= 8; byte += 1 }
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    out
+  }
+
   /** Jaccard of two SORTED long arrays — two-pointer merge, O(n+m). */
   def jaccardSortedLongs(a: Seq[Long], b: Seq[Long]): Double = {
     val xa = a.toArray; val xb = b.toArray
@@ -143,6 +172,7 @@ object Dedup {
 
   val hashedShinglesUdf = udf(hashedShingles _)
   val minhashSigUdf = udf(minhashSig _)
+  val minhashBandBucketsUdf = udf(minhashBandBuckets _)
   val jaccardSortedLongsUdf = udf(jaccardSortedLongs _)
 
   /** Codegen form of [[jaccardSortedLongs]] (graft.plans.JaccardSorted):
@@ -184,18 +214,19 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
-    val rows = numHashes / numBands
     val sh = df
       .select(col(idCol).as("id"),
         hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
       .filter(size(col("sh")) > 0)
     // band-join carries only (band, bucket, id) — the shingle arrays are
     // re-joined for scoring AFTER candidate dedup, so the wide rows never
-    // go through the candidate shuffle
+    // go through the candidate shuffle. Banding runs inside the fused
+    // compiled kernel (minhashBandBuckets), not the interpreted
+    // bandKeys expression form.
     val withBands = sh
-      .select(col("id"), minhashSigUdf(col("sh"), lit(numHashes)).as("sig"))
-      .select(col("id"), explode(bandKeys(col("sig"), numBands, rows)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .select(col("id"),
+        posexplode(minhashBandBucketsUdf(col("sh"), lit(numHashes), lit(numBands)))
+          .as(Seq("band", "bucket")))
     val pruned = dropHotBuckets(withBands, Seq("band", "bucket"), maxBucket)
     val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),

@@ -159,15 +159,27 @@ object ScaleStress {
     embs.filter(col("vec_id") >= TwinOffset && col("vec_id") < SkewOffset)
       .select((col("vec_id") - TwinOffset).as("id_a"), col("vec_id").as("id_b"))
 
-  /** Stage-total shuffle accounting across every job run while active. */
+  /** Stage-total shuffle accounting across every job run while active.
+    * With `-DscaleStress.stageLog=true` also prints per-stage CPU/wall so
+    * a superlinear operator can be attributed to a specific stage. */
   final class ShuffleMeter extends SparkListener {
     private val bytes = new java.util.concurrent.atomic.AtomicLong
     private val records = new java.util.concurrent.atomic.AtomicLong
+    private val stageLog = java.lang.Boolean.getBoolean("scaleStress.stageLog") ||
+      sys.env.get("SCALE_STRESS_STAGELOG").contains("true")
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val m = sc.stageInfo.taskMetrics
       if (m != null) {
         bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         records.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        if (stageLog && m.executorRunTime > 500) {
+          // scalastyle:off println
+          println(f"[stage ${sc.stageInfo.stageId}%4d] run=${m.executorRunTime / 1e3}%7.1fs " +
+            f"cpu=${m.executorCpuTime / 1e9}%7.1fs gc=${m.jvmGCTime / 1e3}%5.1fs " +
+            f"tasks=${sc.stageInfo.numTasks}%3d recs=${m.shuffleWriteMetrics.recordsWritten}%9d " +
+            sc.stageInfo.name.takeWhile(_ != '\n').take(90))
+          // scalastyle:on println
+        }
       }
     }
     def reset(): Unit = { bytes.set(0L); records.set(0L) }
@@ -186,14 +198,28 @@ object ScaleStress {
     * earlier operators would bleed GC pressure into later measurements
     * (observed as a 20× wall inflation at x16 under an 8g heap). The
     * planted-recall join recomputes the operator once, outside the timed
-    * window and after the meter snapshot. */
+    * window and after the meter snapshot.
+    *
+    * Timing = one warm pass, then min of two timed passes — the Bench
+    * protocol. In a single long-lived local JVM the FIRST execution of a
+    * stage can run interpreted while HotSpot's compile queue is jammed
+    * with earlier generated classes (observed: the same stage at 6 s
+    * JIT-compiled vs 246 s interpreted, pure CPU, zero GC); a cluster
+    * executor running a multi-minute 100 TB stage warms up in its first
+    * seconds, so cold-JIT wall is measurement noise here, not signal. */
   def measure(spark: SparkSession, meter: ShuffleMeter, name: String,
               result: DataFrame, planted: Option[DataFrame]): OpResult = {
-    meter.reset()
-    val t0 = System.nanoTime()
-    val n = result.count()
-    val wall = (System.nanoTime() - t0) / 1e9
-    val (b, r) = meter.snapshot
+    val n = result.count() // warm pass (JIT + AQE plan settled)
+    var wall = Double.MaxValue
+    var snap = (0L, 0L)
+    for (_ <- 1 to 2) {
+      meter.reset()
+      val t0 = System.nanoTime()
+      result.count()
+      val w = (System.nanoTime() - t0) / 1e9
+      if (w < wall) { wall = w; snap = meter.snapshot }
+    }
+    val (b, r) = snap
     val (pTot, pHit) = planted match {
       case Some(p) =>
         val tot = p.count()
@@ -209,8 +235,10 @@ object ScaleStress {
   def lshBits(n: Long): Int =
     math.max(8, math.ceil(math.log(n / 32.0) / math.log(2)).toInt)
 
-  def runAll(spark: SparkSession, baseDir: String, mult: Int): Seq[OpResult] = {
+  def runAll(spark: SparkSession, baseDir: String, mult: Int,
+             only: Set[String] = Set.empty): Seq[OpResult] = {
     val meter = new ShuffleMeter
+    def wanted(n: String) = only.isEmpty || only.exists(n.contains)
     spark.sparkContext.addSparkListener(meter)
     try {
       val docs = scaledDocuments(spark, baseDir, mult).localCheckpoint()
@@ -221,28 +249,33 @@ object ScaleStress {
       val namePairs = plantedNamePairs(names).localCheckpoint()
       val vecPairs = plantedVecPairs(embs).localCheckpoint()
 
-      val prefix = measure(spark, meter, "dedup_prefix_filter",
-        Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
-          .select(col("id_a"), col("id_b")),
-        Some(docPairs))
+      val prefix = if (!wanted("prefix")) None else Some(
+        measure(spark, meter, "dedup_prefix_filter",
+          Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
+            .select(col("id_a"), col("id_b")),
+          Some(docPairs)))
 
-      val minhash = measure(spark, meter, "dedup_minhash_pairs",
-        Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, maxBucket = 100)
-          .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b")),
-        Some(docPairs))
+      val minhash = if (!wanted("minhash")) None else Some(
+        measure(spark, meter, "dedup_minhash_pairs",
+          Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, maxBucket = 100)
+            .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b")),
+          Some(docPairs)))
 
-      val fuzzy = measure(spark, meter, "dedup_fuzzy_names_blocked",
-        Dedup.fuzzyPairs(names, "id", "name", 2)
-          .filter(col("dist") <= 1).select(col("id_a"), col("id_b")),
-        Some(namePairs))
+      val fuzzy = if (!wanted("fuzzy")) None else Some(
+        measure(spark, meter, "dedup_fuzzy_names_blocked",
+          Dedup.fuzzyPairs(names, "id", "name", 2)
+            .filter(col("dist") <= 1).select(col("id_a"), col("id_b")),
+          Some(namePairs)))
 
-      val bits = lshBits(nEmb)
-      val planes = Similarity.hyperplanes(8 * bits, 64)
-      val lsh = measure(spark, meter, "dedup_embedding_cosine_lsh",
-        Dedup.cosineLshCandidates(embs, "vec_id", "v", planes,
-          numBands = 8, bitsPerBand = bits, maxBucket = 250)
-          .select(col("id_a"), col("id_b")),
-        Some(vecPairs))
+      val lsh = if (!wanted("lsh")) None else Some {
+        val bits = lshBits(nEmb)
+        val planes = Similarity.hyperplanes(8 * bits, 64)
+        measure(spark, meter, "dedup_embedding_cosine_lsh",
+          Dedup.cosineLshCandidates(embs, "vec_id", "v", planes,
+            numBands = 8, bitsPerBand = bits, maxBucket = 250)
+            .select(col("id_a"), col("id_b")),
+          Some(vecPairs))
+      }
 
       // components over the exact near-dup edge set (prefix-filter pairs):
       // planted twins must resolve into the SAME component.
@@ -250,50 +283,58 @@ object ScaleStress {
       // loop — the tier a 100 TB edge list would take — instead of the
       // driver-local union-find shortcut that these edge counts (≤100k)
       // would otherwise use.
-      val edges = Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
-      val compDf = Dedup.connectedComponents(edges, "id_a", "id_b",
-        localEdgeLimit = 0L)
-      val compPairs = compDf.select(col("id").as("id_a"), col("comp").as("ca"))
-        .join(docPairs, Seq("id_a"))
-        .join(compDf.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"))
-        .filter(col("ca") === col("cb"))
-        .select(col("id_a"), col("id_b"))
-      val comps = measure(spark, meter, "dedup_components",
-        compDf.select(col("id").as("id_a"), col("comp").as("id_b")), None)
-      val compRecallHit = docPairs.join(compPairs, Seq("id_a", "id_b")).count()
-      val compResult = comps.copy(plantedTotal = docPairs.count(),
-        plantedFound = compRecallHit)
+      var edges: Option[DataFrame] = None
+      val compResult = if (!wanted("components")) None else Some {
+        val e = Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
+          .select(col("id_a"), col("id_b")).localCheckpoint()
+        edges = Some(e)
+        val compDf = Dedup.connectedComponents(e, "id_a", "id_b",
+          localEdgeLimit = 0L)
+        val compPairs = compDf.select(col("id").as("id_a"), col("comp").as("ca"))
+          .join(docPairs, Seq("id_a"))
+          .join(compDf.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"))
+          .filter(col("ca") === col("cb"))
+          .select(col("id_a"), col("id_b"))
+        val comps = measure(spark, meter, "dedup_components",
+          compDf.select(col("id").as("id_a"), col("comp").as("id_b")), None)
+        val compRecallHit = docPairs.join(compPairs, Seq("id_a", "id_b")).count()
+        comps.copy(plantedTotal = docPairs.count(), plantedFound = compRecallHit)
+      }
 
       // IVF ANN: queries are 5 planted twins; the byte-identical base
       // vector must appear in the twin's top-k (sim = 1.0 exactly)
-      val queries = embs.filter(col("vec_id") >= TwinOffset && col("vec_id") < SkewOffset)
-        .orderBy(col("vec_id")).limit(5)
-      val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
-      val ivfOut = Similarity.ivfTopK(embs, queries, "vec_id", "v",
-        numCells = cells, nProbe = 4, k = 10)
-      val ivfPlanted = queries.select((col("vec_id") - TwinOffset).as("id_a"),
-        col("vec_id").as("id_b")).localCheckpoint()
-      val ivf = measure(spark, meter, "sim_ivf_topk",
-        ivfOut.select(col("nid").as("id_a"), col("qid").as("id_b")),
-        Some(ivfPlanted))
+      val ivf = if (!wanted("ivf")) None else Some {
+        val queries = embs.filter(col("vec_id") >= TwinOffset && col("vec_id") < SkewOffset)
+          .orderBy(col("vec_id")).limit(5)
+        val cells = math.max(16, math.ceil(math.sqrt(nEmb.toDouble)).toInt)
+        val ivfOut = Similarity.ivfTopK(embs, queries, "vec_id", "v",
+          numCells = cells, nProbe = 4, k = 10)
+        val ivfPlanted = queries.select((col("vec_id") - TwinOffset).as("id_a"),
+          col("vec_id").as("id_b")).localCheckpoint()
+        val r = measure(spark, meter, "sim_ivf_topk",
+          ivfOut.select(col("nid").as("id_a"), col("qid").as("id_b")),
+          Some(ivfPlanted))
+        ivfPlanted.unpersist(blocking = true)
+        r
+      }
 
       // free this section's pinned checkpoint blocks so the next
       // multiplier's measurements start from a clean heap
-      Seq(docs, names, embs, docPairs, namePairs, vecPairs, edges, ivfPlanted)
+      (Seq(docs, names, embs, docPairs, namePairs, vecPairs) ++ edges)
         .foreach(df => try df.unpersist(blocking = true)
         catch { case _: Throwable => () })
-      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf)
+      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf).flatten
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 
   def main(args: Array[String]): Unit = {
     val baseDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val mults = (if (args.length > 1) args(1) else "4,16").split(",").map(_.toInt)
+    val only = if (args.length > 2) args(2).split(",").toSet else Set.empty[String]
     val spark = Engine.session(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     spark.sparkContext.setLogLevel("WARN")
     val sections = mults.map { m =>
-      val rs = runAll(spark, baseDir, m)
+      val rs = runAll(spark, baseDir, m, only)
       val items = rs.map { r =>
         f""""${r.name}":{"wall_sec":${r.wallSec}%.3f,"shuffle_mb":${r.shuffleBytes / 1e6}%.2f,""" +
           s""""shuffle_records":${r.shuffleRecords},"out_rows":${r.outRows},""" +
