@@ -556,9 +556,35 @@ object Round3 {
     }),
 
     "tpch_q21ish" -> ((s, dir) => {
-      // double-correlated EXISTS + NOT EXISTS on the same relation
-      Engine.registerAll(s, dir)
-      s.sql(Round3.q21Sql)
+      // double-correlated EXISTS + NOT EXISTS on the same relation.
+      // Catalyst decorrelates the SQL form into a semi + anti join —
+      // three shuffles of lineitem. Both correlations are per-order
+      // scalars, so fold them into ONE aggregate pass instead:
+      //   NOT EXISTS (l3.l_shipdate > l1.l_shipdate)
+      //     ⟺ l1.l_shipdate = max(l_shipdate) over the order
+      //   EXISTS (l2.l_suppkey <> l1.l_suppkey)
+      //     ⟺ the order has ≥ 2 distinct suppliers
+      // lineitem shuffles on l_orderkey twice (agg + join-back, AQE
+      // co-partitions) instead of three times, and the anti join's
+      // row-at-a-time probe disappears.
+      val l = Engine.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val perOrder = l.groupBy(col("l_orderkey"))
+        .agg(max(col("l_shipdate")).as("max_ship"),
+          countDistinct(col("l_suppkey")).as("nsupp"))
+      val waiting = l.join(perOrder, "l_orderkey")
+        .filter(col("l_shipdate") === col("max_ship") && col("nsupp") >= 2)
+      val o = Engine.table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val su = broadcast(Engine.table(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_name")))
+      waiting.join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
     }),
 
     "sql_copy_parquet" -> ((s, dir) => {
