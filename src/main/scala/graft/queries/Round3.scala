@@ -567,13 +567,17 @@ object Round3 {
       // lineitem shuffles on l_orderkey twice (agg + join-back, AQE
       // co-partitions) instead of three times, and the anti join's
       // row-at-a-time probe disappears.
-      val l = Engine.table(s, dir, "lineitem")
+      // ≥2 distinct suppliers ⟺ min(suppkey) ≠ max(suppkey): a one-phase
+      // window aggregate, no countDistinct expand. The window is the ONLY
+      // lineitem shuffle; the orders join reuses its hash(l_orderkey)
+      // partitioning (orders alone shuffles), supplier broadcasts.
+      val ow = org.apache.spark.sql.expressions.Window.partitionBy(col("l_orderkey"))
+      val waiting = Engine.table(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-      val perOrder = l.groupBy(col("l_orderkey"))
-        .agg(max(col("l_shipdate")).as("max_ship"),
-          countDistinct(col("l_suppkey")).as("nsupp"))
-      val waiting = l.join(perOrder, "l_orderkey")
-        .filter(col("l_shipdate") === col("max_ship") && col("nsupp") >= 2)
+        .withColumn("max_ship", max(col("l_shipdate")).over(ow))
+        .withColumn("supp_lo", min(col("l_suppkey")).over(ow))
+        .withColumn("supp_hi", max(col("l_suppkey")).over(ow))
+        .filter(col("l_shipdate") === col("max_ship") && col("supp_lo") =!= col("supp_hi"))
       val o = Engine.table(s, dir, "orders")
         .filter(col("o_orderstatus") === "F")
         .select(col("o_orderkey"))

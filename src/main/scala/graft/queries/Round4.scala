@@ -1,14 +1,23 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.{Engine, SqlDialect}
 
-/** Round-4 additions: automatic range-join planning coverage and the
+/** Round-4 additions: automatic range-join planning coverage, the
   * remaining DuckDB v0.7 surface gaps (ON CONFLICT, system sampling,
-  * duckdb_functions()).
+  * duckdb_functions()), and three training-data curation operators —
+  * benchmark decontamination, sequence packing, stratified quota
+  * sampling — each with an exact SQL oracle.
   */
 object Round4 {
+
+  /** Whitespace tokens, lowercased, empties dropped — the shared
+    * tokenization for the curation ops (identical regex semantics in
+    * Spark and the DuckDB oracle, so gram strings compare exactly). */
+  private def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), x => x =!= "")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
@@ -84,6 +93,69 @@ object Round4 {
       // fails the hash compare, so this catches registry drift both ways
       Engine.registerAll(s, dir)
       SqlDialect.sql(s, functionsSql)
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: flag training docs whose word 8-grams
+      // overlap a held-out eval source (src0 plays the benchmark). The
+      // eval gram set is tiny by nature (benchmarks are MBs, corpora are
+      // TBs) so it is BROADCAST — the corpus is never shuffled for the
+      // probe; grams of a doc stay in the doc's input partition, so the
+      // per-doc hit count partial-aggregates to one row per doc before
+      // the only shuffle.
+      val docs = t(s, dir, "documents")
+      val grams = docs.select(col("doc_id"), col("source"), wsTokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(array_distinct(transform(sequence(lit(0), size(col("w")) - 8),
+            i => array_join(slice(col("w"), i + 1, lit(8)), " ")))).as("g"))
+      val ev = grams.filter(col("source") === "src0")
+        .select(col("g")).distinct().withColumn("hit", lit(1))
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(ev), Seq("g"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+        .filter(col("n_hit") > 0)
+        .withColumn("contam", round(col("n_hit") / col("n_grams"), 6))
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      // Concatenate-and-chunk sequence packing (GPT-style): per
+      // (source, shard) the token stream is laid out in doc_id order and
+      // cut every 512 tokens; each doc is assigned the sequence its first
+      // token lands in. Sharding by doc_id % 8 bounds every window
+      // partition — the scale answer to "a total order per source is a
+      // one-reducer sort at 100 TB".
+      val docs = t(s, dir, "documents")
+      val toksz = docs.select(col("doc_id"), col("source"),
+          size(wsTokens(col("text"))).cast("long").as("tok"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      toksz.withColumn("seq_id",
+          floor((sum(col("tok")).over(w) - col("tok")) / lit(512.0)).cast("long"))
+        .groupBy(col("source"), col("shard"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("shard"), col("seq_id"))
+    }),
+
+    "pipeline_quota_sample" -> ((s, dir) => {
+      // Stratified quota sampling: exactly 10 docs per source, chosen by
+      // a seedless arithmetic hash (LCG over doc_id) both engines compute
+      // bit-identically — deterministic curation sampling without
+      // engine-local RNG. One window shuffle on the strata key; rank
+      // truncation is a TopK per stratum, not a global sort.
+      val docs = t(s, dir, "documents")
+      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(1103515245L) + lit(12345L),
+        lit(2147483647L))
+      val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+      docs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
     })
   )
 
@@ -149,6 +221,50 @@ object Round4 {
       """SELECT CAST(count(*) AS BIGINT) AS top_rows
         |FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority)""".stripMargin,
 
-    "catalog_functions" -> functionsSql
+    "catalog_functions" -> functionsSql,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w)-6)) AS t(i) WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (g IN (SELECT g FROM ev)) AS n_hit,
+        |  round(count(*) FILTER (g IN (SELECT g FROM ev)) / CAST(count(*) AS DOUBLE), 6) AS contam
+        |FROM grams WHERE source <> 'src0'
+        |GROUP BY doc_id HAVING n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH toksz AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |seq AS (
+        |  SELECT source, shard, doc_id, tok,
+        |    CAST(floor((sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id)
+        |                - tok) / 512.0) AS BIGINT) AS seq_id
+        |  FROM toksz)
+        |SELECT source, shard, seq_id, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM seq GROUP BY source, shard, seq_id
+        |ORDER BY source, shard, seq_id""".stripMargin,
+
+    "pipeline_quota_sample" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ((doc_id % 1000003) * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM ranked WHERE rn <= 10
+        |GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariants of the round-4 training-data curation queries beyond the
+  * oracle hash compare (which pins exact values at sf0.01): packing
+  * conserves docs and produces contiguous sequence ids, quota sampling
+  * is exact and deterministic, decontamination broadcasts the eval side.
+  */
+class CurationOpsSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pipeline_pack_sequences conserves docs and numbers sequences contiguously") {
+    val out = SparkEntry.queries("pipeline_pack_sequences")(spark, dir).cache()
+    val totalDocs = Engine.table(spark, dir, "documents").count()
+    assert(out.agg(sum("n_docs")).head().getLong(0) == totalDocs)
+    // per (source, shard): seq_ids are 0..max with no gaps, and every
+    // sequence holds at least one doc with a positive token count
+    val bad = out.groupBy("source", "shard")
+      .agg(min("seq_id").as("lo"), max("seq_id").as("hi"), count(lit(1)).as("n"))
+      .filter(col("lo") =!= 0 || col("hi") =!= col("n") - 1)
+    assert(bad.isEmpty, bad.collect().mkString(", "))
+    assert(out.filter(col("n_tokens") <= 0).isEmpty)
+    out.unpersist()
+  }
+
+  test("pipeline_quota_sample takes exactly min(10, stratum size) per source, deterministically") {
+    val docs = Engine.table(spark, dir, "documents")
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val run1 = SparkEntry.queries("pipeline_quota_sample")(spark, dir).collect()
+    val run2 = SparkEntry.queries("pipeline_quota_sample")(spark, dir).collect()
+    assert(run1.toSeq == run2.toSeq, "quota sample is not deterministic")
+    run1.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getLong(1) == math.min(10L, sizes(src)),
+        s"$src sampled ${r.getLong(1)} of ${sizes(src)}")
+    }
+  }
+
+  test("text_decontaminate broadcasts the eval gram set (corpus side never shuffles for the probe)") {
+    val plan = SparkEntry.queries("text_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
+  test("text_decontaminate flags a planted contaminated doc and nothing clean") {
+    import spark.implicits._
+    // synthetic corpus written through the same query path: src0 = eval
+    val mk = (id: Long, src: String, text: String) => (id, text, "en", src, text.length.toLong)
+    val eval1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val clean = "one two three four five six seven eight nine ten eleven twelve"
+    val tmp = java.nio.file.Files.createTempDirectory("decontam").toString
+    Seq(
+      mk(1L, "src0", eval1),
+      mk(2L, "srcA", eval1 + " lambda mu"), // contains every eval 8-gram window start
+      mk(3L, "srcA", clean)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("text_decontaminate")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.contains(2L) && out(2L) >= 3, s"planted dup not flagged: $out")
+    assert(!out.contains(3L), s"clean doc flagged: $out")
+  }
+}
