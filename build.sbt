@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Whole-stage codegen emits one class per stage per query; a full
+  // 187-query Bench/Verify pass overflows the default 240m reserved
+  // code cache, HotSpot stops JIT-compiling, and late queries run
+  // interpreted (observed: the same window stage 0.7s compiled vs 6s
+  // interpreted). Irrelevant on a cluster executor running one query.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_CODE_CACHE", "1g")}",
 )

@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: benchmark decontamination,
+  * concatenate-and-chunk sequence packing, stratified quota sampling.
+  * All three are pure DataFrame transforms with no driver-side state;
+  * the scale rationale per operator is on its doc comment (stress-tested
+  * beyond sf0.1 in `tools/ScaleStress`).
+  */
+object Curation {
+
+  /** Whitespace tokens, lowercased, empties dropped — shared by the
+    * curation ops and replayed exactly by the DuckDB oracles
+    * (`regexp_split_to_array(lower(text), '\s+')` + list_filter). */
+  def wsTokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), x => x =!= "")
+
+  /** Distinct word n-grams from a MATERIALIZED token-array column.
+    * The token array must be a real column, not an inline expression:
+    * the slice lambda references it once per gram, and Catalyst does
+    * not CSE an expression into a higher-order-function body — an
+    * inlined split would re-tokenize the doc once PER GRAM (measured
+    * 3× on the decontamination pass). */
+  def wordGramsFromTokens(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(0), size(w) - n),
+        i => array_join(slice(w, i + 1, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-doc (id, g) distinct-gram rows with tokens materialized once. */
+  private def gramRows(df: DataFrame, idCols: Seq[String], textCol: String,
+                       n: Int): DataFrame =
+    df.select(idCols.map(col) :+ wsTokens(col(textCol)).as("w"): _*)
+      .select(idCols.map(col) :+ explode(wordGramsFromTokens(col("w"), n)).as("g"): _*)
+
+  /** Benchmark decontamination: per training doc, how many of its
+    * distinct word n-grams appear in the eval corpus (`evalDf`, already
+    * reduced to one `g` column of distinct grams). The eval side is
+    * BROADCAST — benchmarks are MBs while corpora are TBs — so the
+    * training corpus is never shuffled for the probe: grams of a doc
+    * explode inside the doc's input partition and the per-doc hit count
+    * partial-aggregates to one row per doc before the only shuffle.
+    * Hot grams (boilerplate shared by millions of docs) cost nothing
+    * extra: the probe is map-side, there is no shuffle-by-gram.
+    */
+  def decontaminate(train: DataFrame, idCol: String, textCol: String,
+                    evalDf: DataFrame, n: Int = 8): DataFrame = {
+    val grams = gramRows(train, Seq(idCol), textCol, n)
+    grams.join(broadcast(evalDf.select(col("g")).distinct().withColumn("hit", lit(1))),
+        Seq("g"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
+      .filter(col("n_hit") > 0)
+      .withColumn("contam", round(col("n_hit") / col("n_grams"), 6))
+  }
+
+  /** Distinct-gram eval set for [[decontaminate]] from a corpus slice. */
+  def evalGrams(evalDocs: DataFrame, textCol: String, n: Int = 8): DataFrame =
+    evalDocs.select(wsTokens(col(textCol)).as("w"))
+      .select(explode(wordGramsFromTokens(col("w"), n)).as("g")).distinct()
+
+  /** Concatenate-and-chunk sequence packing (GPT-style): within each
+    * (strata, shard) the token stream is laid out in id order and cut
+    * every `budget` tokens; a doc belongs to the sequence its first
+    * token lands in. `numShards` bounds every window partition — ONE
+    * window per stratum is a one-reducer sort once a stratum holds
+    * billions of docs, so shard count must grow with corpus size
+    * (ScaleStress scales it with the multiplier; the fixed inventory
+    * query pins 8 for the oracle).
+    */
+  def packSequences(docs: DataFrame, idCol: String, strataCol: String,
+                    textCol: String, budget: Int, numShards: Int): DataFrame = {
+    val toksz = docs.select(col(idCol), col(strataCol),
+        size(wsTokens(col(textCol))).cast("long").as("tok"))
+      .withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
+    val w = Window.partitionBy(col(strataCol), col("shard")).orderBy(col(idCol))
+    toksz.withColumn("seq_id",
+        floor((sum(col("tok")).over(w) - col("tok")) / lit(budget.toDouble)).cast("long"))
+      .groupBy(col(strataCol), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
+        min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
+  }
+
+  /** Seedless LCG hash over an id — bit-identical in any engine doing
+    * 64-bit integer arithmetic (the DuckDB oracle replays it in SQL),
+    * so the sample is reproducible across engines and cluster layouts. */
+  def lcgHash(id: Column): Column =
+    pmod(pmod(id, lit(1000003L)) * lit(1103515245L) + lit(12345L), lit(2147483647L))
+
+  /** Stratified quota sampling: exactly min(quota, stratum size) rows
+    * per stratum, the `quota` smallest by [[lcgHash]]. Two-phase rank:
+    * phase 1 takes the per-(stratum, shard) top `quota` (bounded window
+    * partitions — a single per-stratum window is a one-reducer sort at
+    * corpus scale), phase 2 ranks the surviving ≤ numShards·quota rows
+    * per stratum. Identical to a one-phase per-stratum rank: any global
+    * top-quota row is in its shard's top quota.
+    */
+  def quotaSample(docs: DataFrame, idCol: String, strataCol: String,
+                  quota: Int, numShards: Int = 64): DataFrame = {
+    val h = lcgHash(col(idCol))
+    val shard = pmod(col(idCol), lit(numShards.toLong))
+    val w1 = Window.partitionBy(col(strataCol), shard).orderBy(h.asc, col(idCol).asc)
+    val w2 = Window.partitionBy(col(strataCol)).orderBy(h.asc, col(idCol).asc)
+    docs.withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= quota)
+      .withColumn("rn", row_number().over(w2)).filter(col("rn") <= quota)
+      .drop("rn1", "rn")
+  }
+}

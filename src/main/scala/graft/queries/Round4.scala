@@ -1,9 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{Engine, SqlDialect}
+import graft.operators.Curation
 
 /** Round-4 additions: automatic range-join planning coverage, the
   * remaining DuckDB v0.7 surface gaps (ON CONFLICT, system sampling,
@@ -12,12 +12,6 @@ import graft.{Engine, SqlDialect}
   * sampling — each with an exact SQL oracle.
   */
 object Round4 {
-
-  /** Whitespace tokens, lowercased, empties dropped — the shared
-    * tokenization for the curation ops (identical regex semantics in
-    * Spark and the DuckDB oracle, so gram strings compare exactly). */
-  private def wsTokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), x => x =!= "")
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
@@ -96,62 +90,34 @@ object Round4 {
     }),
 
     "text_decontaminate" -> ((s, dir) => {
-      // Benchmark decontamination: flag training docs whose word 8-grams
-      // overlap a held-out eval source (src0 plays the benchmark). The
-      // eval gram set is tiny by nature (benchmarks are MBs, corpora are
-      // TBs) so it is BROADCAST — the corpus is never shuffled for the
-      // probe; grams of a doc stay in the doc's input partition, so the
-      // per-doc hit count partial-aggregates to one row per doc before
-      // the only shuffle.
+      // Benchmark decontamination (operators.Curation.decontaminate):
+      // flag training docs whose word 8-grams overlap a held-out eval
+      // source (src0 plays the benchmark). Eval gram set broadcast;
+      // the corpus is never shuffled for the probe.
       val docs = t(s, dir, "documents")
-      val grams = docs.select(col("doc_id"), col("source"), wsTokens(col("text")).as("w"))
-        .filter(size(col("w")) >= 8)
-        .select(col("doc_id"), col("source"),
-          explode(array_distinct(transform(sequence(lit(0), size(col("w")) - 8),
-            i => array_join(slice(col("w"), i + 1, lit(8)), " ")))).as("g"))
-      val ev = grams.filter(col("source") === "src0")
-        .select(col("g")).distinct().withColumn("hit", lit(1))
-      grams.filter(col("source") =!= "src0")
-        .join(broadcast(ev), Seq("g"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_hit"))
-        .filter(col("n_hit") > 0)
-        .withColumn("contam", round(col("n_hit") / col("n_grams"), 6))
+      Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        Curation.evalGrams(docs.filter(col("source") === "src0"), "text"))
         .orderBy(col("doc_id"))
     }),
 
     "pipeline_pack_sequences" -> ((s, dir) => {
-      // Concatenate-and-chunk sequence packing (GPT-style): per
-      // (source, shard) the token stream is laid out in doc_id order and
-      // cut every 512 tokens; each doc is assigned the sequence its first
-      // token lands in. Sharding by doc_id % 8 bounds every window
-      // partition — the scale answer to "a total order per source is a
-      // one-reducer sort at 100 TB".
-      val docs = t(s, dir, "documents")
-      val toksz = docs.select(col("doc_id"), col("source"),
-          size(wsTokens(col("text"))).cast("long").as("tok"))
-        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
-      val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
-      toksz.withColumn("seq_id",
-          floor((sum(col("tok")).over(w) - col("tok")) / lit(512.0)).cast("long"))
-        .groupBy(col("source"), col("shard"), col("seq_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      // Concatenate-and-chunk sequence packing
+      // (operators.Curation.packSequences): per (source, doc_id%8 shard)
+      // the token stream is cut every 512 tokens; sharding bounds every
+      // window partition at any corpus size.
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "source",
+          "text", budget = 512, numShards = 8)
         .orderBy(col("source"), col("shard"), col("seq_id"))
     }),
 
     "pipeline_quota_sample" -> ((s, dir) => {
-      // Stratified quota sampling: exactly 10 docs per source, chosen by
-      // a seedless arithmetic hash (LCG over doc_id) both engines compute
-      // bit-identically — deterministic curation sampling without
-      // engine-local RNG. One window shuffle on the strata key; rank
-      // truncation is a TopK per stratum, not a global sort.
-      val docs = t(s, dir, "documents")
-      val h = pmod(pmod(col("doc_id"), lit(1000003L)) * lit(1103515245L) + lit(12345L),
-        lit(2147483647L))
-      val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
-      docs.withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= 10)
+      // Stratified quota sampling (operators.Curation.quotaSample):
+      // exactly 10 docs per source by a seedless LCG hash both engines
+      // compute bit-identically; two-phase sharded rank, no one-reducer
+      // stratum sort.
+      Curation.quotaSample(t(s, dir, "documents"), "doc_id", "source",
+          quota = 10, numShards = 8)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))

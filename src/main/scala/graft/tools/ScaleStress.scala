@@ -4,7 +4,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Curation, Dedup, Similarity}
 
 /** Scale-stress harness for the dedup/ANN scale paths beyond sf0.1.
   *
@@ -318,12 +318,48 @@ object ScaleStress {
         r
       }
 
+      // decontamination: src0 docs play the benchmark; planted ground
+      // truth = twins whose base doc is in src0 (they share every 8-gram
+      // window but the last, so each MUST be flagged). The ident/boiler
+      // skew blocks stress hot grams — cost-free here because the probe
+      // is a broadcast map-side join, never a shuffle by gram.
+      val decontam = if (!wanted("decontam")) None else Some {
+        val ev = Curation.evalGrams(docs.filter(col("source") === "src0"), "text")
+        val out = Curation.decontaminate(
+          docs.filter(col("source") =!= "src0"), "doc_id", "text", ev)
+        val planted = docs.filter(col("source") === "twin")
+          .select((col("doc_id") - TwinOffset).as("base_id"), col("doc_id"))
+          .join(docs.filter(col("source") === "src0")
+            .select(col("doc_id").as("base_id")), Seq("base_id"))
+          .select(col("doc_id").as("id_a"), col("doc_id").as("id_b"))
+          .localCheckpoint()
+        val r = measure(spark, meter, "text_decontaminate",
+          out.select(col("doc_id").as("id_a"), col("doc_id").as("id_b")),
+          Some(planted))
+        planted.unpersist(blocking = true)
+        r
+      }
+
+      // packing + quota sampling: shard counts grow with the multiplier
+      // (the 100 TB rule — window partitions stay bounded as the corpus
+      // grows; a fixed shard count would recreate the one-reducer sort)
+      val pack = if (!wanted("pack")) None else Some(
+        measure(spark, meter, "pipeline_pack_sequences",
+          Curation.packSequences(docs, "doc_id", "source", "text",
+            budget = 512, numShards = 8 * mult), None))
+
+      val quota = if (!wanted("quota")) None else Some(
+        measure(spark, meter, "pipeline_quota_sample",
+          Curation.quotaSample(docs, "doc_id", "source", quota = 10,
+            numShards = 16 * mult), None))
+
       // free this section's pinned checkpoint blocks so the next
       // multiplier's measurements start from a clean heap
       (Seq(docs, names, embs, docPairs, namePairs, vecPairs) ++ edges)
         .foreach(df => try df.unpersist(blocking = true)
         catch { case _: Throwable => () })
-      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf).flatten
+      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf,
+        decontam, pack, quota).flatten
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Assemble BENCH_duck_r{N}.json: per-query Spark time (min over the
+given Bench dump files) joined with per-query DuckDB time
+(bench_duck.py output), plus protocol metadata and aggregate ratio.
+
+Usage: assemble_bench.py duck.json out.json spark_dump1.json [spark_dump2.json ...]
+"""
+import json, sys
+
+duck_raw = json.load(open(sys.argv[1]))
+duck = duck_raw["queries"] if "queries" in duck_raw else duck_raw
+dumps = [json.load(open(p)) for p in sys.argv[3:]]
+
+names = sorted(set().union(*[set(d) for d in dumps]))
+queries = {}
+for n in names:
+    times = [d[n] for d in dumps if n in d and d[n] is not None and d[n] > 0]
+    s = min(times) if times else -1
+    d = duck.get(n, -1)
+    ratio = round(s / d, 2) if s > 0 and d and d > 0 else None
+    queries[n] = {"spark_sec": round(s, 3), "duckdb_sec": round(d, 4) if d and d > 0 else -1,
+                  "ratio": ratio}
+
+s_tot = sum(q["spark_sec"] for q in queries.values() if q["spark_sec"] > 0)
+d_tot = sum(q["duckdb_sec"] for q in queries.values() if q["duckdb_sec"] > 0)
+out = {
+    "protocol": {
+        "host": "local, 32 cores, co-tenant",
+        "spark": "graft.Bench local[32], tables cached, warm pass then min of 2 timed "
+                 "passes; reported value = per-query min over %d full Bench runs; "
+                 "forked JVM runs -XX:ReservedCodeCacheSize=1g (the full 187-query "
+                 "inventory overflows the 240m default and late queries run "
+                 "interpreted, 6-8x — a single-query cluster executor never hits this)"
+                 % len(dumps),
+        "duckdb": "tools/bench_duck.py, duckdb 1.0.0, 8 threads, warm pass then 1 timed pass",
+        "sf_dir": duck_raw.get("sf", "/root/testdata/sf0.1"),
+        "note": "Spark has a fixed per-query job floor (~0.05-0.5 s scheduler+codegen); "
+                "ratios are meaningful only where the DuckDB time is itself non-trivial "
+                "(>= 0.1 s).",
+    },
+    "aggregate": {"spark_total_sec": round(s_tot, 2), "duckdb_total_sec": round(d_tot, 2),
+                  "ratio": round(s_tot / d_tot, 3) if d_tot else None},
+    "queries": queries,
+}
+json.dump(out, open(sys.argv[2], "w"), indent=1)
+
+rows = [(n, q["spark_sec"], q["duckdb_sec"], q["ratio"]) for n, q in queries.items()
+        if q["ratio"] and q["duckdb_sec"] >= 0.1]
+rows.sort(key=lambda r: -r[3])
+over = [r for r in rows if r[3] > 2.0]
+print(f"{len(queries)} queries; aggregate ratio {out['aggregate']['ratio']}; "
+      f"{len(rows)} with duck>=0.1s of which {len(over)} above 2x:")
+for n, s, d, r in rows[:12]:
+    print(f"  {n:36s} {s:8.3f} {d:8.3f} {r:8.2f}")
