@@ -25,6 +25,12 @@ object Bench {
       // cluster scale files are row-group sized and this is moot.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_SPLIT_BYTES", (1024 * 1024).toString))
+      // the generated-class cache (default 100 entries) thrashes under a
+      // 187-query inventory — every pass re-compiles evicted classes and
+      // runs them interpreted until HotSpot catches up (observed 4-8x
+      // run-to-run variance on the late-alphabet queries)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -34,6 +34,10 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      // default 100 thrashes under a 187-query inventory: every pass
+      // re-generates + re-compiles evicted classes, which then start
+      // interpreted (static conf — shared JVM-wide cache)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
