@@ -34,7 +34,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dialect_pivot" -> 3, // pivot agg + output sort (AQE coalesce counted)
     "fn_list_setops" -> 1, // projection + output range sort
     "arrow_roundtrip" -> 2, // IPC scan → agg + output sort
-    "dialect_with_recursive" -> 1) // UnionLoop + final global agg
+    "dialect_with_recursive" -> 1, // UnionLoop + final global agg
+    // round-4 curation ops
+    "text_decontaminate" -> 3, // eval-gram distinct (MB-sized) + per-doc agg + output sort; corpus probe is map-side
+    "pipeline_pack_sequences" -> 2, // (strata,shard) window reused by the agg + output sort
+    "pipeline_quota_sample" -> 3) // sharded rank + per-stratum re-rank (≤ shards·quota rows) + output sort
 
   for ((name, budget) <- budgets) {
     test(s"$name stays within $budget shuffle(s)") {
