@@ -371,10 +371,32 @@ object Dedup {
         bucket
       }
     })
+    // Plan-shape notes, load-bearing at every scale:
+    //  - posexplode_OUTER + isNotNull on the GENERATED column: a non-outer
+    //    explode makes the optimizer infer `size(bks)>0 AND isnotnull(bks)`
+    //    and inline the kernel UDF into that filter — the dot-product
+    //    kernel would run 3x per row. The outer form infers nothing and
+    //    null/empty `bks` cannot occur (tabulate(numBands) on a non-null
+    //    vector), so the post-filter drops only null-vector rows.
+    //  - WINDOW-counted skew cap, not the groupBy+anti-join form of
+    //    [[dropHotBuckets]]: the self-join below must shuffle the banded
+    //    rows by (band, bucket) anyway, so the window rides the join's
+    //    own exchange (no extra shuffle, only a per-partition sort of
+    //    (id, band, bucket) triples) and the WHOLE pipeline — embedding
+    //    scan + dot-product kernel + shuffle — is ONE canonically-equal
+    //    subtree that AQE's ReuseExchange materializes once for the hot
+    //    count and both join sides. The groupBy form computes a second
+    //    full scan+kernel pass for the count; a second pass over 24-byte
+    //    triples is cheap, a second pass over wide vectors is not.
     val banded = df
       .select(col(idCol).as("id"), bucketU(col(vecCol)).as("bks"))
-      .select(col("id"), posexplode(col("bks")).as(Seq("band", "bucket")))
-    val capped = dropHotBuckets(banded, Seq("band", "bucket"), maxBucket)
+      .select(col("id"), posexplode_outer(col("bks")).as(Seq("band", "bucket")))
+      .filter(col("band").isNotNull)
+    val capped = banded
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
     capped.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
