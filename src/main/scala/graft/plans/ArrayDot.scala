@@ -99,6 +99,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("array_dot"), ArrayDot.info, ArrayDot.builder))
     ext.injectFunction((FunctionIdentifier("levenshtein_within"),
       LevenshteinWithin.info, LevenshteinWithin.builder))
+    ext.injectFunction((FunctionIdentifier("word_gram_hashes"),
+      WordGramHashes.info, WordGramHashes.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
     ext.injectPostHocResolutionRule(_ => ResolveReservoirHint)
