@@ -136,6 +136,12 @@ object Dedup {
     * stays small enough to JIT. Docs sharing a bucket at index b agree on
     * signature slots [b·rows, (b+1)·rows). */
   def minhashBandBuckets(sh: Seq[Long], numHashes: Int, numBands: Int): Array[Long] = {
+    // no shingles → no bands: empty docs must not collide into one
+    // sentinel-signature bucket (callers drop the empty row via
+    // posexplode_outer + isNotNull instead of a size(sh)>0 filter, which
+    // the optimizer would push below the projection with the shingle
+    // kernel inlined)
+    if (sh.isEmpty) return Array.emptyLongArray
     val sig = minhashSig(sh, numHashes)
     val rows = numHashes / numBands
     val out = new Array[Long](numBands)
@@ -214,20 +220,35 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
+    // No size(sh)>0 gate here: a filter on a UDF-projected column gets
+    // pushed below the projection with the UDF INLINED (the shingle
+    // kernel would run twice per row), and empty-shingle docs are
+    // dropped by the explode_outer+isNotNull on the banding path anyway
+    // (they can never appear in candidates, so the scoring joins need no
+    // gate either).
     val sh = df
       .select(col(idCol).as("id"),
         hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
-      .filter(size(col("sh")) > 0)
     // band-join carries only (band, bucket, id) — the shingle arrays are
     // re-joined for scoring AFTER candidate dedup, so the wide rows never
     // go through the candidate shuffle. Banding runs inside the fused
     // compiled kernel (minhashBandBuckets), not the interpreted
-    // bandKeys expression form.
+    // bandKeys expression form. Same single-pass shape as
+    // [[cosineLshCandidates]]: posexplode_OUTER defeats the optimizer's
+    // inferred size>0 filter (which would inline the banding kernel), and
+    // the WINDOW skew cap rides the self-join's own (band, bucket)
+    // exchange so the scan + shingle + banding subtree materializes once
+    // for the cap and both join sides.
     val withBands = sh
       .select(col("id"),
-        posexplode(minhashBandBucketsUdf(col("sh"), lit(numHashes), lit(numBands)))
+        posexplode_outer(minhashBandBucketsUdf(col("sh"), lit(numHashes), lit(numBands)))
           .as(Seq("band", "bucket")))
-    val pruned = dropHotBuckets(withBands, Seq("band", "bucket"), maxBucket)
+      .filter(col("band").isNotNull)
+    val pruned = withBands
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
     val candidates = pruned.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(pruned.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
