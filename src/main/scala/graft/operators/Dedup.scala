@@ -199,24 +199,6 @@ object Dedup {
     * = degenerate text, e.g. empty docs — the cross product would
     * explode; same move as a salting cutoff).
     */
-  /** Drop every row belonging to a bucket larger than `maxBucket` — the
-    * skew cap shared by the LSH candidate generators. Implemented as a
-    * partial-aggregated bucket count + LEFT ANTI join against only the
-    * HOT buckets, not a `count().over(Window.partitionBy(bucket))`: the
-    * window form shuffles and sorts EVERY banded row just to learn its
-    * bucket's size, while the groupBy count combines map-side and the
-    * anti join's right side is at most (rows / maxBucket) buckets — tiny
-    * by construction, so AQE broadcasts it and the big side never moves.
-    */
-  private[graft] def dropHotBuckets(banded: DataFrame, bucketCols: Seq[String],
-                                    maxBucket: Int): DataFrame = {
-    val hot = banded.groupBy(bucketCols.map(col): _*)
-      .agg(count(lit(1)).as("bsize"))
-      .filter(col("bsize") > maxBucket)
-      .select(bucketCols.map(col): _*)
-    banded.join(hot, bucketCols, "left_anti")
-  }
-
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
@@ -236,9 +218,10 @@ object Dedup {
     // bandKeys expression form. Same single-pass shape as
     // [[cosineLshCandidates]]: posexplode_OUTER defeats the optimizer's
     // inferred size>0 filter (which would inline the banding kernel), and
-    // the WINDOW skew cap rides the self-join's own (band, bucket)
-    // exchange so the scan + shingle + banding subtree materializes once
-    // for the cap and both join sides.
+    // the WINDOW skew cap (buckets > maxBucket dropped — hot bucket =
+    // degenerate text; same move as a salting cutoff) rides the
+    // self-join's own (band, bucket) exchange so the scan + shingle +
+    // banding subtree materializes once for the cap and both join sides.
     val withBands = sh
       .select(col("id"),
         posexplode_outer(minhashBandBucketsUdf(col("sh"), lit(numHashes), lit(numBands)))
@@ -399,8 +382,8 @@ object Dedup {
     //    kernel would run 3x per row. The outer form infers nothing and
     //    null/empty `bks` cannot occur (tabulate(numBands) on a non-null
     //    vector), so the post-filter drops only null-vector rows.
-    //  - WINDOW-counted skew cap, not the groupBy+anti-join form of
-    //    [[dropHotBuckets]]: the self-join below must shuffle the banded
+    //  - WINDOW-counted skew cap, not a groupBy+anti-join on the hot
+    //    buckets: the self-join below must shuffle the banded
     //    rows by (band, bucket) anyway, so the window rides the join's
     //    own exchange (no extra shuffle, only a per-partition sort of
     //    (id, band, bucket) triples) and the WHOLE pipeline — embedding

@@ -222,13 +222,19 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     // skew guard (same move as Dedup.minhashCandidates): a degenerate
     // bucket — e.g. all-zero vectors hashing together — would make the
-    // in-bucket self-join quadratic; cap it like a salting cutoff
-    // (partial-agg count + anti join on hot buckets — see
-    // Dedup.dropHotBuckets for why not a window)
-    val b = Dedup.dropHotBuckets(
-      corpus.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-        .withColumn("bucket", lshBucket(col("v"), planes)),
-      Seq("bucket"), maxBucket)
+    // in-bucket self-join quadratic; cap it like a salting cutoff.
+    // WINDOW-counted cap riding the self-join's own bucket exchange
+    // (same single-pass shape as Dedup.cosineLshCandidates): the join
+    // must shuffle the banded rows by bucket anyway, so the window adds
+    // no shuffle and the scan + 12-plane bucket expression materializes
+    // once for the cap and both join sides instead of three times.
+    val b = corpus
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
     val l = b.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val r = b.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
