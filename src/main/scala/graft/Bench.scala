@@ -102,7 +102,8 @@ object Bench {
       "dedup_fuzzy_names_blocked", "dedup_embedding_cosine_lsh", "dedup_components",
       "sim_cosine_topk", "sim_ivf_topk", "sim_lsh_ann", "text_tokens_top",
       "text_chunk", "text_unigram_lm", "text_decontaminate",
-      "pipeline_pack_sequences", "pipeline_train_split", "emb_quantize",
+      "pipeline_pack_sequences", "pipeline_semantic_cluster",
+      "pipeline_train_split", "emb_quantize",
       "stream_tumbling", "stream_session", "stream_stream_join",
       "mm_binary_stats", "arrow_roundtrip")
     val byName = results.toMap

@@ -74,6 +74,33 @@ object Aggs {
     def outputEncoder: Encoder[Seq[Double]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
   }
 
+  /** vecsum over array<bigint> — the INTEGER-EXACT centroid update for
+    * [[graft.operators.Similarity.semanticClusters]]: long sums have no
+    * float rounding, so any engine replaying the same quantized inputs
+    * computes bit-identical centroids (the order-dependence of double
+    * addition would otherwise make distributed vs single-node sums
+    * diverge in the low bits and flip boundary assignments). */
+  object VecSumLongAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+    def zero: Array[Long] = Array.emptyLongArray
+    private def add(b: Array[Long], a: Seq[Long]): Array[Long] =
+      if (a == null || a.isEmpty) b
+      else if (b.isEmpty) a.toArray
+      else {
+        val out = if (b.length >= a.length) b else java.util.Arrays.copyOf(b, a.length)
+        var i = 0
+        val it = a.iterator
+        while (it.hasNext) { out(i) += it.next(); i += 1 }
+        out
+      }
+    def reduce(b: Array[Long], a: Seq[Long]): Array[Long] = add(b, a)
+    def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+      add(x, scala.collection.immutable.ArraySeq.unsafeWrapArray(y))
+    def finish(b: Array[Long]): Seq[Long] =
+      if (b.isEmpty) null else scala.collection.immutable.ArraySeq.unsafeWrapArray(b)
+    def bufferEncoder: Encoder[Array[Long]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+    def outputEncoder: Encoder[Seq[Long]] = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
+  }
+
   /** Misra-Gries heavy-hitters sketch: top-k frequency estimation in
     * O(k) memory per partial — the bounded-memory path for token
     * counting over a corpus too wide for an exact groupBy. Mergeable

@@ -127,6 +127,65 @@ object Similarity {
     * cluster work: 1 sample job + at most 1 full scan, independent of
     * iteration count. Returns driver-side centroids (k is small).
     */
+  /** Distributed Lloyd k-means over an embedding column with INTEGER-
+    * EXACT arithmetic (Lloyd 1982; the semantic-clustering step of a
+    * training-data pipeline — diversity sampling, semantic dedup,
+    * per-cluster quota). Vectors are quantized to floor(x·scale+0.5)
+    * longs; distances are exact int64 squared-L2 sums; the centroid
+    * update is an exact long vecsum + floor division; argmin ties break
+    * to the lowest centroid id via a composite (dist·k + j) key. Every
+    * step is order-independent integer math, so ANY engine replaying the
+    * recipe on the same inputs computes the bit-identical assignment —
+    * double addition would diverge in the low bits between distributed
+    * and single-node sums and flip boundary assignments.
+    *
+    * Scale shape: centroids live in the plan as literals (k·dim longs).
+    * Each iteration is one corpus map pass (k·dim codegen mult-adds per
+    * row) + a k-row partial-aggregated shuffle; the final assignment is
+    * map-only. The corpus is NEVER shuffled, collected, or cached; the
+    * only driver state is the k×dim centroid table. Init is the k
+    * lowest-id vectors (deterministic; k driver rows).
+    */
+  def semanticClusters(corpus: DataFrame, idCol: String, vecCol: String,
+                       k: Int, iterations: Int, scale: Long = 1000L): DataFrame = {
+    require(k >= 1, "semanticClusters: k must be >= 1")
+    require(iterations >= 0, "semanticClusters: iterations must be >= 0")
+    val wq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long"))
+    val base = corpus.select(col(idCol).as("id"), wq.as("w"))
+    var centroids: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(centroids.nonEmpty, "semanticClusters: empty corpus")
+    val kk = centroids.length.toLong // may be < k on a tiny corpus
+    def assignCol: Column = {
+      val composites = centroids.zipWithIndex.map { case (c, j) =>
+        val d = aggregate(
+          zip_with(col("w"), array(c.map(lit).toIndexedSeq: _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        d * lit(kk) + lit(j.toLong)
+      }
+      (if (composites.length == 1) composites.head
+       else least(composites.toIndexedSeq: _*)) % lit(kk)
+    }
+    val vecsumLong = udaf(graft.functions.Aggs.VecSumLongAgg)
+    for (_ <- 0 until iterations) {
+      val updated = base.withColumn("cid", assignCol)
+        .groupBy(col("cid"))
+        .agg(vecsumLong(col("w")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> ((r.getSeq[Long](1).toArray, r.getLong(2))))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, j) =>
+        updated.get(j) match {
+          case Some((s, n)) => s.map(x => Math.floorDiv(x, n))
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    base.select(col("id"), assignCol.cast("int").as("cid"))
+  }
+
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iterations: Int,
                       sampleCap: Int = 65536): Array[(Int, Array[Double])] = {

@@ -122,6 +122,19 @@ object Round4 {
         .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("source"))
+    }),
+
+    "pipeline_semantic_cluster" -> ((s, dir) => {
+      // Integer-exact distributed k-means (Similarity.semanticClusters):
+      // the semantic-clustering step of a curation pipeline. Quantized
+      // vectors + exact int64 distances + floor-division centroid update
+      // make the full per-row assignment bit-replayable by the SQL
+      // oracle — the strongest possible check for an iterative operator.
+      graft.operators.Similarity.semanticClusters(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iterations = 2)
+        .select(col("id").as("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -231,6 +244,62 @@ object Round4 {
         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM ranked WHERE rn <= 10
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_semantic_cluster" -> semanticClusterSql(k = 8, iterations = 2)
   )
+
+  /** DuckDB replay of [[graft.operators.Similarity.semanticClusters]]:
+    * every step is exact integer math (quantized vectors; squared-L2
+    * distances as exact-integer-valued doubles via the dot-product
+    * identity |w-c|² = w·w - 2w·c + c·c, all < 2^53; centroid update =
+    * floor(sum/count) on exact operands), so the full per-row
+    * assignment matches the engine bit for bit. One `aN`/`cN` CTE pair
+    * per Lloyd iteration, built by this helper to keep the two
+    * iterations textually identical. */
+  private def semanticClusterSql(k: Int, iterations: Int): String = {
+    def cdCte(i: Int) =
+      s"""cd$i AS (
+         |  SELECT j, c, CAST(c AS DOUBLE[]) AS cd,
+         |    list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS cc
+         |  FROM c$i)""".stripMargin
+    def assignCte(name: String, ci: Int) =
+      s"""$name AS (
+         |  SELECT ed.vec_id,
+         |    min(CAST(ed.ww - 2*list_dot_product(ed.wd, cd$ci.cd) + cd$ci.cc AS BIGINT)
+         |        * $k + cd$ci.j) % $k AS cid
+         |  FROM ed CROSS JOIN cd$ci
+         |  GROUP BY ed.vec_id)""".stripMargin
+    def updateCtes(i: Int) =
+      s"""s$i AS (
+         |  SELECT j, dim,
+         |    CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cdim
+         |  FROM (
+         |    SELECT a$i.cid AS j, unnest(e.w) AS val, unnest(range(1, len(e.w)+1)) AS dim
+         |    FROM a$i JOIN e USING (vec_id))
+         |  GROUP BY j, dim),
+         |c$i AS (
+         |  SELECT c${i - 1}.j, COALESCE(u.c, c${i - 1}.c) AS c
+         |  FROM c${i - 1} LEFT JOIN
+         |    (SELECT j, list(cdim ORDER BY dim) AS c FROM s$i GROUP BY j) u USING (j))""".stripMargin
+    val iterCtes = (1 to iterations).map { i =>
+      s"${assignCte(s"a$i", i - 1)},\n${updateCtes(i)},\n${cdCte(i)}"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS w
+       |  FROM embeddings),
+       |ed AS (
+       |  SELECT vec_id, CAST(w AS DOUBLE[]) AS wd,
+       |    list_dot_product(CAST(w AS DOUBLE[]), CAST(w AS DOUBLE[])) AS ww
+       |  FROM e),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, w AS c
+       |  FROM (SELECT vec_id, w FROM e ORDER BY vec_id LIMIT $k)),
+       |${cdCte(0)},
+       |$iterCtes,
+       |${assignCte("afinal", iterations)}
+       |SELECT vec_id, cid FROM afinal ORDER BY vec_id""".stripMargin
+  }
 }

@@ -216,6 +216,40 @@ class SimilaritySpec extends SparkSpec {
     assert(buckets(1L) == buckets(2L))
     assert(buckets(1L) != buckets(3L))
   }
+
+  test("semanticClusters recovers planted clusters; assignment is map-only") {
+    // three tight, well-separated blobs; init = the 3 lowest ids, one in
+    // each blob (ids interleaved across blobs so the k seeds differ)
+    val rng = new scala.util.Random(11)
+    val dirs = Seq(Seq(10.0, 0.0, 0.0), Seq(0.0, 10.0, 0.0), Seq(0.0, 0.0, 10.0))
+    val rows = for (i <- 0 until 60) yield {
+      val c = i % 3
+      (i.toLong, dirs(c).map(x => (x + rng.nextGaussian() * 0.3).toFloat))
+    }
+    val corpus = rows.toDF("vec_id", "embedding")
+    val out = Similarity.semanticClusters(corpus, "vec_id", "embedding",
+      k = 3, iterations = 2)
+    // each planted blob maps to exactly one output cluster
+    val byBlob = out.collect().map(r => (r.getLong(0) % 3, r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byBlob.values.forall(_.size == 1), s"blob split across clusters: $byBlob")
+    assert(byBlob.values.toSet.size == 3, s"clusters collapsed: $byBlob")
+    // the final assignment pass never shuffles the corpus
+    val plan = Similarity.semanticClusters(corpus, "vec_id", "embedding",
+      k = 3, iterations = 0).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assignment must be map-only:\n$plan")
+  }
+
+  test("semanticClusters keeps a centroid when its cell empties") {
+    // k=3 over two distinct points: one centroid never wins a row but
+    // the iteration must not crash or emit its id
+    val corpus = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.semanticClusters(corpus, "vec_id", "embedding",
+      k = 3, iterations = 2).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out(0L) == out(1L))
+    assert(out(0L) != out(2L))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
