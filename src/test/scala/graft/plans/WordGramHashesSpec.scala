@@ -1,0 +1,75 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+class WordGramHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.functions.DuckFunctions.register(spark)
+
+  /** Reference computation: hash each token, combine each window with
+    * the same rolling polynomial — written WITHOUT the rolling update so
+    * a drop-term bug in the O(1) update would diverge from it. */
+  private def reference(tokens: Seq[String], n: Int): Seq[Long] = {
+    if (n <= 0 || tokens.length < n) return Seq.empty
+    val th = tokens.map(t => WordGramHashes.fnv64(UTF8String.fromString(t)))
+    (0 to tokens.length - n).map { i =>
+      th.slice(i, i + n).foldLeft(0L)((h, x) => h * WordGramHashes.P + x)
+    }
+  }
+
+  test("rolling hashes match the direct polynomial on random tokens") {
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(100)(Seq.fill(rnd.nextInt(20))(
+      rnd.alphanumeric.take(1 + rnd.nextInt(8)).mkString))
+    val got = rows.toDF("w")
+      .select(call_function("word_gram_hashes", col("w"), lit(3)))
+      .collect().map(_.getSeq[Long](0))
+    rows.zip(got).foreach { case (toks, g) =>
+      assert(g == reference(toks, 3), s"tokens=$toks")
+    }
+  }
+
+  test("short inputs and degenerate n yield empty arrays") {
+    val df = Seq(Seq("a", "b"), Seq.empty[String]).toDF("w")
+    assert(df.select(call_function("word_gram_hashes", col("w"), lit(3)))
+      .collect().forall(_.getSeq[Long](0).isEmpty))
+    assert(Seq(Seq("a", "b")).toDF("w")
+      .select(call_function("word_gram_hashes", col("w"), lit(0)))
+      .head().getSeq[Long](0).isEmpty)
+  }
+
+  test("distinct grams collide iff the token windows are equal") {
+    val out = Seq(Seq("x", "y", "x", "y", "x")).toDF("w")
+      .select(array_distinct(call_function("word_gram_hashes", col("w"), lit(2))))
+      .head().getSeq[Long](0)
+    // windows: (x,y), (y,x), (x,y), (y,x) → 2 distinct
+    assert(out.length == 2)
+  }
+
+  test("generated code compiles and runs inside whole-stage codegen") {
+    // fallback off: a doGenCode bug must FAIL here, not silently run
+    // interpreted
+    val before = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = spark.range(50).select(
+        array(concat(lit("t"), col("id").cast("string")),
+          lit("a"), lit("b"), lit("c")).as("w"))
+      val out = df.select(call_function("word_gram_hashes", col("w"), lit(2)).as("g"))
+      assert(out.queryExecution.executedPlan
+        .isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+      val rows = out.collect()
+      assert(rows.length == 50)
+      assert(rows.forall(_.getSeq[Long](0).length == 3))
+      // suffix grams ("a","b") and ("b","c") are shared by every row
+      val tails = rows.map(_.getSeq[Long](0).drop(1))
+      assert(tails.distinct.length == 1)
+    } finally before match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+}
