@@ -1,0 +1,74 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Every custom codegen Expression must actually COMPILE in whole-stage
+  * codegen: Spark's default is to catch generated-code compile errors
+  * and silently fall back to interpreted execution, so a doGenCode bug
+  * costs a plan-wide codegen fence in production while every ordinary
+  * test stays green. This spec disables the fallback and executes each
+  * expression against a known answer.
+  */
+class CodegenContractSpec extends SparkSpec {
+  import spark.implicits._
+
+  graft.functions.DuckFunctions.register(spark)
+
+  private def withCodegenOnly[A](body: => A): A = {
+    val before = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally before match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  // spark.range keeps the stage a real codegen stage (literal relations
+  // constant-fold to LocalTableScan and prove nothing)
+  test("array_dot compiles and evaluates") { withCodegenOnly {
+    val out = spark.range(20)
+      .select(call_function("array_dot",
+        array(col("id").cast("double"), lit(2.0)),
+        array(lit(3.0), col("id").cast("double"))).as("d"))
+      .collect().map(_.getDouble(0))
+    assert(out.zipWithIndex.forall { case (d, i) => d == 3.0 * i + 2.0 * i })
+  }}
+
+  test("levenshtein_within compiles and evaluates") { withCodegenOnly {
+    val out = spark.range(20)
+      .select(call_function("levenshtein_within",
+        concat(lit("abc"), col("id").cast("string")),
+        concat(lit("abd"), col("id").cast("string")), lit(1)).as("b"))
+      .collect().map(_.getBoolean(0))
+    assert(out.forall(identity)) // one substitution → within 1
+  }}
+
+  test("jaccard_sorted compiles and evaluates") { withCodegenOnly {
+    val out = spark.range(20)
+      .select(call_function("jaccard_sorted",
+        array(col("id"), col("id") + 1),
+        array(col("id") + 1, col("id") + 2)).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(out.forall(_ == 1.0 / 3.0))
+  }}
+
+  test("bucket_index compiles and evaluates") { withCodegenOnly {
+    val out = spark.range(20)
+      .select(call_function("bucket_index",
+        col("id").cast("double"), array(lit(5.0), lit(10.0), lit(15.0))).as("b"))
+      .collect().map(_.getLong(0))
+    // boundaries [5,10,15): ids 0..4 → 0, 5..9 → 1, 10..14 → 2, 15+ → 3
+    assert(out.toSeq == (0 until 20).map(i => ((i / 5) min 3).toLong))
+  }}
+
+  test("word_gram_hashes compiles and evaluates") { withCodegenOnly {
+    val out = spark.range(20)
+      .select(call_function("word_gram_hashes",
+        array(col("id").cast("string"), lit("a"), lit("b")), lit(2)).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out.forall(_.length == 2))
+    assert(out.map(_.last).distinct.length == 1) // shared ("a","b") gram
+  }}
+}
