@@ -150,19 +150,32 @@ object Similarity {
                        k: Int, iterations: Int, scale: Long = 1000L): DataFrame = {
     require(k >= 1, "semanticClusters: k must be >= 1")
     require(iterations >= 0, "semanticClusters: iterations must be >= 0")
+    graft.functions.DuckFunctions.register(corpus.sparkSession)
+    // null/empty vectors are excluded up front (they have no distance to
+    // any centroid); vectors are assumed FIXED-DIMENSION, like every
+    // embedding path in this module.
     val wq = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long"))
-    val base = corpus.select(col(idCol).as("id"), wq.as("w"))
+    val base = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("id"), wq.as("w"))
     var centroids: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(centroids.nonEmpty, "semanticClusters: empty corpus")
     val kk = centroids.length.toLong // may be < k on a tiny corpus
+    // |w-c|² = w·w - 2·w·c + c·c with the codegen ArrayDot expression —
+    // quantized values make every product and sum an exact integer in
+    // doubles (|w_i| ≤ scale·max|x|, so terms stay far below 2^53), and
+    // c·c folds to a driver-computed literal. The lambda form
+    // (zip_with + aggregate) evaluates interpreted per element — this
+    // identity keeps the whole assignment inside whole-stage codegen.
     def assignCol: Column = {
+      val wd = col("w").cast("array<double>")
+      val ww = dot(wd, wd)
       val composites = centroids.zipWithIndex.map { case (c, j) =>
-        val d = aggregate(
-          zip_with(col("w"), array(c.map(lit).toIndexedSeq: _*),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, x) => acc + x)
+        val clit = array(c.map(x => lit(x.toDouble)).toIndexedSeq: _*)
+        val cc = c.foldLeft(0L)((s, x) => s + x * x)
+        val d = (ww - lit(2.0) * dot(wd, clit) + lit(cc.toDouble)).cast("long")
         d * lit(kk) + lit(j.toLong)
       }
       (if (composites.length == 1) composites.head
@@ -174,6 +187,7 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(vecsumLong(col("w")).as("s"), count(lit(1)).as("n"))
         .collect()
+        .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // ragged-dim guard
         .map(r => r.getLong(0).toInt -> ((r.getSeq[Long](1).toArray, r.getLong(2))))
         .toMap
       centroids = centroids.zipWithIndex.map { case (old, j) =>

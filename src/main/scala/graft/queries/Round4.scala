@@ -253,10 +253,13 @@ object Round4 {
     * every step is exact integer math (quantized vectors; squared-L2
     * distances as exact-integer-valued doubles via the dot-product
     * identity |w-c|² = w·w - 2w·c + c·c, all < 2^53; centroid update =
-    * floor(sum/count) on exact operands), so the full per-row
-    * assignment matches the engine bit for bit. One `aN`/`cN` CTE pair
-    * per Lloyd iteration, built by this helper to keep the two
-    * iterations textually identical. */
+    * floor division written as the floorMod identity
+    * `(s - ((s % n) + n) % n) // n` over DuckDB's exact HUGEINT sums,
+    * which equals Math.floorDiv at ANY magnitude — a floor(double/count)
+    * form would diverge once a cluster's per-dim sum neared 2^52), so
+    * the full per-row assignment matches the engine bit for bit. One
+    * `aN`/`cN` CTE pair per Lloyd iteration, built by this helper to
+    * keep the two iterations textually identical. */
   private def semanticClusterSql(k: Int, iterations: Int): String = {
     def cdCte(i: Int) =
       s"""cd$i AS (
@@ -273,7 +276,8 @@ object Round4 {
     def updateCtes(i: Int) =
       s"""s$i AS (
          |  SELECT j, dim,
-         |    CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cdim
+         |    CAST((sum(val) - (((sum(val) % count(*)) + count(*)) % count(*)))
+         |         // count(*) AS BIGINT) AS cdim
          |  FROM (
          |    SELECT a$i.cid AS j, unnest(e.w) AS val, unnest(range(1, len(e.w)+1)) AS dim
          |    FROM a$i JOIN e USING (vec_id))

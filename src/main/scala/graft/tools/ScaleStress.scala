@@ -257,25 +257,29 @@ object ScaleStress {
           Some(docPairs)))
 
       val minhash = if (!wanted("minhash")) None else Some {
+        val shingleN = 3; val numHashes = 32; val numBands = 8
+        val rowsPerBand = numHashes / numBands
         val r = measure(spark, meter, "dedup_minhash_pairs",
-          Dedup.minhashCandidates(docs, "doc_id", "text", 3, 32, 8, maxBucket = 100)
+          Dedup.minhashCandidates(docs, "doc_id", "text",
+              shingleN, numHashes, numBands, maxBucket = 100)
             .filter(col("jaccard") >= 0.8).select(col("id_a"), col("id_b")),
           Some(docPairs))
         // Banding is probabilistic BY DESIGN: a pair at jaccard j
-        // survives with P = 1-(1-j^4)^8 (32 hashes, 8 bands of 4), and
-        // the planted twins sit as low as j = (S-1)/(S+1) ≈ 0.82 where
-        // the per-pair miss is ~0.9% — so observed recall < 1 on a big
-        // planted set is the designed behavior, not a candidate-path
-        // hole (the EXACT prefix-filter twin above asserts recall 1 on
-        // the same pairs). Report the analytic expectation at the
-        // ACTUAL planted jaccards next to the observation.
+        // survives with P = 1-(1-j^rows)^bands, and the planted twins
+        // sit as low as j = (S-1)/(S+1) ≈ 0.82 where the per-pair miss
+        // is ~0.9% — so observed recall < 1 on a big planted set is the
+        // designed behavior, not a candidate-path hole (the EXACT
+        // prefix-filter twin above asserts recall 1 on the same pairs).
+        // Report the analytic expectation at the ACTUAL planted
+        // jaccards next to the observation.
         val sh = docs.select(col("doc_id"),
-          Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
+          Dedup.hashedShinglesUdf(col("text"), lit(shingleN)).as("sh"))
         val exp = docPairs
           .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), Seq("id_a"))
           .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), Seq("id_b"))
           .select(call_function("jaccard_sorted", col("sa"), col("sb")).as("j"))
-          .agg(avg(lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(4.0)), lit(8.0))))
+          .agg(avg(lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(rowsPerBand.toDouble)),
+            lit(numBands.toDouble))))
           .head().getDouble(0)
         r.copy(expectedRecall = Some(exp))
       }

@@ -15,16 +15,6 @@ class CodegenContractSpec extends SparkSpec {
 
   graft.functions.DuckFunctions.register(spark)
 
-  private def withCodegenOnly[A](body: => A): A = {
-    val before = spark.conf.getOption("spark.sql.codegen.fallback")
-    spark.conf.set("spark.sql.codegen.fallback", "false")
-    try body
-    finally before match {
-      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
-      case None => spark.conf.unset("spark.sql.codegen.fallback")
-    }
-  }
-
   // spark.range keeps the stage a real codegen stage (literal relations
   // constant-fold to LocalTableScan and prove nothing)
   test("array_dot compiles and evaluates") { withCodegenOnly {
