@@ -38,7 +38,8 @@ class ShuffleBudgetSpec extends SparkSpec {
     // round-4 curation ops
     "text_decontaminate" -> 3, // eval-gram distinct (MB-sized) + per-doc agg + output sort; corpus probe is map-side
     "pipeline_pack_sequences" -> 2, // (strata,shard) window reused by the agg + output sort
-    "pipeline_quota_sample" -> 3) // sharded rank + per-stratum re-rank (≤ shards·quota rows) + output sort
+    "pipeline_quota_sample" -> 3, // sharded rank + per-stratum re-rank (≤ shards·quota rows) + output sort
+    "pipeline_semantic_cluster" -> 1) // assignment is map-only (centroid literals); output sort only
 
   for ((name, budget) <- budgets) {
     test(s"$name stays within $budget shuffle(s)") {
