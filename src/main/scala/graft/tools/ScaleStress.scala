@@ -341,6 +341,39 @@ object ScaleStress {
         r
       }
 
+      // semantic clustering: Lloyd iterations over the scaled corpus.
+      // Planted check is DETERMINISTIC, not statistical: twin vectors
+      // are byte-identical to their base, so quantization and the exact
+      // integer distances are equal and the argmin MUST agree — any
+      // disagreement is an engine bug, not clustering noise. Wall must
+      // stay ~linear (each iteration is one map pass + a k-row shuffle).
+      val kmeans = if (!wanted("kmeans")) None else Some {
+        // Lloyd training runs EAGERLY at construction (driver-looped
+        // centroid updates), so the timed window must include the build
+        // — measure()'s count-only protocol would time just the final
+        // assignment pass and understate the operator ~4x.
+        def build() = Similarity.semanticClusters(embs, "vec_id", "v",
+          k = 8, iterations = 2)
+        var outRows = build().count() // warm pass
+        var wall = Double.MaxValue
+        var snap = (0L, 0L)
+        for (_ <- 1 to 2) {
+          meter.reset()
+          val t0 = System.nanoTime()
+          outRows = build().count()
+          val w = (System.nanoTime() - t0) / 1e9
+          if (w < wall) { wall = w; snap = meter.snapshot }
+        }
+        val assign = build().localCheckpoint()
+        val agree = vecPairs
+          .join(assign.select(col("id").as("id_a"), col("cid").as("ca")), Seq("id_a"))
+          .join(assign.select(col("id").as("id_b"), col("cid").as("cb")), Seq("id_b"))
+          .filter(col("ca") === col("cb")).count()
+        assign.unpersist(blocking = true)
+        OpResult("pipeline_semantic_cluster", wall, snap._1, snap._2, outRows,
+          vecPairs.count(), agree)
+      }
+
       // decontamination: src0 docs play the benchmark; planted ground
       // truth = twins whose base doc is in src0 (they share every 8-gram
       // window but the last, so each MUST be flagged). The ident/boiler
@@ -381,7 +414,7 @@ object ScaleStress {
       (Seq(docs, names, embs, docPairs, namePairs, vecPairs) ++ edges)
         .foreach(df => try df.unpersist(blocking = true)
         catch { case _: Throwable => () })
-      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf,
+      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota).flatten
     } finally spark.sparkContext.removeSparkListener(meter)
   }
