@@ -339,8 +339,11 @@ object Dedup {
     candidates
       .join(base.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
-      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
-      .filter(col("dist") <= maxDist)
+      // threshold form runs the banded O(len·k) DP and returns -1 past
+      // the bound — exact distance for every kept row, ~len/k cheaper
+      // than the full O(len²) matrix on the refine path
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b"), maxDist))
+      .filter(col("dist") >= 0)
   }
 
   /** Sign-LSH near-dup candidates over an embedding column, with
