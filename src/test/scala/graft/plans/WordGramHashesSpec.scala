@@ -32,6 +32,19 @@ class WordGramHashesSpec extends SparkSpec {
     }
   }
 
+  test("multi-byte UTF-8 tokens hash over their full byte sequence") {
+    // fnv64 walks numBytes() of the UTF8String — multi-byte code points
+    // (2-4 bytes) must round-trip identically between the interpreted
+    // reference and the expression, and distinct tokens must not
+    // collide by byte-prefix truncation
+    val toks = Seq("héllo", "héllö", "日本語", "日本", "🙂🙃", "a")
+    val got = Seq(toks).toDF("w")
+      .select(call_function("word_gram_hashes", col("w"), lit(2)))
+      .head().getSeq[Long](0)
+    assert(got == reference(toks, 2))
+    assert(got.distinct.length == got.length) // neighboring grams all differ
+  }
+
   test("short inputs and degenerate n yield empty arrays") {
     val df = Seq(Seq("a", "b"), Seq.empty[String]).toDF("w")
     assert(df.select(call_function("word_gram_hashes", col("w"), lit(3)))
