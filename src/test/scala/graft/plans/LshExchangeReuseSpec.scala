@@ -1,0 +1,39 @@
+package graft.plans
+
+import graft.SparkSpec
+
+/** Runtime proof of the single-pass LSH banding design: the self-join's
+  * two sides and the window skew cap must all read ONE materialized
+  * shuffle of the banded rows. The static plan cannot show this — AQE
+  * performs exchange reuse while materializing query stages — so the
+  * contract is asserted on the FINAL adaptive plan after execution.
+  */
+class LshExchangeReuseSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+    df.collect()
+    // AdaptiveSparkPlanExec prints "== Final Plan ==" then
+    // "== Initial Plan ==" — only the final section reflects what ran
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("cosine-LSH self-join reuses the banded exchange at runtime") {
+    val plan = finalPlan("dedup_embedding_cosine_lsh")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the second join side to reuse the banded shuffle:\n$plan")
+    // the banding subtree (explode of the kernel output) materialized once
+    val explodes = "posexplode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"banded subtree executed $explodes times (want 1):\n$plan")
+  }
+
+  test("minhash band join reuses the banded exchange at runtime") {
+    val plan = finalPlan("dedup_minhash_pairs")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the second join side to reuse the banded shuffle:\n$plan")
+    val explodes = "posexplode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"banded subtree executed $explodes times (want 1):\n$plan")
+  }
+}
