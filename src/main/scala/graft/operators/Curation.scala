@@ -85,11 +85,23 @@ object Curation {
         min(col(idCol)).as("first_doc"), max(col(idCol)).as("last_doc"))
   }
 
-  /** Seedless LCG hash over an id — bit-identical in any engine doing
-    * 64-bit integer arithmetic (the DuckDB oracle replays it in SQL),
-    * so the sample is reproducible across engines and cluster layouts. */
-  def lcgHash(id: Column): Column =
-    pmod(pmod(id, lit(1000003L)) * lit(1103515245L) + lit(12345L), lit(2147483647L))
+  /** Seedless full-width id hash, reproducible cross-engine WITHOUT
+    * 64-bit wraparound: two Lehmer LCGs mod coprime 31-bit primes,
+    * CRT-composed — h = r1·p2 + r2 with r_i = ((id mod p_i)·a_i + c_i)
+    * mod p_i. Every intermediate stays below 2^62, so the DuckDB oracle
+    * (overflow-checked BIGINT arithmetic — a splitmix64-style wrapping
+    * multiply cannot replay there) computes the identical value; and
+    * because each LCG is a bijection mod its prime, id ↦ (r1, r2) is
+    * INJECTIVE for 0 ≤ id < p1·p2 ≈ 4.6e18 — no hash ties at any corpus
+    * size (the previous mod-1000003 pre-reduction collapsed to ~1e6
+    * distinct values, biasing quota samples toward low ids in tied
+    * residue classes). */
+  def lcgHash(id: Column): Column = {
+    val p1 = 2147483647L; val p2 = 2147483629L
+    val r1 = pmod(pmod(id, lit(p1)) * lit(48271L) + lit(12345L), lit(p1))
+    val r2 = pmod(pmod(id, lit(p2)) * lit(16807L) + lit(67890L), lit(p2))
+    r1 * lit(p2) + r2
+  }
 
   /** Stratified quota sampling: exactly min(quota, stratum size) rows
     * per stratum, the `quota` smallest by [[lcgHash]]. Two-phase rank:

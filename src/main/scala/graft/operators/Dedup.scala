@@ -136,6 +136,15 @@ object Dedup {
     * stays small enough to JIT. Docs sharing a bucket at index b agree on
     * signature slots [b·rows, (b+1)·rows). */
   def minhashBandBuckets(sh: Seq[Long], numHashes: Int, numBands: Int): Array[Long] = {
+    // layout guard (cheap int checks, also enforced per call in
+    // minhashCandidates): numBands > numHashes would make rows = 0 and
+    // hash every band over an EMPTY slot range — all docs collide into
+    // one bucket per band and the skew cap then silently drops
+    // everything (recall 0, no error); a non-divisible numHashes would
+    // silently ignore the trailing signature slots
+    require(numBands >= 1 && numHashes >= numBands && numHashes % numBands == 0,
+      s"minhash banding: numHashes ($numHashes) must be a positive multiple " +
+        s"of numBands ($numBands)")
     // no shingles → no bands: empty docs must not collide into one
     // sentinel-signature bucket (callers drop the empty row via
     // posexplode_outer + isNotNull instead of a size(sh)>0 filter, which
@@ -202,6 +211,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
                         maxBucket: Int = 100): DataFrame = {
+    // fail at plan time, not per executor row (same contract as the
+    // per-row guard inside minhashBandBuckets)
+    require(numBands >= 1 && numHashes >= numBands && numHashes % numBands == 0,
+      s"minhashCandidates: numHashes ($numHashes) must be a positive multiple " +
+        s"of numBands ($numBands)")
     // No size(sh)>0 gate here: a filter on a UDF-projected column gets
     // pushed below the projection with the UDF INLINED (the shingle
     // kernel would run twice per row), and empty-shingle docs are

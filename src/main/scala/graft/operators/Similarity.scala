@@ -163,6 +163,26 @@ object Similarity {
       .collect().map(_.getSeq[Long](1).toArray)
     require(centroids.nonEmpty, "semanticClusters: empty corpus")
     val kk = centroids.length.toLong // may be < k on a tiny corpus
+    // Exactness envelope (asserted, not assumed): the double dot-product
+    // identity is exact only while every product and partial sum stays
+    // below 2^53, and the driver-side cc = Σc_i² long fold must not
+    // overflow 2^63. Both hold when dim·maxAbs² < 2^52 (centroid entries
+    // are floor-averages of quantized values, so bounded by the same
+    // maxAbs). One up-front guard pass over the FULL corpus — a
+    // projection + 1-row max aggregate, the cheapest scan shape there
+    // is — so a large `scale` or unnormalized embeddings fail loudly
+    // with a named error instead of silently degrading the
+    // bit-exactness contract (or surfacing as an opaque ANSI cast
+    // overflow mid-iteration).
+    val dim0 = centroids.map(_.length).max
+    val corpusMax = base
+      .agg(max(array_max(transform(col("w"), x => abs(x))))).head()
+    if (!corpusMax.isNullAt(0))
+      require(dim0 * corpusMax.getLong(0).toDouble * corpusMax.getLong(0).toDouble
+          < math.pow(2, 52),
+        s"semanticClusters: quantized magnitude bound exceeded " +
+          s"(max|w_i| = ${corpusMax.getLong(0)}, dim = $dim0 requires " +
+          "dim*max|w|^2 < 2^52); reduce `scale` or normalize the embeddings")
     // |w-c|² = w·w - 2·w·c + c·c with the codegen ArrayDot expression —
     // quantized values make every product and sum an exact integer in
     // doubles (|w_i| ≤ scale·max|x|, so terms stay far below 2^53), and

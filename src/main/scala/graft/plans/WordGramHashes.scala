@@ -40,7 +40,11 @@ case class WordGramHashes(left: Expression, right: Expression)
     val th = new Array[Long](len)
     var i = 0
     while (i < len) {
-      th(i) = WordGramHashes.fnv64(a.getUTF8String(i))
+      // null tokens hash as the empty string (the FNV offset basis) —
+      // the declared element type admits containsNull, and SQL callers
+      // can pass array('a', NULL); internal callers pre-filter empties
+      val u = a.getUTF8String(i)
+      th(i) = if (u == null) WordGramHashes.EmptyHash else WordGramHashes.fnv64(u)
       i += 1
     }
     val out = new Array[Long](len - n + 1)
@@ -79,7 +83,8 @@ case class WordGramHashes(left: Expression, right: Expression)
          |} else {
          |  long[] $th = new long[$len];
          |  for (int $i = 0; $i < $len; $i++) {
-         |    $th[$i] = $cls.fnv64($a.getUTF8String($i));
+         |    $th[$i] = $a.isNullAt($i) ? ${WordGramHashes.EmptyHash}L
+         |      : $cls.fnv64($a.getUTF8String($i));
          |  }
          |  long[] $out = new long[$len - $nv + 1];
          |  long $pn = 1L;
@@ -107,6 +112,9 @@ object WordGramHashes {
     * family as FNV's prime, distinct from it so token and gram mixing
     * don't telescope). */
   final val P = 0x9E3779B97F4A7C15L
+
+  /** Hash of a null token: FNV-1a of zero bytes (= the offset basis). */
+  final val EmptyHash = 0xcbf29ce484222325L
 
   /** FNV-1a over the UTF-8 bytes of a token, read in place. */
   def fnv64(s: UTF8String): Long = {

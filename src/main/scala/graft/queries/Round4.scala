@@ -238,7 +238,8 @@ object Round4 {
       """WITH ranked AS (
         |  SELECT source, doc_id, n_chars,
         |    row_number() OVER (PARTITION BY source
-        |      ORDER BY ((doc_id % 1000003) * 1103515245 + 12345) % 2147483647, doc_id) AS rn
+        |      ORDER BY (((doc_id % 2147483647) * 48271 + 12345) % 2147483647) * 2147483629
+        |               + (((doc_id % 2147483629) * 16807 + 67890) % 2147483629), doc_id) AS rn
         |  FROM documents)
         |SELECT source, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,

@@ -63,4 +63,27 @@ class CurationOpsSpec extends SparkSpec {
     assert(out.contains(2L) && out(2L) >= 3, s"planted dup not flagged: $out")
     assert(!out.contains(3L), s"clean doc flagged: $out")
   }
+
+  test("lcgHash is injective and overflow-safe over a wide id range") {
+    import spark.implicits._
+    // ADVICE r4: the old mod-1000003 pre-reduction gave ~1e6 distinct
+    // values (ties biased quota samples toward low ids). The CRT-composed
+    // form must be collision-free, nonneg (sortable identically by any
+    // engine), and match a driver-side replay of the same formula.
+    val ids = (0L until 20000L) ++ Seq(1000003L, 2000006L, 2147483646L,
+      2147483647L, 2147483648L, 4.6e18.toLong)
+    val got = ids.toDF("id")
+      .select(col("id"), graft.operators.Curation.lcgHash(col("id")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    def ref(i: Long): Long = {
+      val p1 = 2147483647L; val p2 = 2147483629L
+      ((i % p1) * 48271L + 12345L) % p1 * p2 + ((i % p2) * 16807L + 67890L) % p2
+    }
+    got.foreach { case (i, h) =>
+      assert(h == ref(i) && h >= 0L, s"id=$i h=$h ref=${ref(i)}")
+    }
+    assert(got.map(_._2).distinct.length == ids.length, "hash collision")
+    // residue classes of the old formula no longer tie
+    assert(ref(0L) != ref(1000003L) && ref(1000003L) != ref(2000006L))
+  }
 }

@@ -39,6 +39,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.5 })
   }
 
+  test("minhash banding rejects band layouts that would collapse recall") {
+    // ADVICE r4: numBands > numHashes makes rows-per-band 0 (every doc
+    // collides into one bucket, then the skew cap drops everything —
+    // silent recall 0); non-divisible layouts silently ignore trailing
+    // signature slots. Both must fail loudly instead.
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 8, numBands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashCandidates(docs, "doc_id", "text", numHashes = 10, numBands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBandBuckets(Seq(1L, 2L), numHashes = 4, numBands = 0)
+    }
+  }
+
   test("simhash near-identical texts have small hamming distance") {
     val a = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every day")
     val b = Dedup.simhash64("the quick brown fox jumps over the lazy dog repeatedly every night")
@@ -238,6 +255,28 @@ class SimilaritySpec extends SparkSpec {
     val plan = Similarity.semanticClusters(corpus, "vec_id", "embedding",
       k = 3, iterations = 0).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assignment must be map-only:\n$plan")
+  }
+
+  test("semanticClusters rejects inputs outside the exact-arithmetic envelope") {
+    // ADVICE r4: the bit-exactness claim holds only while dim·max|w|² <
+    // 2^52 — unnormalized embeddings (or an oversized `scale`) must fail
+    // loudly, not silently drop low bits cross-engine.
+    val huge = Seq((1L, Seq(1e9, 1e9)), (2L, Seq(-1e9, 1e9)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticClusters(huge, "id", "v", k = 1, iterations = 1)
+    }
+    // seed rows in range but later rows out of range: the up-front
+    // guard pass scans the FULL corpus, so this must fail identically
+    // (and with iterations = 0, where no aggregate pass would run)
+    val mixed = Seq((1L, Seq(0.1, 0.2)), (2L, Seq(1e9, 1e9)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      Similarity.semanticClusters(mixed, "id", "v", k = 1, iterations = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.semanticClusters(mixed, "id", "v", k = 1, iterations = 0)
+    }
   }
 
   test("semanticClusters keeps a centroid when its cell empties") {

@@ -62,6 +62,31 @@ class WordGramHashesSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("null tokens hash as the empty string in both paths (no NPE)") {
+    // ADVICE r4: ArrayType(StringType) admits containsNull, so SQL
+    // callers can pass array('a', NULL) — both eval and codegen must
+    // treat the null token as the empty string instead of crashing
+    val expected = {
+      val th = Seq(WordGramHashes.fnv64(UTF8String.fromString("a")),
+        WordGramHashes.EmptyHash,
+        WordGramHashes.fnv64(UTF8String.fromString("b")))
+      th.sliding(2).map(_.foldLeft(0L)((h, x) => h * WordGramHashes.P + x)).toSeq
+    }
+    val viaSql = spark.sql(
+      "SELECT word_gram_hashes(array('a', CAST(NULL AS STRING), 'b'), 2) AS g")
+      .head().getSeq[Long](0)
+    assert(viaSql == expected)
+    val viaCodegen = withCodegenOnly {
+      // non-foldable first element (column ref) so constant folding
+      // cannot collapse the call before the codegen stage runs
+      Seq("a").toDF("t")
+        .select(call_function("word_gram_hashes",
+          array(col("t"), lit(null).cast("string"), lit("b")), lit(2)).as("g"))
+        .head().getSeq[Long](0)
+    }
+    assert(viaCodegen == expected)
+  }
+
   test("codegen and interpreted paths agree") {
     // compile-or-fail coverage lives in CodegenContractSpec; here the
     // generated code's VALUES are checked against the interpreted eval
