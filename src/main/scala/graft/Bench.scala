@@ -32,6 +32,11 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "5000"))
       .config("spark.ui.enabled", "false")
+      // plan-description events (posted per action AND per AQE stage
+      // update) pay a full formatted plan rendering each — 10-40ms per
+      // action on wide plans; "simple" keeps them cheap (floor profile:
+      // tools/FloorProfile.scala)
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // optional comma-separated filter for local iteration

@@ -39,6 +39,12 @@ object Engine {
       // interpreted (static conf — shared JVM-wide cache)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
+      // every action (and every AQE stage update) posts a plan
+      // description event whose FORMATTED rendering walks the whole plan
+      // tree — measured 10-40ms per action on wide plans with the UI
+      // disabled anyway; "simple" keeps the event cheap (floor profile:
+      // tools/FloorProfile.scala)
+      .config("spark.sql.ui.explainMode", "simple")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     functions.DuckFunctions.register(spark)

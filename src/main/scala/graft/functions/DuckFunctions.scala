@@ -350,6 +350,10 @@ object DuckFunctions {
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("word_gram_hashes",
           graft.plans.WordGramHashes.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("sign_lsh_buckets",
+          graft.plans.SignLshBuckets.builder, "built-in")
       // runtime mirror of the injectOptimizerRule path (opt-in via conf)
       if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
         spark.experimental.extraOptimizations =

@@ -369,60 +369,104 @@ object Dedup {
     * on the band key = ONE shuffle — the scale path that replaces the
     * all-pairs cosine product.
     */
-  def cosineLshCandidates(df: DataFrame, idCol: String, vecCol: String,
-                          planes: Array[Array[Double]], numBands: Int,
-                          bitsPerBand: Int, maxBucket: Int): DataFrame = {
+  /** Column form of the fused sign-LSH banding kernel
+    * ([[graft.plans.SignLshBuckets]], a codegen expression — no ScalaUDF
+    * on the banding hot path, same promotion the minhash twin got with
+    * `minhashBandBuckets`/`WordGramHashes`). Planes fold into the plan
+    * as a flat ±1 literal. */
+  def signLshBucketsCol(df: DataFrame, v: Column, planes: Array[Array[Double]],
+                        numBands: Int, bitsPerBand: Int): Column = {
     require(planes.length >= numBands * bitsPerBand, "not enough planes")
-    val bucketU = udf((v: Seq[Double]) => {
-      val w = new Array[Long](v.length)
-      var j = 0
-      while (j < w.length) { w(j) = math.floor(v(j) * 1000 + 0.5).toLong; j += 1 }
-      Array.tabulate(numBands) { b =>
-        var bucket = 0L
-        var pb = 0
-        while (pb < bitsPerBand) {
-          val plane = planes(b * bitsPerBand + pb)
-          val n = math.min(plane.length, w.length)
-          var s = 0L
-          var j2 = 0
-          while (j2 < n) { s += w(j2) * plane(j2).toLong; j2 += 1 }
-          if (s >= 0) bucket |= (1L << pb)
-          pb += 1
-        }
-        bucket
-      }
-    })
-    // Plan-shape notes, load-bearing at every scale:
-    //  - posexplode_OUTER + isNotNull on the GENERATED column: a non-outer
-    //    explode makes the optimizer infer `size(bks)>0 AND isnotnull(bks)`
-    //    and inline the kernel UDF into that filter — the dot-product
-    //    kernel would run 3x per row. The outer form infers nothing and
-    //    null/empty `bks` cannot occur (tabulate(numBands) on a non-null
-    //    vector), so the post-filter drops only null-vector rows.
-    //  - WINDOW-counted skew cap, not a groupBy+anti-join on the hot
-    //    buckets: the self-join below must shuffle the banded
-    //    rows by (band, bucket) anyway, so the window rides the join's
-    //    own exchange (no extra shuffle, only a per-partition sort of
-    //    (id, band, bucket) triples) and the WHOLE pipeline — embedding
-    //    scan + dot-product kernel + shuffle — is ONE canonically-equal
-    //    subtree that AQE's ReuseExchange materializes once for the hot
-    //    count and both join sides. The groupBy form computes a second
-    //    full scan+kernel pass for the count; a second pass over 24-byte
-    //    triples is cheap, a second pass over wide vectors is not.
+    graft.functions.DuckFunctions.register(df.sparkSession)
+    val flat = planes.take(numBands * bitsPerBand).flatten
+    call_function("sign_lsh_buckets", v,
+      lit(flat), lit(numBands), lit(bitsPerBand))
+  }
+
+  /** Banded + skew-capped rows shared by the candidate/scored variants:
+    * (id, <keep…>, band, bucket), one row per (doc, band).
+    *
+    * Plan-shape notes, load-bearing at every scale:
+    *  - posexplode_OUTER + isNotNull on the GENERATED column: a non-outer
+    *    explode makes the optimizer infer `size(bks)>0 AND isnotnull(bks)`
+    *    and inline the banding kernel into that filter — the dot-product
+    *    kernel would run 3x per row. The outer form infers nothing and
+    *    null/empty `bks` cannot occur (fixed numBands output on a
+    *    non-null vector), so the post-filter drops only null-vector rows.
+    *  - WINDOW-counted skew cap, not a groupBy+anti-join on the hot
+    *    buckets: the self-join above must shuffle the banded
+    *    rows by (band, bucket) anyway, so the window rides the join's
+    *    own exchange (no extra shuffle, only a per-partition sort) and
+    *    the WHOLE pipeline — embedding scan + dot-product kernel +
+    *    shuffle — is ONE canonically-equal subtree that AQE's
+    *    ReuseExchange materializes once for the hot count and both join
+    *    sides. The groupBy form computes a second full scan+kernel pass
+    *    for the count.
+    */
+  private def lshCappedBands(df: DataFrame, idCol: String, vecCol: String,
+                             planes: Array[Array[Double]], numBands: Int,
+                             bitsPerBand: Int, maxBucket: Int,
+                             keep: Seq[(String, Column)]): DataFrame = {
     val banded = df
-      .select(col(idCol).as("id"), bucketU(col(vecCol)).as("bks"))
-      .select(col("id"), posexplode_outer(col("bks")).as(Seq("band", "bucket")))
+      .select(col(idCol).as("id") +: keep.map { case (n, c) => c.as(n) } :+
+        signLshBucketsCol(df, col(vecCol), planes, numBands, bitsPerBand)
+          .as("bks"): _*)
+      .select(col("id") +: keep.map { case (n, _) => col(n) } :+
+        posexplode_outer(col("bks")).as(Seq("band", "bucket")): _*)
       .filter(col("band").isNotNull)
-    val capped = banded
+    banded
       .withColumn("bsize",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("bsize") <= maxBucket)
       .drop("bsize")
+  }
+
+  def cosineLshCandidates(df: DataFrame, idCol: String, vecCol: String,
+                          planes: Array[Array[Double]], numBands: Int,
+                          bitsPerBand: Int, maxBucket: Int): DataFrame = {
+    val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
+      bitsPerBand, maxBucket, Nil)
     capped.select(col("band"), col("bucket"), col("id").as("id_a"))
       .join(capped.select(col("band"), col("bucket"), col("id").as("id_b")),
         Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Sign-LSH candidates with the exact-cosine refine FUSED into the band
+    * join: vectors (and any `carry` columns) ride the banded rows through
+    * the join's own exchange, the cosine is computed at the join output,
+    * and only NARROW rows (ids, score, carried scalars) reach the
+    * pair-dedup shuffle. This removes the two post-candidate id-joins of
+    * the re-join form — at scale those were two extra shuffles of the
+    * whole embedding table plus two join stages per refine; here the
+    * banded exchange (already carrying the rows ×numBands) is the single
+    * wide shuffle, materialized once via ReuseExchange for the cap and
+    * both join sides. A near-dup pair colliding in k bands computes its
+    * cosine k times before dedup — k·dim multiply-adds inside codegen,
+    * cheaper than one extra shuffle join at any k in use.
+    *
+    * Output: (id_a, id_b, cos, <c>_a, <c>_b …) — one row per candidate
+    * pair, cos and carried values identical whichever band produced it.
+    */
+  def cosineLshScoredPairs(df: DataFrame, idCol: String, vecCol: String,
+                           planes: Array[Array[Double]], numBands: Int,
+                           bitsPerBand: Int, maxBucket: Int,
+                           carry: Seq[String] = Nil): DataFrame = {
+    val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
+      bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+ ("__v" -> col(vecCol)))
+    def side(sfx: String) =
+      capped.select(col("band") +: col("bucket") +: col("id").as(s"id$sfx") +:
+        col("__v").as(s"__v$sfx") +:
+        carry.map(c => col(c).as(s"$c$sfx")): _*)
+    side("_a").join(side("_b"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        (Similarity.dot(col("__v_a"), col("__v_b")) /
+          (Similarity.norm(col("__v_a")) * Similarity.norm(col("__v_b"))))
+          .as("cos") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .dropDuplicates("id_a", "id_b")
   }
 

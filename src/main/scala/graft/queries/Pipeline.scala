@@ -193,15 +193,12 @@ object Pipeline {
       // so the bucketed plan is verified end to end cross-engine
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      val cand = Dedup.cosineLshCandidates(e, "vec_id", "v",
+      // refine fused into the band join (vectors ride the one banded
+      // exchange; no post-candidate id-joins — see cosineLshScoredPairs)
+      val pairs = Dedup.cosineLshScoredPairs(e, "vec_id", "v",
         Similarity.hyperplanes(12, 64), numBands = 1, bitsPerBand = 12,
         maxBucket = 250)
-      val pairs = cand
-        .join(e.select(col("vec_id").as("id_a"), col("v").as("va")), "id_a")
-        .join(e.select(col("vec_id").as("id_b"), col("v").as("vb")), "id_b")
-        .select(col("id_a"), col("id_b"),
-          (Similarity.dot(col("va"), col("vb")) /
-            (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("sim"))
+        .withColumnRenamed("cos", "sim")
       val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b").asc)
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select(col("id_a"), col("id_b"), col("rn").cast("long").as("rn"),

@@ -47,21 +47,19 @@ object Round3 {
 
     "dedup_embedding_cosine_lsh" -> ((s, dir) => {
       // scale path for dedup_embedding_cosine: banded sign-LSH candidate
-      // generation (one band-key shuffle, skew-capped) + exact cosine
-      // refine. Buckets are integer-exact (quantized vectors, ±1 planes)
-      // so the oracle replays the same bucketing in SQL.
+      // generation (one band-key shuffle, skew-capped, codegen banding
+      // kernel) with the exact-cosine refine FUSED into the band join —
+      // vectors + labels ride the single banded exchange, no
+      // post-candidate id-joins. Buckets are integer-exact (quantized
+      // vectors, ±1 planes) so the oracle replays the same bucketing in
+      // SQL.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           col("embedding").cast("array<double>").as("v"))
-      val cand = Dedup.cosineLshCandidates(e, "vec_id", "v", lshPlanes,
-        numBands = LshBands, bitsPerBand = LshBits, maxBucket = LshMaxBucket)
-      val ea = e.select(col("vec_id").as("id_a"), col("label").as("la"), col("v").as("va"))
-      val eb = e.select(col("vec_id").as("id_b"), col("label").as("lb"), col("v").as("vb"))
-      cand.join(ea, "id_a").join(eb, "id_b")
-        .select(col("la"), col("lb"),
-          (Similarity.dot(col("va"), col("vb")) /
-            (Similarity.norm(col("va")) * Similarity.norm(col("vb")))).as("cos"))
-        .groupBy(col("la"), col("lb"))
+      Dedup.cosineLshScoredPairs(e, "vec_id", "v", lshPlanes,
+        numBands = LshBands, bitsPerBand = LshBits, maxBucket = LshMaxBucket,
+        carry = Seq("label"))
+        .groupBy(col("label_a").as("la"), col("label_b").as("lb"))
         .agg(count(when(col("cos") >= 0.35, 1)).as("n_sim"),
           count(lit(1)).as("n_cand"),
           round(max(col("cos")), 6).as("max_cos"))

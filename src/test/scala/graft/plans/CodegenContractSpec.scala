@@ -53,6 +53,20 @@ class CodegenContractSpec extends SparkSpec {
     assert(out.toSeq == (0 until 20).map(i => ((i / 5) min 3).toLong))
   }}
 
+  test("sign_lsh_buckets compiles and evaluates") { withCodegenOnly {
+    // 1 band × 2 bits, planes (+1,+1) and (+1,-1) over dim 2: for
+    // v = (i, 1): bit0 = sign(1000i + 1000) = 1 (always), bit1 =
+    // sign(1000i - 1000) = 1 iff i >= 1 → bucket 1 for i=0, 3 otherwise
+    val out = spark.range(20)
+      .select(call_function("sign_lsh_buckets",
+        array(col("id").cast("double"), lit(1.0)),
+        array(lit(1.0), lit(1.0), lit(1.0), lit(-1.0)),
+        lit(1), lit(2)).as("b"))
+      .collect().map(_.getSeq[Long](0))
+    assert(out.forall(_.length == 1))
+    assert(out.map(_.head).toSeq == (0 until 20).map(i => if (i == 0) 1L else 3L))
+  }}
+
   test("word_gram_hashes compiles and evaluates") { withCodegenOnly {
     val out = spark.range(20)
       .select(call_function("word_gram_hashes",

@@ -26,6 +26,11 @@ class LshExchangeReuseSpec extends SparkSpec {
     val explodes = "posexplode".r.findAllIn(plan).size
     assert(explodes == 1,
       s"banded subtree executed $explodes times (want 1):\n$plan")
+    // the banding kernel is the codegen sign_lsh_buckets expression — a
+    // ScalaUDF anywhere in this plan means the hot map stage regressed
+    // to boxed per-row interpretation (round-4 verdict finding #1)
+    assert(!plan.contains("UDF") && plan.contains("sign_lsh_buckets"),
+      s"banding stage is not the codegen kernel:\n$plan")
   }
 
   test("minhash band join reuses the banded exchange at runtime") {
