@@ -219,10 +219,12 @@ object Engine {
   // ---- introspection (reference: duckdb_tables()/pragma_table_info,
   // duckdb-6.cpp:14150-14176) ----
 
-  /** duckdb_tables() analog. */
+  /** duckdb_tables() analog. Dialect-internal `__graft_*` helper views
+    * are excluded — the native function would not list them either. */
   def tables(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listTables().collect()
+      .filterNot(_.name.startsWith("__graft_"))
       .map(t => (t.name, t.tableType, t.isTemporary)).toSeq
       .toDF("table_name", "table_type", "temporary")
   }
@@ -233,6 +235,23 @@ object Engine {
     spark.table(name).schema.fields.zipWithIndex
       .map { case (f, i) => (i, f.name, f.dataType.simpleString, f.nullable) }.toSeq
       .toDF("cid", "name", "type", "nullable")
+  }
+
+  /** duckdb_columns() analog (duckdb-6.cpp:14150-14176): one row per
+    * column of every resolvable catalog table; column_index is 1-based
+    * and data_type uses the reference's type names, both matching the
+    * native function so probe queries run identically on either engine. */
+  def columnsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq
+      .filterNot(_.name.startsWith("__graft_"))
+      .flatMap { t =>
+        scala.util.Try(spark.table(t.name)).toOption.toSeq.flatMap { df =>
+          df.schema.fields.zipWithIndex.map { case (f, i) =>
+            (t.name, f.name, i + 1, duckTypeName(f.dataType))
+          }
+        }
+      }.toDF("table_name", "column_name", "column_index", "data_type")
   }
 
   /** duckdb_functions() analog (duckdb-6.cpp:14150-14176): every function

@@ -27,6 +27,7 @@ object SparkEntry {
       graft.queries.Round2.queries ++
       graft.queries.Round3.queries ++
       graft.queries.Round4.queries ++
+      graft.queries.Round5.queries ++
       graft.queries.PipelineOps.queries
 
   def oracleSql: Map[String, String] =
@@ -39,5 +40,6 @@ object SparkEntry {
       graft.queries.Round2.oracle ++
       graft.queries.Round3.oracle ++
       graft.queries.Round4.oracle ++
+      graft.queries.Round5.oracle ++
       graft.queries.PipelineOps.oracle
 }

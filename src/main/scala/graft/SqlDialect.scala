@@ -56,6 +56,21 @@ object SqlDialect {
   // duckdb-4.cpp:4689
   private val copyToRe =
     """(?is)^\s*COPY\s+(.+?)\s+TO\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
+  // COPY table FROM 'path' [(options)] — the reference's bulk-ingest path
+  // (BufferedCSVReader feeding PhysicalInsert, duckdb-4.cpp:1949-3700):
+  // the file is read WITH THE TARGET TABLE'S SCHEMA (no inference, like
+  // the reference) and appended via the INSERT primitive.
+  private val copyFromRe =
+    """(?is)^\s*COPY\s+([A-Za-z_][A-Za-z0-9_]*)\s+FROM\s+'([^']+)'\s*(?:\((.*)\))?\s*$""".r
+  // trailing RETURNING <exprs> on DML (reference v0.7 surface, insert
+  // planning duckdb-4.cpp:9996-10015): peeled before the DML regexes run,
+  // evaluated over the changed-row set.
+  private val returningRe = """(?is)\s+RETURNING\s+(.+)$""".r
+  // expr SIMILAR TO 'pattern' → anchored rlike (the reference binds
+  // SIMILAR TO to regexp_full_match — pattern-matching registration
+  // region, duckdb-6.cpp:5993-6041; SURVEY §2.8 maps it to `^…$` rlike).
+  private val similarToRe =
+    """(?is)\b(NOT\s+)?SIMILAR\s+TO\s+('(?:[^']|'')*')""".r
 
   // ---- CREATE MACRO (reference ScalarMacroFunction duckdb-internal.hpp:9920,
   // TableMacroFunction duckdb-internal.hpp:9955). Macros are bind-time
@@ -146,11 +161,7 @@ object SqlDialect {
     ("LOAD (extensions)", """(?is)^\s*LOAD\b""".r),
     ("CREATE INDEX (ART indexes; pruning/broadcast subsume the query role)",
       """(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b""".r),
-    ("DROP INDEX", """(?is)^\s*DROP\s+INDEX\b""".r),
-    ("COPY ... FROM (imports; use read_csv/read_parquet scans)",
-      """(?is)^\s*COPY\s+[A-Za-z_][A-Za-z0-9_]*\s+FROM\b""".r),
-    ("RETURNING clause", """(?is)\bRETURNING\b""".r),
-    ("SIMILAR TO (use regexp_matches / LIKE)", """(?is)\bSIMILAR\s+TO\b""".r))
+    ("DROP INDEX", """(?is)^\s*DROP\s+INDEX\b""".r))
 
   private def guardUnsupported(q: String): Unit =
     unsupportedConstructs.foreach { case (name, re) =>
@@ -309,9 +320,23 @@ object SqlDialect {
     // INSERT/UPDATE/DELETE/ALTER/DROP statement types, duckdb.hpp
     // StatementType) — routed to the Engine DML primitives; DuckDB
     // semantics: INSERT is positional, statements return changed rows ----
+
+    // trailing RETURNING <exprs> (reference duckdb-4.cpp:9996-10015):
+    // peeled here so the DML regexes below see a clean statement; the
+    // clause is evaluated over the changed-row DataFrame (which the DML
+    // layer already computes) instead of the row count.
+    val (qDml, returningCols) = returningRe.findFirstMatchIn(q) match {
+      case Some(m) if !insideQuotes(q, m.start) && parenDepth(q, m.start) == 0 =>
+        (q.substring(0, m.start),
+          Some(splitTopLevel(m.group(1)).map(_.trim).filter(_.nonEmpty)))
+      case _ => (q, None)
+    }
+    def returned(changed: DataFrame): DataFrame =
+      changed.selectExpr(returningCols.get: _*)
+
     val insertRe =
       """(?is)^\s*INSERT\s+(OR\s+REPLACE\s+|OR\s+IGNORE\s+)?INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:VALUES|SELECT|WITH)\b.+)$""".r
-    insertRe.findFirstMatchIn(q) match {
+    insertRe.findFirstMatchIn(qDml) match {
       case Some(m) =>
         import spark.implicits._
         val name = m.group(2)
@@ -326,7 +351,12 @@ object SqlDialect {
             (b, Some((Option(cols).map(_.split(",").map(_.trim).toSeq), action)))
           case b => (b, None)
         }
+        // positional bind + coercion to the TABLE's column types (the
+        // reference casts VALUES literals to the declared types; without
+        // this, RETURNING would leak the literal-inferred types)
         val rows = sql(spark, body).toDF(target.columns.toSeq: _*)
+          .select(target.schema.fields.map(f =>
+            col(f.name).cast(f.dataType)).toSeq: _*)
         def declaredKeys: Seq[String] = primaryKeysFor(spark)
           .getOrElse(name.toLowerCase, throw new IllegalArgumentException(
             s"INSERT conflict clause on '$name': no PRIMARY KEY declared " +
@@ -335,6 +365,9 @@ object SqlDialect {
           case null => ""
           case s => s.trim.toUpperCase.replaceAll("\\s+", " ")
         }
+        if (returningCols.isDefined && (mode.nonEmpty || conflict.isDefined))
+          throw new UnsupportedOperationException(
+            "RETURNING with OR REPLACE / OR IGNORE / ON CONFLICT is not supported")
         val n = (mode, conflict) match {
           case ("", None) =>
             val c = rows.count(); Engine.insertInto(spark, name, rows); c
@@ -357,25 +390,30 @@ object SqlDialect {
             throw new UnsupportedOperationException(
               s"INSERT: cannot combine $other")
         }
+        // RETURNING on plain INSERT: the inserted rows, like the reference
+        if (returningCols.isDefined) return returned(rows)
         return Seq(n).toDF("count")
       case None =>
     }
     val deleteRe =
       """(?is)^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+WHERE\s+(.+?))?\s*$""".r
-    deleteRe.findFirstMatchIn(q) match {
+    deleteRe.findFirstMatchIn(qDml) match {
       case Some(m) =>
         import spark.implicits._
         val cond = Option(m.group(2))
           .map(org.apache.spark.sql.functions.expr)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
-        val n = spark.table(m.group(1)).filter(cond).count()
+        // materialize the doomed rows BEFORE the view is re-registered
+        // (filter keeps only predicate-TRUE rows — exactly the deleted set)
+        val deleted = spark.table(m.group(1)).filter(cond).localCheckpoint()
         Engine.deleteWhere(spark, m.group(1), cond)
-        return Seq(n).toDF("count")
+        if (returningCols.isDefined) return returned(deleted)
+        return Seq(deleted.count()).toDF("count")
       case None =>
     }
     val updateRe =
       """(?is)^\s*UPDATE\s+([A-Za-z_][A-Za-z0-9_]*)\s+SET\s+(.+?)(?:\s+WHERE\s+(.+?))?\s*$""".r
-    updateRe.findFirstMatchIn(q) match {
+    updateRe.findFirstMatchIn(qDml) match {
       case Some(m) =>
         import spark.implicits._
         val cond = Option(m.group(3))
@@ -386,12 +424,20 @@ object SqlDialect {
           require(eq > 0, s"UPDATE: malformed assignment '$a'")
           a.substring(0, eq).trim ->
             org.apache.spark.sql.functions.expr(a.substring(eq + 1).trim)
-        }.toMap
-        val n = spark.table(m.group(1)).filter(cond).count()
-        Engine.updateWhere(spark, m.group(1), cond, assignments)
-        return Seq(n).toDF("count")
+        }
+        // RETURNING on UPDATE reports the NEW row values: apply the same
+        // assignment fold updateWhere uses, but over the matched rows only
+        val post = assignments.foldLeft(spark.table(m.group(1)).filter(cond)) {
+          case (acc, (c, v)) => acc.withColumn(c, v)
+        }.localCheckpoint()
+        Engine.updateWhere(spark, m.group(1), cond, assignments.toMap)
+        if (returningCols.isDefined) return returned(post)
+        return Seq(post.count()).toDF("count")
       case None =>
     }
+    if (returningCols.isDefined)
+      throw new UnsupportedOperationException(
+        "RETURNING is only valid on INSERT / UPDATE / DELETE")
     val dropTableRe =
       """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
     dropTableRe.findFirstMatchIn(q) match {
@@ -482,6 +528,42 @@ object SqlDialect {
       case None =>
     }
 
+    // COPY table FROM 'path' [(options)] — bulk ingest (reference
+    // BufferedCSVReader → PhysicalInsert, duckdb-4.cpp:1949-3700): read
+    // with the TARGET TABLE'S schema (no inference, like the reference)
+    // and append through the INSERT primitive; returns the row count.
+    copyFromRe.findFirstMatchIn(q) match {
+      case Some(m) =>
+        val name = m.group(1)
+        val path = m.group(2)
+        val target = spark.table(name)
+        val opts = Option(m.group(3)).map(splitTopLevel(_).map(_.trim))
+          .getOrElse(Seq.empty)
+        val upper = opts.map(_.toUpperCase.replaceAll("\\s+", " "))
+        val fmt = upper.collectFirst { case o if o.startsWith("FORMAT") =>
+          o.split(" ").last }.getOrElse(
+          if (path.toLowerCase.endsWith(".parquet")) "PARQUET" else "CSV")
+        val rows =
+          if (fmt == "PARQUET") spark.read.schema(target.schema).parquet(path)
+          else {
+            val header = upper.exists(o => o == "HEADER" || o == "HEADER TRUE" ||
+              o == "HEADER 1")
+            val delim = opts.flatMap(
+              """(?i)^DELIM(?:ITER)?\s+'([^']*)'$""".r.findFirstMatchIn(_)
+                .map(_.group(1))).headOption
+            delim.foldLeft(
+              spark.read.schema(target.schema).option("header", header.toString)) {
+              (r, d) => r.option("sep", d)
+            }.csv(path)
+          }
+        val renamed = rows.toDF(target.columns.toSeq: _*)
+        val n = renamed.count()
+        Engine.insertInto(spark, name, renamed)
+        import spark.implicits._
+        return Seq(n).toDF("Count")
+      case None =>
+    }
+
     // COPY … TO 'path' [(FORMAT …)] → DataFrame write; returns the
     // copied row count like the reference
     copyToRe.findFirstMatchIn(q) match {
@@ -507,12 +589,23 @@ object SqlDialect {
       case None =>
     }
 
-    // duckdb_functions() catalog table fn (duckdb-6.cpp:14150) →
-    // registered view over the session's resolvable function names
+    // duckdb_functions()/duckdb_tables()/duckdb_columns() catalog table
+    // fns (duckdb-6.cpp:14150-14176) → registered views over the
+    // session's catalog state, resolved AT STATEMENT TIME
     val duckdbFunctionsFn = """(?i)\bduckdb_functions\s*\(\s*\)""".r
     if (duckdbFunctionsFn.findFirstIn(q).isDefined) {
       Engine.functionsTable(spark).createOrReplaceTempView("__graft_functions")
       q = duckdbFunctionsFn.replaceAllIn(q, "__graft_functions")
+    }
+    val duckdbTablesFn = """(?i)\bduckdb_tables\s*\(\s*\)""".r
+    if (duckdbTablesFn.findFirstIn(q).isDefined) {
+      Engine.tables(spark).createOrReplaceTempView("__graft_tables")
+      q = duckdbTablesFn.replaceAllIn(q, "__graft_tables")
+    }
+    val duckdbColumnsFn = """(?i)\bduckdb_columns\s*\(\s*\)""".r
+    if (duckdbColumnsFn.findFirstIn(q).isDefined) {
+      Engine.columnsTable(spark).createOrReplaceTempView("__graft_columns")
+      q = duckdbColumnsFn.replaceAllIn(q, "__graft_columns")
     }
 
     // replacement scans: read_csv('p' [, opt=v…]) / read_parquet('p') /
@@ -560,6 +653,25 @@ object SqlDialect {
   /** Text-level rewrites that stay inside one SQL statement. */
   private[graft] def rewriteCore(spark: SparkSession, query: String): String = {
     var q = query
+
+    // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
+    // reference binds SIMILAR TO to regexp_full_match — the pattern is a
+    // regex matched against the WHOLE string, duckdb-6.cpp:5993-6041 —
+    // so wrapping ^(?:…)$ is the exact Spark equivalent, per SURVEY §2.8)
+    locally {
+      val sb = new StringBuilder
+      var last = 0
+      similarToRe.findAllMatchIn(q).foreach { m =>
+        if (!insideQuotes(q, m.start)) {
+          val body = m.group(2).substring(1, m.group(2).length - 1)
+          val neg = if (m.group(1) != null) "NOT " else ""
+          sb.append(q.substring(last, m.start))
+            .append(s" ${neg}RLIKE '^(?:$body)$$'")
+          last = m.end
+        }
+      }
+      if (last > 0) q = sb.append(q.substring(last)).toString
+    }
 
     // star modifiers (reference: star expression EXCLUDE / REPLACE,
     // duckdb-internal.hpp star expr):

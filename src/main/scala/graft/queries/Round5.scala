@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.{Engine, SqlDialect}
+
+/** Round-5 batch: the three formerly-guardrailed dialect surfaces
+  * (SIMILAR TO, COPY … FROM, DML RETURNING — each verified with the
+  * native DuckDB construct on the oracle side) and full catalog
+  * table-function parity (duckdb_tables()/duckdb_columns()).
+  *
+  * Every query here is a STATEMENT SCRIPT executed identically on both
+  * engines (the dialect shim routes each statement; DuckDB runs the same
+  * text natively), with the last statement's result hashed by the
+  * driver compare.
+  */
+object Round5 {
+
+  private def script(s: SparkSession, dir: String, stmts: Seq[String]): DataFrame = {
+    Engine.registerAll(s, dir)
+    stmts.map(SqlDialect.sql(s, _)).last
+  }
+
+  /** Engine-local scratch path for the COPY round-trip (each engine
+    * writes and reads its OWN file — the aggregate result is what is
+    * compared, so the on-disk layout may differ: Spark writes a part-file
+    * directory, DuckDB a single flat file; both live directly under /tmp
+    * so neither engine needs to create parent directories). */
+  private val copyPathSpark = "/tmp/graft_r5_cf_spark.csv"
+  private val copyPathDuck = "/tmp/graft_r5_cf_duck.csv"
+
+  private def copyFromStmts(out: String) = Seq(
+    "CREATE OR REPLACE TABLE cf_nation (k BIGINT, name VARCHAR, rk BIGINT)",
+    s"""COPY (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+       |  CAST(n_regionkey AS BIGINT) AS rk FROM nation ORDER BY 1)
+       |TO '$out' (FORMAT CSV, HEADER)""".stripMargin,
+    s"COPY cf_nation FROM '$out' (FORMAT CSV, HEADER)",
+    // append semantics: a second COPY FROM doubles the table
+    s"COPY cf_nation FROM '$out' (FORMAT CSV, HEADER)",
+    """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+      |  min(name) AS lo_name, CAST(sum(rk) AS BIGINT) AS rk_sum
+      |FROM cf_nation""".stripMargin)
+
+  private val returningStmts = Seq(
+    """CREATE OR REPLACE TABLE ret_demo AS
+      |SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
+      |  CAST(n_regionkey AS BIGINT) AS rk FROM nation""".stripMargin,
+    // INSERT/DELETE RETURNING exercise the path; the driver hashes only
+    // the final UPDATE's returned rows
+    "INSERT INTO ret_demo VALUES (900, 'NATION_X', 9), (901, 'NATION_Y', 9) RETURNING k, name",
+    "DELETE FROM ret_demo WHERE k % 7 = 3 RETURNING k",
+    "UPDATE ret_demo SET rk = rk + 100 WHERE k % 2 = 0 RETURNING k, name, rk")
+
+  private val catalogSetup = Seq(
+    "CREATE OR REPLACE TABLE cat5_t1 (a BIGINT, b VARCHAR)",
+    """CREATE OR REPLACE TABLE cat5_t2 AS
+      |SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS nm FROM nation""".stripMargin)
+
+  private val similarToSql =
+    """SELECT count(*) FILTER (WHERE p_name SIMILAR TO '.*(red|blue).*') AS n_pat,
+      |  count(*) FILTER (WHERE p_name NOT SIMILAR TO '.* .*') AS n_no_space,
+      |  count(*) FILTER (WHERE p_type SIMILAR TO '[A-Z]+') AS n_anchor,
+      |  count(*) FILTER (WHERE p_name SIMILAR TO 'red') AS n_substr_trap
+      |FROM part""".stripMargin
+
+  private val tablesFnSql =
+    "SELECT table_name FROM duckdb_tables() WHERE table_name LIKE 'cat5_%' ORDER BY 1"
+
+  private val columnsFnSql =
+    """SELECT table_name, column_name, CAST(column_index AS BIGINT) AS column_index,
+      |  data_type
+      |FROM duckdb_columns() WHERE table_name LIKE 'cat5_%'
+      |ORDER BY table_name, column_index""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "fn_similar_to" -> ((s, dir) => {
+      // SIMILAR TO → anchored rlike (reference regexp_full_match binding,
+      // duckdb-6.cpp:5993-6041): same statement text on both engines;
+      // n_substr_trap pins the WHOLE-string semantics ('red' must not
+      // match 'red widget')
+      script(s, dir, Seq(similarToSql))
+    }),
+
+    "catalog_copy_from" -> ((s, dir) => {
+      // COPY t FROM 'file' (reference BufferedCSVReader → PhysicalInsert,
+      // duckdb-4.cpp:1949-3700): round-trip through each engine's own
+      // COPY TO output, appended twice to pin INSERT (not replace)
+      // semantics
+      script(s, dir, copyFromStmts(copyPathSpark))
+    }),
+
+    "catalog_returning" -> ((s, dir) => {
+      // DML RETURNING (reference insert planning, duckdb-4.cpp:9996):
+      // the UPDATE's returned rows carry the NEW values
+      script(s, dir, returningStmts)
+    }),
+
+    "catalog_tables_fn" -> ((s, dir) =>
+      script(s, dir, catalogSetup :+ tablesFnSql)),
+
+    "catalog_columns_fn" -> ((s, dir) =>
+      script(s, dir, catalogSetup :+ columnsFnSql))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "fn_similar_to" -> similarToSql,
+    "catalog_copy_from" -> copyFromStmts(copyPathDuck).mkString(";\n"),
+    "catalog_returning" -> returningStmts.mkString(";\n"),
+    "catalog_tables_fn" -> (catalogSetup :+ tablesFnSql).mkString(";\n"),
+    "catalog_columns_fn" -> (catalogSetup :+ columnsFnSql).mkString(";\n")
+  )
+}

@@ -15,14 +15,16 @@ class ContractSpec extends AnyFunSuite {
     "Pipeline" -> Pipeline.queries, "Extended" -> Extended.queries,
     "Extended2" -> Extended2.queries, "Tpch2" -> Tpch2.queries,
     "Round2" -> Round2.queries, "Round3" -> Round3.queries,
-    "Round4" -> Round4.queries, "PipelineOps" -> PipelineOps.queries)
+    "Round4" -> Round4.queries, "Round5" -> Round5.queries,
+    "PipelineOps" -> PipelineOps.queries)
 
   private val oracleModules = Seq(
     "Relational" -> Relational.oracle, "ScalarFns" -> ScalarFns.oracle,
     "Pipeline" -> Pipeline.oracle, "Extended" -> Extended.oracle,
     "Extended2" -> Extended2.oracle, "Tpch2" -> Tpch2.oracle,
     "Round2" -> Round2.oracle, "Round3" -> Round3.oracle,
-    "Round4" -> Round4.oracle, "PipelineOps" -> PipelineOps.oracle)
+    "Round4" -> Round4.oracle, "Round5" -> Round5.oracle,
+    "PipelineOps" -> PipelineOps.oracle)
 
   test("no duplicate query names across modules") {
     val all = queryModules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }
