@@ -85,7 +85,21 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     case _ => None
   }
 
+  // Re-entrancy guard: quantileBounds runs a Spark job AT OPTIMIZE TIME,
+  // and that job's own query is analyzed + optimized on the SAME thread —
+  // so this rule re-enters itself. A nested activation must be a no-op:
+  // the stats query contains no range join (it is a Project/Union over
+  // the join's children), but a pathological child shape or a future
+  // edit could otherwise recurse into a second plan-time job inside the
+  // first — the concurrent-session deadlock class the round-4 verdict
+  // flagged. Thread-local, so concurrent sessions on other threads are
+  // unaffected (spec: RangeJoinRuleSpec "concurrent sessions").
+  private val inStatsJob = new ThreadLocal[java.lang.Boolean] {
+    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (inStatsJob.get()) return plan
     val width = conf.getConfString("spark.graft.rangeJoin.bucketWidth", "0").toDouble
     val auto = conf.getConfString("spark.graft.rangeJoin.auto", "true").toBoolean
     if (width <= 0 && !auto) return plan
@@ -112,6 +126,8 @@ object RangeJoinRule extends Rule[LogicalPlan] {
             rewriteBand(right, left, asPointRight, cond, hint, width, pointIsLeft = false)
           else if (auto) tryRewriteOverlap(left, right, conjuncts, cond, hint)
           else None
+        } else if (conjuncts.size == 1 && noEqui && auto) {
+          tryRewriteSingle(left, right, conjuncts.head, cond, hint)
         } else None
         rewritten.getOrElse(j)
     }
@@ -155,9 +171,21 @@ object RangeJoinRule extends Rule[LogicalPlan] {
       val union = parts.map { case (p, e) =>
         Project(Seq(Alias(Cast(e, DoubleType), "__graft_q")()), p): LogicalPlan
       }.reduce((a, b) => Union(a, b))
-      val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, union)
+      // spark.graft.rangeJoin.statsSample bounds the plan-time job's input
+      // (first-N rows; 0 = unbounded). Boundaries only shape load balance,
+      // never correctness, so a bounded sample is always sound.
+      val sampleN = math.min(
+        conf.getConfString("spark.graft.rangeJoin.statsSample", "1000000").toLong,
+        Int.MaxValue.toLong)
+      val limited = if (sampleN > 0) Limit(Literal(sampleN.toInt), union) else union
+      val df = org.apache.spark.sql.graft.GraftSqlShim.ofRows(spark, limited)
       val probs = (1 until nb).map(_.toDouble / nb).toArray
-      val bounds = df.stat.approxQuantile("__graft_q", probs, 0.01).distinct.sorted
+      // the stats query is optimized on THIS thread — flag the window so
+      // the nested rule activation no-ops instead of recursing
+      inStatsJob.set(java.lang.Boolean.TRUE)
+      val bounds =
+        try df.stat.approxQuantile("__graft_q", probs, 0.01).distinct.sorted
+        finally inStatsJob.set(java.lang.Boolean.FALSE)
       boundsCache.synchronized(boundsCache.put(key, bounds))
       bounds
     }
@@ -199,6 +227,62 @@ object RangeJoinRule extends Rule[LogicalPlan] {
     val originalOutput = if (pointIsLeft) pointSide.output ++ rangeSide.output
     else rangeSide.output ++ pointSide.output
     Some(Project(originalOutput, joined))
+  }
+
+  // ---- single-inequality rewrite (piecewise-merge class) ----
+
+  /** A lone `small < big` (or <=) across the two sides — the reference's
+    * PhysicalPiecewiseMergeJoin case (duckdb-3.cpp:17261-17929). Output
+    * is inherently ~quadratic, but the default Spark plan is a
+    * broadcast-nested-loop that must BROADCAST one whole side — an OOM
+    * wall when neither side is small. Rewrite (only when neither side is
+    * under the broadcast threshold): quantile-bucket the big-side value;
+    * a big row sits in exactly bucket(big), a small row replicates to
+    * every bucket ≥ bucket(small) (monotonicity makes this complete, and
+    * each pair meets exactly once since the big side never replicates).
+    * The join becomes a shuffled equi-join on the bucket with the
+    * original predicate as exact refinement: both sides stream through
+    * ≤ nb+1 balanced partitions — the distributed analog of the
+    * reference's sorted-merge, with replication ~nb/2 per small row,
+    * negligible next to the output it feeds.
+    */
+  private def tryRewriteSingle(left: LogicalPlan, right: LogicalPlan,
+                               c: Expression, cond: Expression,
+                               hint: JoinHint): Option[LogicalPlan] = {
+    val ineq = asIneq(c).getOrElse(return None)
+    val smallIsLeft =
+      if (refsOnly(ineq.small, left) && refsOnly(ineq.big, right)) true
+      else if (refsOnly(ineq.small, right) && refsOnly(ineq.big, left)) false
+      else return None
+    if (!bucketable(ineq.small) || !bucketable(ineq.big)) return None
+    // a broadcastable side makes the default BNL plan both correct and
+    // cheaper (no shuffle, no replication) — keep it; the rewrite exists
+    // for the two-big-sides case the reference handles with its merge join
+    val thresh = conf.autoBroadcastJoinThreshold
+    if (thresh >= 0 && (left.stats.sizeInBytes <= thresh ||
+        right.stats.sizeInBytes <= thresh)) return None
+
+    val (smallSide, bigSide) = if (smallIsLeft) (left, right) else (right, left)
+    val bounds = quantileBounds(Seq((bigSide, ineq.big)))
+    if (bounds.isEmpty) return None // degenerate stats (empty side)
+
+    val bBucket = Alias(quantBucket(ineq.big, bounds), "__graft_bbucket")()
+    val newBigSide = Project(bigSide.output :+ bBucket, bigSide)
+
+    val sAttr = AttributeReference("__graft_sbucket", LongType, nullable = true)()
+    // small row spans [bucket(small), #bounds] — bucket(big) can never
+    // exceed #bounds, and small <= big forces bucket(small) <= bucket(big)
+    val seq = new Sequence(quantBucket(ineq.small, bounds),
+      Literal(bounds.length.toLong), Literal(1L))
+      .withTimeZone(conf.sessionLocalTimeZone)
+    val newSmallSide = Generate(Explode(seq), unrequiredChildIndex = Nil,
+      outer = false, qualifier = None, generatorOutput = Seq(sAttr), smallSide)
+
+    val bucketEq = EqualTo(sAttr, bBucket.toAttribute)
+    val (l, r) = if (smallIsLeft) (newSmallSide, newBigSide)
+    else (newBigSide, newSmallSide)
+    val joined = Join(l, r, Inner, Some(And(bucketEq, cond)), hint)
+    Some(Project(left.output ++ right.output, joined))
   }
 
   // ---- interval-overlap rewrite (two-sided IEJoin) ----

@@ -71,7 +71,27 @@ object Round5 {
       |FROM duckdb_columns() WHERE table_name LIKE 'cat5_%'
       |ORDER BY table_name, column_index""".stripMargin
 
+  private val piecewiseMergeSql =
+    """SELECT count(*) AS n_pairs,
+      |  CAST(sum(s.s_suppkey) AS BIGINT) AS sk_sum,
+      |  CAST(sum(c.c_custkey) AS BIGINT) AS ck_sum,
+      |  round(max(c.c_acctbal - s.s_acctbal), 2) AS max_gap
+      |FROM supplier s JOIN customer c ON s.s_acctbal < c.c_acctbal""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "join_piecewise_merge" -> ((s, dir) => {
+      // single-inequality inner join (reference PhysicalPiecewiseMergeJoin,
+      // duckdb-3.cpp:17261): with broadcast disabled — the
+      // neither-side-fits regime this plan exists for — RangeJoinRule
+      // rewrites it to a bucketed shuffled equi-join instead of a
+      // broadcast nested loop. Child session so the conf pin cannot leak
+      // into other queries.
+      val child = s.newSession()
+      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Engine.registerAll(child, dir)
+      child.sql(piecewiseMergeSql)
+    }),
 
     "fn_similar_to" -> ((s, dir) => {
       // SIMILAR TO → anchored rlike (reference regexp_full_match binding,
@@ -103,6 +123,7 @@ object Round5 {
   )
 
   val oracle: Map[String, String] = Map(
+    "join_piecewise_merge" -> piecewiseMergeSql,
     "fn_similar_to" -> similarToSql,
     "catalog_copy_from" -> copyFromStmts(copyPathDuck).mkString(";\n"),
     "catalog_returning" -> returningStmts.mkString(";\n"),

@@ -119,6 +119,70 @@ class RangeJoinRuleSpec extends SparkSpec {
       baseline.groupBy(identity).view.mapValues(_.length).toMap)
   }
 
+  test("single inequality rewrites to a bucketed join when neither side broadcasts") {
+    val small = (1 to 400).map(i => (i.toLong, i * 0.31)).toDF("sid", "sv")
+    val big = (1 to 90).map(i => (i.toLong, i * 1.4)).toDF("bid", "bv")
+    def j() = small.join(big, col("sv") < col("bv"))
+    spark.conf.set("spark.graft.rangeJoin.auto", "false")
+    val baseline =
+      try j().select("sid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.rangeJoin.auto")
+    // neither-side-broadcastable regime (the case the rewrite exists for)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val rewritten = j()
+      val plan = rewritten.queryExecution.executedPlan.toString
+      assert(plan.contains("__graft_bbucket"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin") &&
+        !plan.contains("CartesianProduct"), plan)
+      val got = rewritten.select("sid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, "pair emitted more than once")
+      assert(got.toSet == baseline && got.nonEmpty)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("single inequality keeps the broadcast NL plan when a side is small") {
+    // with the default broadcast threshold these tiny frames broadcast —
+    // the BNL plan is cheaper there, so the rewrite must NOT fire
+    val small = (1 to 50).map(i => (i.toLong, i * 0.31)).toDF("sid", "sv")
+    val big = (1 to 20).map(i => (i.toLong, i * 1.4)).toDF("bid", "bv")
+    val j = small.join(big, col("sv") < col("bv"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("__graft_bbucket"), plan)
+    assert(j.count() > 0)
+  }
+
+  test("concurrent sessions drive the plan-time stats job without deadlock") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // two child sessions, two threads, fresh (uncached) plans on each —
+    // both hit quantileBounds' plan-time job concurrently; the thread-
+    // local re-entrancy guard must keep the nested optimizer activations
+    // no-ops and both queries must complete
+    val futures = (1 to 2).map { k =>
+      Future {
+        val child = spark.newSession()
+        graft.functions.DuckFunctions.register(child)
+        import child.implicits._
+        val pts = (1 to 300).map(i => (i.toLong, i * (0.3 + k))).toDF("pid", "x")
+        val rng = (1 to 40).map(i => (i.toLong, i * 2.0, i * 2.0 + 9.0 * k))
+          .toDF("rid", "lo", "hi")
+        val out = pts.join(rng, col("x") > col("lo") && col("x") <= col("hi"))
+          .select("pid", "rid").collect()
+        val plan = pts.join(rng, col("x") > col("lo") && col("x") <= col("hi"))
+          .queryExecution.optimizedPlan.toString
+        (out.length, plan.contains("__graft_pbucket"))
+      }
+    }
+    val results = Await.result(Future.sequence(futures), 120.seconds)
+    results.foreach { case (n, rewrote) =>
+      assert(n > 0)
+      assert(rewrote, "auto rewrite did not fire in the child session")
+    }
+  }
+
   test("bucket_index expression: boundary semantics, null, codegen parity") {
     graft.functions.DuckFunctions.register(spark)
     val df = Seq[java.lang.Double](-5.0, 0.0, 0.5, 1.0, 7.3, null)
