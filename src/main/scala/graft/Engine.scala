@@ -74,27 +74,49 @@ object Engine {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     resolveTable(spark, dir, name)
 
+  /** Inferred (and memoized) on-disk schema of an sf-dir table. Public
+    * because it is the SINGLE source of truth for both the batch reader
+    * below and the streaming reader (streaming/EventStreams.readEvents),
+    * so their ts-unit handling can never diverge. Inference runs with
+    * nanosAsLong=true so a TIMESTAMP(NANOS) file infers as LongType
+    * instead of failing — the conf must be set BEFORE the footer read,
+    * which is why detection-then-set is not an option.
+    */
+  def tableSchema(spark: SparkSession, dir: String,
+                  name: String): org.apache.spark.sql.types.StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schemaMemo.computeIfAbsent((dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet").schema)
+  }
+
+  /** True when the stored ts column is raw int64 nanoseconds (a
+    * TIMESTAMP(NANOS) parquet read under nanosAsLong) rather than a
+    * native TimestampType — the caller must then apply `ts div 1000` →
+    * timestamp_micros. Historically the testdata generator has flipped
+    * between timestamp[ns] and timestamp[us]; both paths key off THIS
+    * predicate so either file layout reads correctly.
+    */
+  def tsIsLongNanos(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(f => f.name == "ts" &&
+      f.dataType == org.apache.spark.sql.types.LongType)
+
   private def resolveTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     functions.DuckFunctions.register(spark)
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    // reader rejects; read nanos as long and convert to µs TimestampType
-    // (truncation documented — all graft time semantics are µs, like the
-    // reference's TIMESTAMP, duckdb.hpp:915).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // ts-unit handling: if the file stores TIMESTAMP(NANOS) it infers as
+    // LongType (nanosAsLong, set in tableSchema) and we convert to µs
+    // TimestampType here (truncation documented — all graft time
+    // semantics are µs, like the reference's TIMESTAMP, duckdb.hpp:915);
+    // a timestamp[us] file infers as TimestampType and passes through.
     val path = s"$dir/$name.parquet"
-    val schema = schemaMemo.computeIfAbsent((dir, name),
-      _ => spark.read.parquet(path).schema)
+    val schema = tableSchema(spark, dir, name)
     val raw = spark.read.schema(schema).parquet(path)
-    raw.schema.fields.find(f => f.name == "ts" &&
-      f.dataType == org.apache.spark.sql.types.LongType) match {
-      case Some(_) =>
-        // integral div: double division loses precision at ~1.7e18 ns and
-        // rounds some timestamps off by 1µs
-        raw.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case None => raw
-    }
+    if (tsIsLongNanos(raw.schema)) {
+      // integral div: double division loses precision at ~1.7e18 ns and
+      // rounds some timestamps off by 1µs
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else raw
   }
 
   /** repeat(val, n) table function (reference RepeatTableFunction,

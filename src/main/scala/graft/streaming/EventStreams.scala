@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Structured Streaming layer over the events table (SURVEY.md §2.10:
   * the reference is batch-only; this is the additive streaming module).
@@ -15,13 +14,14 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** events schema as stored (ts read as long nanos — see Engine.table). */
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** Streaming read of the events parquet (ns → µs timestamp).
+  /** Streaming read of the events parquet, schema-adaptive on the ts
+    * unit. The schema comes from `Engine.tableSchema` — the SAME memoized
+    * inference the batch reader uses — so batch and streaming can never
+    * disagree about what is on disk: a TIMESTAMP(NANOS) file (inferred
+    * LongType under nanosAsLong) gets the integral `ts div 1000` → µs
+    * conversion; a timestamp[us] file streams with its native
+    * TimestampType untouched. (A hardcoded LongType schema here once
+    * compressed event time 1000× when the testdata flipped ns→µs.)
     *
     * The file stream source monitors a DIRECTORY; the test data is a
     * single file, so it is staged (hard-linked/copied) into a temp dir —
@@ -29,11 +29,20 @@ object EventStreams {
     * files.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = graft.Engine.tableSchema(spark, dir, "events")
     val staged = stageDir(dir)
-    spark.readStream.schema(eventsSchema)
-      .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = spark.readStream.schema(schema).parquet(staged)
+    schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet (long under nanosAsLong): integral ns→µs
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // timestamp[us] without UTC adjustment infers as TIMESTAMP_NTZ, but
+      // watermarks/event-time require TIMESTAMP (LTZ). The session TZ is
+      // pinned to UTC (Engine.session), so the cast is value-preserving.
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   private val stageCache = scala.collection.concurrent.TrieMap.empty[String, String]

@@ -118,4 +118,39 @@ class EventStreamsSpec extends SparkSpec {
     assert(dupes == 0)
     assert(out.count() > 0)
   }
+
+  test("data contract: events ts type tripwire + batch/stream ts parity") {
+    // Tripwire: the testdata generator has flipped events.ts between
+    // timestamp[ns] (long under nanosAsLong) and timestamp[us] before —
+    // a drift that once silently compressed streaming event time 1000×.
+    // If it flips to a THIRD layout, fail here with the inferred type,
+    // not in five downstream oracle rows.
+    val inferred = graft.Engine.tableSchema(spark, dir, "events")("ts").dataType
+    val known = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.TimestampType,
+      org.apache.spark.sql.types.TimestampNTZType,
+      org.apache.spark.sql.types.LongType)
+    assert(known(inferred),
+      s"unexpected on-disk events.ts type: $inferred — update EventStreams.readEvents")
+    // Parity: the streaming reader derives its schema from the SAME
+    // memoized inference as batch; every ts instant must match exactly
+    // (the session TZ is UTC, so the NTZ↔LTZ cast is value-preserving).
+    val batch = graft.Engine.table(spark, dir, "events")
+    val name = s"contract_${System.nanoTime()}"
+    val q = EventStreams.readEvents(spark, dir)
+      .select(col("event_id"), col("ts"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name)
+    // watermark/event-time contract: streaming ts must be LTZ TIMESTAMP
+    assert(streamed.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    val diverged = streamed.as("s")
+      .join(batch.select(col("event_id"),
+        col("ts").cast(org.apache.spark.sql.types.TimestampType).as("bts")).as("b"),
+        "event_id")
+      .filter(col("s.ts") =!= col("bts"))
+    assert(diverged.isEmpty, "streaming ts values diverge from batch")
+    assert(streamed.count() == batch.count())
+  }
 }
