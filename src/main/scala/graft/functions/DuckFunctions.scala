@@ -354,6 +354,18 @@ object DuckFunctions {
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("sign_lsh_buckets",
           graft.plans.SignLshBuckets.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("hashed_shingles",
+          graft.plans.HashedShingles.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("minhash_band_buckets",
+          graft.plans.MinhashBands.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("delete_neighborhood_hashes",
+          graft.plans.DeleteNeighborhoodHashes.builder, "built-in")
       // runtime mirror of the injectOptimizerRule path (opt-in via conf)
       if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
         spark.experimental.extraOptimizations =

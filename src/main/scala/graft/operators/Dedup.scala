@@ -190,6 +190,29 @@ object Dedup {
   val minhashBandBucketsUdf = udf(minhashBandBuckets _)
   val jaccardSortedLongsUdf = udf(jaccardSortedLongs _)
 
+  /** Codegen form of [[hashedShingles]] (graft.plans.HashedShingles):
+    * reads the text's UTF-8 bytes in place, no String copy, no codegen
+    * fence at the scan. The UDF forms above remain as the reference
+    * semantics the specs equivalence-check against. */
+  def hashedShinglesCol(df: DataFrame)(text: Column, n: Int): Column = {
+    graft.functions.DuckFunctions.register(df.sparkSession)
+    call_function("hashed_shingles", text, lit(n))
+  }
+
+  /** Codegen form of [[minhashBandBuckets]] (graft.plans.MinhashBands). */
+  def minhashBandsCol(df: DataFrame)(sh: Column, numHashes: Int,
+                                     numBands: Int): Column = {
+    graft.functions.DuckFunctions.register(df.sparkSession)
+    call_function("minhash_band_buckets", sh, lit(numHashes), lit(numBands))
+  }
+
+  /** Codegen form of [[hashedDeleteNeighborhood]]
+    * (graft.plans.DeleteNeighborhoodHashes). */
+  def deleteNeighborhoodHashesCol(df: DataFrame)(s: Column, k: Int): Column = {
+    graft.functions.DuckFunctions.register(df.sparkSession)
+    call_function("delete_neighborhood_hashes", s, lit(k))
+  }
+
   /** Codegen form of [[jaccardSortedLongs]] (graft.plans.JaccardSorted):
     * reads the Tungsten arrays in place — no per-row WrappedArray copy.
     * Registration is idempotent per session. */
@@ -224,7 +247,7 @@ object Dedup {
     // gate either).
     val sh = df
       .select(col(idCol).as("id"),
-        hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
+        hashedShinglesCol(df)(col(textCol), shingleN).as("sh"))
     // band-join carries only (band, bucket, id) — the shingle arrays are
     // re-joined for scoring AFTER candidate dedup, so the wide rows never
     // go through the candidate shuffle. Banding runs inside the fused
@@ -238,7 +261,7 @@ object Dedup {
     // banding subtree materializes once for the cap and both join sides.
     val withBands = sh
       .select(col("id"),
-        posexplode_outer(minhashBandBucketsUdf(col("sh"), lit(numHashes), lit(numBands)))
+        posexplode_outer(minhashBandsCol(df)(col("sh"), numHashes, numBands))
           .as(Seq("band", "bucket")))
       .filter(col("band").isNotNull)
     val pruned = withBands
@@ -344,7 +367,7 @@ object Dedup {
     // groupBy of that single pass — the neighborhood kernel runs once,
     // not once per join side.
     val keyed = base.select(col("id"),
-      explode(hashedDeleteNeighborhoodUdf(col("s"), lit(maxDist))).as("key"))
+      explode(deleteNeighborhoodHashesCol(df)(col("s"), maxDist)).as("key"))
     val candidates = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
       .filter(col("id_a") < col("id_b"))
@@ -489,7 +512,7 @@ object Dedup {
     // lemma)
     val sh = df
       .select(col(idCol).as("id"),
-        hashedShinglesUdf(col(textCol), lit(shingleN)).as("sh"))
+        hashedShinglesCol(df)(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     // epsilon guards fp overshoot: t·|S| that is mathematically integral
     // can evaluate just above it (0.8*90 = 72.000000000000004), and an

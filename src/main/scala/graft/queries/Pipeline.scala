@@ -55,9 +55,10 @@ object Pipeline {
       // threshold-complete pruning (prefix filter, LSH) can bound the
       // answer — scoring every in-group pair IS the algorithm. The
       // thresholded scale path is `dedup_prefix_filter`.
-      val d = t(s, dir, "documents")
+      val docs0 = t(s, dir, "documents")
+      val d = docs0
         .select(col("doc_id"), col("source"),
-          Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
+          Dedup.hashedShinglesCol(docs0)(col("text"), 3).as("sh"))
       // the build side broadcasts, so ANY probe partitioning is valid —
       // round-robin spreads the quadratic scoring across every core
       // (the parquet file is a handful of splits; pair count is x100 the

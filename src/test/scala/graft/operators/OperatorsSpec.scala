@@ -39,6 +39,85 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.5 })
   }
 
+  test("codegen shingle/banding/neighborhood kernels match their UDF reference semantics") {
+    // The dedup hot paths now run codegen expressions (HashedShingles,
+    // MinhashBands, DeleteNeighborhoodHashes); the ScalaUDF forms stay
+    // as the executable reference semantics. hashed_shingles hashes
+    // UTF-8 BYTES where the UDF hashes UTF-16 chars, so its VALUES are
+    // compared structurally (set sizes + pairwise jaccard identical);
+    // the banding and neighborhood kernels must match value-for-value
+    // on ASCII input.
+    graft.functions.DuckFunctions.register(spark)
+    withCodegenOnly {
+      val texts = Seq(
+        "the quick brown fox jumps over the lazy dog",
+        "a b c", "ab", "", "one", "x y z w v u t s",
+        "café naïve résumé words here") // multi-byte chars
+        .toDF("t")
+      val both = texts.select(
+        Dedup.hashedShinglesUdf(col("t"), lit(3)).as("u"),
+        call_function("hashed_shingles", col("t"), lit(3)).as("c"))
+      both.collect().foreach { r =>
+        val u = r.getSeq[Long](0); val c = r.getSeq[Long](1)
+        assert(u.length == c.length, s"shingle count diverged: $u vs $c")
+        assert(c == c.sorted && c.distinct == c, "codegen shingles not sorted-distinct")
+      }
+      // pairwise jaccard invariance: hash choice must not change set overlap
+      val t2 = Seq(
+        ("the quick brown fox jumps over the lazy dog today and more words",
+         "the quick brown fox jumps over the lazy dog tomorrow and more words"))
+        .toDF("a", "b")
+      val js = t2.select(
+        call_function("jaccard_sorted",
+          Dedup.hashedShinglesUdf(col("a"), lit(3)),
+          Dedup.hashedShinglesUdf(col("b"), lit(3))).as("ju"),
+        call_function("jaccard_sorted",
+          call_function("hashed_shingles", col("a"), lit(3)),
+          call_function("hashed_shingles", col("b"), lit(3))).as("jc")).head()
+      assert(math.abs(js.getDouble(0) - js.getDouble(1)) < 1e-12)
+      // banding: value-identical on the SAME input set
+      val sets = Seq(Seq(1L, 5L, 99L, 1234567L), Seq.empty[Long]).toDF("sh")
+      val bands = sets.select(
+        Dedup.minhashBandBucketsUdf(col("sh"), lit(16), lit(8)).as("u"),
+        call_function("minhash_band_buckets", col("sh"), lit(16), lit(8)).as("c"))
+      bands.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), "banding kernels diverged")
+      }
+      // delete neighborhood: value-identical on ASCII, char-unit on unicode
+      val names = Seq("smith", "jo", "", "café").toDF("s")
+      val nb = names.select(col("s"),
+        Dedup.hashedDeleteNeighborhoodUdf(col("s"), lit(2)).as("u"),
+        call_function("delete_neighborhood_hashes", col("s"), lit(2)).as("c"))
+      nb.collect().foreach { r =>
+        val u = r.getSeq[Long](1).toSet; val c = r.getSeq[Long](2).toSet
+        if (r.getString(0).forall(_ < 128)) assert(u == c,
+          s"ASCII neighborhood diverged for '${r.getString(0)}'")
+        else assert(u.size == c.size,
+          s"unicode neighborhood cardinality diverged for '${r.getString(0)}'")
+      }
+    }
+  }
+
+  test("dedup hot paths carry no ScalaUDF: minhash and fuzzy plans are fully codegen") {
+    val docs = graft.Engine.table(spark, "/root/testdata/sf0.001", "documents")
+    val minhashPlan = Dedup.minhashCandidates(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 16, numBands = 8)
+      .queryExecution.executedPlan.toString
+    assert(!minhashPlan.contains("ScalaUDF"),
+      "minhashCandidates physical plan still contains a ScalaUDF node")
+    val names = docs.select(col("doc_id"),
+      substring(col("text"), 1, 12).as("s"))
+    val fuzzyPlan = Dedup.fuzzyPairs(names, "doc_id", "s", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!fuzzyPlan.contains("ScalaUDF"),
+      "fuzzyPairs physical plan still contains a ScalaUDF node")
+    val prefixPlan = Dedup.jaccardThresholdPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!prefixPlan.contains("ScalaUDF"),
+      "jaccardThresholdPairs physical plan still contains a ScalaUDF node")
+  }
+
   test("minhash oracle region: banding is analytically sound on THIS corpus, and recalls it") {
     // The dedup_minhash_pairs oracle asserts recall 1 vs a brute-force
     // Jaccard join at threshold 0.8, but banding is PROBABILISTIC: with
