@@ -429,13 +429,15 @@ object Dedup {
   private def lshCappedBands(df: DataFrame, idCol: String, vecCol: String,
                              planes: Array[Array[Double]], numBands: Int,
                              bitsPerBand: Int, maxBucket: Int,
-                             keep: Seq[(String, Column)]): DataFrame = {
+                             keep: Seq[(String, Column)],
+                             keepBks: Boolean = false): DataFrame = {
     val banded = df
       .select(col(idCol).as("id") +: keep.map { case (n, c) => c.as(n) } :+
         signLshBucketsCol(df, col(vecCol), planes, numBands, bitsPerBand)
           .as("bks"): _*)
-      .select(col("id") +: keep.map { case (n, _) => col(n) } :+
-        posexplode_outer(col("bks")).as(Seq("band", "bucket")): _*)
+      .select((col("id") +: keep.map { case (n, _) => col(n) }) ++
+        (if (keepBks) Seq(col("bks")) else Nil) ++
+        Seq(posexplode_outer(col("bks")).as(Seq("band", "bucket"))): _*)
       .filter(col("band").isNotNull)
     banded
       .withColumn("bsize",
@@ -491,6 +493,62 @@ object Dedup {
           .as("cos") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** [[cosineLshScoredPairs]] WITHOUT the pair-dedup shuffle: a pair
+    * colliding in k bands is emitted k times, each row carrying
+    * `band_collisions` = k (the count of bands where both sides' bucket
+    * arrays agree, computed from the carried arrays at the join output —
+    * no exchange). A downstream DUPLICATE-INSENSITIVE aggregate can then
+    * recover exact distinct-pair statistics by weighting each row
+    * 1/band_collisions (integer-exactly: weight L/k with L a multiple of
+    * lcm(1..numBands), then divide the summed weight by L), folding the
+    * dedup into an aggregation it was already going to shuffle for —
+    * one barrier fewer than the dropDuplicates form at any scale.
+    *
+    * Cap interplay (the reason this is a separate variant, not the
+    * default): `band_collisions` counts collisions over ALL bands, but
+    * the join emits rows only for bands that SURVIVED the skew cap. If a
+    * pair collides in a capped (hot) bucket AND a cold one, its emitted
+    * multiplicity is less than `band_collisions` and the weighted sum
+    * under-counts — detectable downstream because the summed weight is
+    * then not divisible by L (assert it; fall back to
+    * [[cosineLshScoredPairs]] for corpora with hot-bucket overlap). On
+    * data where no near-dup pair touches a hot bucket — hot buckets are
+    * the degenerate tail the cap exists to skip — the result is
+    * bit-identical to the dropDuplicates form.
+    */
+  def cosineLshScoredPairsWeighted(df: DataFrame, idCol: String, vecCol: String,
+                                   planes: Array[Array[Double]], numBands: Int,
+                                   bitsPerBand: Int, maxBucket: Int,
+                                   carry: Seq[String] = Nil): DataFrame = {
+    val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
+      bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+ ("__v" -> col(vecCol)),
+      keepBks = true)
+    def side(sfx: String) =
+      capped.select(col("band") +: col("bucket") +: col("id").as(s"id$sfx") +:
+        col("__v").as(s"__v$sfx") +: col("bks").as(s"__bks$sfx") +:
+        carry.map(c => col(c).as(s"$c$sfx")): _*)
+    // SHUFFLE_MERGE pin: a broadcast self-join would COMPUTE the
+    // banded/capped subtree twice (each side scans + re-kernels + its
+    // own exchange feeding the window); as a sort-merge self-join the
+    // two sides are canonically equal, so ReuseExchange materializes
+    // the subtree once and the merge consumes the (band, bucket) sort
+    // the window cap already paid for — one wide exchange total, at
+    // every scale (the big-data plan shape, pinned so small-stats
+    // local runs keep it too).
+    side("_a").hint("SHUFFLE_MERGE").join(side("_b"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        (Similarity.dot(col("__v_a"), col("__v_b")) /
+          (Similarity.norm(col("__v_a")) * Similarity.norm(col("__v_b"))))
+          .as("cos") +:
+        // 8-element lambda per JOINED row — negligible next to the
+        // dim-length dot product above, and ≥1 by construction (the row
+        // exists because the arrays agree at its own band)
+        size(filter(zip_with(col("__bks_a"), col("__bks_b"), (x, y) => x === y),
+          b => b)).as("band_collisions") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   /** EXACT Jaccard-threshold pair join via the PREFIX FILTER (Bayardo et

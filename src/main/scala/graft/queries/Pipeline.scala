@@ -196,10 +196,14 @@ object Pipeline {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       // refine fused into the band join (vectors ride the one banded
-      // exchange; no post-candidate id-joins — see cosineLshScoredPairs)
-      val pairs = Dedup.cosineLshScoredPairs(e, "vec_id", "v",
+      // exchange; no post-candidate id-joins — see cosineLshScoredPairs).
+      // Weighted variant: with numBands = 1 a pair can collide at most
+      // once, so the dropDuplicates exchange of the default form is pure
+      // overhead — band_collisions is constantly 1 and is dropped.
+      val pairs = Dedup.cosineLshScoredPairsWeighted(e, "vec_id", "v",
         Similarity.hyperplanes(12, 64), numBands = 1, bitsPerBand = 12,
         maxBucket = 250)
+        .drop("band_collisions")
         .withColumnRenamed("cos", "sim")
       val w = Window.partitionBy(col("id_a")).orderBy(col("sim").desc, col("id_b").asc)
       pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)

@@ -53,16 +53,37 @@ object Round3 {
       // post-candidate id-joins. Buckets are integer-exact (quantized
       // vectors, ±1 planes) so the oracle replays the same bucketing in
       // SQL.
+      //
+      // TWO-barrier plan (was three): the pair-dedup shuffle is folded
+      // into the label aggregate — each joined row carries its pair's
+      // band-collision count k and weighs L/k with L = lcm(1..16), so
+      // the per-label sums are EXACTLY L x the distinct-pair counts
+      // (integer arithmetic throughout; each pair's k rows contribute
+      // k·(L/k) = L). max_cos is duplicate-insensitive already. The
+      // in-plan assert_true fires if the summed weight is not divisible
+      // by L — the hot-bucket-overlap case where the weighted form
+      // under-counts (see cosineLshScoredPairsWeighted scaladoc) —
+      // so degenerate data fails loudly instead of silently drifting.
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           col("embedding").cast("array<double>").as("v"))
-      Dedup.cosineLshScoredPairs(e, "vec_id", "v", lshPlanes,
+      val L = 720720L // lcm(1..16) >= lcm(1..LshBands)
+      Dedup.cosineLshScoredPairsWeighted(e, "vec_id", "v", lshPlanes,
         numBands = LshBands, bitsPerBand = LshBits, maxBucket = LshMaxBucket,
         carry = Seq("label"))
+        .withColumn("w", expr(s"$L div band_collisions"))
         .groupBy(col("label_a").as("la"), col("label_b").as("lb"))
-        .agg(count(when(col("cos") >= 0.35, 1)).as("n_sim"),
-          count(lit(1)).as("n_cand"),
+        .agg(sum(when(col("cos") >= 0.35, col("w")).otherwise(lit(0L))).as("wsim"),
+          sum(col("w")).as("wcand"),
           round(max(col("cos")), 6).as("max_cos"))
+        .select(col("la"), col("lb"),
+          when(assert_true(col("wsim") % L === 0 && col("wcand") % L === 0,
+            lit("LSH weighted pair-dedup undercounted: a pair overlaps a " +
+              "capped hot bucket — use the dropDuplicates variant for this " +
+              "corpus")).isNull,
+            expr(s"wsim div $L")).as("n_sim"),
+          expr(s"wcand div $L").as("n_cand"),
+          col("max_cos"))
     }),
 
     "dialect_macro" -> ((s, dir) => {
