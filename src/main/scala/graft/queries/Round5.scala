@@ -28,6 +28,31 @@ object Round5 {
   private val copyPathSpark = "/tmp/graft_r5_cf_spark.csv"
   private val copyPathDuck = "/tmp/graft_r5_cf_duck.csv"
 
+  /** One pinned no-broadcast child session per (parent, dir). Weak-keyed
+    * on the parent (mirroring Engine's registerAll memo) so stopped
+    * parents don't pin their children for the JVM lifetime; the few
+    * long-lived parents (bench/verify) intentionally keep one child
+    * each, whose plan identity keeps RangeJoinRule's stats cache warm. */
+  private val pinnedNoBroadcast =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, SparkSession]]()
+
+  private def noBroadcastSession(s: SparkSession, dir: String): SparkSession =
+    pinnedNoBroadcast.synchronized {
+      val perDir = {
+        val m = pinnedNoBroadcast.get(s)
+        if (m != null) m else {
+          val m2 = scala.collection.mutable.Map.empty[String, SparkSession]
+          pinnedNoBroadcast.put(s, m2); m2
+        }
+      }
+      perDir.getOrElseUpdate(dir, {
+        val child = s.newSession()
+        child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        Engine.registerAll(child, dir)
+        child
+      })
+    }
+
   private def copyFromStmts(out: String) = Seq(
     "CREATE OR REPLACE TABLE cf_nation (k BIGINT, name VARCHAR, rk BIGINT)",
     s"""COPY (SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name,
@@ -86,10 +111,12 @@ object Round5 {
       // neither-side-fits regime this plan exists for — RangeJoinRule
       // rewrites it to a bucketed shuffled equi-join instead of a
       // broadcast nested loop. Child session so the conf pin cannot leak
-      // into other queries.
-      val child = s.newSession()
-      child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Engine.registerAll(child, dir)
+      // into other queries; MEMOIZED so repeat runs share one session —
+      // a fresh session per call gave the table relation new identity,
+      // missed RangeJoinRule's bounds cache, and re-ran the plan-time
+      // quantile job (~100-190 ms) on every execution of an unchanged
+      // query.
+      val child = noBroadcastSession(s, dir)
       child.sql(piecewiseMergeSql)
     }),
 

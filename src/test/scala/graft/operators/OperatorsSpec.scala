@@ -319,6 +319,33 @@ class SimilaritySpec extends SparkSpec {
     assert((ivf & brute).size >= 4) // ≥80% recall on planted clusters
   }
 
+  test("ivfRecallReport equals the ivfTopK + cosineTopK + join composition") {
+    // the fused serving path (one scan + one exchange) must report the
+    // SAME per-query (n_results, recall_ok) the operator composition
+    // does — candidate sets, rankings, and tie-breaks all replicated
+    val docs = graft.Engine.table(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = docs.filter($"vec_id" < 5)
+    val centroids = Similarity.kmeansCentroids(docs, "vec_id", "embedding", 16, 3)
+    val fused = Similarity.ivfRecallReport(docs, "vec_id", "embedding",
+      q.select($"vec_id", $"embedding".cast("array<double>")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1),
+      centroids, nProbe = 4, k = 10, minHits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val ivf = Similarity.ivfTopK(docs, q, "vec_id", "embedding",
+      numCells = 16, nProbe = 4, k = 10)
+    val exact = Similarity.cosineTopK(docs, q, "vec_id", "embedding", 10)
+    val hits = ivf.select($"qid", $"nid")
+      .join(exact.select($"qid", $"nid"), Seq("qid", "nid"))
+      .groupBy($"qid").agg(count(lit(1)).as("n_hits"))
+    val composed = ivf.groupBy($"qid").agg(count(lit(1)).as("n_results"))
+      .join(hits, Seq("qid"), "left")
+      .select($"qid", $"n_results",
+        (coalesce($"n_hits", lit(0L)) >= 6).as("recall_ok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(fused.toSeq == composed.toSeq,
+      s"fused ${fused.toSeq} != composed ${composed.toSeq}")
+  }
+
   test("centroid assignment plans with no exchange") {
     val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
     val centroids = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
