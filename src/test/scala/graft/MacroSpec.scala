@@ -254,6 +254,33 @@ class MacroSpec extends SparkSpec {
     }
   }
 
+  test("RETURNING edge cases: zero-row DML, expressions, quoted-literal trap") {
+    Engine.registerAll(spark, dir)
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS ret_edge")
+    SqlDialect.sql(spark,
+      "CREATE OR REPLACE TABLE ret_edge AS SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation")
+    // zero-row DELETE: empty result with the RETURNING schema, table intact
+    val del0 = SqlDialect.sql(spark,
+      "DELETE FROM ret_edge WHERE k > 9999 RETURNING k, name")
+    assert(del0.columns.toSeq == Seq("k", "name") && del0.count() == 0)
+    assert(spark.table("ret_edge").count() == 25)
+    // zero-row UPDATE: same contract
+    val upd0 = SqlDialect.sql(spark,
+      "UPDATE ret_edge SET k = k + 1 WHERE k > 9999 RETURNING *")
+    assert(upd0.count() == 0)
+    assert(spark.table("ret_edge").count() == 25)
+    // RETURNING computed expressions (with nested commas/parens)
+    val ins = SqlDialect.sql(spark,
+      "INSERT INTO ret_edge VALUES (200, 'zed') RETURNING k + 1 AS k1, concat(name, '!') AS nm")
+      .collect()
+    assert(ins.length == 1 && ins(0).getLong(0) == 201L && ins(0).getString(1) == "zed!")
+    // the word RETURNING inside a string literal is NOT a clause
+    val lit = SqlDialect.sql(spark,
+      "INSERT INTO ret_edge VALUES (201, 'not RETURNING x')")
+    assert(lit.columns.toSeq == Seq("count"))
+    assert(spark.table("ret_edge").where("name = 'not RETURNING x'").count() == 1)
+  }
+
   test("INSERT OR REPLACE / ON CONFLICT DO NOTHING / DO UPDATE over a declared key") {
     SqlDialect.sql(spark, "DROP TABLE IF EXISTS oc_t")
     SqlDialect.sql(spark, "CREATE TABLE oc_t (k INTEGER PRIMARY KEY, v VARCHAR, n INTEGER)")
