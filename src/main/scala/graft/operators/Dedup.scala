@@ -511,12 +511,16 @@ object Dedup {
     * the join emits rows only for bands that SURVIVED the skew cap. If a
     * pair collides in a capped (hot) bucket AND a cold one, its emitted
     * multiplicity is less than `band_collisions` and the weighted sum
-    * under-counts — detectable downstream because the summed weight is
-    * then not divisible by L (assert it; fall back to
-    * [[cosineLshScoredPairs]] for corpora with hot-bucket overlap). On
-    * data where no near-dup pair touches a hot bucket — hot buckets are
-    * the degenerate tail the cap exists to skip — the result is
-    * bit-identical to the dropDuplicates form.
+    * under-counts. A per-group divisibility-by-L assert downstream
+    * catches any SINGLE such pair (m of m' colliding bands emitted sums
+    * to m·L/m', never a multiple of L for 0 < m < m'), but compensating
+    * errors can cancel (two half-counted pairs sum to exactly L), so the
+    * assert is a tripwire, not a proof — the exactness GUARANTEE is only
+    * for corpora where no emitted pair overlaps a hot bucket (hot
+    * buckets are the degenerate tail the cap exists to skip; the oracle
+    * verification hashes full results, so residual drift is caught at
+    * the gate). Fall back to [[cosineLshScoredPairs]] for corpora with
+    * hot-bucket overlap.
     */
   def cosineLshScoredPairsWeighted(df: DataFrame, idCol: String, vecCol: String,
                                    planes: Array[Array[Double]], numBands: Int,
