@@ -103,6 +103,48 @@ object Curation {
     r1 * lit(p2) + r2
   }
 
+  /** Near-dup-aware (leakage-safe) dataset split. A content-hash split
+    * assigns each document independently, so two NEAR-duplicate
+    * documents can land in different splits — the test set then
+    * contains paraphrases of training data and evaluation leaks. Here
+    * the unit of assignment is the near-dup CLUSTER: `pairs` (any
+    * similarity notion the caller trusts — prefix-filter Jaccard,
+    * MinHash, embedding cosine) resolve to connected components
+    * ([[Dedup.connectedComponents]], O(log² n) rounds), every document
+    * maps to its cluster's canonical (minimum) id, and the split bucket
+    * is [[lcgHash]] of the CANONICAL id — so an entire cluster moves as
+    * one, cross-split near-dup pairs are ZERO by construction, and the
+    * assignment replays exactly on any engine with 64-bit integer
+    * arithmetic (the same reproducibility contract as [[quotaSample]]).
+    * Exact duplicates need no special casing: callers that want them
+    * fused pass pairs that include them, or pre-dedup.
+    *
+    * Shuffle inventory at corpus scale: the component rounds (edges
+    * only — pairs, not documents) + one broadcast-ready left join of
+    * docs against the component map + the reporting aggregate. The
+    * corpus itself shuffles once (the join), documents without any
+    * near-dup pair pass through with their own id as canonical.
+    *
+    * Returns (idCol, canonical_id, split) with split ∈ train/val/test
+    * by `pctTrain`/`pctVal` out of 100.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       aCol: String = "id_a", bCol: String = "id_b",
+                       pctTrain: Int = 80, pctVal: Int = 10): DataFrame = {
+    require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal < 100,
+      s"leakageSafeSplit: need pctTrain > 0, pctVal >= 0, sum < 100 " +
+        s"(got $pctTrain, $pctVal)")
+    val cc = Dedup.connectedComponents(pairs.select(col(aCol), col(bCol)), aCol, bCol)
+    val canon = docs.select(col(idCol))
+      .join(cc, docs(idCol) === cc("id"), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("canonical_id"))
+    val bkt = pmod(lcgHash(col("canonical_id")), lit(100L))
+    canon.withColumn("split",
+      when(bkt < pctTrain, "train")
+        .when(bkt < pctTrain + pctVal, "val")
+        .otherwise("test"))
+  }
+
   /** Stratified quota sampling: exactly min(quota, stratum size) rows
     * per stratum, the `quota` smallest by [[lcgHash]]. Two-phase rank:
     * phase 1 takes the per-(stratum, shard) top `quota` (bounded window

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Engine
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data pipeline operators (north-star extras): deduplication,
@@ -333,6 +333,29 @@ object Pipeline {
       // exact distinct key set regardless of which arrival won
       EventStreams.runToBatchAppend(s, dir, s"ddup_${System.nanoTime()}",
         e => EventStreams.dedup(e).select(col("user_id"), col("event_type")))
+    }),
+
+    "pipeline_leakage_safe_split" -> ((s, dir) => {
+      // near-dup-aware 80/10/10 split (Curation.leakageSafeSplit): the
+      // assignment unit is the near-dup CLUSTER — prefix-filter Jaccard
+      // >= 0.8 pairs -> connected components -> canonical id -> integer
+      // lcg hash bucket — so a paraphrase can never sit in test while
+      // its twin trains. cross_split_pairs is computed IN-PLAN (zero by
+      // construction) and the oracle replays the entire chain natively
+      // (recursive-CTE min-label components + the same 64-bit hash).
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.jaccardThresholdPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+      val assigned = Curation.leakageSafeSplit(docs, "doc_id", pairs)
+      val leaks = pairs
+        .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("cross_split_pairs"))
+      assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("canonical_id")).as("n_clusters"))
+        .crossJoin(broadcast(leaks))
     })
   )
 
@@ -505,6 +528,30 @@ object Pipeline {
 
     "stream_dropdup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "pipeline_leakage_safe_split" ->
+      s"""WITH RECURSIVE ${jaccardPairsCteChain("documents")},
+         |$componentsCteChain,
+         |canon AS (SELECT d0.doc_id,
+         |    CAST(coalesce(cc.comp, d0.doc_id) AS BIGINT) AS canonical_id
+         |  FROM documents d0 LEFT JOIN cc ON d0.doc_id = cc.id),
+         |assigned AS (SELECT doc_id, canonical_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id, canonical_id,
+         |          ((((canonical_id % 2147483647) * 48271 + 12345) % 2147483647)
+         |             * 2147483629
+         |           + (((canonical_id % 2147483629) * 16807 + 67890) % 2147483629))
+         |          % 100 AS b
+         |        FROM canon)),
+         |leaks AS (SELECT count(*) AS n FROM hi
+         |  JOIN assigned a ON hi.id_a = a.doc_id
+         |  JOIN assigned b2 ON hi.id_b = b2.doc_id
+         |  WHERE a.split <> b2.split)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT canonical_id) AS n_clusters,
+         |  (SELECT CAST(n AS BIGINT) FROM leaks) AS cross_split_pairs
+         |FROM assigned GROUP BY split""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -86,4 +86,35 @@ class CurationOpsSpec extends SparkSpec {
     // residue classes of the old formula no longer tie
     assert(ref(0L) != ref(1000003L) && ref(1000003L) != ref(2000006L))
   }
+
+  test("leakageSafeSplit keeps every near-dup cluster in one split") {
+    import spark.implicits._
+    // 100 docs, near-dup clusters {1,2,3}, {10,11}, {50,51,52,53}; the
+    // split must move each cluster as a unit and cover every document
+    val docs = (0L until 100L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (50L, 51L), (51L, 52L),
+      (52L, 53L)).toDF("id_a", "id_b")
+    val out = graft.operators.Curation.leakageSafeSplit(docs, "doc_id", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 100)
+    val byId = out.map(t => t._1 -> t).toMap
+    // cluster members share canonical id AND split
+    for (cluster <- Seq(Seq(1L, 2L, 3L), Seq(10L, 11L), Seq(50L, 51L, 52L, 53L))) {
+      val rows = cluster.map(byId)
+      assert(rows.map(_._2).distinct.length == 1, s"canonical split in $cluster")
+      assert(rows.map(_._3).distinct.length == 1, s"split leaked in $cluster")
+      assert(rows.head._2 == cluster.min, "canonical must be the minimum id")
+    }
+    // singletons keep their own id
+    assert(byId(42L)._2 == 42L)
+    // all three splits materialize on 100 ids and ratios are sane
+    val hist = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(hist.keySet == Set("train", "val", "test"), s"splits: $hist")
+    assert(hist("train") > 60 && hist("train") < 95, s"train share off: $hist")
+    // invalid percentages refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.leakageSafeSplit(docs, "doc_id", pairs,
+        pctTrain = 90, pctVal = 15)
+    }
+  }
 }
