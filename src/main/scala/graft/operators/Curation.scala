@@ -145,6 +145,82 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Mix a corpus to per-source token budgets (the data-mixing step of
+    * LLM training: up/down-sample each source to a target share, with
+    * EPOCH REPETITION when a source is smaller than its budget — the
+    * SlimPajama/Pile recipe). For source s with weight w_s, target
+    * tokens = floor(w_s / Σw · totalTokens); the source contributes
+    * floor(target / srcTokens) full epochs plus a partial epoch: docs in
+    * a deterministic pseudo-random order (shard, [[lcgHash]], id) while
+    * the running token sum of PRIOR docs stays under the remainder.
+    * Output: one row per (doc, epoch), epoch 0-based.
+    *
+    * Scale shape: the per-source running sum is a DISTRIBUTED prefix
+    * sum — intra-shard cumulative sums (numShards bounded window
+    * partitions per source) plus a broadcast join against the
+    * shard-offset table (sources × shards rows) — never a one-reducer
+    * whole-source window. The shard is the LEADING sort key precisely
+    * so the sharded prefix sum equals the global one under the same
+    * (shard, hash, id) order; since hash order is already an arbitrary
+    * deterministic permutation, prepending the shard loses nothing, and
+    * any engine replaying the same order and integer arithmetic selects
+    * the identical rows.
+    *
+    * Sources absent from `weights` (or with srcTokens = 0) contribute
+    * nothing; weights must be positive.
+    */
+  def mixToBudget(docs: DataFrame, idCol: String, sourceCol: String,
+                  tokenCol: String, weights: Map[String, Double],
+                  totalTokens: Long, numShards: Int = 64): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mixToBudget: weights must be non-empty and positive")
+    require(totalTokens > 0 && numShards > 0,
+      "mixToBudget: totalTokens and numShards must be positive")
+    val wsum = weights.values.sum
+    // per-source target as a plan literal (weights are a handful)
+    val target: Column = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (src, w)) => when(col(sourceCol) === src,
+        floor(lit(w) / lit(wsum) * lit(totalTokens.toDouble)).cast("long"))
+        .otherwise(acc)
+    }
+    val shard = pmod(col(idCol), lit(numShards.toLong))
+    val h = lcgHash(col(idCol))
+    val base = docs.select(col(idCol), col(sourceCol), col(tokenCol).cast("long").as("__tok"),
+      shard.as("__shard"), h.as("__h"), target.as("__target"))
+      .filter(col("__target").isNotNull)
+    // distributed prefix sum of __tok in (shard, h, id) order:
+    // intra-shard running sum of PRIOR rows + the summed totals of all
+    // prior shards of the same source
+    val wIntra = Window.partitionBy(col(sourceCol), col("__shard"))
+      .orderBy(col("__h").asc, col(idCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = base.withColumn("__cumIntra",
+      coalesce(sum(col("__tok")).over(wIntra), lit(0L)))
+    val shardTotals = base.groupBy(col(sourceCol), col("__shard"))
+      .agg(sum(col("__tok")).as("__shardTok"))
+    val wShardOff = Window.partitionBy(col(sourceCol)).orderBy(col("__shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = shardTotals
+      .withColumn("__shardOff", coalesce(sum(col("__shardTok")).over(wShardOff), lit(0L)))
+      .select(col(sourceCol), col("__shard"), col("__shardOff"))
+    val srcTotals = shardTotals.groupBy(col(sourceCol))
+      .agg(sum(col("__shardTok")).as("__srcTok"))
+    val withPrefix = intra
+      .join(broadcast(offsets), Seq(sourceCol, "__shard"))
+      .join(broadcast(srcTotals), Seq(sourceCol))
+      .withColumn("__cumPrev", col("__cumIntra") + col("__shardOff"))
+    val fullEpochs = when(col("__srcTok") > 0,
+      floor(col("__target") / col("__srcTok")).cast("long")).otherwise(lit(0L))
+    val remainder = col("__target") - fullEpochs * col("__srcTok")
+    val copies = (fullEpochs +
+      when(col("__srcTok") > 0 && col("__cumPrev") < remainder, 1L).otherwise(0L))
+      .as("__copies")
+    withPrefix.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .select(col(idCol), col(sourceCol), col("__tok").as("n_tokens"),
+        explode(sequence(lit(0L), col("__copies") - 1)).as("epoch"))
+  }
+
   /** Stratified quota sampling: exactly min(quota, stratum size) rows
     * per stratum, the `quota` smallest by [[lcgHash]]. Two-phase rank:
     * phase 1 takes the per-(stratum, shard) top `quota` (bounded window

@@ -335,6 +335,29 @@ object Pipeline {
         e => EventStreams.dedup(e).select(col("user_id"), col("event_type")))
     }),
 
+    "pipeline_mix_weights" -> ((s, dir) => {
+      // data mixing to per-source token budgets (Curation.mixToBudget):
+      // sources src0/src1/src2 weighted 0.5/0.25/0.25 against a 6000-
+      // token budget. At sf0.01 each source holds ~1300-1500 tokens, so
+      // src0's 3000-token target forces EPOCH REPETITION (2 full epochs
+      // + a partial prefix) while at sf0.1 (~10x tokens) every target
+      // down-samples — both mixing regimes exercise under one set of
+      // constants. The oracle replays the exact selection: same shard/
+      // lcg-hash order, same distributed-prefix-sum semantics (the
+      // shard is the LEADING sort key so a single SQL window reproduces
+      // the sharded sum), same epoch arithmetic.
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ", -1)).cast("long").as("tok"))
+      Curation.mixToBudget(docs, "doc_id", "source", "tok",
+        Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+        totalTokens = 6000L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tokens")).as("tokens_mixed"),
+          max(col("epoch")).cast("long").as("max_epoch"))
+    }),
+
     "pipeline_leakage_safe_split" -> ((s, dir) => {
       // near-dup-aware 80/10/10 split (Curation.leakageSafeSplit): the
       // assignment unit is the near-dup CLUSTER — prefix-filter Jaccard
@@ -528,6 +551,35 @@ object Pipeline {
 
     "stream_dropdup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+
+    "pipeline_mix_weights" ->
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+        |    doc_id % 64 AS shard,
+        |    (((doc_id % 2147483647) * 48271 + 12345) % 2147483647) * 2147483629
+        |      + (((doc_id % 2147483629) * 16807 + 67890) % 2147483629) AS h,
+        |    CASE source WHEN 'src0' THEN 3000
+        |                WHEN 'src1' THEN 1500
+        |                WHEN 'src2' THEN 1500 END AS target
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src2')),
+        |pre AS (SELECT *,
+        |    coalesce(sum(tok) OVER (PARTITION BY source
+        |      ORDER BY shard, h, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumprev,
+        |    sum(tok) OVER (PARTITION BY source) AS srctok
+        |  FROM d),
+        |cp AS (SELECT *,
+        |    CAST(floor(CAST(target AS DOUBLE) / CAST(srctok AS DOUBLE)) AS BIGINT)
+        |      + CASE WHEN cumprev < target
+        |          - CAST(floor(CAST(target AS DOUBLE) / CAST(srctok AS DOUBLE)) AS BIGINT)
+        |          * srctok THEN 1 ELSE 0 END AS copies
+        |  FROM pre WHERE srctok > 0)
+        |SELECT source, CAST(sum(copies) AS BIGINT) AS n_rows,
+        |  CAST(count(*) FILTER (WHERE copies > 0) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok * copies) AS BIGINT) AS tokens_mixed,
+        |  CAST(max(copies) - 1 AS BIGINT) AS max_epoch
+        |FROM cp GROUP BY source""".stripMargin,
 
     "pipeline_leakage_safe_split" ->
       s"""WITH RECURSIVE ${jaccardPairsCteChain("documents")},

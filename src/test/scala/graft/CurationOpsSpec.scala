@@ -87,6 +87,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(ref(0L) != ref(1000003L) && ref(1000003L) != ref(2000006L))
   }
 
+  test("mixToBudget hits per-source token budgets with epoch repetition") {
+    import spark.implicits._
+    // source a: 100 tokens total, weighted to 300 -> ~3 epochs;
+    // source b: 1000 tokens, weighted to 100 -> downsampled prefix;
+    // source c: unweighted -> excluded
+    val docs = ((0L until 10L).map(i => (i, "a", 10L)) ++
+      (100L until 200L).map(i => (i, "b", 10L)) ++
+      (500L until 510L).map(i => (i, "c", 10L))).toDF("id", "src", "tok")
+    val out = graft.operators.Curation.mixToBudget(docs, "id", "src", "tok",
+      Map("a" -> 0.75, "b" -> 0.25), totalTokens = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(!out.exists(_._2 == "c"), "unweighted source leaked in")
+    val a = out.filter(_._2 == "a"); val b = out.filter(_._2 == "b")
+    // a: target 300 of 100 available = 3 full epochs, remainder 0
+    assert(a.map(_._3).sum == 300L, s"a tokens: ${a.map(_._3).sum}")
+    assert(a.map(_._4).max == 2L && a.map(_._4).min == 0L)
+    assert(a.map(_._1).distinct.length == 10, "full epochs must cover every doc")
+    // b: target 100 of 1000 = 10-doc prefix, epoch 0 only
+    assert(b.map(_._3).sum == 100L, s"b tokens: ${b.map(_._3).sum}")
+    assert(b.map(_._4).forall(_ == 0L) && b.map(_._1).distinct.length == 10)
+    // deterministic: same inputs, same selection
+    val out2 = graft.operators.Curation.mixToBudget(docs, "id", "src", "tok",
+      Map("a" -> 0.75, "b" -> 0.25), totalTokens = 400L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sortBy(t => (t._1, t._4)).toSeq == out2.sortBy(t => (t._1, t._4)).toSeq)
+    // invalid weights refuse loudly
+    intercept[IllegalArgumentException] {
+      graft.operators.Curation.mixToBudget(docs, "id", "src", "tok",
+        Map("a" -> -1.0), 100L)
+    }
+  }
+
   test("leakageSafeSplit keeps every near-dup cluster in one split") {
     import spark.implicits._
     // 100 docs, near-dup clusters {1,2,3}, {10,11}, {50,51,52,53}; the
