@@ -25,6 +25,58 @@ class PropertiesSpec extends SparkSpec {
   private val smallDoubles = Gen.listOfN(30, Gen.chooseNum(-1000.0, 1000.0))
   private val keys = Gen.listOfN(30, Gen.chooseNum(0, 5))
 
+  test("codegen hashed_shingles ≡ UDF reference over random ASCII texts") {
+    // two independent evaluation paths (compiled byte kernel vs the
+    // Scala char UDF) must produce SAME-CARDINALITY sorted-distinct
+    // sets AND identical pairwise jaccard on arbitrary ASCII input —
+    // spaces, empties, repeats, and degenerate one-word texts included
+    graft.functions.DuckFunctions.register(spark)
+    val word = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    val text = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    forAll(Gen.listOfN(12, text), n = 4) { texts =>
+      if (texts.nonEmpty) {
+        val df = texts.toDF("t")
+        df.select(
+          graft.operators.Dedup.hashedShinglesUdf(col("t"), lit(2)).as("u"),
+          call_function("hashed_shingles", col("t"), lit(2)).as("c"))
+          .collect().foreach { r =>
+            val u = r.getSeq[Long](0); val c = r.getSeq[Long](1)
+            assert(u.length == c.length, s"cardinality: $u vs $c")
+            assert(c == c.sorted && c.distinct == c)
+          }
+        val pairs = df.as("a").crossJoin(df.as("b"))
+          .select(
+            call_function("jaccard_sorted",
+              graft.operators.Dedup.hashedShinglesUdf(col("a.t"), lit(2)),
+              graft.operators.Dedup.hashedShinglesUdf(col("b.t"), lit(2))).as("ju"),
+            call_function("jaccard_sorted",
+              call_function("hashed_shingles", col("a.t"), lit(2)),
+              call_function("hashed_shingles", col("b.t"), lit(2))).as("jc"))
+          .collect()
+        pairs.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12,
+          "pairwise jaccard diverged between hash kernels"))
+      }
+    }
+  }
+
+  test("codegen delete_neighborhood_hashes ≡ UDF over random short ASCII strings") {
+    graft.functions.DuckFunctions.register(spark)
+    val s = Gen.chooseNum(0, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaChar).map(_.mkString))
+    forAll(Gen.listOfN(20, s), n = 4) { strs =>
+      if (strs.nonEmpty) {
+        strs.toDF("s").select(
+          graft.operators.Dedup.hashedDeleteNeighborhoodUdf(col("s"), lit(2)).as("u"),
+          call_function("delete_neighborhood_hashes", col("s"), lit(2)).as("c"))
+          .collect().foreach { r =>
+            assert(r.getSeq[Long](0).toSet == r.getSeq[Long](1).toSet,
+              "neighborhood key sets diverged on ASCII input")
+          }
+      }
+    }
+  }
+
   test("filter(a && b) == filter(a).filter(b)") {
     forAll(smallDoubles) { xs =>
       if (xs.nonEmpty) {
