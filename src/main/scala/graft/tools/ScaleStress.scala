@@ -409,13 +409,27 @@ object ScaleStress {
           Curation.quotaSample(docs, "doc_id", "source", quota = 10,
             numShards = 16 * mult), None))
 
+      // mixing: distributed prefix sum must stay shard-bounded at any
+      // mult (numShards scales with the corpus so intra-shard window
+      // partitions stay constant-size); budget chosen to force BOTH
+      // regimes — some sources down-sample, the boilerplate source (few
+      // tokens per doc) up-samples with epochs
+      val mix = if (!wanted("mix")) None else Some(
+        measure(spark, meter, "pipeline_mix_to_budget",
+          Curation.mixToBudget(
+            docs.select(col("doc_id"), col("source"),
+              size(split(col("text"), " ", -1)).cast("long").as("tok")),
+            "doc_id", "source", "tok",
+            Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
+            totalTokens = 60000L * mult, numShards = 16 * mult), None))
+
       // free this section's pinned checkpoint blocks so the next
       // multiplier's measurements start from a clean heap
       (Seq(docs, names, embs, docPairs, namePairs, vecPairs) ++ edges)
         .foreach(df => try df.unpersist(blocking = true)
         catch { case _: Throwable => () })
       Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
-        decontam, pack, quota).flatten
+        decontam, pack, quota, mix).flatten
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 
