@@ -79,41 +79,24 @@ object Similarity {
         lit(cid).as("cid"))
     }
 
-  /** Assign each vector to its nearest centroid. Centroids are k
-    * driver-known rows shipped in a compiled UDF closure — assignment is
-    * a pure map stage, zero joins/shuffles (the old
+  /** Assign each vector to its nearest centroid (score_i =
+    * dot(v, c_i)/|c_i| — |v| is a per-row constant, so the argmax over i
+    * equals the cosine argmax). Centroids are k driver-known rows —
+    * assignment is a pure map stage, zero joins/shuffles (the old
     * crossJoin(broadcast)+groupBy(min_by) pushed n×k rows through a
-    * shuffle per call). A closure beats folding k×dim literals into a
-    * greatest(struct…) expression here: k-means calls this with fresh
-    * centroid values every iteration, and changed literals force a full
-    * codegen recompile per iteration while a closure is just data. */
+    * shuffle per call). Runs as the codegen [[graft.plans.CentroidAssign]]
+    * expression: the centroid table is a runtime reference object, so
+    * k-means iterations with fresh centroids reuse the SAME generated
+    * class (no per-iteration recompile — the concern that once justified
+    * a closure UDF here), and the scan stage keeps whole-stage codegen.
+    */
   def assignToCentroids(vectors: DataFrame,
                         centroids: Array[(Int, Array[Double])]): DataFrame = {
-    val cids = centroids.map(_._1)
-    val cvs = centroids.map(_._2)
-    val invNorms = cvs.map { cv =>
-      val s = math.sqrt(cv.map(x => x * x).sum); if (s == 0) 1.0 else 1.0 / s
-    }
-    // score_i = dot(v, c_i)/|c_i| — |v| is a per-row constant, so the
-    // argmax over i equals the cosine argmax
-    val assignU = udf((v: Seq[Double]) => {
-      val va = v.toArray
-      var best = Int.MinValue
-      var bestS = Double.NegativeInfinity
-      var i = 0
-      while (i < cvs.length) {
-        val cv = cvs(i)
-        val n = math.min(cv.length, va.length)
-        var s = 0.0
-        var j = 0
-        while (j < n) { s += va(j) * cv(j); j += 1 }
-        s *= invNorms(i)
-        if (s > bestS) { bestS = s; best = cids(i) }
-        i += 1
-      }
-      best
-    })
-    vectors.withColumn("cid", assignU(col("v")))
+    graft.functions.DuckFunctions.register(vectors.sparkSession)
+    val cidsLit = typedLit(centroids.map(_._1).toSeq)
+    val vecsLit = typedLit(centroids.map(_._2.toSeq).toSeq)
+    vectors.withColumn("cid",
+      call_function("centroid_assign", col("v"), cidsLit, vecsLit))
   }
 
   /** Lloyd k-means over array<double> vectors (no MLlib), the way a

@@ -346,14 +346,20 @@ class SimilaritySpec extends SparkSpec {
       s"fused ${fused.toSeq} != composed ${composed.toSeq}")
   }
 
-  test("centroid assignment plans with no exchange") {
-    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0))).toDF("id", "v")
-    val centroids = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
-    val assigned = Similarity.assignToCentroids(vecs, centroids)
-    val plan = assigned.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"assignment stage must be shuffle-free:\n$plan")
-    val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
-    assert(byId(1L) == 0 && byId(2L) == 1)
+  test("centroid assignment plans with no exchange, no UDF, compiles under codegen-only") {
+    withCodegenOnly {
+      val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 1.0)),
+        (3L, Seq(0.6, 0.8)), (4L, Seq.empty[Double])).toDF("id", "v")
+      val centroids = Array((0, Array(1.0, 0.0)), (1, Array(0.0, 1.0)))
+      val assigned = Similarity.assignToCentroids(vecs, centroids)
+      val plan = assigned.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"assignment stage must be shuffle-free:\n$plan")
+      assert(!plan.contains("UDF"), s"assignment must be the codegen expression:\n$plan")
+      val byId = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(byId(1L) == 0 && byId(2L) == 1 && byId(3L) == 1)
+      // empty vector: every score is 0 * invNorm = 0; first centroid wins
+      assert(byId(4L) == 0)
+    }
   }
 
   test("lshNearNeighbors caps degenerate buckets (no quadratic blowup)") {
