@@ -103,7 +103,8 @@ object EventStreams {
   private def runStream(spark: SparkSession, dir: String, name: String,
                         transform: DataFrame => DataFrame, mode: String): DataFrame = {
     val before = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
     try {
       var w = transform(readEvents(spark, dir))
         .writeStream.format("memory").queryName(name)
