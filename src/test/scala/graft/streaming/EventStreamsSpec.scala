@@ -125,13 +125,22 @@ class EventStreamsSpec extends SparkSpec {
     // a drift that once silently compressed streaming event time 1000×.
     // If it flips to a THIRD layout, fail here with the inferred type,
     // not in five downstream oracle rows.
-    val inferred = graft.Engine.tableSchema(spark, dir, "events")("ts").dataType
     val known = Set[org.apache.spark.sql.types.DataType](
       org.apache.spark.sql.types.TimestampType,
       org.apache.spark.sql.types.TimestampNTZType,
       org.apache.spark.sql.types.LongType)
-    assert(known(inferred),
-      s"unexpected on-disk events.ts type: $inferred — update EventStreams.readEvents")
+    // every SF dir the driver touches (verify = sf0.01, bench = sf0.1),
+    // not just this spec's — a regeneration of ANY of them to a fourth
+    // layout fails here by name, not in downstream oracle rows
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val d = s"/root/testdata/$sf"
+      if (new java.io.File(s"$d/events.parquet").exists()) {
+        val inferred = graft.Engine.tableSchema(spark, d, "events")("ts").dataType
+        assert(known(inferred),
+          s"unexpected on-disk events.ts type at $sf: $inferred — " +
+            "update EventStreams.readEvents")
+      }
+    }
     // Parity: the streaming reader derives its schema from the SAME
     // memoized inference as batch; every ts instant must match exactly
     // (the session TZ is UTC, so the NTZ↔LTZ cast is value-preserving).
