@@ -319,32 +319,90 @@ object Engine {
     case other => other.toUpperCase
   }
 
+  // Compiled-plan memo for SUMMARIZE, keyed on the input's FULL
+  // canonicalized plan text (not a 32-bit hash — a collision would serve
+  // the wrong table's plan). SUMMARIZE is a catalog inspection command
+  // run repeatedly against stable tables; re-deriving the same
+  // physical plan (analysis + optimization + codegen + AQE bookkeeping)
+  // on every call was pure driver floor (~80-90 ms, tools/FloorProfile).
+  // The memoized Dataset re-executes its job from the files on every
+  // collect() — results are NOT cached — but the file LISTING is captured
+  // at first planning, so files added under the same path after the
+  // first SUMMARIZE need a new session to be seen (same snapshot
+  // contract as the schema memo above).
+  private val summarizeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
   /** SUMMARIZE's deterministic column subset (duckdb-6.cpp:9493 — the
     * full reference output also carries approx_unique and sampled
     * quantiles, which are engine-specific sketches by design): one
-    * aggregate pass computes min/max/non-null count for every column,
-    * then pivots driver-side to the per-column row layout.
+    * action computes min/max/non-null count for every column, then
+    * pivots driver-side to the per-column row layout.
+    *
+    * Plan shape (profiled in tools/SummProf): a single combined
+    * aggregate would plan as SortAggregate — a min/max over a STRING
+    * column cannot live in HashAggregate's fixed-width mutable buffer,
+    * and one such function demotes the whole 3N+1-function aggregate
+    * out of whole-stage codegen (measured 162 ms vs 60 ms for the
+    * numeric-only HashAggregate on cached sf0.1 orders). So the scan is
+    * split: counts + non-string min/max run as a codegen HashAggregate,
+    * string min/max as a strings-only SortAggregate, and the two
+    * single-row branches are unioned as string→string maps so ONE
+    * action drives both.
     */
   def summarizeTable(spark: SparkSession, df: DataFrame): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val fields = df.schema.fields
-    val aggs = count(lit(1)).as("__total") +: fields.zipWithIndex.flatMap {
-      case (f, i) => Seq(
-        min(col(f.name)).cast("string").as(s"__min_$i"),
-        max(col(f.name)).cast("string").as(s"__max_$i"),
-        count(col(f.name)).as(s"__n_$i"))
-    }.toSeq
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val total = row.getLong(0)
+    val key = df.queryExecution.analyzed.canonicalized.toString
+    val aggDf = summarizeMemo.computeIfAbsent(key, { _ =>
+      // branch A (HashAggregate, codegen): row count, per-column
+      // non-null counts, min/max of every non-string column
+      val numAggs = count(lit(1)).cast("string").as("__total") +:
+        fields.zipWithIndex.flatMap { case (f, i) =>
+          val mm =
+            if (f.dataType.typeName == "string") Nil
+            else Seq(min(col(f.name)).cast("string").as(s"__min_$i"),
+              max(col(f.name)).cast("string").as(s"__max_$i"))
+          mm :+ count(col(f.name)).cast("string").as(s"__n_$i")
+        }.toSeq
+      def asMap(d: DataFrame): DataFrame = {
+        val cols = d.columns.toSeq.flatMap(c => Seq(lit(c), col(c)))
+        d.select(map(cols: _*).as("m"))
+      }
+      val branchA = asMap(df.agg(numAggs.head, numAggs.tail: _*))
+      // branch B (SortAggregate, strings only — unavoidable buffer
+      // shape, but now it carries ONLY the string columns)
+      val strAggs = fields.zipWithIndex.collect {
+        case (f, i) if f.dataType.typeName == "string" =>
+          Seq(min(col(f.name)).as(s"__min_$i"), max(col(f.name)).as(s"__max_$i"))
+      }.flatten.toSeq
+      val built =
+        if (strAggs.isEmpty) branchA
+        else branchA.union(asMap(df.agg(strAggs.head, strAggs.tail: _*)))
+      // Pin a non-adaptive physical plan: both branches are fixed
+      // two-stage ungrouped aggregates, so AQE can only add per-action
+      // re-planning overhead, never help. The conf is read when
+      // executedPlan is first forced, so force it here under the
+      // temporary setting and restore.
+      val before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        built.queryExecution.executedPlan
+      } finally spark.conf.set("spark.sql.adaptive.enabled", before)
+      built
+    })
+    val merged: Map[String, String] = aggDf.collect().iterator
+      .flatMap(_.getMap[String, String](0).iterator).toMap
+    val total = merged("__total").toLong
     fields.zipWithIndex.map { case (f, i) =>
-      val nonNull = row.getLong(3 + 3 * i)
+      val nonNull = merged(s"__n_$i").toLong
       val nullPct =
         if (total == 0) 0.0
         else math.floor((total - nonNull) * 10000.0 / total + 0.5) / 100.0
       (f.name, duckTypeName(f.dataType),
-        Option(row.getString(1 + 3 * i)).orNull,
-        Option(row.getString(2 + 3 * i)).orNull,
+        merged.get(s"__min_$i").flatMap(Option(_)).orNull,
+        merged.get(s"__max_$i").flatMap(Option(_)).orNull,
         total, nullPct)
     }.toSeq.toDF("column_name", "column_type", "min", "max", "count", "null_pct")
   }

@@ -134,10 +134,15 @@ object Curation {
     require(pctTrain > 0 && pctVal >= 0 && pctTrain + pctVal < 100,
       s"leakageSafeSplit: need pctTrain > 0, pctVal >= 0, sum < 100 " +
         s"(got $pctTrain, $pctVal)")
+    // Rename the component map's columns before joining (mirrors
+    // Dedup.canonicalize): with the bare names, a caller whose idCol is
+    // literally "id" (or "comp") would make the post-join col(idCol) /
+    // coalesce references ambiguous and fail analysis.
     val cc = Dedup.connectedComponents(pairs.select(col(aCol), col(bCol)), aCol, bCol)
+      .select(col("id").as("__cc_id"), col("comp").as("__cc_comp"))
     val canon = docs.select(col(idCol))
-      .join(cc, docs(idCol) === cc("id"), "left")
-      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("canonical_id"))
+      .join(cc, col(idCol) === col("__cc_id"), "left")
+      .select(col(idCol), coalesce(col("__cc_comp"), col(idCol)).as("canonical_id"))
     val bkt = pmod(lcgHash(col("canonical_id")), lit(100L))
     canon.withColumn("split",
       when(bkt < pctTrain, "train")

@@ -90,8 +90,12 @@ object Dedup {
     x ^ (x >>> 31)
   }
 
-  /** Distinct, sorted hashed word n-gram shingles of a text. */
+  /** Distinct, sorted hashed word n-gram shingles of a text. n must be
+    * positive — the guard matches graft.plans.HashedShingles.compute so
+    * the UDF-reference and codegen paths cannot silently diverge on a
+    * degenerate n (they used to return different values for n = 0). */
   def hashedShingles(text: String, n: Int): Array[Long] = {
+    require(n > 0, s"hashedShingles: n must be > 0 (got $n)")
     if (text == null) return Array.emptyLongArray
     // word boundaries without materializing the split
     val bounds = scala.collection.mutable.ArrayBuffer(-1)

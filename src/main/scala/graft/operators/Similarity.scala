@@ -204,7 +204,7 @@ object Similarity {
   }
 
   /** Per-JVM memo of trained IVF coarse quantizers, keyed on the
-    * corpus's CANONICALIZED logical plan (Dataset.semanticHash) plus
+    * corpus's CANONICALIZED logical plan text plus
     * every training parameter. An IVF index is trained OFFLINE and
     * served many times in any production ANN system (FAISS/ScaNN build
     * once, probe millions) — retraining per query would be the modeling
@@ -214,16 +214,21 @@ object Similarity {
     * recall is a property the caller re-verifies after bulk loads.
     */
   private val quantizerMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String, String, Int, Int, Int), Array[(Int, Array[Double])]]()
+    (String, String, String, Int, Int, Int), Array[(Int, Array[Double])]]()
 
   /** [[kmeansCentroids]] through the offline-index memo: first call per
     * (corpus plan, params) trains, later calls serve the stored
-    * centroids with zero cluster work. */
+    * centroids with zero cluster work. The key carries the FULL
+    * canonicalized plan text, not a 32-bit semanticHash — a hash
+    * collision between two different corpora would silently serve the
+    * wrong centroids JVM-wide, and the plan text makes that impossible
+    * (equal text = semantically equal plan by construction). */
   def kmeansCentroidsCached(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, iterations: Int,
                             sampleCap: Int = 65536): Array[(Int, Array[Double])] =
     quantizerMemo.computeIfAbsent(
-      (corpus.semanticHash(), idCol, vecCol, k, iterations, sampleCap),
+      (corpus.queryExecution.analyzed.canonicalized.toString,
+        idCol, vecCol, k, iterations, sampleCap),
       _ => kmeansCentroids(corpus, idCol, vecCol, k, iterations, sampleCap))
 
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,

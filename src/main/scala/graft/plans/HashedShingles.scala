@@ -60,7 +60,10 @@ object HashedShingles {
   /** Sorted distinct FNV-1a hashes of the n-word windows of `s`,
     * reading the UTF-8 bytes in place (no String materialization). */
   def compute(s: UTF8String, n: Int): Array[Long] = {
-    if (n <= 0) return Array.emptyLongArray
+    // same guard as the UDF reference (operators.Dedup.hashedShingles):
+    // a degenerate n must fail loudly in BOTH paths, not return
+    // path-dependent values
+    require(n > 0, s"hashed_shingles: n must be > 0 (got $n)")
     val nb = s.numBytes()
     val base = s.getBaseObject
     val off = s.getBaseOffset
