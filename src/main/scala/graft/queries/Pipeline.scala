@@ -312,19 +312,45 @@ object Pipeline {
 
     // ---- streaming (real Structured Streaming via AvailableNow) ----
 
+    // The windowed-aggregate rows run APPEND mode, not complete: complete
+    // re-emits EVERY accumulated window to the sink on every trigger
+    // (sf0.1 profile: 1.37 s of stream_session's wall was addBatch
+    // re-writing all ~95k session states per micro-batch), which is also
+    // the mode that cannot work on an unbounded production stream. Append
+    // emits each window once, on watermark eviction. The tail of the
+    // stream (windows not yet closed by the final watermark) is withheld
+    // by construction, so both engines cut to the same decided region —
+    // windows safely below max event time minus the 1 h watermark delay —
+    // exactly as stream_stream_left_join already does.
     "stream_tumbling" -> ((s, dir) => {
-      EventStreams.runToBatch(s, dir, s"tumb_${System.nanoTime()}",
+      val res = EventStreams.runToBatchAppend(s, dir, s"tumb_${System.nanoTime()}",
         EventStreams.tumbling(_, "5 minutes"))
+      val mx = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+      res.crossJoin(broadcast(mx))
+        .where(col("ws") <= col("mx") - expr("INTERVAL 3 HOURS"))
+        .select(col("ws"), col("n"), col("sum_value"))
     }),
 
     "stream_sliding" -> ((s, dir) => {
-      EventStreams.runToBatch(s, dir, s"slide_${System.nanoTime()}",
+      val res = EventStreams.runToBatchAppend(s, dir, s"slide_${System.nanoTime()}",
         EventStreams.sliding(_, "10 minutes", "5 minutes"))
+      val mx = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+      res.crossJoin(broadcast(mx))
+        .where(col("ws") <= col("mx") - expr("INTERVAL 3 HOURS"))
+        .select(col("ws"), col("n"), col("sum_value"))
     }),
 
     "stream_session" -> ((s, dir) => {
-      EventStreams.runToBatch(s, dir, s"sess_${System.nanoTime()}",
+      val res = EventStreams.runToBatchAppend(s, dir, s"sess_${System.nanoTime()}",
         EventStreams.sessions(_, "30 minutes"))
+      // cut on session END (start says nothing about openness): a
+      // truncated end ≤ mx-2h implies the true end is < mx-1h ≤ final
+      // watermark, so every surviving session was provably emitted
+      val mx = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+      res.crossJoin(broadcast(mx))
+        .where(col("session_end") <= col("mx") - expr("INTERVAL 2 HOURS"))
+        .select(col("session_start"), col("session_end"), col("user_id"),
+          col("n_events"), col("sum_value"))
     }),
 
     "stream_dropdup" -> ((s, dir) => {
@@ -668,16 +694,20 @@ object Pipeline {
         |FROM documents GROUP BY source""".stripMargin,
 
     "stream_tumbling" ->
-      """SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS ws,
-        |  count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM events GROUP BY 1""".stripMargin,
+      """SELECT * FROM (
+        |  SELECT CAST(to_timestamp(floor(epoch(ts) / 300) * 300) AS TIMESTAMP) AS ws,
+        |    count(*) AS n, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1)
+        |WHERE ws <= (SELECT max(ts) FROM events) - INTERVAL 3 HOUR""".stripMargin,
 
     "stream_sliding" ->
       """WITH e AS (SELECT floor(epoch(ts) / 300) * 300 AS b, value FROM events),
         |x AS (SELECT unnest([b, b - 300]) AS ws_s, value FROM e)
-        |SELECT CAST(to_timestamp(ws_s) AS TIMESTAMP) AS ws, count(*) AS n,
-        |  round(sum(value), 2) AS sum_value
-        |FROM x GROUP BY 1""".stripMargin,
+        |SELECT * FROM (
+        |  SELECT CAST(to_timestamp(ws_s) AS TIMESTAMP) AS ws, count(*) AS n,
+        |    round(sum(value), 2) AS sum_value
+        |  FROM x GROUP BY 1)
+        |WHERE ws <= (SELECT max(ts) FROM events) - INTERVAL 3 HOUR""".stripMargin,
 
     "stream_session" ->
       """WITH o AS (SELECT user_id, ts, value,
@@ -689,8 +719,11 @@ object Pipeline {
         |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
         |  FROM m)
-        |SELECT CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
-        |  user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM g GROUP BY user_id, sid""".stripMargin
+        |SELECT * FROM (
+        |  SELECT CAST(date_trunc('second', min(ts)) AS TIMESTAMP) AS session_start,
+        |    CAST(date_trunc('second', max(ts) + INTERVAL 30 MINUTE) AS TIMESTAMP) AS session_end,
+        |    user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM g GROUP BY user_id, sid)
+        |WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin
   )
 }

@@ -72,12 +72,16 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(col("window.start").as("ws"), col("n"), col("sum_value"))
 
-  /** Session windows per user (gap-based). */
+  /** Session windows per user (gap-based). Emits both window bounds:
+    * `session_end` (= last event + gap, second-truncated) is what lets
+    * an APPEND-mode caller cut to the watermark-decided region — a
+    * session's start says nothing about whether it is still open. */
   def sessions(events: DataFrame, gap: String): DataFrame =
     events.withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
       .select(date_trunc("second", col("session_window.start")).as("session_start"),
+        date_trunc("second", col("session_window.end")).as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
   /** Streaming dedup within the watermark. */

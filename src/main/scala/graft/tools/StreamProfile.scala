@@ -36,14 +36,22 @@ object StreamProfile {
       val out = name match {
         case "sess" => graft.streaming.EventStreams.runToBatch(spark, dir,
           s"prof_${System.nanoTime()}", graft.streaming.EventStreams.sessions(_, "30 minutes"))
+        case "sessA" => graft.streaming.EventStreams.runToBatchAppend(spark, dir,
+          s"prof_${System.nanoTime()}", graft.streaming.EventStreams.sessions(_, "30 minutes"))
         case "tumb" => graft.streaming.EventStreams.runToBatch(spark, dir,
+          s"prof_${System.nanoTime()}", graft.streaming.EventStreams.tumbling(_, "5 minutes"))
+        case "tumbA" => graft.streaming.EventStreams.runToBatchAppend(spark, dir,
           s"prof_${System.nanoTime()}", graft.streaming.EventStreams.tumbling(_, "5 minutes"))
         case other => sys.error(s"unknown transform $other")
       }
       out.count()
     }
     // pass 1 cold (JIT/codegen), pass 2-3 warm — the bench regime
-    (1 to 3).foreach { p => lines.add(s"--- pass $p ---"); println(s"RESULT rows=${once()}") }
+    (1 to 3).foreach { p => lines.add(s"--- pass $p ---")
+      val t0 = System.nanoTime
+      val n = once()
+      println(f"RESULT rows=$n wall=${(System.nanoTime - t0) / 1e9}%.3f")
+    }
     Thread.sleep(500)
     lines.forEach(println)
     spark.stop()
