@@ -370,6 +370,10 @@ object DuckFunctions {
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("centroid_assign",
           graft.plans.CentroidAssign.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("argmin_sqdist_long",
+          graft.plans.ArgminSqDistLong.builder, "built-in")
       // runtime mirror of the injectOptimizerRule path (opt-in via conf)
       if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinRule))
         spark.experimental.extraOptimizations =

@@ -145,7 +145,6 @@ object Similarity {
     var centroids: Array[Array[Long]] = base.orderBy(col("id")).limit(k)
       .collect().map(_.getSeq[Long](1).toArray)
     require(centroids.nonEmpty, "semanticClusters: empty corpus")
-    val kk = centroids.length.toLong // may be < k on a tiny corpus
     // Exactness envelope (asserted, not assumed): the double dot-product
     // identity is exact only while every product and partial sum stays
     // below 2^53, and the driver-side cc = Σc_i² long fold must not
@@ -166,23 +165,19 @@ object Similarity {
         s"semanticClusters: quantized magnitude bound exceeded " +
           s"(max|w_i| = ${corpusMax.getLong(0)}, dim = $dim0 requires " +
           "dim*max|w|^2 < 2^52); reduce `scale` or normalize the embeddings")
-    // |w-c|² = w·w - 2·w·c + c·c with the codegen ArrayDot expression —
-    // quantized values make every product and sum an exact integer in
-    // doubles (|w_i| ≤ scale·max|x|, so terms stay far below 2^53), and
-    // c·c folds to a driver-computed literal. The lambda form
-    // (zip_with + aggregate) evaluates interpreted per element — this
-    // identity keeps the whole assignment inside whole-stage codegen.
+    // Assignment runs as ONE codegen expression
+    // ([[graft.plans.ArgminSqDistLong]]): argmin of the exact integer
+    // squared distance over the whole centroid table, first-wins ties —
+    // value-identical to the previous `least(k composite expressions)`
+    // form (argmin of d·k + j then % k), but the table rides as runtime
+    // reference objects, so Lloyd iterations with fresh centroids reuse
+    // the SAME generated class. The composite form re-embedded k·dim
+    // literals in the source each iteration and paid a full Janino
+    // recompile per build — measured ~3.7 s/iteration at k = 64 on an
+    // 8.5k-row corpus, nearly all compilation.
     def assignCol: Column = {
-      val wd = col("w").cast("array<double>")
-      val ww = dot(wd, wd)
-      val composites = centroids.zipWithIndex.map { case (c, j) =>
-        val clit = array(c.map(x => lit(x.toDouble)).toIndexedSeq: _*)
-        val cc = c.foldLeft(0L)((s, x) => s + x * x)
-        val d = (ww - lit(2.0) * dot(wd, clit) + lit(cc.toDouble)).cast("long")
-        d * lit(kk) + lit(j.toLong)
-      }
-      (if (composites.length == 1) composites.head
-       else least(composites.toIndexedSeq: _*)) % lit(kk)
+      val vecsLit = typedLit(centroids.map(_.toSeq).toSeq)
+      call_function("argmin_sqdist_long", col("w"), vecsLit)
     }
     val vecsumLong = udaf(graft.functions.Aggs.VecSumLongAgg)
     for (_ <- 0 until iterations) {
@@ -191,7 +186,7 @@ object Similarity {
         .agg(vecsumLong(col("w")).as("s"), count(lit(1)).as("n"))
         .collect()
         .filter(r => !r.isNullAt(0) && !r.isNullAt(1)) // ragged-dim guard
-        .map(r => r.getLong(0).toInt -> ((r.getSeq[Long](1).toArray, r.getLong(2))))
+        .map(r => r.getInt(0) -> ((r.getSeq[Long](1).toArray, r.getLong(2))))
         .toMap
       centroids = centroids.zipWithIndex.map { case (old, j) =>
         updated.get(j) match {

@@ -423,13 +423,77 @@ object ScaleStress {
             Map("src0" -> 0.5, "src1" -> 0.25, "src2" -> 0.25),
             totalTokens = 60000L * mult, numShards = 16 * mult), None))
 
+      // leakage-safe split over the exact near-dup edge set. The check
+      // is an INVARIANT, not recall: every planted twin pair must land
+      // in ONE split (the cluster is the assignment unit), so
+      // found == planted or the operator is broken.
+      val leakage = if (!wanted("leakage")) None else Some {
+        val e = edges.getOrElse(
+          Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
+            .select(col("id_a"), col("id_b")).localCheckpoint())
+        val split = Curation.leakageSafeSplit(docs, "doc_id", e)
+        val r = measure(spark, meter, "pipeline_leakage_safe_split",
+          split.select(col("doc_id").as("id_a"), col("split").as("id_b")), None)
+        val sameSplit = docPairs
+          .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+          .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+          .filter(col("sa") === col("sb")).count()
+        r.copy(plantedTotal = docPairs.count(), plantedFound = sameSplit)
+      }
+
+      // composed pipeline (the pipeline_end2end shape): quality gate →
+      // exact dedup → prefix-filter pairs → components → canonical-only
+      // survivors → per-source funnel stats. No planted metric — the
+      // component stages each carry their own above; this row pins the
+      // COMPOSITION's wall/shuffle growth.
+      val end2end = if (!wanted("end2end")) None else Some {
+        val raw = docs.select(col("doc_id"), col("source"), col("text"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val q = raw.filter(col("n_tokens") >= 30)
+        val base = Dedup.exactKeepFirst(q, Seq("text"), "doc_id")
+        val pairs2 = Dedup.jaccardThresholdPairs(base, "doc_id", "text", 3, 0.8)
+        val dropIds = Dedup.connectedComponents(pairs2, "id_a", "id_b")
+          .filter(col("id") =!= col("comp")).select(col("id"))
+        val fin = base.join(dropIds, base("doc_id") === dropIds("id"), "left_anti")
+        val stats = raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
+          .join(q.groupBy("source").agg(count(lit(1)).as("n_quality")), "source")
+          .join(base.groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
+          .join(fin.groupBy("source").agg(count(lit(1)).as("n_final"),
+            sum(col("n_tokens")).cast("long").as("tokens_final")), "source")
+        measure(spark, meter, "pipeline_end2end", stats, None)
+      }
+
+      // high-k Lloyd sweep (round-6 verdict #7): each iteration builds k
+      // composite distance expressions per row, so large k is the widest
+      // codegen stage in the repo — pin its wall and shuffle growth. The
+      // k-row shuffle contract must hold at ANY k (shuffle records ≈
+      // partitions × k, never corpus-sized).
+      val kmeansWide: Seq[OpResult] =
+        if (!wanted("kmeans")) Seq.empty
+        else Seq(64, 256).map { bigK =>
+          def build() = Similarity.semanticClusters(embs, "vec_id", "v",
+            k = bigK, iterations = 1)
+          var outRows = build().count() // warm pass
+          var wall = Double.MaxValue
+          var snap = (0L, 0L)
+          for (_ <- 1 to 2) {
+            meter.reset()
+            val t0 = System.nanoTime()
+            outRows = build().count()
+            val w = (System.nanoTime() - t0) / 1e9
+            if (w < wall) { wall = w; snap = meter.snapshot }
+          }
+          OpResult(s"pipeline_semantic_cluster_k$bigK", wall, snap._1,
+            snap._2, outRows, 0L, 0L)
+        }
+
       // free this section's pinned checkpoint blocks so the next
       // multiplier's measurements start from a clean heap
       (Seq(docs, names, embs, docPairs, namePairs, vecPairs) ++ edges)
         .foreach(df => try df.unpersist(blocking = true)
         catch { case _: Throwable => () })
-      Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
-        decontam, pack, quota, mix).flatten
+      (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
+        decontam, pack, quota, mix, leakage, end2end).flatten ++ kmeansWide)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 

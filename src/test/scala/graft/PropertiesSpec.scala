@@ -156,4 +156,43 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("codegen argmin_sqdist_long ≡ independent scala argmin over random tables") {
+    // two independent evaluation paths for the k-means assignment: the
+    // fused codegen expression vs a plain-Scala argmin replaying the
+    // documented semantics (min-length diff + tail squares, first-wins
+    // ties). Random dims INCLUDING ragged vectors shorter/longer than
+    // the centroid dim, duplicate centroids (tie exercise), k up to 65.
+    graft.functions.DuckFunctions.register(spark)
+    val vecGen = Gen.chooseNum(1, 9).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-2000L, 2000L)))
+    val tableGen = for {
+      k <- Gen.chooseNum(1, 65)
+      base <- Gen.listOfN(k, vecGen)
+    } yield (base ++ base.take(2)).map(_.toArray).toArray // dup head rows → ties
+    def reference(w: Seq[Long], cs: Array[Array[Long]]): Int = {
+      val ds = cs.map { c =>
+        val m = math.min(c.length, w.length)
+        var d = 0L
+        for (j <- 0 until m) { val t = w(j) - c(j); d += t * t }
+        for (j <- m until w.length) d += w(j) * w(j)
+        for (j <- m until c.length) d += c(j) * c(j)
+        d
+      }
+      ds.zipWithIndex.minBy { case (d, j) => (d, j) }._2
+    }
+    forAll2(Gen.listOfN(40, vecGen), tableGen, n = 4) { (vecs, table) =>
+      if (vecs.nonEmpty) {
+        val vecsLit = typedLit(table.map(_.toSeq).toSeq)
+        val got = vecs.toDF("w")
+          .select(col("w"), call_function("argmin_sqdist_long", col("w"), vecsLit))
+          .collect()
+        got.foreach { r =>
+          val w = r.getSeq[Long](0)
+          assert(r.getInt(1) == reference(w, table),
+            s"argmin diverged for w=$w (k=${table.length})")
+        }
+      }
+    }
+  }
 }
