@@ -24,6 +24,7 @@ object SparkEntry {
       graft.queries.Extended.queries ++
       graft.queries.Extended2.queries ++
       graft.queries.Tpch2.queries ++
+      graft.queries.TpcDs.queries ++
       graft.queries.Round2.queries ++
       graft.queries.Round3.queries ++
       graft.queries.Round4.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.queries.Extended.oracle ++
       graft.queries.Extended2.oracle ++
       graft.queries.Tpch2.oracle ++
+      graft.queries.TpcDs.oracle ++
       graft.queries.Round2.oracle ++
       graft.queries.Round3.oracle ++
       graft.queries.Round4.oracle ++
