@@ -17,31 +17,31 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("agg_q1_pricing")(spark, "/root/testdata/sf0.001")
 
+  // One registry module per SURVEY §2 family (round-7 consolidation of
+  // the formerly round-accreted files; keys unchanged):
+  //   Relational — scans, joins, aggregates, windows, sets, samples
+  //   ScalarFns  — the §2.8 function surface
+  //   Catalog    — catalog/dialect/source formats (§2.1/§2.11)
+  //   SqlScripts — statement scripts (COPY/RETURNING/SIMILAR TO/catalog fns)
+  //   Tpch/TpcDs — optimizer-stress benchmark shapes
+  //   Pipeline/PipelineOps — dedup/similarity/text/streaming/multimodal
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
       graft.queries.ScalarFns.queries ++
       graft.queries.Pipeline.queries ++
-      graft.queries.Extended.queries ++
-      graft.queries.Extended2.queries ++
-      graft.queries.Tpch2.queries ++
+      graft.queries.Catalog.queries ++
+      graft.queries.Tpch.queries ++
       graft.queries.TpcDs.queries ++
-      graft.queries.Round2.queries ++
-      graft.queries.Round3.queries ++
-      graft.queries.Round4.queries ++
-      graft.queries.Round5.queries ++
+      graft.queries.SqlScripts.queries ++
       graft.queries.PipelineOps.queries
 
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracle ++
       graft.queries.ScalarFns.oracle ++
       graft.queries.Pipeline.oracle ++
-      graft.queries.Extended.oracle ++
-      graft.queries.Extended2.oracle ++
-      graft.queries.Tpch2.oracle ++
+      graft.queries.Catalog.oracle ++
+      graft.queries.Tpch.oracle ++
       graft.queries.TpcDs.oracle ++
-      graft.queries.Round2.oracle ++
-      graft.queries.Round3.oracle ++
-      graft.queries.Round4.oracle ++
-      graft.queries.Round5.oracle ++
+      graft.queries.SqlScripts.oracle ++
       graft.queries.PipelineOps.oracle
 }

@@ -316,7 +316,7 @@ object DuckFunctions {
       spark.udf.register("simhash64", udf(graft.operators.Dedup.simhash64 _))
       spark.udf.register("lang_id", udf(graft.operators.TextAnalysis.langIdHeuristic _))
       spark.udf.register("nfc_normalize", udf(TypeHelpers.nfcNormalize))
-      spark.udf.register("bar", udf(graft.queries.Extended2.bar _))
+      spark.udf.register("bar", udf(graft.queries.ScalarFns.bar _))
       spark.udf.register("nextafter", udf(nextafter _))
       spark.udf.register("signbit", udf(signbit _))
       spark.udf.register("lgamma", udf(lgamma _))

@@ -1,0 +1,625 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{Engine, SqlDialect}
+import graft.sources.Csv
+
+/** Catalog, dialect, and source-format surface (SURVEY §2.1/§2.11):
+  * scans (glob/range/repeat/values), CSV options, Arrow IPC, COPY,
+  * EXPORT, DML + ON CONFLICT + RETURNING scripts, introspection
+  * (tables/columns/functions/table_info/SUMMARIZE/EXPLAIN ANALYZE),
+  * macros, prepared statements, and the dialect rewrites (QUALIFY,
+  * DISTINCT ON, GROUP BY ALL, PIVOT/UNPIVOT, star modifiers, views,
+  * WITH RECURSIVE). Statement scripts execute the same text on both
+  * engines via the dialect shim.
+  */
+object Catalog {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Engine.table(s, dir, name)
+
+  // Shared CREATE VIEW statement sequence (identical text both engines)
+  private[queries] val dialectViewStatements = Seq(
+    """CREATE OR REPLACE VIEW nation_per_region AS
+      |SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey""".stripMargin)
+
+
+  private[queries] val dialectViewSelect =
+    """SELECT CAST(n_regionkey AS BIGINT) AS rk, CAST(n AS BIGINT) AS n, first_name
+      |FROM nation_per_region ORDER BY rk""".stripMargin
+
+  // Shared WITH RECURSIVE text — native recursive CTE resolution on both
+  // engines (Spark 4 UnionLoop; reference RecursiveCTENode duckdb-9.cpp)
+
+
+  // Shared WITH RECURSIVE text — native recursive CTE resolution on both
+  // engines (Spark 4 UnionLoop; reference RecursiveCTENode duckdb-9.cpp)
+  private[queries] val withRecursiveSql =
+    """WITH RECURSIVE seq(k) AS (
+      |  SELECT CAST(0 AS BIGINT) UNION ALL SELECT k + 1 FROM seq WHERE k < 24
+      |)
+      |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+      |  CAST(sum(n_regionkey) AS BIGINT) AS sum_region
+      |FROM seq JOIN nation ON n_nationkey = k""".stripMargin
+
+  // Shared DML statement sequence — the Spark side routes each through
+  // SqlDialect; the oracle executes the identical text natively.
+
+
+  // Shared DML statement sequence — the Spark side routes each through
+  // SqlDialect; the oracle executes the identical text natively.
+  private[queries] val sqlDmlStatements = Seq(
+    """CREATE OR REPLACE TABLE sdml AS
+      |SELECT n_nationkey AS k, n_name AS name, CAST(0 AS BIGINT) AS flag
+      |FROM nation""".stripMargin,
+    "INSERT INTO sdml VALUES (100, 'X_NATION', CAST(5 AS BIGINT))",
+    "UPDATE sdml SET flag = flag + 9 WHERE k % 5 = 0",
+    "DELETE FROM sdml WHERE k BETWEEN 10 AND 14",
+    "ALTER TABLE sdml RENAME COLUMN flag TO mark")
+
+
+  private[queries] val sqlDmlSelect =
+    "SELECT CAST(k AS BIGINT) AS k, name, CAST(mark AS BIGINT) AS mark FROM sdml"
+
+
+  private[queries] val onConflictStatements = Seq(
+    "DROP TABLE IF EXISTS conf_t",
+    "CREATE TABLE conf_t (id INTEGER PRIMARY KEY, name VARCHAR, qty INTEGER)",
+    "INSERT INTO conf_t VALUES (1, 'a', 10), (2, 'b', 20), (3, 'c', 30)",
+    // key 2 exists: replaced; key 4 fresh: inserted
+    "INSERT OR REPLACE INTO conf_t VALUES (2, 'B2', 200), (4, 'd', 40)",
+    // key 1 exists: skipped; key 5 fresh: inserted
+    "INSERT INTO conf_t VALUES (1, 'dup', 999), (5, 'e', 50) ON CONFLICT DO NOTHING",
+    // key 3 exists: assignments applied (excluded.* = incoming row);
+    // key 6 fresh: inserted
+    "INSERT INTO conf_t VALUES (3, 'c3', 5), (6, 'f', 60) " +
+      "ON CONFLICT (id) DO UPDATE SET qty = qty + excluded.qty, name = excluded.name")
+
+
+  private[queries] val onConflictSelect =
+    "SELECT id, name, qty FROM conf_t ORDER BY id"
+
+
+  private[queries] val functionsSql =
+    """SELECT DISTINCT function_name FROM duckdb_functions()
+      |WHERE function_name IN (
+      |  'abs','acos','asin','atan','atan2','bar','bit_count','bit_position',
+      |  'cbrt','ceil','chr','concat','contains','corr','cos','date_part',
+      |  'date_trunc','dayname','degrees','exp','factorial','floor','gamma',
+      |  'get_bit','greatest','hamming','instr','jaccard','jaro_similarity',
+      |  'jaro_winkler_similarity','kurtosis','least','left_grapheme',
+      |  'length_grapheme','levenshtein','lgamma','ln','log10','log2','lower',
+      |  'lpad','ltrim','make_date','make_timestamp','md5','median','mismatches',
+      |  'mode','monthname','nextafter','nfc_normalize','pi','position','printf',
+      |  'radians','regexp_extract','regexp_replace','regr_slope','repeat',
+      |  'reverse','round','rpad','rtrim','set_bit','sign','signbit','sin',
+      |  'skewness','split_part','sqrt','stddev','strip_accents',
+      |  'substring_grapheme','tan','translate','trim','typeof','upper')
+      |ORDER BY function_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "csv_roundtrip" -> ((s, dir) => {
+      // COPY TO csv + read_csv back (sniffed schema), aggregate must match
+      // the parquet source
+      val sub = t(s, dir, "lineitem").filter(col("l_orderkey") <= 1000)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+      Csv.write(sub, "target/graft_csv/lineitem")
+      Csv.read(s, "target/graft_csv/lineitem").agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+    }),
+
+    "dialect_qualify" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk, c_acctbal,
+          |  CAST(row_number() OVER (PARTITION BY c_nationkey
+          |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+          |FROM customer QUALIFY rn <= 3""".stripMargin)
+    }),
+
+    "dialect_distinct_on" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """SELECT DISTINCT ON (c_nationkey) CAST(c_nationkey AS BIGINT) AS nk,
+          |  c_custkey, c_acctbal
+          |FROM customer ORDER BY c_acctbal DESC, c_custkey""".stripMargin)
+    }),
+
+    "dialect_limit_percent" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_orderkey LIMIT 10%")
+    }),
+
+    "dialect_exclude_replace" -> ((s, dir) => {
+      // star modifiers: EXCLUDE drops columns, REPLACE substitutes an
+      // expression under the same name (SqlDialect rewrite → Spark
+      // `* EXCEPT` + re-projection)
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """SELECT * EXCLUDE (o_orderpriority)
+          |         REPLACE (round(o_totalprice / 1000, 2) AS o_totalprice)
+          |FROM orders WHERE o_orderkey <= 100""".stripMargin)
+    }),
+
+    "dialect_macro" -> ((s, dir) => {
+      // CREATE MACRO: bind-time inlining (reference ScalarMacroFunction
+      // duckdb-internal.hpp:9920) — nested macro reference + named
+      // default parameter, exercised through an aggregate
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, "CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d)")
+      SqlDialect.sql(s,
+        "CREATE OR REPLACE MACRO taxed(p, d, t := 0.05) AS disc_price(p, d) * (1 + t)")
+      SqlDialect.sql(s,
+        """SELECT l_returnflag,
+          |  round(sum(disc_price(l_extendedprice, l_discount)), 2) AS sum_disc,
+          |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
+          |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+    }),
+
+    "dialect_group_by_all" -> ((s, dir) => {
+      // GROUP BY ALL (reference duckdb-8.cpp:7745) — native in both
+      // engines; groups by every non-aggregated select item
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+          |  round(sum(o_totalprice), 2) AS total
+          |FROM orders GROUP BY ALL""".stripMargin)
+    }),
+
+    "scan_glob" -> ((s, dir) => {
+      // glob table function (reference duckdb-6.cpp:9491) — file listing
+      // compared against DuckDB's native glob() (Hadoop paths carry a
+      // file: scheme; stripped for the comparison)
+      graft.functions.TypeHelpers.glob(s, s"$dir/*.parquet")
+        .select(regexp_replace(col("file"), "^file:", "").as("file"))
+    }),
+
+    "catalog_export" -> ((s, dir) => {
+      // EXPORT DATABASE → IMPORT DATABASE round-trip (reference
+      // duckdb-4.cpp:9722): re-imported tables must aggregate identically
+      // to the source (oracle computes from the source directly). Runs in
+      // a child session so EXPORT sees only this query's tables, not the
+      // whole shared-session catalog.
+      val ns = s.newSession()
+      Engine.createTable(ns, "exp_nation",
+        t(ns, dir, "nation").select(col("n_nationkey"), col("n_name")))
+      Engine.createTable(ns, "exp_region",
+        t(ns, dir, "region").select(col("r_regionkey"), col("r_name")))
+      Engine.exportDatabase(ns, "/root/repo/target/exp_db")
+      Engine.createTable(ns, "exp_nation", ns.range(0).toDF())  // clobber
+      Engine.importDatabase(ns, "/root/repo/target/exp_db")
+      ns.table("exp_nation").agg(
+        count(lit(1)).as("n_nation"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"))
+        .crossJoin(ns.table("exp_region").agg(count(lit(1)).as("n_region")))
+    }),
+
+    "catalog_dml" -> ((s, dir) => {
+      // INSERT/UPDATE/DELETE over the temp-view catalog (reference
+      // PhysicalInsert/Delete/Update duckdb-4.cpp:9996-10015) — the
+      // oracle replays the identical DML natively and compares the
+      // final table state
+      Engine.registerAll(s, dir)
+      val base = t(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      Engine.createTable(s, "dml_demo", base)
+      Engine.insertInto(s, "dml_demo",
+        base.filter(col("n_nationkey") === 0)
+          .withColumn("n_nationkey", col("n_nationkey") + 100)
+          .withColumn("n_name", lit("NEWLAND")))
+      Engine.updateWhere(s, "dml_demo", col("n_regionkey") === 0,
+        Map("n_name" -> concat(col("n_name"), lit("_X"))))
+      Engine.deleteWhere(s, "dml_demo", col("n_nationkey") % 7 === 3)
+      s.table("dml_demo").agg(
+        count(lit(1)).as("n"),
+        sum(col("n_nationkey")).cast("long").as("key_sum"),
+        count(when(col("n_name").endsWith("_X"), 1)).as("n_upd"))
+    }),
+
+    "catalog_table_info" -> ((s, dir) => {
+      // pragma_table_info analog (reference duckdb-6.cpp:14150): schema
+      // reflection reported in the reference's type names
+      Engine.registerAll(s, dir)
+      val duckType = Map("bigint" -> "BIGINT", "int" -> "INTEGER",
+        "string" -> "VARCHAR", "double" -> "DOUBLE",
+        "timestamp_ntz" -> "TIMESTAMP", "timestamp" -> "TIMESTAMP",
+        "date" -> "DATE", "boolean" -> "BOOLEAN")
+      import s.implicits._
+      Engine.tableInfo(s, "nation").collect()
+        .map(r => (r.getInt(0), r.getString(1),
+          duckType.getOrElse(r.getString(2), r.getString(2).toUpperCase)))
+        .toSeq.toDF("cid", "name", "type")
+    }),
+
+    "catalog_sql_dml" -> ((s, dir) => {
+      // the full SQL-level DML statement surface (INSERT positional /
+      // UPDATE assignments / DELETE / ALTER TABLE RENAME COLUMN) —
+      // identical statement text runs natively on the oracle
+      Engine.registerAll(s, dir)
+      sqlDmlStatements.foreach(stmt => SqlDialect.sql(s, stmt))
+      SqlDialect.sql(s, sqlDmlSelect)
+    }),
+
+    "dialect_create_view" -> ((s, dir) => {
+      // CREATE OR REPLACE VIEW (reference CreateViewInfo, duckdb-9.cpp)
+      // — plan-level view, re-evaluated per query (vs the CTAS snapshot)
+      Engine.registerAll(s, dir)
+      dialectViewStatements.foreach(stmt => SqlDialect.sql(s, stmt))
+      SqlDialect.sql(s, dialectViewSelect)
+    }),
+
+    "dialect_with_recursive" -> ((s, dir) => {
+      // SQL-level WITH RECURSIVE — native in Spark 4 (recursive CTE
+      // resolution); identical statement text runs on both engines
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, withRecursiveSql)
+    }),
+
+    "dialect_pivot" -> ((s, dir) => {
+      // PIVOT (DuckDB dialect statement → Spark's native groupBy().pivot;
+      // explicit value list keeps the plan single-pass: no distinct-scan)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(sum(col("o_totalprice")))
+        .select(col("o_orderpriority"),
+          round(col("F"), 2).as("f"), round(col("O"), 2).as("o"),
+          round(col("P"), 2).as("p"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    "dialect_unpivot" -> ((s, dir) => {
+      // UNPIVOT round-trips the pivoted frame back to long form
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      val wide = t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority", priorities)
+        .agg(sum(col("o_totalprice")))
+      wide.unpivot(
+          Array(col("o_orderstatus")), priorities.map(col).toArray, "k", "v")
+        .select(col("o_orderstatus"), col("k"), round(col("v"), 2).as("v"))
+        .orderBy(col("o_orderstatus"), col("k"))
+    }),
+
+    "arrow_roundtrip" -> ((s, dir) => {
+      // Arrow IPC export + import (reference ArrowTableFunction surface,
+      // duckdb-6.cpp:7612): write a slice of orders as a directory of
+      // IPC files (one per partition, executor-side), read it back, and
+      // aggregate — must match the parquet source. Exercises int64,
+      // double, varchar, and timestamp columns through the IPC boundary.
+      val sub = t(s, dir, "orders").filter(col("o_orderkey") <= 2000)
+      graft.sources.ArrowIpc.write(sub, "target/graft_arrow/orders")
+      graft.sources.ArrowIpc.read(s, "target/graft_arrow/orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderdate")).as("first_dt"),
+          max(col("o_orderpriority")).as("top_pri"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    "catalog_ctas" -> ((s, dir) => {
+      // SQL-level CREATE TABLE AS (reference CreateTableAs binder,
+      // duckdb-9.cpp) — snapshot semantics into the temp catalog
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """CREATE OR REPLACE TABLE ctas_demo AS
+          |SELECT l_returnflag, round(sum(l_quantity), 2) AS qty
+          |FROM lineitem GROUP BY l_returnflag""".stripMargin)
+      SqlDialect.sql(s, "SELECT l_returnflag, qty FROM ctas_demo")
+    }),
+
+    "catalog_summarize" -> ((s, dir) => {
+      // SUMMARIZE (reference duckdb-6.cpp:9493) — deterministic column
+      // subset; approx_unique/quantiles are engine-specific sketches and
+      // stay out of the oracle on both sides
+      Engine.summarizeTable(s, t(s, dir, "orders"))
+    }),
+
+    "catalog_sequence" -> ((s, dir) => {
+      // CREATE SEQUENCE / nextval (reference duckdb-6.cpp:2012) —
+      // driver-side monotonic counter, the same single-node catalog
+      // semantics as the reference; oracle replays a native sequence
+      import s.implicits._
+      graft.functions.TypeHelpers.createSequence("r3seq", start = 100, incrementBy = 7)
+      (1L to 6L).map(i => (i, graft.functions.TypeHelpers.nextval("r3seq")))
+        .toDF("i", "v")
+    }),
+
+    "sql_copy_parquet" -> ((s, dir) => {
+      // SQL-level COPY … TO (FORMAT PARQUET) + read_parquet replacement
+      // scan (reference PhysicalCopyToFile duckdb-4.cpp:4689): each
+      // engine round-trips through its own parquet file; the aggregates
+      // must agree because the source rows do
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """COPY (SELECT l_orderkey, l_quantity, l_extendedprice
+          |      FROM lineitem WHERE l_orderkey <= 2000)
+          |TO '/root/repo/target/copy_spark_li' (FORMAT PARQUET)""".stripMargin)
+      SqlDialect.sql(s,
+        """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_price
+          |FROM read_parquet('/root/repo/target/copy_spark_li')""".stripMargin)
+    }),
+
+    "dialect_prepare" -> ((s, dir) => {
+      // PREPARE / EXECUTE (reference PrepareStatement duckdb-8.cpp:8942):
+      // $n placeholders bound at execute time, run through the dialect
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """PREPARE qty_cut AS
+          |SELECT l_returnflag, count(*) AS n,
+          |  round(sum(l_extendedprice), 2) AS total
+          |FROM lineitem WHERE l_quantity <= $1 AND l_partkey % $2 = 0
+          |GROUP BY l_returnflag""".stripMargin)
+      SqlDialect.sql(s, "EXECUTE qty_cut(10, 3)")
+    }),
+
+    "scan_repeat" -> ((s, dir) => {
+      // repeat(val, n) table function (reference RepeatTableFunction,
+      // duckdb-6.cpp:10510-10530)
+      Engine.repeatTable(s, "ab", 4).agg(
+        count(lit(1)).as("n"),
+        count(when(col("value") === "ab", 1)).as("n_ab"))
+    }),
+
+    "csv_options" -> ((s, dir) => {
+      // CSV option long tail (reference read_csv named options,
+      // duckdb-6.cpp:10273-10299): skip + normalize_names,
+      // union_by_name, hive_partitioning — DuckDB reads the
+      // byte-identical files with its native options
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get("/root/repo/target/csv_opts")
+      Files.createDirectories(base.resolve("pt/key=1"))
+      Files.createDirectories(base.resolve("pt/key=2"))
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey")).collect()
+      def put(rel: String, lines: Seq[String]): Unit =
+        Files.write(base.resolve(rel), (lines.mkString("\n") + "\n").getBytes)
+      put("skip_demo.csv",
+        Seq("# generated demo file", "# second preamble line", "N_NationKey|N_Name") ++
+          nation.map(r => s"${r.getLong(0)}|${r.getString(1)}"))
+      val (ua, ub) = nation.splitAt(13)
+      put("u_a.csv", "n_nationkey,n_name" +: ua.map(r => s"${r.getLong(0)},${r.getString(1)}"))
+      put("u_b.csv", "n_nationkey,n_regionkey" +: ub.map(r => s"${r.getLong(0)},${r.getLong(2)}"))
+      val (p1, p2) = nation.partition(_.getLong(0) % 2 == 0)
+      put("pt/key=1/data.csv", "n_nationkey" +: p1.map(r => s"${r.getLong(0)}"))
+      put("pt/key=2/data.csv", "n_nationkey" +: p2.map(r => s"${r.getLong(0)}"))
+      val skipped = Csv.read(s, "/root/repo/target/csv_opts/skip_demo.csv",
+        Map("skip" -> "2", "delim" -> "|", "normalize_names" -> "true"))
+        .agg(count(lit(1)).as("n_skip"), sum(col("n_nationkey")).as("key_sum"))
+      val unioned = Csv.read(s, "/root/repo/target/csv_opts/u_*.csv",
+        Map("union_by_name" -> "true"))
+        .agg(count(lit(1)).as("n_union"), count(col("n_name")).as("n_name_rows"),
+          count(col("n_regionkey")).as("n_region_rows"))
+      val hp = Csv.read(s, "/root/repo/target/csv_opts/pt",
+        Map("hive_partitioning" -> "true"))
+        .agg(count(lit(1)).as("n_hive"),
+          sum(col("key").cast("long")).as("key_part_sum"))
+      skipped.crossJoin(unioned).crossJoin(hp)
+    }),
+
+    "dialect_table_macro" -> ((s, dir) => {
+      // CREATE MACRO … AS TABLE (reference TableMacroFunction
+      // duckdb-internal.hpp:9955) — call site in FROM with an alias
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """CREATE OR REPLACE MACRO top_parts(n) AS TABLE
+          |SELECT p_partkey, p_type, p_retailprice FROM part
+          |ORDER BY p_partkey LIMIT n""".stripMargin)
+      SqlDialect.sql(s,
+        """SELECT t.p_type, count(*) AS n, round(sum(t.p_retailprice), 2) AS price_sum
+          |FROM top_parts(50) t GROUP BY t.p_type""".stripMargin)
+    }),
+
+    "catalog_on_conflict" -> ((s, dir) => {
+      // INSERT OR REPLACE + ON CONFLICT DO NOTHING / DO UPDATE SET with
+      // excluded.* (reference conflict binding, duckdb-4.cpp:9996-10015)
+      // — identical statement text runs natively on the oracle
+      Engine.registerAll(s, dir)
+      onConflictStatements.foreach(stmt => SqlDialect.sql(s, stmt))
+      SqlDialect.sql(s, onConflictSelect)
+    }),
+
+    "catalog_explain_analyze" -> ((s, dir) => {
+      // EXPLAIN ANALYZE (reference QueryProfiler, duckdb-7.cpp:5536):
+      // profiler output itself is engine-specific, so the oracle checks
+      // the plan-independent invariant — the topmost operator that
+      // reports an output-row metric emits exactly the query's result
+      // cardinality, whatever physical plan either engine picked.
+      Engine.registerAll(s, dir)
+      val prof = SqlDialect.sql(s,
+        "EXPLAIN ANALYZE SELECT o_orderpriority, count(*) AS n " +
+          "FROM orders GROUP BY o_orderpriority")
+      prof.filter(col("output_rows").isNotNull)
+        .orderBy(col("operator_id"))
+        .limit(1)
+        .select(col("output_rows").cast("long").as("top_rows"))
+    }),
+
+    "catalog_functions" -> ((s, dir) => {
+      // duckdb_functions() catalog fn (duckdb-6.cpp:14150-14176): the
+      // probe list is a fixed set of DuckDB function names graft claims —
+      // a name missing from EITHER engine's registry drops a row and
+      // fails the hash compare, so this catches registry drift both ways
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, functionsSql)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+
+    "csv_roundtrip" ->
+      """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem WHERE l_orderkey <= 1000""".stripMargin,
+
+    "dialect_qualify" ->
+      """SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nk, c_acctbal,
+        |  CAST(row_number() OVER (PARTITION BY c_nationkey
+        |    ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |FROM customer QUALIFY rn <= 3""".stripMargin,
+
+    "dialect_distinct_on" ->
+      """SELECT DISTINCT ON (c_nationkey) CAST(c_nationkey AS BIGINT) AS nk,
+        |  c_custkey, c_acctbal
+        |FROM customer ORDER BY c_acctbal DESC, c_custkey""".stripMargin,
+
+    "dialect_limit_percent" ->
+      "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders ORDER BY o_orderkey LIMIT 10%",
+
+    "dialect_exclude_replace" ->
+      """SELECT * EXCLUDE (o_orderpriority)
+        |         REPLACE (round(o_totalprice / 1000, 2) AS o_totalprice)
+        |FROM orders WHERE o_orderkey <= 100""".stripMargin,
+
+    "dialect_macro" ->
+      """CREATE OR REPLACE MACRO disc_price(p, d) AS p * (1 - d);
+        |CREATE OR REPLACE MACRO taxed(p, d, t := 0.05) AS disc_price(p, d) * (1 + t);
+        |SELECT l_returnflag,
+        |  round(sum(disc_price(l_extendedprice, l_discount)), 2) AS sum_disc,
+        |  round(sum(taxed(l_extendedprice, l_discount)), 2) AS sum_taxed,
+        |  round(avg(taxed(l_extendedprice, l_discount, t := 0.10)), 2) AS avg_taxed10
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "dialect_group_by_all" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ALL""".stripMargin,
+
+    // the driver's correctness gate always runs at sf0.01 (TESTDATA.md)
+    "scan_glob" ->
+      "SELECT file FROM glob('/root/testdata/sf0.01/*.parquet')",
+
+    "catalog_export" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS n_nation, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        | FROM nation)
+        |CROSS JOIN (SELECT count(*) AS n_region FROM region)""".stripMargin,
+
+    "catalog_dml" ->
+      """CREATE OR REPLACE TABLE dml_demo AS
+        |  SELECT n_nationkey, n_name, n_regionkey FROM nation;
+        |INSERT INTO dml_demo
+        |  SELECT n_nationkey + 100, 'NEWLAND', n_regionkey
+        |  FROM nation WHERE n_nationkey = 0;
+        |UPDATE dml_demo SET n_name = n_name || '_X' WHERE n_regionkey = 0;
+        |DELETE FROM dml_demo WHERE n_nationkey % 7 = 3;
+        |SELECT count(*) AS n, CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+        |  count(*) FILTER (WHERE n_name LIKE '%!_X' ESCAPE '!') AS n_upd
+        |FROM dml_demo""".stripMargin,
+
+    "catalog_table_info" ->
+      """SELECT CAST(cid AS INTEGER) AS cid, name, CAST(type AS VARCHAR) AS type
+        |FROM pragma_table_info('nation')""".stripMargin,
+
+    "catalog_sql_dml" ->
+      (sqlDmlStatements :+ sqlDmlSelect).mkString(";\n"),
+
+    "dialect_create_view" ->
+      (dialectViewStatements :+ dialectViewSelect).mkString(";\n"),
+
+    "dialect_with_recursive" -> withRecursiveSql,
+
+    "dialect_pivot" ->
+      """SELECT o_orderpriority, round(F, 2) AS f, round(O, 2) AS o, round(P, 2) AS p
+        |FROM (PIVOT orders ON o_orderstatus USING sum(o_totalprice) GROUP BY o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "dialect_unpivot" ->
+      """SELECT o_orderstatus, k, round(v, 2) AS v
+        |FROM (UNPIVOT (PIVOT orders ON o_orderpriority USING sum(o_totalprice)
+        |               GROUP BY o_orderstatus)
+        |      ON COLUMNS(* EXCLUDE (o_orderstatus)) INTO NAME k VALUE v)
+        |ORDER BY o_orderstatus, k""".stripMargin,
+
+    "arrow_roundtrip" ->
+      """SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderdate) AS first_dt,
+        |  max(o_orderpriority) AS top_pri
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "catalog_ctas" ->
+      """CREATE OR REPLACE TABLE ctas_demo AS
+        |SELECT l_returnflag, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem GROUP BY l_returnflag;
+        |SELECT l_returnflag, qty FROM ctas_demo""".stripMargin,
+
+    "catalog_summarize" ->
+      """SELECT column_name, column_type, min, max,
+        |  CAST(count AS BIGINT) AS count,
+        |  CAST(null_percentage AS DOUBLE) AS null_pct
+        |FROM (SUMMARIZE orders)""".stripMargin,
+
+    "catalog_sequence" ->
+      """DROP SEQUENCE IF EXISTS r3seq;
+        |CREATE SEQUENCE r3seq START 100 INCREMENT 7;
+        |SELECT CAST(i AS BIGINT) AS i, CAST(nextval('r3seq') AS BIGINT) AS v
+        |FROM range(1, 7) t(i)""".stripMargin,
+
+    "sql_copy_parquet" ->
+      """COPY (SELECT l_orderkey, l_quantity, l_extendedprice
+        |      FROM lineitem WHERE l_orderkey <= 2000)
+        |TO '/root/repo/target/copy_duck_li.parquet' (FORMAT PARQUET);
+        |SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM read_parquet('/root/repo/target/copy_duck_li.parquet')""".stripMargin,
+
+    "dialect_prepare" ->
+      """PREPARE qty_cut AS
+        |SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem WHERE l_quantity <= $1 AND l_partkey % $2 = 0
+        |GROUP BY l_returnflag;
+        |EXECUTE qty_cut(10, 3)""".stripMargin,
+
+    "scan_repeat" ->
+      """SELECT count(*) AS n, count(*) FILTER (WHERE ab = 'ab') AS n_ab
+        |FROM repeat('ab', 4)""".stripMargin,
+
+    "csv_options" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS n_skip, CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        | FROM read_csv('/root/repo/target/csv_opts/skip_demo.csv',
+        |               skip=2, delim='|', header=true, normalize_names=true))
+        |CROSS JOIN
+        |(SELECT count(*) AS n_union, count(n_name) AS n_name_rows,
+        |        count(n_regionkey) AS n_region_rows
+        | FROM read_csv(['/root/repo/target/csv_opts/u_a.csv',
+        |                '/root/repo/target/csv_opts/u_b.csv'],
+        |               union_by_name=true, header=true))
+        |CROSS JOIN
+        |(SELECT count(*) AS n_hive,
+        |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
+        | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
+        |               hive_partitioning=true, header=true))""".stripMargin,
+
+    "dialect_table_macro" ->
+      """CREATE OR REPLACE MACRO top_parts(n) AS TABLE
+        |SELECT p_partkey, p_type, p_retailprice FROM part
+        |ORDER BY p_partkey LIMIT n;
+        |SELECT t.p_type, count(*) AS n, round(sum(t.p_retailprice), 2) AS price_sum
+        |FROM top_parts(50) t GROUP BY t.p_type""".stripMargin,
+
+    "catalog_on_conflict" ->
+      (onConflictStatements :+ onConflictSelect).mkString(";\n"),
+
+    "catalog_explain_analyze" ->
+      """SELECT CAST(count(*) AS BIGINT) AS top_rows
+        |FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority)""".stripMargin,
+
+    "catalog_functions" -> functionsSql
+  )
+}

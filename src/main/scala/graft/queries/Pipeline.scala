@@ -15,6 +15,85 @@ object Pipeline {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+    /** Shared LSH configuration: 8 bands × 8 bits = 64 ±1 hyperplanes
+    * (Similarity.hyperplanes seed 42), bucket skew cap 250. */
+  private val LshBands = 8
+
+
+  private val LshBits = 8
+
+
+  private val LshMaxBucket = 250
+
+
+  private[graft] lazy val lshPlanes: Array[Array[Double]] =
+    Similarity.hyperplanes(LshBands * LshBits, 64)
+
+
+  /** The literal hyperplane rows for the oracle's VALUES clause. */
+  private lazy val planesSqlRows: String = Dedup.planesSqlValues(lshPlanes)
+
+  // Same-text SQL shared by the Spark query and the DuckDB oracle.
+
+
+  /** DuckDB replay of [[graft.operators.Similarity.semanticClusters]]:
+    * every step is exact integer math (quantized vectors; squared-L2
+    * distances as exact-integer-valued doubles via the dot-product
+    * identity |w-c|² = w·w - 2w·c + c·c, all < 2^53; centroid update =
+    * floor division written as the floorMod identity
+    * `(s - ((s % n) + n) % n) // n` over DuckDB's exact HUGEINT sums,
+    * which equals Math.floorDiv at ANY magnitude — a floor(double/count)
+    * form would diverge once a cluster's per-dim sum neared 2^52), so
+    * the full per-row assignment matches the engine bit for bit. One
+    * `aN`/`cN` CTE pair per Lloyd iteration, built by this helper to
+    * keep the two iterations textually identical. */
+  private def semanticClusterSql(k: Int, iterations: Int): String = {
+    def cdCte(i: Int) =
+      s"""cd$i AS (
+         |  SELECT j, c, CAST(c AS DOUBLE[]) AS cd,
+         |    list_dot_product(CAST(c AS DOUBLE[]), CAST(c AS DOUBLE[])) AS cc
+         |  FROM c$i)""".stripMargin
+    def assignCte(name: String, ci: Int) =
+      s"""$name AS (
+         |  SELECT ed.vec_id,
+         |    min(CAST(ed.ww - 2*list_dot_product(ed.wd, cd$ci.cd) + cd$ci.cc AS BIGINT)
+         |        * $k + cd$ci.j) % $k AS cid
+         |  FROM ed CROSS JOIN cd$ci
+         |  GROUP BY ed.vec_id)""".stripMargin
+    def updateCtes(i: Int) =
+      s"""s$i AS (
+         |  SELECT j, dim,
+         |    CAST((sum(val) - (((sum(val) % count(*)) + count(*)) % count(*)))
+         |         // count(*) AS BIGINT) AS cdim
+         |  FROM (
+         |    SELECT a$i.cid AS j, unnest(e.w) AS val, unnest(range(1, len(e.w)+1)) AS dim
+         |    FROM a$i JOIN e USING (vec_id))
+         |  GROUP BY j, dim),
+         |c$i AS (
+         |  SELECT c${i - 1}.j, COALESCE(u.c, c${i - 1}.c) AS c
+         |  FROM c${i - 1} LEFT JOIN
+         |    (SELECT j, list(cdim ORDER BY dim) AS c FROM s$i GROUP BY j) u USING (j))""".stripMargin
+    val iterCtes = (1 to iterations).map { i =>
+      s"${assignCte(s"a$i", i - 1)},\n${updateCtes(i)},\n${cdCte(i)}"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(CAST(embedding AS DOUBLE[]),
+       |      x -> CAST(floor(x*1000 + 0.5) AS BIGINT)) AS w
+       |  FROM embeddings),
+       |ed AS (
+       |  SELECT vec_id, CAST(w AS DOUBLE[]) AS wd,
+       |    list_dot_product(CAST(w AS DOUBLE[]), CAST(w AS DOUBLE[])) AS ww
+       |  FROM e),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, w AS c
+       |  FROM (SELECT vec_id, w FROM e ORDER BY vec_id LIMIT $k)),
+       |${cdCte(0)},
+       |$iterCtes,
+       |${assignCte("afinal", iterations)}
+       |SELECT vec_id, cid FROM afinal ORDER BY vec_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- deduplication ----
@@ -406,6 +485,186 @@ object Pipeline {
           countDistinct(col("canonical_id")).as("n_clusters"))
         .crossJoin(broadcast(leaks))
     })
+  ,
+
+    "dedup_fuzzy_names" -> ((s, dir) => {
+      // thresholded fuzzy matching with the banded-Levenshtein codegen
+      // expression (plans.LevenshteinWithin) vs the oracle's full
+      // levenshtein comparison
+      graft.functions.DuckFunctions.register(s)
+      val a = t(s, dir, "supplier").select(col("s_suppkey").as("id_a"), col("s_name").as("n_a"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey").as("id_b"), col("s_name").as("n_b"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("levenshtein_within(n_a, n_b, 2)").as("within2"))
+        .groupBy(col("within2")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    "stream_stateful_totals" -> ((s, dir) => {
+      // flatMapGroupsWithState custom state, driven by a real streaming
+      // run (update mode, one emission per user in the single batch)
+      graft.streaming.EventStreams.runToBatchAppend(
+        s, dir, s"st_${System.nanoTime()}",
+        graft.streaming.EventStreams.statefulUserTotals, mode = "update")
+        .select(col("user_id"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+    }),
+
+    "dedup_embedding_cosine" -> ((s, dir) => {
+      // embedding-cosine near-dup candidate density per label pair:
+      // exact all-pairs cosine via the codegen'd array_dot expression.
+      // The all-pairs product is the EXACT baseline (oracle-matched);
+      // at corpus scale the same refine runs over LSH/IVF candidates
+      // (sim_lsh_ann / sim_ivf_topk) instead of the full cross product.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      val a = e.select(col("vec_id").as("id_a"), col("label").as("la"),
+        col("v").as("va"), col("nrm").as("na"))
+      val b = e.select(col("vec_id").as("id_b"), col("label").as("lb"),
+        col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("la"), col("lb"),
+          (Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+        .groupBy(col("la"), col("lb"))
+        .agg(count(when(col("cos") >= 0.35, 1)).as("n_sim"),
+          round(max(col("cos")), 6).as("max_cos"))
+    }),
+
+    "stream_stream_join" -> ((s, dir) => {
+      // real stream-stream inner join (two watermarked sides, event-time
+      // range condition, bounded state)
+      graft.streaming.EventStreams.runToBatchAppend(
+        s, dir, s"ssj_${System.nanoTime()}",
+        graft.streaming.EventStreams.viewClickJoin)
+    }),
+
+    "stream_stream_left_join" -> ((s, dir) => {
+      // left-outer stream-stream join: outer (null) rows emit on state
+      // eviction, so restrict to the watermark-decided region — views
+      // older than max event time minus (watermark 1h + range 4h + 1h
+      // margin); the oracle applies the identical cutoff
+      val res = graft.streaming.EventStreams.runToBatchAppend(
+        s, dir, s"sslj_${System.nanoTime()}",
+        graft.streaming.EventStreams.viewClickLeftJoin)
+      val mx = t(s, dir, "events").agg(max(col("ts")).as("mx"))
+      res.crossJoin(broadcast(mx))
+        .where(col("vts") <= col("mx") - expr("INTERVAL 6 HOURS"))
+        .select(col("view_id"), col("user_id"), col("vts"), col("cts"),
+          col("click_value"))
+    }),
+
+    "dedup_fuzzy_names_blocked" -> ((s, dir) => {
+      // scale path for dedup_fuzzy_names: one equi-join shuffle on
+      // delete-neighborhood keys replaces the supplier×supplier cross
+      // join; exact-levenshtein refine keeps the answer identical
+      Dedup.fuzzyPairs(t(s, dir, "supplier"), "s_suppkey", "s_name", 2)
+        .groupBy(col("dist").cast("long").as("d"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("id_a") + col("id_b")).cast("long").as("id_sum"))
+    }),
+
+    "dedup_embedding_cosine_lsh" -> ((s, dir) => {
+      // scale path for dedup_embedding_cosine: banded sign-LSH candidate
+      // generation (one band-key shuffle, skew-capped, codegen banding
+      // kernel) with the exact-cosine refine FUSED into the band join —
+      // vectors + labels ride the single banded exchange, no
+      // post-candidate id-joins. Buckets are integer-exact (quantized
+      // vectors, ±1 planes) so the oracle replays the same bucketing in
+      // SQL.
+      //
+      // TWO-barrier plan (was three): the pair-dedup shuffle is folded
+      // into the label aggregate — each joined row carries its pair's
+      // band-collision count k and weighs L/k with L = lcm(1..16), so
+      // the per-label sums are EXACTLY L x the distinct-pair counts
+      // (integer arithmetic throughout; each pair's k rows contribute
+      // k·(L/k) = L). max_cos is duplicate-insensitive already. The
+      // in-plan assert_true fires if the summed weight is not divisible
+      // by L — the hot-bucket-overlap case where the weighted form
+      // under-counts (see cosineLshScoredPairsWeighted scaladoc) —
+      // so degenerate data fails loudly instead of silently drifting.
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val L = 720720L // lcm(1..16) >= lcm(1..LshBands)
+      Dedup.cosineLshScoredPairsWeighted(e, "vec_id", "v", lshPlanes,
+        numBands = LshBands, bitsPerBand = LshBits, maxBucket = LshMaxBucket,
+        carry = Seq("label"))
+        .withColumn("w", expr(s"$L div band_collisions"))
+        .groupBy(col("label_a").as("la"), col("label_b").as("lb"))
+        .agg(sum(when(col("cos") >= 0.35, col("w")).otherwise(lit(0L))).as("wsim"),
+          sum(col("w")).as("wcand"),
+          round(max(col("cos")), 6).as("max_cos"))
+        .select(col("la"), col("lb"),
+          when(assert_true(col("wsim") % L === 0 && col("wcand") % L === 0,
+            lit("LSH weighted pair-dedup undercounted: a pair overlaps a " +
+              "capped hot bucket — use the dropDuplicates variant for this " +
+              "corpus")).isNull,
+            expr(s"wsim div $L")).as("n_sim"),
+          expr(s"wcand div $L").as("n_cand"),
+          col("max_cos"))
+    }),
+
+    "mm_frames" -> ((s, dir) => {
+      // video-frame sampling dataflow (explode payload → strided chunks):
+      // the oracle recomputes chunk counts/bytes arithmetically from the
+      // payload length — the dataflow shape is what's under test
+      val media = graft.operators.Multimodal.mediaFromDocuments(
+        s, t(s, dir, "documents"))
+      graft.operators.Multimodal.sampleFrames(media, frameBytes = 32, stride = 2)
+        .groupBy(col("id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("kept_bytes"))
+    }),
+
+    "text_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination (operators.Curation.decontaminate):
+      // flag training docs whose word 8-grams overlap a held-out eval
+      // source (src0 plays the benchmark). Eval gram set broadcast;
+      // the corpus is never shuffled for the probe.
+      val docs = t(s, dir, "documents")
+      Curation.decontaminate(
+        docs.filter(col("source") =!= "src0"), "doc_id", "text",
+        Curation.evalGrams(docs.filter(col("source") === "src0"), "text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "pipeline_pack_sequences" -> ((s, dir) => {
+      // Concatenate-and-chunk sequence packing
+      // (operators.Curation.packSequences): per (source, doc_id%8 shard)
+      // the token stream is cut every 512 tokens; sharding bounds every
+      // window partition at any corpus size.
+      Curation.packSequences(t(s, dir, "documents"), "doc_id", "source",
+          "text", budget = 512, numShards = 8)
+        .orderBy(col("source"), col("shard"), col("seq_id"))
+    }),
+
+    "pipeline_quota_sample" -> ((s, dir) => {
+      // Stratified quota sampling (operators.Curation.quotaSample):
+      // exactly 10 docs per source by a seedless LCG hash both engines
+      // compute bit-identically; two-phase sharded rank, no one-reducer
+      // stratum sort.
+      Curation.quotaSample(t(s, dir, "documents"), "doc_id", "source",
+          quota = 10, numShards = 8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sampled_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("source"))
+    }),
+
+    "pipeline_semantic_cluster" -> ((s, dir) => {
+      // Integer-exact distributed k-means (Similarity.semanticClusters):
+      // the semantic-clustering step of a curation pipeline. Quantized
+      // vectors + exact int64 distances + floor-division centroid update
+      // make the full per-row assignment bit-replayable by the SQL
+      // oracle — the strongest possible check for an iterative operator.
+      graft.operators.Similarity.semanticClusters(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iterations = 2)
+        .select(col("id").as("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
+    })
   )
 
   /** Shared exact-Jaccard ground-truth CTE (3-word shingles, same
@@ -725,5 +984,137 @@ object Pipeline {
         |    user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |  FROM g GROUP BY user_id, sid)
         |WHERE session_end <= (SELECT max(ts) FROM events) - INTERVAL 2 HOUR""".stripMargin
+  ,
+
+    "dedup_fuzzy_names" ->
+      """SELECT levenshtein(a.s_name, b.s_name) <= 2 AS within2,
+        |  count(*) AS n_pairs
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "stream_stateful_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "dedup_embedding_cosine" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT a.label AS la, b.label AS lb,
+        |  count(*) FILTER (WHERE list_cosine_similarity(a.v, b.v) >= 0.35) AS n_sim,
+        |  round(max(list_cosine_similarity(a.v, b.v)), 6) AS max_cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT v.event_id AS view_id, v.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS cts, round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts - INTERVAL 4 HOUR AND c.ts <= v.ts""".stripMargin,
+
+    "stream_stream_left_join" ->
+      """SELECT v.event_id AS view_id, v.user_id, CAST(v.ts AS TIMESTAMP) AS vts,
+        |  CAST(c.ts AS TIMESTAMP) AS cts, round(c.value, 2) AS click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts - INTERVAL 4 HOUR AND c.ts <= v.ts
+        |WHERE v.ts <= (SELECT max(ts) FROM events) - INTERVAL 6 HOUR""".stripMargin,
+
+    "dedup_fuzzy_names_blocked" ->
+      """SELECT CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS d,
+        |  count(*) AS n_pairs,
+        |  CAST(sum(a.s_suppkey + b.s_suppkey) AS BIGINT) AS id_sum
+        |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+        |WHERE levenshtein(a.s_name, b.s_name) <= 2
+        |GROUP BY 1""".stripMargin,
+
+    "dedup_embedding_cosine_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id, list_transform(v, x -> floor(x*1000 + 0.5)) AS w FROM e),
+         |planes(pid, pv) AS (VALUES
+         |    $planesSqlRows),
+         |bb AS (SELECT q.vec_id, p.pid // $LshBits AS band,
+         |         CASE WHEN list_dot_product(q.w, p.pv) >= 0
+         |           THEN 1 << (p.pid % $LshBits) ELSE 0 END AS bit
+         |       FROM q CROSS JOIN planes p),
+         |bk AS (SELECT vec_id, band, CAST(sum(bit) AS BIGINT) AS bucket
+         |       FROM bb GROUP BY 1, 2),
+         |capped AS (SELECT * FROM bk
+         |           QUALIFY count(*) OVER (PARTITION BY band, bucket) <= $LshMaxBucket),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |         FROM capped a JOIN capped b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |sc AS (SELECT ea.label AS la, eb.label AS lb,
+         |         list_cosine_similarity(ea.v, eb.v) AS cos
+         |       FROM cand JOIN e ea ON cand.id_a = ea.vec_id
+         |                 JOIN e eb ON cand.id_b = eb.vec_id)
+         |SELECT la, lb,
+         |  count(*) FILTER (WHERE cos >= 0.35) AS n_sim,
+         |  count(*) AS n_cand,
+         |  round(max(cos), 6) AS max_cos
+         |FROM sc GROUP BY 1, 2""".stripMargin,
+
+    "mm_frames" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n,
+        |        list_filter(range(CAST(ceil(n / 32.0) AS BIGINT)),
+        |                    i -> i % 2 = 0) AS kept
+        |      FROM b)
+        |SELECT doc_id AS id, CAST(len(kept) AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(kept, i -> least(32, n - i * 32))) AS BIGINT)
+        |    AS kept_bytes
+        |FROM f""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, source, array_to_string(w[i:i+7], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w)-6)) AS t(i) WHERE len(w) >= 8),
+        |ev AS (SELECT DISTINCT g FROM grams WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_grams,
+        |  count(*) FILTER (g IN (SELECT g FROM ev)) AS n_hit,
+        |  round(count(*) FILTER (g IN (SELECT g FROM ev)) / CAST(count(*) AS DOUBLE), 6) AS contam
+        |FROM grams WHERE source <> 'src0'
+        |GROUP BY doc_id HAVING n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH toksz AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS tok,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |seq AS (
+        |  SELECT source, shard, doc_id, tok,
+        |    CAST(floor((sum(tok) OVER (PARTITION BY source, shard ORDER BY doc_id)
+        |                - tok) / 512.0) AS BIGINT) AS seq_id
+        |  FROM toksz)
+        |SELECT source, shard, seq_id, count(*) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM seq GROUP BY source, shard, seq_id
+        |ORDER BY source, shard, seq_id""".stripMargin,
+
+    "pipeline_quota_sample" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (((doc_id % 2147483647) * 48271 + 12345) % 2147483647) * 2147483629
+        |               + (((doc_id % 2147483629) * 16807 + 67890) % 2147483629), doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM ranked WHERE rn <= 10
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_semantic_cluster" -> semanticClusterSql(k = 8, iterations = 2)
   )
 }

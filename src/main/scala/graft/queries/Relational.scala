@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Engine
-import graft.operators.Recursion
+import graft.{Engine, SqlDialect}
+import graft.operators.{RangeJoin, Recursion}
 
 /** Relational operator inventory: scans, aggregation, joins, sort/limit,
   * set operations, windows (SURVEY.md §2.1-2.7).
@@ -20,6 +20,33 @@ object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
+
+    // run_avg accumulates EXACT integer cents, then ONE shared division —
+  // bit-identical doubles on both engines, so no final round() is needed
+  // (and none would be safe: the engines' round() pipelines disagree on
+  // rational half-cent boundaries — observed 5937.405 → .41 vs .40)
+  private[queries] val winNamedSql =
+    """SELECT c_custkey,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn,
+      |  CAST(rank() OVER w AS BIGINT) AS rnk,
+      |  CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) OVER w AS DOUBLE)
+      |    / (100.0 * count(*) OVER w) AS run_avg
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)""".stripMargin
+
+
+  private[queries] val sampleSystemSql =
+    """WITH pop AS (SELECT count(*) AS n_total FROM lineitem),
+      |s1 AS (SELECT count(*) AS n1
+      |       FROM (SELECT * FROM lineitem USING SAMPLE 50% (system, 7))),
+      |s2 AS (SELECT count(*) AS n2
+      |       FROM (SELECT * FROM lineitem USING SAMPLE 50% (system, 7)))
+      |SELECT CAST(n_total AS BIGINT) AS n_total,
+      |  (n1 > 0 AND n1 < n_total) AS nonempty_proper,
+      |  (abs(n1 / CAST(n_total AS DOUBLE) - 0.5) <= 0.45) AS frac_ok,
+      |  (n1 = n2) AS repeat_ok
+      |FROM pop, s1, s2""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -444,6 +471,306 @@ object Relational {
         round(col("l_extendedprice") / sum(col("l_extendedprice")).over(w), 6).as("share"),
         count(lit(1)).over(w).as("n_items"))
     })
+  ,
+
+    "sub_scalar_correlated" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT o_orderstatus, count(*) AS n_above,
+          |  round(sum(o_totalprice), 2) AS sum_above
+          |FROM orders o
+          |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+          |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |GROUP BY o_orderstatus""".stripMargin)
+    }),
+
+    "sub_in_uncorrelated" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal
+          |FROM customer
+          |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))""".stripMargin)
+    }),
+
+    "sub_exists_correlated" -> ((s, dir) => {
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT count(*) AS n FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          |    AND o.o_totalprice > c.c_acctbal * 10)""".stripMargin)
+    }),
+
+    "sub_all_rewrite" -> ((s, dir) => {
+      // `> ALL (…)` has no Spark form — rewritten to > (SELECT max(…)),
+      // equivalent for non-empty null-free subqueries
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT count(*) AS n_top FROM supplier
+          |WHERE s_acctbal > (SELECT max(a) FROM
+          |  (SELECT avg(c_acctbal) AS a FROM customer GROUP BY c_nationkey))""".stripMargin)
+    }),
+
+    "win_ignore_nulls" -> ((s, dir) => {
+      val v = when(col("o_orderkey") % 3 === 0, null).otherwise(col("o_totalprice"))
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders").withColumn("v", v).select(
+        col("o_custkey"), col("o_orderkey"),
+        round(lag(col("v"), 1, null, ignoreNulls = true).over(w), 2).as("prev_nn"),
+        round(lead(col("v"), 1, null, ignoreNulls = true).over(w), 2).as("next_nn"),
+        round(first(col("v"), ignoreNulls = true).over(wf), 2).as("first_nn"),
+        round(last(col("v"), ignoreNulls = true).over(wf), 2).as("last_nn"))
+    }),
+
+    "sample_fixed_count" -> ((s, dir) => {
+      // USING SAMPLE n ROWS via the dialect shim — the sampled COUNT is
+      // deterministic even though the rows are engine-local
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        "SELECT count(*) AS n FROM (SELECT * FROM lineitem USING SAMPLE 500 ROWS)")
+    }),
+
+    "sample_bernoulli" -> ((s, dir) => {
+      // seeded bernoulli sample. RNG streams are engine-local, so the
+      // oracle checks the SAMPLING contract instead: each engine's own
+      // 1% sample must have a row count within 4σ of n·p and a sample
+      // mean within ±3 of the population mean (≈5σ for quantity)
+      val li = t(s, dir, "lineitem")
+      val pop = li.agg(count(lit(1)).as("n_total"), avg(col("l_quantity")).as("pop_avg"))
+      val samp = li.sample(0.01, 42L)
+        .agg(count(lit(1)).as("n_samp"), avg(col("l_quantity")).as("samp_avg"))
+      samp.crossJoin(pop).select(
+        col("n_total"),
+        (abs(col("n_samp") - col("n_total") * 0.01)
+          <= greatest(sqrt(col("n_total") * 0.01 * 0.99) * 4, lit(10.0))).as("n_ok"),
+        (abs(col("samp_avg") - col("pop_avg")) <= 3.0).as("avg_ok"))
+    }),
+
+    "agg_quantile_disc_sem" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy(col("l_linestatus")).agg(
+        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_disc"),
+        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_disc"),
+        round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
+    }),
+
+    "agg_approx_quantile" -> ((s, dir) => {
+      // approx_quantile analog (reference: holistic list,
+      // duckdb-5.cpp:12-17). Sketches differ across engines, so the
+      // oracle checks the sketch CONTRACT: each engine's own estimate
+      // must sit within 2% (relative, price) / ±1 unit (discrete
+      // quantity) of the exact interpolated quantile, which itself IS
+      // cross-engine comparable
+      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_med"),
+        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+          - expr("percentile(l_extendedprice, 0.5)"))
+          <= expr("percentile(l_extendedprice, 0.5)") * 0.02).as("med_ok"),
+        (abs(percentile_approx(col("l_quantity"), lit(0.1), lit(1000))
+          - expr("percentile(l_quantity, 0.1)")) <= 1.0).as("p10_ok"),
+        (abs(percentile_approx(col("l_quantity"), lit(0.9), lit(1000))
+          - expr("percentile(l_quantity, 0.9)")) <= 1.0).as("p90_ok"))
+    }),
+
+    "join_asof_backward" -> ((s, dir) => {
+      // for each view event, the most recent click by the same user
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.lastValueBefore(
+        views, clicks, "user_id", "ts", "value", "prev_click")
+        .select(col("event_id"), col("user_id"),
+          round(col("prev_click"), 2).as("prev_click_value"))
+    }),
+
+    "join_asof_forward" -> ((s, dir) => {
+      // for each view event, the next click by the same user at or after
+      // it (reference ASOF's other inequality direction)
+      val ev = t(s, dir, "events")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.operators.AsofJoin.firstValueAfter(
+        views, clicks, "user_id", "ts", "value", "next_click")
+        .select(col("event_id"), col("user_id"),
+          round(col("next_click"), 2).as("next_click_value"))
+    }),
+
+    "join_range_autorewrite" -> ((s, dir) => {
+      // the SAME plain inequality join as join_range_inequality, but with
+      // the RangeJoinRule active: the optimizer itself rewrites it to the
+      // bucketed equi-join (plans.RangeJoinRule)
+      graft.functions.DuckFunctions.register(s)
+      s.conf.set("spark.graft.rangeJoin.bucketWidth", "10.0")
+      val su = t(s, dir, "supplier"); val c = t(s, dir, "customer")
+      su.join(c, col("c_acctbal") > col("s_acctbal") - 10.0 &&
+        col("c_acctbal") <= col("s_acctbal"))
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    "join_range_bucketed" -> ((s, dir) => {
+      // same semantics as join_range_inequality, but via the bucketed
+      // equi-join plan (RangeJoin) — one shuffle instead of BNLJ
+      val su = t(s, dir, "supplier")
+        .withColumn("lo", col("s_acctbal") - 10.0)
+        .withColumn("hi", col("s_acctbal"))
+      val c = t(s, dir, "customer")
+      graft.operators.RangeJoin.pointInRange(c, "c_acctbal", su, "lo", "hi", 10.0)
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    "join_range_adaptive" -> ((s, dir) => {
+      // variable-width intervals (width 0..97 + 0..13) — no single
+      // bucketWidth fits; pointInRangeAdaptive derives quantile buckets
+      // from the point distribution instead (general IEJoin case,
+      // reference duckdb-3.cpp:15445)
+      val su = t(s, dir, "supplier")
+        .withColumn("lo", col("s_acctbal") - (col("s_suppkey") % 97).cast("double"))
+        .withColumn("hi", col("s_acctbal") + (col("s_suppkey") % 13).cast("double"))
+      val c = t(s, dir, "customer")
+      RangeJoin.pointInRangeAdaptive(c, "c_acctbal", su, "lo", "hi")
+        .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+    }),
+
+    "join_interval_overlap" -> ((s, dir) => {
+      // interval×interval overlap (the FULL IEJoin shape: two-sided
+      // inequality with different intervals on each side), written as a
+      // PLAIN join — graft.plans.RangeJoinRule detects the shape and
+      // rewrites it to the quantile-bucketed equi-join automatically
+      // (reference join selection, duckdb-4.cpp:9054-9168; no conf
+      // needed). The programmatic RangeJoin.intervalOverlap API remains
+      // for callers that want explicit control (spec-covered).
+      graft.functions.DuckFunctions.register(s)
+      val su = t(s, dir, "supplier")
+        .withColumn("s_lo", col("s_acctbal") - (col("s_suppkey") % 50).cast("double"))
+        .withColumn("s_hi", col("s_acctbal") + (col("s_suppkey") % 20).cast("double"))
+      val c = t(s, dir, "customer").filter(col("c_custkey") <= 1000)
+        .withColumn("c_lo", col("c_acctbal") - (col("c_custkey") % 30).cast("double"))
+        .withColumn("c_hi", col("c_acctbal") + (col("c_custkey") % 40).cast("double"))
+      su.join(c, col("s_lo") <= col("c_hi") && col("c_lo") <= col("s_hi"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_overlap"), sum(col("c_custkey")).as("sum_cust"))
+    }),
+
+    "join_lateral" -> ((s, dir) => {
+      // correlated LATERAL join (reference LATERAL binder,
+      // duckdb-9.cpp:1099; duckdb-internal.hpp:73153) — top-2 customers
+      // per nation via a correlated, limited lateral subquery; Catalyst
+      // decorrelates to a ranked window, the plan a 100 TB run wants
+      Engine.registerAll(s, dir)
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+          |FROM nation n, LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin)
+    }),
+
+    "win_named" -> ((s, dir) => {
+      // named WINDOW clause shared by several functions (reference
+      // window binder; same text runs on both engines)
+      Engine.registerAll(s, dir)
+      s.sql(winNamedSql)
+    }),
+
+    "set_union_by_name" -> ((s, dir) => {
+      // UNION ALL BY NAME (reference duckdb-8.cpp:7905): by-name column
+      // matching with null fill for missing columns
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s,
+        """SELECT n_nationkey AS k, n_name AS name FROM nation
+          |UNION ALL BY NAME
+          |SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region""".stripMargin)
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+          count(col("extra")).as("n_extra"))
+    }),
+
+    "win_filtered" -> ((s, dir) => {
+      // FILTER clause on window aggregates (reference window binder
+      // accepts agg FILTER (...) OVER w) — Spark rewrite: agg(CASE)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("n_regionkey"))
+      t(s, dir, "nation").select(
+        col("n_regionkey"), col("n_nationkey"),
+        count(when(col("n_nationkey") % 2 === 0, 1)).over(w).cast("long").as("n_even"),
+        sum(when(col("n_nationkey") > 10, col("n_nationkey"))).over(w).cast("long").as("s_hi"))
+    }),
+
+    "agg_mad" -> ((s, dir) => {
+      // median absolute deviation (reference mad, duckdb-5.cpp holistic
+      // aggregates): two exact-percentile passes — group median
+      // broadcast back, then median of absolute deviations
+      val li = t(s, dir, "lineitem")
+      val med = li.groupBy("l_returnflag")
+        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+      li.join(med, "l_returnflag").groupBy("l_returnflag")
+        .agg(round(expr("percentile(abs(l_quantity - med), 0.5)"), 2).as("mad_qty"))
+    }),
+
+    "agg_list" -> ((s, dir) => {
+      // ordered list aggregation (reference list(x ORDER BY y),
+      // duckdb-5.cpp ListFunction + ORDER BY modifier): deterministic
+      // via sort-by-key-then-project (the distributed shape: one
+      // groupBy shuffle, order restored inside each group)
+      val sorted = array_sort(collect_list(struct(col("n_nationkey"), col("n_name"))))
+      t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(transform(sorted, x => x.getField("n_name")).as("nm"))
+        .select(col("n_regionkey"),
+          array_join(col("nm"), "|").as("names"),
+          array_join(slice(col("nm"), 1, 2), "|").as("first2"),
+          size(col("nm")).cast("long").as("n"))
+    }),
+
+    "agg_grouping_fn" -> ((s, dir) => {
+      // GROUPING() marker function over ROLLUP (distinguishes "NULL
+      // because superaggregate" from data NULLs — reference GroupingFn)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "join_range_autoplan" -> ((s, dir) => {
+      // the SAME plain band join as join_range_inequality with NO conf at
+      // all: RangeJoinRule derives quantile bucket boundaries from the
+      // point distribution at plan time (reference picks its range
+      // operators from the condition shape alone, duckdb-4.cpp:9054).
+      // bucketWidth is pinned to 0 because verify/bench share one session
+      // and join_range_autorewrite sets a width — this query must prove
+      // the statistics path specifically.
+      graft.functions.DuckFunctions.register(s)
+      val before = s.conf.getOption("spark.graft.rangeJoin.bucketWidth")
+      s.conf.set("spark.graft.rangeJoin.bucketWidth", "0")
+      try {
+        val su = t(s, dir, "supplier"); val c = t(s, dir, "customer")
+        val joined = su.join(c, col("c_acctbal") > col("s_acctbal") - 10.0 &&
+            col("c_acctbal") <= col("s_acctbal"))
+          .groupBy(col("s_suppkey")).agg(count(lit(1)).as("n_in_band"))
+        // materialize the plan under the pinned conf (optimization is
+        // lazy; restoring the conf first would re-enable the width path)
+        joined.queryExecution.executedPlan
+        joined
+      } finally before match {
+        case Some(w) => s.conf.set("spark.graft.rangeJoin.bucketWidth", w)
+        case None => s.conf.unset("spark.graft.rangeJoin.bucketWidth")
+      }
+    }),
+
+    "sample_system" -> ((s, dir) => {
+      // USING SAMPLE p% (system, seed): block-granular sampling
+      // (reference SampleMethod::SYSTEM_SAMPLE, duckdb.hpp:20017). RNG
+      // streams are engine-local, so the oracle checks the contract:
+      // non-empty proper subset, sampled fraction within a loose
+      // block-variance bound, and seeded determinism (same seed twice =
+      // same count). Each engine verifies its OWN sample.
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, sampleSystemSql)
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -751,5 +1078,167 @@ object Relational {
         |  round(l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey), 6) AS share,
         |  count(*) OVER (PARTITION BY l_orderkey) AS n_items
         |FROM lineitem WHERE l_orderkey <= 500""".stripMargin
+  ,
+
+    "sub_scalar_correlated" ->
+      """SELECT o_orderstatus, count(*) AS n_above,
+        |  round(sum(o_totalprice), 2) AS sum_above
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o2.o_totalprice)
+        |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "sub_in_uncorrelated" ->
+      """SELECT count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey IN (0, 1))""".stripMargin,
+
+    "sub_exists_correlated" ->
+      """SELECT count(*) AS n FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |    AND o.o_totalprice > c.c_acctbal * 10)""".stripMargin,
+
+    "sub_all_rewrite" ->
+      """SELECT count(*) AS n_top FROM supplier
+        |WHERE s_acctbal > ALL
+        |  (SELECT avg(c_acctbal) FROM customer GROUP BY c_nationkey)""".stripMargin,
+
+    "win_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(lag(v, 1 IGNORE NULLS) OVER w, 2) AS prev_nn,
+        |  round(lead(v, 1 IGNORE NULLS) OVER w, 2) AS next_nn,
+        |  round(first_value(v IGNORE NULLS) OVER wf, 2) AS first_nn,
+        |  round(last_value(v IGNORE NULLS) OVER wf, 2) AS last_nn
+        |FROM (SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |        ELSE o_totalprice END AS v FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+
+    "sample_fixed_count" ->
+      "SELECT count(*) AS n FROM (SELECT * FROM lineitem USING SAMPLE 500 ROWS)",
+
+    "sample_bernoulli" ->
+      """WITH pop AS (SELECT count(*) AS n_total, avg(l_quantity) AS pop_avg
+        |             FROM lineitem),
+        |s AS (SELECT count(*) AS n_samp, avg(l_quantity) AS samp_avg
+        |      FROM (SELECT * FROM lineitem USING SAMPLE 1% (bernoulli, 42)))
+        |SELECT n_total,
+        |  abs(n_samp - n_total * 0.01)
+        |    <= greatest(sqrt(n_total * 0.01 * 0.99) * 4, 10.0) AS n_ok,
+        |  abs(samp_avg - pop_avg) <= 3.0 AS avg_ok
+        |FROM s, pop""".stripMargin,
+
+    "agg_quantile_disc_sem" ->
+      """SELECT l_linestatus,
+        |  quantile_disc(l_extendedprice, 0.5) AS med_disc,
+        |  quantile_disc(l_quantity, 0.9) AS p90_disc,
+        |  round(sem(l_quantity), 8) AS sem_qty
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
+        |  abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
+        |    <= quantile_cont(l_extendedprice, 0.5) * 0.02 AS med_ok,
+        |  abs(approx_quantile(l_quantity, 0.1) - quantile_cont(l_quantity, 0.1)) <= 1.0 AS p10_ok,
+        |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 1.0 AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "join_asof_backward" ->
+      """SELECT v.event_id, v.user_id, round(c.value, 2) AS prev_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts""".stripMargin,
+
+    "join_asof_forward" ->
+      """SELECT v.event_id, v.user_id, round(c.value, 2) AS next_click_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts <= c.ts""".stripMargin,
+
+    "join_range_autorewrite" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10.0 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_range_bucketed" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10.0 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_range_adaptive" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - (s_suppkey % 97)
+        | AND c_acctbal <= s_acctbal + (s_suppkey % 13)
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_interval_overlap" ->
+      """WITH s AS (SELECT s_suppkey,
+        |    s_acctbal - (s_suppkey % 50) AS s_lo,
+        |    s_acctbal + (s_suppkey % 20) AS s_hi FROM supplier),
+        |c AS (SELECT c_custkey,
+        |    c_acctbal - (c_custkey % 30) AS c_lo,
+        |    c_acctbal + (c_custkey % 40) AS c_hi
+        |  FROM customer WHERE c_custkey <= 1000)
+        |SELECT s_suppkey, count(*) AS n_overlap,
+        |  CAST(sum(c_custkey) AS BIGINT) AS sum_cust
+        |FROM s JOIN c ON s_lo <= c_hi AND c_lo <= s_hi
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, round(t.c_acctbal, 2) AS acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+
+    "set_union_by_name" ->
+      """SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS k_sum,
+        |  count(extra) AS n_extra
+        |FROM (SELECT n_nationkey AS k, n_name AS name FROM nation
+        |      UNION ALL BY NAME
+        |      SELECT r_name AS name, r_regionkey AS k, 1 AS extra FROM region)""".stripMargin,
+
+    "win_filtered" ->
+      """SELECT n_regionkey, n_nationkey,
+        |  CAST(count(*) FILTER (WHERE n_nationkey % 2 = 0)
+        |    OVER (PARTITION BY n_regionkey) AS BIGINT) AS n_even,
+        |  CAST(sum(n_nationkey) FILTER (WHERE n_nationkey > 10)
+        |    OVER (PARTITION BY n_regionkey) AS BIGINT) AS s_hi
+        |FROM nation""".stripMargin,
+
+    "agg_mad" ->
+      """SELECT l_returnflag,
+        |  round(CAST(mad(l_quantity) AS DOUBLE), 2) AS mad_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "agg_list" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list(n_name ORDER BY n_nationkey), '|') AS names,
+        |  array_to_string(list_slice(list(n_name ORDER BY n_nationkey), 1, 2), '|') AS first2,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
+
+    "agg_grouping_fn" ->
+      """SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "win_named" -> winNamedSql,
+
+    "join_range_autoplan" ->
+      """SELECT s_suppkey, count(*) AS n_in_band
+        |FROM supplier JOIN customer
+        |  ON c_acctbal > s_acctbal - 10.0 AND c_acctbal <= s_acctbal
+        |GROUP BY s_suppkey""".stripMargin,
+
+    "sample_system" -> sampleSystemSql
   )
 }

@@ -20,6 +20,44 @@ object ScalarFns {
     * (reference: duckdb-5.cpp:16306 math list). */
   private def even(c: Column): Column = signum(c) * lit(2.0) * ceil(abs(c) / 2).cast("double")
 
+    /** list_aggregate(name) dynamic dispatch (reference:
+    * duckdb-5.cpp:16351 nested list; the name selects the aggregate). */
+  def listAggregate(arr: Column, name: String): Column = name match {
+    case "sum" => aggregate(arr, lit(0.0), (a, x) => a + x)
+    case "avg" => aggregate(arr, lit(0.0), (a, x) => a + x) / size(arr)
+    case "min" => array_min(arr)
+    case "max" => array_max(arr)
+    case "count" => size(arr).cast("long")
+    case other => throw new IllegalArgumentException(s"unsupported list aggregate: $other")
+  }
+
+  /** bar(x, min, max, width): unicode bar chart (duckdb-5.cpp:12022
+    * generic list) — full blocks + one partial block char, right-padded
+    * with spaces to `width` UTF-8 BYTES (reference quirk: the pad target
+    * counts bytes, so multi-byte block chars usually exceed it; verified
+    * char-exact vs the reference over a 400-value sweep). */
+
+
+  /** bar(x, min, max, width): unicode bar chart (duckdb-5.cpp:12022
+    * generic list) — full blocks + one partial block char, right-padded
+    * with spaces to `width` UTF-8 BYTES (reference quirk: the pad target
+    * counts bytes, so multi-byte block chars usually exceed it; verified
+    * char-exact vs the reference over a 400-value sweep). */
+  def bar(x: Double, lo: Double, hi: Double, width: Double): String = {
+    if (x.isNaN || hi <= lo) return ""
+    // Mirror the oracle's fp operation order exactly: w = width*(x-lo)/(hi-lo)
+    // clamped to [0,width], then eighth-blocks from int(w*8) — a different
+    // order can pick a different partial-block char at boundary values.
+    val w = math.max(0.0, math.min(width, width * (x - lo) / (hi - lo)))
+    val wi = (w * 8).toInt
+    val full = wi / 8
+    val rem = wi % 8
+    val partials = " ▏▎▍▌▋▊▉"
+    val s = "█" * full + (if (rem > 0) partials(rem).toString else "")
+    val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8).length
+    s + " " * math.max(0, width.toInt - bytes)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "fn_string_basic" -> ((s, dir) => {
@@ -190,6 +228,314 @@ object ScalarFns {
           col("s").getField("hi").as("s_hi"),
           col("s").getField("n").as("s_n"))
     })
+  ,
+
+    "fn_datetime_make" -> ((s, dir) => {
+      val ts = col("o_orderdate")
+      t(s, dir, "orders").filter(col("o_orderkey") <= 300).select(
+        col("o_orderkey"),
+        make_date(year(ts), month(ts), dayofmonth(ts)).as("made_date"),
+        make_timestamp(year(ts), month(ts), dayofmonth(ts),
+          hour(ts), minute(ts), lit(0).cast("decimal(8,6)")).as("made_ts"),
+        unix_millis(ts.cast("timestamp")).as("epoch_ms"),
+        date_add(ts.cast("date"), 30).as("plus30d"),
+        (ts - expr("INTERVAL 90 DAY")).as("minus90d"),
+        // month-boundary count (reference date_diff('month') semantics,
+        // NOT months_between's fractional months)
+        ((lit(1998) - year(ts)) * 12 + (lit(1) - month(ts))).cast("long").as("months_to_98"))
+    }),
+
+    "fn_json_props" -> ((s, dir) => {
+      // events.props is a JSON string (reference treats JSON as an
+      // extension; Spark has it native)
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    "fn_math_special" -> ((s, dir) => {
+      // nextafter / signbit / gamma / lgamma (graft UDFs vs reference
+      // natives); gamma kept to small args so rounding parity holds
+      t(s, dir, "lineitem").filter(col("l_orderkey") <= 100).select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        callUDF("nextafter", col("l_discount"), lit(1.0)).as("nxt"),
+        callUDF("signbit", col("l_quantity") - 25.0).as("sb"),
+        round(callUDF("gamma", col("l_linenumber").cast("double")), 6).as("gam"),
+        round(callUDF("lgamma", col("l_quantity")), 8).as("lgam"))
+    }),
+
+    "fn_typeof" -> ((s, dir) => {
+      // typeof (generic fn list, duckdb-5.cpp:12022) via schema
+      // reflection, reported in the reference's type names
+      def duckName(dt: org.apache.spark.sql.types.DataType): String = dt.sql match {
+        case "STRING" => "VARCHAR"
+        case "INT" => "INTEGER"
+        case "TIMESTAMP_NTZ" => "TIMESTAMP"
+        case other => other
+      }
+      val l = t(s, dir, "lineitem")
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+      import s.implicits._
+      cols.map(c => (c, duckName(l.schema(c).dataType))).toDF("col_name", "type_name")
+    }),
+
+    "fn_string_split2" -> ((s, dir) => {
+      // string_split_regex + trim-with-chars (reference duckdb-6.cpp:5993)
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        array_join(split(col("p_type"), "[ ]+", -1), "|").as("words"),
+        size(split(col("p_name"), "[aeiou]+", -1)).cast("long").as("n_vowel_splits"),
+        expr("trim(BOTH 'SD' FROM p_type)").as("trimmed_chars"),
+        expr("ltrim('ST', p_type)").as("ltrimmed"),
+        substring_index(col("p_type"), " ", 1).as("first_word"))
+    }),
+
+    "fn_printf_chr" -> ((s, dir) => {
+      // printf → format_string (C-style dialect shared with the
+      // reference), chr, position
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("nk"),
+        format_string("%d|%s", col("n_nationkey"), col("n_name")).as("tagged"),
+        expr("char(65 + n_nationkey % 26)").as("letter"),
+        expr("position('a' IN n_name)").cast("long").as("pos_a"),
+        concat_ws("", reverse(split(col("n_name"), "")), lit("!")).as("rev_bang"))
+    }),
+
+    "fn_like_escape" -> ((s, dir) => {
+      // LIKE … ESCAPE (reference like_escape, duckdb-6.cpp:5993)
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        expr("p_type LIKE '%!%%' ESCAPE '!'").as("has_pct"),
+        expr("p_name LIKE '%a!_%' ESCAPE '!'").as("has_underscore"),
+        expr("p_type LIKE 'STANDARD%'").as("std"))
+    }),
+
+    "fn_list_aggregate" -> ((s, dir) => {
+      val base = t(s, dir, "lineitem").filter(col("l_orderkey") <= 2000)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_list(col("l_quantity"))).as("arr"))
+      base.select(
+        col("l_orderkey"),
+        round(listAggregate(col("arr"), "sum"), 2).as("l_sum"),
+        round(listAggregate(col("arr"), "avg"), 6).as("l_avg"),
+        listAggregate(col("arr"), "min").as("l_min"),
+        listAggregate(col("arr"), "max").as("l_max"),
+        listAggregate(col("arr"), "count").as("l_n"))
+    }),
+
+    "fn_map_bar" -> ((s, dir) => {
+      // MAP surface (map / map_from_entries / element_at / cardinality /
+      // map_keys, duckdb-5.cpp:16351) + the bar() chart function — all
+      // rendered to scalars
+      val n = t(s, dir, "nation")
+      val m = map(col("n_name"), col("n_regionkey").cast("long"), lit("x"), lit(99L))
+      n.select(
+        col("n_nationkey").cast("long").as("nk"),
+        element_at(m, col("n_name")).as("self_val"),
+        size(m).cast("long").as("card"),
+        array_join(map_keys(m), ",").as("ks"),
+        element_at(map_from_entries(array(struct(col("n_name").as("k"),
+          col("n_regionkey").cast("long").as("v")))), col("n_name")).as("mfe_val"),
+        callUDF("bar", col("n_nationkey").cast("double"), lit(0.0), lit(24.0), lit(10.0)).as("b"))
+    }),
+
+    "fn_union_type" -> ((s, dir) => {
+      // UNION tagged sum type over the sparse-struct encoding
+      // (SURVEY §1.2; union_value/extract/tag, duckdb-5.cpp:16371) —
+      // tag names aligned with the reference's union_tag output
+      import graft.functions.TypeHelpers._
+      val members = Seq("num", "str")
+      val n = t(s, dir, "nation")
+      val u = when(col("n_nationkey") % 2 === 0,
+        unionValue(0, members, col("n_nationkey").cast("int")))
+        .otherwise(unionValue(1, members, col("n_name")))
+      n.select(col("n_nationkey").cast("long").as("nk"), u.as("u"))
+        .select(col("nk"),
+          when(unionTag(col("u")) === 0, "num").otherwise("str").as("tag"),
+          unionExtract(col("u"), "num").cast("long").as("num_val"),
+          unionExtract(col("u"), "str").cast("string").as("str_val"))
+    }),
+
+    "fn_list_ops" -> ((s, dir) => {
+      // list-function aliases over an ordered per-group list:
+      // list_reverse_sort / list_unique (count) / flatten / list_position
+      val sorted = transform(
+        array_sort(collect_list(struct(col("n_nationkey"), col("n_name")))),
+        x => x.getField("n_name"))
+      t(s, dir, "nation").groupBy(col("n_regionkey"))
+        .agg(sorted.as("l"))
+        .select(col("n_regionkey"),
+          array_join(sort_array(col("l"), asc = false), "|").as("rs"),
+          size(array_distinct(concat(col("l"), col("l")))).cast("long").as("uniq"),
+          array_join(flatten(array(col("l"), col("l"))), "|").as("fl"),
+          array_position(col("l"), "NATION_5").cast("long").as("pos5"))
+    }),
+
+    "fn_long_tail" -> ((s, dir) => {
+      // remaining reference scalar surface: interval constructors
+      // (to_days/to_hours/…, duckdb-5.cpp), bit_length,
+      // regexp_full_match (anchored rlike), jaro_similarity, and the
+      // grapheme-cluster family (BreakIterator ≙ utf8proc clusters);
+      // é is built decomposed (e + U+0301) on both sides
+      graft.functions.DuckFunctions.register(s)
+      val ts = lit("1996-03-05 07:08:09").cast("timestamp")
+      val cafe = concat(lit("cafe"), lit("\u0301"))
+      s.range(1).select(
+        (ts + expr("INTERVAL 5 DAYS")).as("d5"),
+        (ts + expr("INTERVAL 30 HOURS")).as("h30"),
+        (ts + expr("INTERVAL 90 MINUTES")).as("m90"),
+        (ts + expr("INTERVAL 3661 SECONDS")).as("s3661"),
+        (ts + expr("INTERVAL 14 MONTHS")).as("mo14"),
+        (ts + expr("INTERVAL 2 YEARS")).as("y2"),
+        bit_length(lit("abc")).cast("long").as("bl"),
+        lit("banana").rlike("^(?:b.n.*)$").as("rfm1"),
+        lit("banana").rlike("^(?:an)$").as("rfm2"),
+        round(callUDF("jaro_similarity", lit("MARTHA"), lit("MARHTA")), 6).as("js"),
+        callUDF("length_grapheme", cafe).cast("long").as("lg"),
+        callUDF("left_grapheme", cafe, lit(4)).as("leftg"),
+        callUDF("right_grapheme", cafe, lit(2)).as("rightg"),
+        callUDF("substring_grapheme", concat(cafe, lit("xyz")), lit(4), lit(2)).as("subg"))
+    }),
+
+    "fn_string_predicates" -> ((s, dir) => {
+      // prefix/suffix/contains/starts_with + mismatches (hamming) +
+      // editdist3 (levenshtein alias) — reference duckdb-2.cpp string
+      // predicate and distance registrations
+      graft.functions.DuckFunctions.register(s)
+      t(s, dir, "supplier").select(
+        col("s_suppkey"),
+        col("s_name").startsWith("Supplier").as("p"),
+        col("s_name").endsWith("1").as("sx"),
+        col("s_name").contains("#00").as("c"),
+        col("s_name").startsWith("Supp").as("sw"),
+        callUDF("mismatches", col("s_name"), lit("Supplier#000000000"))
+          .cast("long").as("mm"),
+        levenshtein(col("s_name"), lit("Supplier#000000000")).cast("long").as("ed"))
+    }),
+
+    "fn_bitstring" -> ((s, dir) => {
+      // BIT-string surface (reference BIT type duckdb.hpp:932, bit fns
+      // duckdb-5.cpp): bit_count/get_bit/set_bit/bit_position plus
+      // bitwise AND/NOT/XOR — Spark side over 0/1 strings + integer
+      // bitwise ops; oracle uses DuckDB's native BIT type
+      val b = bin(col("id"))
+      s.range(5, 200).select(
+        col("id").as("i"),
+        b.as("b"),
+        (length(b) - length(translate(b, "1", ""))).cast("long").as("n_ones"),
+        substring(b, 1, 1).cast("int").as("first_bit"),
+        overlay(b, lit("1"), lit(1), lit(1)).as("set0"),
+        instr(b, "101").cast("long").as("pos101"),
+        lpad(bin(col("id").bitwiseAND(col("id") + 1)), 8, "0").as("band"),
+        lpad(bin(col("id").bitwiseXOR(lit(255))), 8, "0").as("bnot"),
+        lpad(bin(col("id").bitwiseXOR(col("id") + 1)), 8, "0").as("bxor"))
+    }),
+
+    "fn_blob" -> ((s, dir) => {
+      // BLOB surface (reference blob casts duckdb-5.cpp + base64/hex
+      // functions): encode/decode round-trip, base64, hex, octet_length
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        // Spark base64 emits MIME 76-char line chunking; strip to the
+        // unchunked canonical form
+        regexp_replace(base64(col("text").cast("binary")), "[\\r\\n]", "").as("b64"),
+        md5(col("text").cast("binary")).as("m5"),
+        expr("octet_length(text)").cast("long").as("nbytes"),
+        upper(hex(substring(col("text"), 1, 4).cast("binary"))).as("hx"),
+        (unbase64(base64(col("text").cast("binary"))).cast("string") === col("text")).as("rt"))
+    }),
+
+    "fn_json_wide" -> ((s, dir) => {
+      // JSON function long tail beyond fn_json_props: nested-path
+      // extraction, array length, validity — over a constructed
+      // integer-only document (float rendering differs cross-engine)
+      val j = concat(
+        lit("{\"a\": {\"b\": "), (col("event_id") % 97).cast("string"),
+        lit("}, \"arr\": [1, 2, "), (col("event_id") % 10).cast("string"),
+        lit("]}"))
+      t(s, dir, "events")
+        .withColumn("j", j)
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(get_json_object(col("j"), "$.a.b").cast("long")).as("sum_b"),
+          sum(expr("json_array_length(get_json_object(j, '$.arr'))")).cast("long")
+            .as("sum_arr_len"),
+          sum(when(get_json_object(col("props"), "$.k").isNotNull, 1L)
+            .otherwise(0L)).as("n_valid"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
+    "fn_list_setops" -> ((s, dir) => {
+      // list set algebra + regexp_extract_all (order-normalized: Spark
+      // preserves first-argument order where DuckDB's list_intersect is
+      // unordered — both sides sort before rendering)
+      val a = array((col("event_id") % 5).cast("int"),
+        (col("event_id") % 7).cast("int"), (col("event_id") % 11).cast("int"))
+      val b = array((col("event_id") % 3).cast("int"),
+        (col("event_id") % 7).cast("int"), lit(4).cast("int"))
+      val txt = concat(lit("a"), col("event_id").cast("string"),
+        lit(" b"), (col("event_id") % 7).cast("string"))
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), a.as("a"), b.as("b"), txt.as("txt"))
+        .select(
+          col("event_id"),
+          array_join(array_sort(array_intersect(col("a"), col("b"))), ",").as("inter"),
+          array_join(array_sort(array_except(col("a"), col("b"))), ",").as("exc"),
+          array_join(array_sort(array_distinct(concat(col("a"), col("b")))), ",").as("uni"),
+          arrays_overlap(col("a"), col("b")).as("has_any"),
+          forall(col("b"), x => array_contains(col("a"), x)).as("has_all"),
+          array_join(regexp_extract_all(col("txt"), lit("[0-9]+"), lit(0)), ",").as("nums"))
+        .orderBy(col("event_id"))
+    }),
+
+    "fn_collate" -> ((s, dir) => {
+      // NOCASE collation (reference collation registry
+      // duckdb-5.cpp:5156) as expression rewrite + strip_accents
+      graft.functions.DuckFunctions.register(s)
+      t(s, dir, "nation").agg(
+        countDistinct(lower(col("n_name"))).as("n_nocase"),
+        min(struct(lower(col("n_name")).as("k"), col("n_name").as("v")))
+          .getField("v").as("first_name"),
+        first(callUDF("strip_accents", lit("Málagà"))).as("stripped"))
+    }),
+
+    "fn_datetime_parts" -> ((s, dir) => {
+      // date_part long tail (reference date-part registration,
+      // duckdb-5.cpp date funcs): quarter/week/doy/century/decade +
+      // last_day + quarter truncation
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") <= 500)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d"))
+        .select(col("o_orderkey"),
+          expr("extract(quarter FROM d)").cast("long").as("qtr"),
+          expr("extract(week FROM d)").cast("long").as("wk"),
+          expr("extract(doy FROM d)").cast("long").as("doy"),
+          ceil(year(col("d")) / 100.0).cast("long").as("century"),
+          floor(year(col("d")) / 10.0).cast("long").as("decade"),
+          last_day(col("d")).as("month_end"),
+          to_date(date_trunc("quarter", col("d"))).as("qtr_start"))
+    }),
+
+    "fn_enum" -> ((s, dir) => {
+      // ENUM categorical end-to-end (reference duckdb.hpp:944; enum
+      // registration duckdb-5.cpp:11590): dictionary-order code +
+      // enum_first/enum_last boundaries vs DuckDB's native ENUM type
+      import graft.functions.TypeHelpers._
+      val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("prio"),
+          enumCode(prios, col("prio")).as("code"),
+          enumFirst(prios).as("first_val"),
+          enumLast(prios).as("last_val"),
+          col("n"))
+    })
   )
 
   val oracle: Map[String, String] = Map(
@@ -320,5 +666,217 @@ object ScalarFns {
         |  struct_extract(s, 'hi') AS s_hi,
         |  CAST(struct_extract(s, 'n') AS BIGINT) AS s_n
         |FROM b""".stripMargin
+  ,
+
+    "fn_datetime_make" ->
+      """SELECT o_orderkey,
+        |  make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT),
+        |    CAST(day(o_orderdate) AS INT)) AS made_date,
+        |  make_timestamp(CAST(year(o_orderdate) AS BIGINT), month(o_orderdate),
+        |    day(o_orderdate), hour(o_orderdate), minute(o_orderdate), 0.0) AS made_ts,
+        |  epoch_ms(o_orderdate) AS epoch_ms,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30d,
+        |  o_orderdate - INTERVAL 90 DAY AS minus90d,
+        |  CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
+        |    AS months_to_98
+        |FROM orders WHERE o_orderkey <= 300""".stripMargin,
+
+    "fn_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "fn_math_special" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  nextafter(l_discount, 1.0) AS nxt,
+        |  signbit(l_quantity - 25.0) AS sb,
+        |  round(gamma(CAST(l_linenumber AS DOUBLE)), 6) AS gam,
+        |  round(lgamma(l_quantity), 8) AS lgam
+        |FROM lineitem WHERE l_orderkey <= 100""".stripMargin,
+
+    "fn_typeof" ->
+      """SELECT col_name, type_name FROM (VALUES
+        |  ('l_orderkey', typeof((SELECT l_orderkey FROM lineitem LIMIT 1))),
+        |  ('l_linenumber', typeof((SELECT l_linenumber FROM lineitem LIMIT 1))),
+        |  ('l_quantity', typeof((SELECT l_quantity FROM lineitem LIMIT 1))),
+        |  ('l_returnflag', typeof((SELECT l_returnflag FROM lineitem LIMIT 1))),
+        |  ('l_shipdate', typeof((SELECT l_shipdate FROM lineitem LIMIT 1)))
+        |) AS v(col_name, type_name)""".stripMargin,
+
+    "fn_string_split2" ->
+      """SELECT p_partkey,
+        |  array_to_string(string_split_regex(p_type, '[ ]+'), '|') AS words,
+        |  len(string_split_regex(p_name, '[aeiou]+')) AS n_vowel_splits,
+        |  trim(p_type, 'SD') AS trimmed_chars,
+        |  ltrim(p_type, 'ST') AS ltrimmed,
+        |  string_split(p_type, ' ')[1] AS first_word
+        |FROM part""".stripMargin,
+
+    "fn_printf_chr" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  printf('%d|%s', n_nationkey, n_name) AS tagged,
+        |  chr(65 + n_nationkey % 26) AS letter,
+        |  CAST(position('a' IN n_name) AS BIGINT) AS pos_a,
+        |  reverse(n_name) || '!' AS rev_bang
+        |FROM nation""".stripMargin,
+
+    "fn_like_escape" ->
+      """SELECT p_partkey,
+        |  like_escape(p_type, '%!%%', '!') AS has_pct,
+        |  like_escape(p_name, '%a!_%', '!') AS has_underscore,
+        |  p_type LIKE 'STANDARD%' AS std
+        |FROM part""".stripMargin,
+
+    "fn_list_aggregate" ->
+      """WITH b AS (SELECT l_orderkey, list_sort(list(l_quantity)) AS arr
+        |  FROM lineitem WHERE l_orderkey <= 2000 GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  round(CAST(list_aggregate(arr, 'sum') AS DOUBLE), 2) AS l_sum,
+        |  round(CAST(list_aggregate(arr, 'avg') AS DOUBLE), 6) AS l_avg,
+        |  list_aggregate(arr, 'min') AS l_min,
+        |  list_aggregate(arr, 'max') AS l_max,
+        |  CAST(list_aggregate(arr, 'count') AS BIGINT) AS l_n
+        |FROM b""".stripMargin,
+
+    "fn_map_bar" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  element_at(map([n_name, 'x'], [CAST(n_regionkey AS BIGINT), 99]), n_name)[1] AS self_val,
+        |  CAST(cardinality(map([n_name, 'x'], [CAST(n_regionkey AS BIGINT), 99])) AS BIGINT) AS card,
+        |  array_to_string(map_keys(map([n_name, 'x'], [CAST(n_regionkey AS BIGINT), 99])), ',') AS ks,
+        |  CAST(element_at(map_from_entries([{'k': n_name, 'v': n_regionkey}]), n_name)[1] AS BIGINT) AS mfe_val,
+        |  bar(n_nationkey, 0, 24, 10) AS b
+        |FROM nation""".stripMargin,
+
+    "fn_union_type" ->
+      """WITH u AS (
+        |  SELECT n_nationkey,
+        |    (CASE WHEN n_nationkey % 2 = 0
+        |      THEN union_value(num := CAST(n_nationkey AS INTEGER))::UNION(num INTEGER, str VARCHAR)
+        |      ELSE union_value(str := n_name)::UNION(num INTEGER, str VARCHAR) END) AS uv
+        |  FROM nation)
+        |SELECT CAST(n_nationkey AS BIGINT) AS nk,
+        |  CAST(union_tag(uv) AS VARCHAR) AS tag,
+        |  CAST(union_extract(uv, 'num') AS BIGINT) AS num_val,
+        |  union_extract(uv, 'str') AS str_val
+        |FROM u""".stripMargin,
+
+    "fn_collate" ->
+      """SELECT count(DISTINCT lower(n_name)) AS n_nocase,
+        |  min(n_name COLLATE NOCASE) AS first_name,
+        |  strip_accents('Málagà') AS stripped
+        |FROM nation""".stripMargin,
+
+    "fn_list_ops" ->
+      """WITH g AS (SELECT n_regionkey,
+        |             list(n_name ORDER BY n_nationkey) AS l
+        |           FROM nation GROUP BY n_regionkey)
+        |SELECT n_regionkey,
+        |  array_to_string(list_reverse_sort(l), '|') AS rs,
+        |  CAST(list_unique(list_concat(l, l)) AS BIGINT) AS uniq,
+        |  array_to_string(flatten([l, l]), '|') AS fl,
+        |  CAST(list_position(l, 'NATION_5') AS BIGINT) AS pos5
+        |FROM g""".stripMargin,
+
+    "fn_long_tail" ->
+      """SELECT
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_days(5) AS d5,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_hours(30) AS h30,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_minutes(90) AS m90,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_seconds(3661) AS s3661,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_months(14) AS mo14,
+        |  TIMESTAMP '1996-03-05 07:08:09' + to_years(2) AS y2,
+        |  CAST(bit_length('abc') AS BIGINT) AS bl,
+        |  regexp_full_match('banana', 'b.n.*') AS rfm1,
+        |  regexp_full_match('banana', 'an') AS rfm2,
+        |  round(jaro_similarity('MARTHA', 'MARHTA'), 6) AS js,
+        |  CAST(length_grapheme('cafe' || chr(769)) AS BIGINT) AS lg,
+        |  left_grapheme('cafe' || chr(769), 4) AS leftg,
+        |  right_grapheme('cafe' || chr(769), 2) AS rightg,
+        |  substring_grapheme('cafe' || chr(769) || 'xyz', 4, 2) AS subg""".stripMargin,
+
+    "fn_string_predicates" ->
+      """SELECT s_suppkey,
+        |  prefix(s_name, 'Supplier') AS p,
+        |  suffix(s_name, '1') AS sx,
+        |  contains(s_name, '#00') AS c,
+        |  starts_with(s_name, 'Supp') AS sw,
+        |  CAST(mismatches(s_name, 'Supplier#000000000') AS BIGINT) AS mm,
+        |  CAST(editdist3(s_name, 'Supplier#000000000') AS BIGINT) AS ed
+        |FROM supplier""".stripMargin,
+
+    "fn_bitstring" ->
+      """SELECT i, bin(i) AS b,
+        |  CAST(bit_count(CAST(bin(i) AS BIT)) AS BIGINT) AS n_ones,
+        |  CAST(get_bit(CAST(bin(i) AS BIT), 0) AS INTEGER) AS first_bit,
+        |  CAST(set_bit(CAST(bin(i) AS BIT), 0, 1) AS VARCHAR) AS set0,
+        |  CAST(strpos(bin(i), '101') AS BIGINT) AS pos101,
+        |  CAST(CAST(lpad(bin(i), 8, '0') AS BIT)
+        |    & CAST(lpad(bin(i + 1), 8, '0') AS BIT) AS VARCHAR) AS band,
+        |  CAST(~CAST(lpad(bin(i), 8, '0') AS BIT) AS VARCHAR) AS bnot,
+        |  CAST(xor(CAST(lpad(bin(i), 8, '0') AS BIT),
+        |           CAST(lpad(bin(i + 1), 8, '0') AS BIT)) AS VARCHAR) AS bxor
+        |FROM range(5, 200) t(i)""".stripMargin,
+
+    "fn_blob" ->
+      """SELECT doc_id, base64(encode(text)) AS b64, md5(text) AS m5,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS nbytes,
+        |  upper(hex(encode(substring(text, 1, 4)))) AS hx,
+        |  decode(from_base64(base64(encode(text)))) = text AS rt
+        |FROM documents""".stripMargin,
+
+    "fn_json_wide" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(json_extract_string(j, '$.a.b') AS BIGINT)) AS BIGINT) AS sum_b,
+        |  CAST(sum(json_array_length(j, '$.arr')) AS BIGINT) AS sum_arr_len,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM (SELECT event_type, props,
+        |        concat('{"a": {"b": ', CAST(event_id % 97 AS VARCHAR),
+        |               '}, "arr": [1, 2, ', CAST(event_id % 10 AS VARCHAR), ']}') AS j
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "fn_list_setops" ->
+      """SELECT event_id,
+        |  coalesce(array_to_string(list_sort(list_intersect(a, b)), ','), '') AS inter,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_filter(a, x -> NOT list_contains(b, x)))), ','), '') AS exc,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_concat(a, b))), ','), '') AS uni,
+        |  list_has_any(a, b) AS has_any,
+        |  list_has_all(a, b) AS has_all,
+        |  array_to_string(regexp_extract_all(txt, '[0-9]+'), ',') AS nums
+        |FROM (SELECT event_id,
+        |        [CAST(event_id % 5 AS INTEGER), CAST(event_id % 7 AS INTEGER),
+        |         CAST(event_id % 11 AS INTEGER)] AS a,
+        |        [CAST(event_id % 3 AS INTEGER), CAST(event_id % 7 AS INTEGER),
+        |         CAST(4 AS INTEGER)] AS b,
+        |        concat('a', CAST(event_id AS VARCHAR), ' b',
+        |               CAST(event_id % 7 AS VARCHAR)) AS txt
+        |      FROM events WHERE event_id < 2000)
+        |ORDER BY event_id""".stripMargin,
+
+    "fn_datetime_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(date_part('quarter', d) AS BIGINT) AS qtr,
+        |  CAST(date_part('week', d) AS BIGINT) AS wk,
+        |  CAST(date_part('doy', d) AS BIGINT) AS doy,
+        |  CAST(century(d) AS BIGINT) AS century,
+        |  CAST(decade(d) AS BIGINT) AS decade,
+        |  last_day(d) AS month_end,
+        |  CAST(date_trunc('quarter', d) AS DATE) AS qtr_start
+        |FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+        |      FROM orders WHERE o_orderkey <= 500)""".stripMargin,
+
+    "fn_enum" ->
+      """DROP TYPE IF EXISTS prio_t;
+        |CREATE TYPE prio_t AS ENUM ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW');
+        |SELECT CAST(p AS VARCHAR) AS prio,
+        |  CAST(list_position(enum_range(NULL::prio_t), CAST(p AS VARCHAR)) - 1 AS INTEGER) AS code,
+        |  enum_first(NULL::prio_t) AS first_val,
+        |  enum_last(NULL::prio_t) AS last_val,
+        |  n
+        |FROM (SELECT CAST(o_orderpriority AS prio_t) AS p, count(*) AS n
+        |      FROM orders GROUP BY 1)""".stripMargin
   )
 }

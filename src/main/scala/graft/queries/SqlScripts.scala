@@ -13,7 +13,7 @@ import graft.{Engine, SqlDialect}
   * text natively), with the last statement's result hashed by the
   * driver compare.
   */
-object Round5 {
+object SqlScripts {
 
   private def script(s: SparkSession, dir: String, stmts: Seq[String]): DataFrame = {
     Engine.registerAll(s, dir)

@@ -12,19 +12,15 @@ class ContractSpec extends AnyFunSuite {
 
   private val queryModules = Seq(
     "Relational" -> Relational.queries, "ScalarFns" -> ScalarFns.queries,
-    "Pipeline" -> Pipeline.queries, "Extended" -> Extended.queries,
-    "Extended2" -> Extended2.queries, "Tpch2" -> Tpch2.queries,
-    "Round2" -> Round2.queries, "Round3" -> Round3.queries,
-    "Round4" -> Round4.queries, "Round5" -> Round5.queries,
-    "PipelineOps" -> PipelineOps.queries)
+    "Pipeline" -> Pipeline.queries, "Catalog" -> Catalog.queries,
+    "Tpch" -> Tpch.queries, "TpcDs" -> TpcDs.queries,
+    "SqlScripts" -> SqlScripts.queries, "PipelineOps" -> PipelineOps.queries)
 
   private val oracleModules = Seq(
     "Relational" -> Relational.oracle, "ScalarFns" -> ScalarFns.oracle,
-    "Pipeline" -> Pipeline.oracle, "Extended" -> Extended.oracle,
-    "Extended2" -> Extended2.oracle, "Tpch2" -> Tpch2.oracle,
-    "Round2" -> Round2.oracle, "Round3" -> Round3.oracle,
-    "Round4" -> Round4.oracle, "Round5" -> Round5.oracle,
-    "PipelineOps" -> PipelineOps.oracle)
+    "Pipeline" -> Pipeline.oracle, "Catalog" -> Catalog.oracle,
+    "Tpch" -> Tpch.oracle, "TpcDs" -> TpcDs.oracle,
+    "SqlScripts" -> SqlScripts.oracle, "PipelineOps" -> PipelineOps.oracle)
 
   test("no duplicate query names across modules") {
     val all = queryModules.flatMap { case (m, qs) => qs.keys.map(_ -> m) }

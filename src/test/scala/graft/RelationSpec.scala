@@ -57,7 +57,7 @@ class RelationSpec extends SparkSpec {
   }
 
   test("bar renders proportional blocks") {
-    import graft.queries.Extended2.bar
+    import graft.queries.ScalarFns.bar
     // The reference amalgamation's BarScalarFunction does NOT pad, but the
     // DuckDB 1.0 oracle right-pads with spaces to `width` UTF-8 bytes —
     // multi-byte block chars exceed the byte budget so full bars get no pad.

@@ -258,7 +258,7 @@ class DedupSpec extends SparkSpec {
     }.flatten
     val noise = (0 until 160).map(i => ((100 + i).toLong, vec().toSeq))
     val df = (planted ++ noise).toDF("id", "v")
-    val planes = graft.queries.Round3.lshPlanes
+    val planes = graft.queries.Pipeline.lshPlanes
     val cand = Dedup.cosineLshCandidates(df, "id", "v", planes,
       numBands = 8, bitsPerBand = 8, maxBucket = 250)
     val va = df.select(col("id").as("id_a"), col("v").as("va"))
