@@ -13,6 +13,9 @@ object StreamProfile {
   def main(args: Array[String]): Unit = {
     val spark = graft.Engine.session(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]", 32)
+    // optional state-store provider override (RocksDB trial):
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach(p =>
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", p))
     spark.sparkContext.setLogLevel("WARN")
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     val lines = new java.util.concurrent.ConcurrentLinkedQueue[String]()

@@ -119,6 +119,25 @@ class EventStreamsSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("append-mode session emission covers exactly the watermark-decided region") {
+    // the inventory row runs APPEND mode (emit once, on eviction) cut to
+    // the decided region; COMPLETE mode re-emits every accumulated
+    // session each trigger. Under the same cut the two must agree
+    // exactly — if append withheld a decided session (eviction bug) or
+    // the cut admitted an undecided one (margin bug), this fails.
+    val appended = graft.SparkEntry.queries("stream_session")(spark, dir)
+    val mx = graft.Engine.table(spark, dir, "events").agg(max(col("ts")).as("mx"))
+    val complete = EventStreams.runToBatch(spark, dir, s"sc_${System.nanoTime()}",
+      EventStreams.sessions(_, "30 minutes"))
+      .crossJoin(broadcast(mx))
+      .where(col("session_end") <= col("mx") - expr("INTERVAL 2 HOURS"))
+      .select(col("session_start"), col("session_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+    assert(appended.count() > 0)
+    assert(appended.exceptAll(complete).isEmpty && complete.exceptAll(appended).isEmpty,
+      "append-mode session output diverges from complete-mode under the same cut")
+  }
+
   test("data contract: events ts type tripwire + batch/stream ts parity") {
     // Tripwire: the testdata generator has flipped events.ts between
     // timestamp[ns] (long under nanosAsLong) and timestamp[us] before —
