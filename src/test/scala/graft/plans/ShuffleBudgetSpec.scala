@@ -45,4 +45,23 @@ class ShuffleBudgetSpec extends SparkSpec {
     val (n, plan) = materializedShuffles("sim_ivf_topk")
     assert(n <= 2, s"IVF serving path re-inflated to $n shuffles (budget 2):\n$plan")
   }
+
+  // The remaining headline scale paths with tight, stable budgets
+  // (measured at the round-7 plans; each number is the documented
+  // shuffle inventory of the operator, not an observed accident):
+  // minhash = banded exchange (reused by both join sides) + pair
+  // scoring agg; prefix filter = prefix-token exchange + pair agg;
+  // brute cosine top-k = ONE per-query-id aggregation exchange, the
+  // corpus itself never shuffles; exact dedup = the one groupBy(text).
+  for ((name, budget) <- Seq(
+    "dedup_minhash_pairs" -> 2,
+    "dedup_prefix_filter" -> 2,
+    "sim_cosine_topk" -> 1,
+    "dedup_exact" -> 1)) {
+    test(s"$name materializes at most $budget shuffle(s)") {
+      val (n, plan) = materializedShuffles(name)
+      assert(n <= budget,
+        s"$name re-inflated to $n shuffles (budget $budget):\n$plan")
+    }
+  }
 }
