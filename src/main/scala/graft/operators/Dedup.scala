@@ -526,10 +526,18 @@ object Dedup {
     * the gate). Fall back to [[cosineLshScoredPairs]] for corpora with
     * hot-bucket overlap.
     */
+  /** @param verifyCollisions debug/verify mode: additionally assert,
+    *   per PAIR, that the pair appears in exactly `band_collisions`
+    *   surviving buckets — the precondition under which the caller's
+    *   L/band_collisions weighting is exact. The default path only
+    *   tripwires divisibility per GROUP, where compensating errors
+    *   across pairs can cancel; this check cannot be fooled but costs
+    *   one extra (id_a, id_b) shuffle, so it is off on the hot path. */
   def cosineLshScoredPairsWeighted(df: DataFrame, idCol: String, vecCol: String,
                                    planes: Array[Array[Double]], numBands: Int,
                                    bitsPerBand: Int, maxBucket: Int,
-                                   carry: Seq[String] = Nil): DataFrame = {
+                                   carry: Seq[String] = Nil,
+                                   verifyCollisions: Boolean = false): DataFrame = {
     val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
       bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+ ("__v" -> col(vecCol)),
       keepBks = true)
@@ -545,7 +553,7 @@ object Dedup {
     // the window cap already paid for — one wide exchange total, at
     // every scale (the big-data plan shape, pinned so small-stats
     // local runs keep it too).
-    side("_a").hint("SHUFFLE_MERGE").join(side("_b"), Seq("band", "bucket"))
+    val scored = side("_a").hint("SHUFFLE_MERGE").join(side("_b"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a") +: col("id_b") +:
         (Similarity.dot(col("__v_a"), col("__v_b")) /
@@ -557,6 +565,20 @@ object Dedup {
         size(filter(zip_with(col("__bks_a"), col("__bks_b"), (x, y) => x === y),
           b => b)).as("band_collisions") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
+    if (!verifyCollisions) scored
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_a"), col("id_b"))
+      scored
+        .withColumn("__pair_rows", count(lit(1)).over(w))
+        .withColumn("__chk", assert_true(
+          col("__pair_rows") === col("band_collisions"),
+          lit("LSH weighted pair-dedup precondition violated: a pair " +
+            "overlaps a capped hot bucket — its weight would under-count; " +
+            "use the dropDuplicates variant for this corpus")))
+        .filter(col("__chk").isNull)
+        .drop("__pair_rows", "__chk")
+    }
   }
 
   /** EXACT Jaccard-threshold pair join via the PREFIX FILTER (Bayardo et

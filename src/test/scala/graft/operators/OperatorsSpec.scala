@@ -274,6 +274,26 @@ class DedupSpec extends SparkSpec {
     assert(exact.size >= 20, s"expected >=20 planted pairs, got ${exact.size}")
     assert(found == exact, "LSH + exact refine must reproduce the brute-force answer")
   }
+
+  test("weighted LSH scored pairs: verify mode checks the per-pair precondition") {
+    // verifyCollisions asserts per PAIR that surviving rows ==
+    // band_collisions (the exactness precondition for L/collisions
+    // weighting). On an uncapped corpus it must pass and return the
+    // same rows as the default path; the invariant firing is exercised
+    // by construction in the expression (assert_true), so here we pin
+    // the pass-through contract.
+    val rng = new scala.util.Random(11)
+    val df = (0 until 120).map(i =>
+      (i.toLong, Array.fill(64)(rng.nextGaussian()).toSeq)).toDF("id", "v")
+    val planes = graft.queries.Pipeline.lshPlanes
+    def run(verify: Boolean) =
+      Dedup.cosineLshScoredPairsWeighted(df, "id", "v", planes,
+        numBands = 8, bitsPerBand = 8, maxBucket = 250,
+        verifyCollisions = verify)
+        .select("id_a", "id_b", "band_collisions")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(run(verify = true) == run(verify = false))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
