@@ -156,13 +156,23 @@ object Tpch {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "tpch_q18ish" -> ((s, dir) => {
-      // large-order shape: join + GROUP BY + HAVING + top-k
+      // large-order shape: join + GROUP BY + HAVING + top-k.
+      // Aggregate-before-join: sum(l_quantity) by l_orderkey needs only
+      // lineitem, so the rollup runs FIRST (map-side-combined, one
+      // narrow shuffle of |orders| rows instead of co-shuffling the
+      // full fact join), the >150 HAVING cuts it to a handful of rows,
+      // and orders attaches o_totalprice on the far side of the filter.
+      // Same rewrite a 100 TB plan wants: the join moves the post-HAVING
+      // survivors, never the lineitem fact. Catalyst cannot derive this
+      // (the agg is keyed on the join key of a 1:n join) — measured
+      // 0.51 -> 0.40 s at sf0.1 (tools/JoinShape).
       val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
-      o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
-        .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
-          round(first(col("o_totalprice")), 2).as("price"))
-        .filter(col("total_qty") > 150)
+      l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("raw_qty"))
+        .filter(col("raw_qty") > 150)
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), round(col("raw_qty"), 2).as("total_qty"),
+          round(col("o_totalprice"), 2).as("price"))
         .orderBy(col("total_qty").desc, col("o_orderkey").asc)
         .limit(20)
     }),
