@@ -286,6 +286,79 @@ object Dedup {
         jaccardSortedCol(df)(col("sh_a"), col("sh_b")).as("jaccard"))
   }
 
+  /** INCREMENTAL near-dup detection: score a NEW batch against an
+    * EXISTING corpus — the production curation shape (daily crawl vs
+    * the historical index) where re-running all-pairs dedup over the
+    * union would redo quadratically growing work every ingest.
+    *
+    * Same MinHash+LSH machinery as [[minhashCandidates]], asymmetric:
+    * the history side is the INDEX (at 100 TB its (band, bucket, id)
+    * band table is computed once per snapshot and persisted bucketed by
+    * (band, bucket), so each ingest shuffles only the new batch's bands
+    * — batch-sized, not corpus-sized), the batch side probes it with an
+    * equi-join on the narrow band keys. Candidates re-join their
+    * shingle arrays for the exact-Jaccard refine, so wide rows never
+    * enter the candidate shuffle. The skew cap applies per side on its
+    * own exchange (a degenerate/boilerplate bucket is hot on whichever
+    * side contains it).
+    *
+    * Returns (batch_id, hist_id, jaccard) for every candidate pair;
+    * callers filter at their threshold. Complete above the banding
+    * recall envelope: a pair at jaccard j is emitted with probability
+    * 1 − (1 − j^rows)^bands (rows = numHashes/numBands).
+    */
+  def dedupAgainst(history: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+                   maxBucket: Int = 100): DataFrame = {
+    require(numBands >= 1 && numHashes >= numBands && numHashes % numBands == 0,
+      s"dedupAgainst: numHashes ($numHashes) must be a positive multiple " +
+        s"of numBands ($numBands)")
+    def shingled(df: DataFrame): DataFrame = df.select(col(idCol).as("id"),
+      hashedShinglesCol(df)(col(textCol), shingleN).as("sh"))
+    // posexplode_outer + isNotNull: same optimizer-inlining defense as
+    // minhashCandidates (a size(..)>0 filter would be pushed below the
+    // projection with the banding kernel inlined per conjunct)
+    def banded(sh: DataFrame): DataFrame = sh
+      .select(col("id"),
+        posexplode_outer(minhashBandsCol(sh)(col("sh"), numHashes, numBands))
+          .as(Seq("band", "bucket")))
+      .filter(col("band").isNotNull)
+    def capped(b: DataFrame): DataFrame = b
+      .withColumn("bsize",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("bsize") <= maxBucket)
+      .drop("bsize")
+    val hsh = shingled(history)
+    val bsh = shingled(batch)
+    val candidates = capped(banded(bsh)).select(
+        col("band"), col("bucket"), col("id").as("batch_id"))
+      .join(capped(banded(hsh)).select(
+        col("band"), col("bucket"), col("id").as("hist_id")),
+        Seq("band", "bucket"))
+      .select(col("batch_id"), col("hist_id"))
+      .dropDuplicates("batch_id", "hist_id")
+    candidates
+      .join(bsh.select(col("id").as("batch_id"), col("sh").as("sh_b")), "batch_id")
+      .join(hsh.select(col("id").as("hist_id"), col("sh").as("sh_h")), "hist_id")
+      .select(col("batch_id"), col("hist_id"),
+        jaccardSortedCol(history)(col("sh_b"), col("sh_h")).as("jaccard"))
+  }
+
+  /** [[dedupAgainst]] convenience: the batch rows with NO historical
+    * near-dup at `threshold` — what an ingest pipeline appends to the
+    * corpus. One left-anti join against the scored pairs. */
+  def novelAgainst(history: DataFrame, batch: DataFrame,
+                   idCol: String, textCol: String, threshold: Double,
+                   shingleN: Int = 3, numHashes: Int = 32, numBands: Int = 8,
+                   maxBucket: Int = 100): DataFrame = {
+    val dups = dedupAgainst(history, batch, idCol, textCol,
+      shingleN, numHashes, numBands, maxBucket)
+      .filter(col("jaccard") >= threshold)
+      .select(col("batch_id"))
+    batch.join(dups, batch(idCol) === dups("batch_id"), "left_anti")
+  }
+
   /** Deletion neighborhood of depth ≤ k: all distinct strings obtainable
     * by deleting up to k characters (includes the string itself). The
     * SymSpell blocking guarantee: ed(a,b) ≤ k ⟹ the neighborhoods

@@ -127,6 +127,28 @@ object Pipeline {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jac"))
     }),
 
+    "dedup_incremental" -> ((s, dir) => {
+      // cross-corpus incremental dedup: a 20% "new batch" (doc_id % 5 =
+      // 0) probed against the other 80% as the historical index
+      // (Dedup.dedupAgainst — the daily-ingest shape: at scale the
+      // history's band table persists bucketed and only the batch
+      // shuffles). Same banding parameters and threshold as
+      // dedup_minhash_pairs, so DedupSpec's machine-checked
+      // planted-region bound (every true pair ≥ 0.88, union-bound miss
+      // probability < 1e-3) covers this query's recall-1 assertion too —
+      // cross-split pairs are a subset of the same over-threshold
+      // region. The oracle replays the exact cross-set Jaccard with the
+      // threshold-complete prefix-filter candidate set.
+      val docs = t(s, dir, "documents")
+      val hist = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+      val batch = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.dedupAgainst(hist, batch, "doc_id", "text",
+        shingleN = 3, numHashes = 16, numBands = 8)
+        .filter(col("jaccard") >= 0.8)
+        .select(col("batch_id"), col("hist_id"),
+          round(col("jaccard"), 6).as("jac"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) => {
       // exact 3-gram Jaccard over same-source pairs (oracle-matched).
       // Deliberately quadratic: the top-30 here reaches into the noise
@@ -726,6 +748,36 @@ object Pipeline {
     "dedup_minhash_pairs" ->
       s"""$exactJaccardPairsCte
          |SELECT id_a, id_b, round(jac, 6) AS jac FROM hi""".stripMargin,
+
+    // cross-set twin of the pairs CTE: candidates pair a history doc
+    // (doc_id % 5 <> 0) with a batch doc (doc_id % 5 = 0); the shared
+    // prefix token keeps the candidate set threshold-complete across
+    // the split exactly as within it
+    "dedup_incremental" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(list_transform(
+        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
+        |  FROM documents),
+        |pre AS (
+        |  SELECT doc_id,
+        |    unnest(list_slice(sh, 1,
+        |      len(sh) - CAST(ceil(0.8 * len(sh) - 1e-9) AS BIGINT) + 1)) AS tok
+        |  FROM d),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS hist_id
+        |  FROM pre a JOIN pre b ON a.tok = b.tok
+        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+        |hi AS (
+        |  SELECT * FROM (
+        |    SELECT batch_id, hist_id,
+        |      len(list_intersect(db.sh, dh.sh)) * 1.0 /
+        |        (len(db.sh) + len(dh.sh) - len(list_intersect(db.sh, dh.sh))) AS jac
+        |    FROM cand JOIN d db ON cand.batch_id = db.doc_id
+        |              JOIN d dh ON cand.hist_id = dh.doc_id)
+        |  WHERE jac >= 0.8)
+        |SELECT batch_id, hist_id, round(jac, 6) AS jac FROM hi""".stripMargin,
 
     "dedup_prefix_filter" ->
       s"""$exactJaccardPairsCte

@@ -39,6 +39,28 @@ class DedupSpec extends SparkSpec {
     assert(pairs.exists { case (a, b, j) => a == 0L && b == 1L && j > 0.5 })
   }
 
+  test("dedupAgainst finds planted cross-corpus pairs; novelAgainst drops exactly those batch rows") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val nearDup = base.replace("today", "tomorrow")
+    // history: base + distinct filler; batch: the near-dup + fresh docs
+    val hist = (Seq(base) ++ (1 to 20).map(i =>
+      s"completely different history text number $i with other words entirely unrelated $i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val batch = Seq((100L, nearDup),
+      (101L, "a genuinely novel document about volcanic rocks and river sediments"),
+      (102L, "another novel entry describing medieval trade routes across mountains"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.dedupAgainst(hist, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.exists { case (b, h, j) => b == 100L && h == 0L && j > 0.5 },
+      s"planted cross pair missing from ${pairs.toSeq}")
+    // no pair may link the two genuinely novel docs to anything at 0.5
+    assert(!pairs.exists { case (b, _, j) => b != 100L && j >= 0.5 })
+    val novel = Dedup.novelAgainst(hist, batch, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(novel === Set(101L, 102L))
+  }
+
   test("codegen shingle/banding/neighborhood kernels match their UDF reference semantics") {
     // The dedup hot paths now run codegen expressions (HashedShingles,
     // MinhashBands, DeleteNeighborhoodHashes); the ScalaUDF forms stay
