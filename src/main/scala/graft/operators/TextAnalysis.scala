@@ -79,4 +79,65 @@ object TextAnalysis {
     * whitespace) — stable across engines, unlike seeded 64-bit hashes. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** BM25 top-k corpus search (Okapi BM25, the Lucene/Robertson idf
+    * variant: idf = ln((N - df + 0.5)/(df + 0.5) + 1), always positive).
+    *
+    * Scale shape — the whole point of the design:
+    *   - tokens are filtered to the QUERY TERM SET *before* any shuffle
+    *     (`array_contains` on a literal array of |Q| terms), so the two
+    *     aggregations shuffle at most |docs|·|Q| narrow rows, never the
+    *     full token stream;
+    *   - corpus stats (N, avgdl) are one ungrouped aggregate, broadcast;
+    *   - per-term document frequencies are |Q| rows, broadcast into the
+    *     scoring join — the corpus-side tf aggregate never reshuffles;
+    *   - the final top-k is TakeOrderedAndProject (per-partition heaps +
+    *     driver merge of k·parts rows), not a global sort.
+    *
+    * Cross-engine determinism: the score is rounded before ORDER BY, and
+    * ties break on doc id, so Spark and a replaying SQL engine select
+    * the identical k rows in the identical order.
+    *
+    * Returns (idCol, n_terms_hit, score) — docs matching no query term
+    * are absent (they all score 0 and cannot enter a top-k with k < N).
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(k > 0, "bm25TopK: k must be > 0")
+    val qArr = array(queryTerms.distinct.map(lit): _*)
+    val base = docs.select(
+      col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("double").as("__dl"))
+    // corpus stats: one ungrouped aggregate, broadcast everywhere
+    val stats = base.agg(
+      count(lit(1)).as("__n_docs"), avg(col("__dl")).as("__avgdl"))
+    // query-term hits only — the pre-shuffle filter that keeps this
+    // linear in |docs|·|Q| instead of the token count
+    val hits = base.select(col(idCol), col("__dl"),
+      explode(filter(col("__toks"), t => array_contains(qArr, t))).as("__term"))
+    val tf = hits.groupBy(col(idCol), col("__dl"), col("__term"))
+      .agg(count(lit(1)).cast("double").as("__tf"))
+    // df falls out of tf (one row per (doc, term)) — no second corpus
+    // pass. Counting `__tf >= 1` rows (always true) instead of count(*)
+    // keeps __tf referenced, so Catalyst cannot prune the tf aggregate
+    // down to a keys-only distinct on this branch — the two subtrees
+    // stay canonically identical and the tf exchange is REUSED
+    // (ReuseExchange), not recomputed from the scan.
+    val df = tf.groupBy(col("__term"))
+      .agg(sum((col("__tf") >= lit(1.0)).cast("double")).as("__df"))
+    val idf = log((col("__n_docs") - col("__df") + lit(0.5)) /
+      (col("__df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * col("__tf") * (lit(k1) + 1.0) /
+      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
+    tf.join(broadcast(df), "__term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_terms_hit"),
+        round(sum(contrib), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -145,6 +145,14 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    "text_bm25_topk" -> ((s, dir) => {
+      // BM25 corpus search: query-term filter BEFORE the shuffle, |Q|-row
+      // broadcast idf table, TakeOrderedAndProject top-k (no global sort)
+      graft.operators.TextAnalysis.bm25TopK(
+        t(s, dir, "documents"), "doc_id", "text",
+        Seq("vector", "spark", "merge", "window"), k = 15)
+    }),
+
     "text_unigram_lm" -> ((s, dir) => {
       // unigram language-model quality score (CCNet-style): per-doc mean
       // log corpus frequency of its tokens. One shuffle to build the
@@ -245,6 +253,32 @@ object PipelineOps {
         |    k -> ascii(substr(text, ((2*(k//4))*8 + 2*(k%4)) % len(text) + 1, 1))))
         |    AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_bm25_topk" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |b2 AS (
+        |  SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        |hits AS (
+        |  SELECT doc_id, dl,
+        |    unnest(list_filter(toks,
+        |      t -> list_contains(['vector','spark','merge','window'], t))) AS term
+        |  FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM hits GROUP BY doc_id, dl, term),
+        |df AS (
+        |  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+        |  FROM hits GROUP BY term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |    / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |FROM tf JOIN df USING (term), stats
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id
+        |LIMIT 15""".stripMargin,
 
     "text_unigram_lm" ->
       """WITH words AS (

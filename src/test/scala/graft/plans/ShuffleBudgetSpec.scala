@@ -53,11 +53,15 @@ class ShuffleBudgetSpec extends SparkSpec {
   // scoring agg; prefix filter = prefix-token exchange + pair agg;
   // brute cosine top-k = ONE per-query-id aggregation exchange, the
   // corpus itself never shuffles; exact dedup = the one groupBy(text).
+  // bm25 = tf exchange (reused for the |Q|-row df aggregate) + final
+  // per-doc score agg + the 1-row corpus-stats agg; top-k itself is
+  // TakeOrderedAndProject, not a shuffle.
   for ((name, budget) <- Seq(
     "dedup_minhash_pairs" -> 2,
     "dedup_prefix_filter" -> 2,
     "sim_cosine_topk" -> 1,
-    "dedup_exact" -> 1)) {
+    "dedup_exact" -> 1,
+    "text_bm25_topk" -> 4)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
