@@ -226,6 +226,77 @@ object Curation {
         explode(sequence(lit(0L), col("__copies") - 1)).as("epoch"))
   }
 
+  /** Deterministic epoch shuffle: the global training order for each of
+    * `epochs` epochs, as a reproducible pseudo-random permutation. Every
+    * epoch e orders the corpus by the CRT key
+    * m1·p2 + m2 with m_i = ((id mod p_i)·A_i(e) + c_i) mod p_i and
+    * PER-EPOCH MULTIPLIERS A1(e) = 48271^(e+2) mod p1,
+    * A2(e) = 16807^(e+2) mod p2.
+    * The multiplier — not an additive offset — is what varies per
+    * epoch: the LCG is affine, so adding an epoch constant to the seed
+    * merely shifts every key by the same amount and leaves the sort
+    * order untouched (a bug this operator's spec would catch);
+    * multiplying by a different unit mod p produces an unrelated
+    * ordering. The exponent starts at e+2 (never the raw 48271): a
+    * multiplier far below p leaves any consecutive id block shorter
+    * than p/A in ORIGINAL order — with A ≥ 1.8e8 the order wraps every
+    * ~dozen consecutive ids. This is LCG-lattice-quality shuffling
+    * (standard for reproducible data orders), not a cryptographic
+    * permutation. Each A_i(e) is a nonzero power of a unit mod a prime, so
+    * m_i is bijective in (id mod p_i) and the CRT pair is INJECTIVE for
+    * 0 ≤ id < p1·p2 ≈ 4.6e18 — no ties at any corpus size. All
+    * intermediates stay below 2^62, so an overflow-checked engine
+    * replays bit-identically.
+    *
+    * The global position is computed WITHOUT a global sort — the
+    * one-reducer bottleneck an orderBy+row_number would be at corpus
+    * scale: keys are RANGE-bucketed into `numShards` shards by their
+    * high bits (keys are uniform on [0, p1·p2), so range buckets are as
+    * balanced as hash buckets), ranked inside each (epoch, shard)
+    * window (bounded partitions), and offset by the broadcast per-epoch
+    * running shard totals (epochs·numShards rows). Because the buckets
+    * are key RANGES, shard-major order IS pure (key, id) order — the
+    * result is independent of `numShards`, which is an execution knob,
+    * not part of the semantics.
+    *
+    * Returns one row per (doc, epoch): (idCol, epoch, pos) with pos
+    * 0-based within its epoch.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Int,
+                   numShards: Int = 64): DataFrame = {
+    require(epochs > 0 && epochs <= 512,
+      s"epochShuffle: epochs must be in [1, 512] (got $epochs; the " +
+        "per-epoch multipliers are a CASE chain in the plan)")
+    require(numShards > 0, "epochShuffle: numShards must be positive")
+    val p1 = 2147483647L; val p2 = 2147483629L
+    def powmod(b: Long, e: Int, m: Long): Long =
+      BigInt(b).modPow(BigInt(e), BigInt(m)).toLong
+    def multiplier(base: Long, m: Long): Column =
+      (0 until epochs).foldLeft(lit(null).cast("long")) { (acc, e) =>
+        when(col("epoch") === e, lit(powmod(base, e + 2, m))).otherwise(acc)
+      }
+    // key space is [0, p1·p2); ceil-divide so shard ids stay < numShards
+    val shardWidth = p1 * p2 / numShards + 1L
+    val m1 = pmod(pmod(col(idCol), lit(p1)) * multiplier(48271L, p1) + lit(12345L), lit(p1))
+    val m2 = pmod(pmod(col(idCol), lit(p2)) * multiplier(16807L, p2) + lit(67890L), lit(p2))
+    val base = docs.select(col(idCol))
+      .select(col(idCol), explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("__key", m1 * lit(p2) + m2)
+      .withColumn("__shard", floor(col("__key") / lit(shardWidth)))
+    val wIntra = Window.partitionBy(col("epoch"), col("__shard"))
+      .orderBy(col("__key").asc, col(idCol).asc)
+    val ranked = base.withColumn("__rn", row_number().over(wIntra))
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("__shard").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("epoch"), col("__shard"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", coalesce(sum(col("__n")).over(wOff), lit(0L)))
+      .select(col("epoch"), col("__shard"), col("__off"))
+    ranked.join(broadcast(offsets), Seq("epoch", "__shard"))
+      .select(col(idCol), col("epoch"),
+        (col("__off") + col("__rn") - 1).cast("long").as("pos"))
+  }
+
   /** Stratified quota sampling: exactly min(quota, stratum size) rows
     * per stratum, the `quota` smallest by [[lcgHash]]. Two-phase rank:
     * phase 1 takes the per-(stratum, shard) top `quota` (bounded window

@@ -675,6 +675,16 @@ object Pipeline {
         .orderBy(col("source"))
     }),
 
+    "pipeline_epoch_shuffle" -> ((s, dir) => {
+      // Deterministic epoch shuffle (operators.Curation.epochShuffle):
+      // the global training order for 2 epochs as a bit-reproducible
+      // pseudo-random permutation — sharded rank + broadcast shard
+      // offsets, no global sort. The oracle replays every position.
+      Curation.epochShuffle(t(s, dir, "documents"), "doc_id",
+          epochs = 2, numShards = 8)
+        .orderBy(col("epoch"), col("pos"))
+    }),
+
     "pipeline_semantic_cluster" -> ((s, dir) => {
       // Integer-exact distributed k-means (Similarity.semanticClusters):
       // the semantic-clustering step of a curation pipeline. Quantized
@@ -1166,6 +1176,24 @@ object Pipeline {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM ranked WHERE rn <= 10
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "pipeline_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([CAST(0 AS BIGINT), CAST(1 AS BIGINT)]) AS epoch),
+        |keys AS (
+        |  -- per-epoch multipliers: 48271^(e+2) mod p1, 16807^(e+2) mod p2
+        |  SELECT doc_id, epoch,
+        |    (((doc_id % 2147483647) *
+        |        (CASE epoch WHEN 0 THEN 182605794 ELSE 1291394886 END)
+        |      + 12345) % 2147483647) * 2147483629
+        |    + (((doc_id % 2147483629) *
+        |        (CASE epoch WHEN 0 THEN 282475249 ELSE 1622689853 END)
+        |      + 67890) % 2147483629) AS key
+        |  FROM documents, e)
+        |SELECT doc_id, epoch,
+        |  CAST(row_number() OVER (PARTITION BY epoch
+        |    ORDER BY key, doc_id) - 1 AS BIGINT) AS pos
+        |FROM keys
+        |ORDER BY epoch, pos""".stripMargin,
 
     "pipeline_semantic_cluster" -> semanticClusterSql(k = 8, iterations = 2)
   )

@@ -149,4 +149,31 @@ class CurationOpsSpec extends SparkSpec {
         pctTrain = 90, pctVal = 15)
     }
   }
+
+  test("epochShuffle emits one full 0..n-1 permutation per epoch") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    val out = graft.operators.Curation.epochShuffle(docs, "doc_id", epochs = 3, numShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 600)
+    for (e <- 0L until 3L) {
+      val epoch = out.filter(_._2 == e)
+      assert(epoch.map(_._3).sorted.toSeq == (0L until 200L).toSeq,
+        s"epoch $e positions are not a permutation")
+    }
+    // epochs are genuinely different orders, not shifts of one another
+    val ord0 = out.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    val ord1 = out.filter(_._2 == 1L).sortBy(_._3).map(_._1).toSeq
+    assert(ord0 != ord1, "epoch 0 and 1 produced the same order")
+    assert(ord0 != ord0.sorted, "epoch 0 left ids in sorted order — not shuffled")
+  }
+
+  test("epochShuffle order is numShards-invariant (range buckets, not hash mod)") {
+    import spark.implicits._
+    val docs = (0L until 157L).toDF("doc_id")
+    def run(s: Int) = graft.operators.Curation.epochShuffle(docs, "doc_id", 2, s)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(run(1) == run(8), "numShards changed the permutation")
+    assert(run(8) == run(64), "numShards changed the permutation")
+  }
 }
