@@ -414,4 +414,66 @@ object Similarity {
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Hybrid lexical + dense retrieval with reciprocal-rank fusion
+    * (RRF, Cormack et al.): fused(d) = Σ_arm 1/(kRrf + rank_arm(d)).
+    * The query is a document of the corpus itself (its id): the lexical
+    * arm runs [[TextAnalysis.bm25TopK]] over `queryTerms`, the dense arm
+    * ranks by cosine against the query document's embedding. Rank-based
+    * fusion needs no score calibration between arms — exactly why RRF
+    * is the standard hybrid-search combiner.
+    *
+    * Scale shape: the lexical arm is bm25TopK (pre-shuffle term filter,
+    * top-k without global sort). The dense arm broadcasts the single
+    * query vector, rounds the cosine BEFORE ranking (rank determinism
+    * across engines), and takes its top armK in two phases — per-shard
+    * heads then a rank over ≤ numShards·armK survivors — the
+    * [[graft.operators.Curation.quotaSample]] pattern, never a
+    * one-reducer corpus window. (Swap in [[ivfTopK]] for the dense arm
+    * when an offline index exists; brute force is the exact baseline.)
+    * Fusion joins two ≤ armK-row sides — trivial at any corpus size.
+    *
+    * Returns top `k` rows (docIdCol, lex_rank, dense_rank, rrf_score),
+    * ranks null for an arm that did not retrieve the doc.
+    */
+  def hybridRrf(docs: DataFrame, embeddings: DataFrame,
+                docIdCol: String, textCol: String,
+                vecIdCol: String, vecCol: String,
+                queryId: Long, queryTerms: Seq[String],
+                k: Int, armK: Int = 50, kRrf: Int = 60,
+                numShards: Int = 16): DataFrame = {
+    require(k > 0 && armK > 0, s"hybridRrf: need k > 0 and armK > 0 (got k=$k, armK=$armK)")
+    val lex = TextAnalysis.bm25TopK(
+        docs.filter(col(docIdCol) =!= queryId), docIdCol, textCol, queryTerms, armK)
+      // unpartitioned window is safe here: bm25TopK already limited to armK rows
+      .withColumn("lex_rank",
+        row_number().over(Window.orderBy(col("score").desc, col(docIdCol).asc)))
+      .select(col(docIdCol).as("__id"), col("lex_rank"))
+    val qv = embeddings.filter(col(vecIdCol) === queryId)
+      .select(col(vecCol).cast("array<double>").as("__qv"))
+    val scored = embeddings.filter(col(vecIdCol) =!= queryId)
+      .select(col(vecIdCol).as("__id"), col(vecCol).cast("array<double>").as("__cv"))
+      .crossJoin(broadcast(qv))
+      .select(col("__id"),
+        round(dot(col("__qv"), col("__cv")) /
+          (norm(col("__qv")) * norm(col("__cv"))), 6).as("__sim"))
+    val w1 = Window.partitionBy(pmod(col("__id"), lit(numShards.toLong)))
+      .orderBy(col("__sim").desc, col("__id").asc)
+    val survivors = scored.withColumn("__rn1", row_number().over(w1))
+      .filter(col("__rn1") <= armK)
+    val dense = survivors
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("__sim").desc, col("__id").asc)))
+      .filter(col("dense_rank") <= armK)
+      .select(col("__id"), col("dense_rank"))
+    lex.join(dense, Seq("__id"), "full_outer")
+      .select(col("__id").as(docIdCol),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("dense_rank").cast("long").as("dense_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(kRrf) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("dense_rank")), lit(0.0)), 6).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col(docIdCol).asc)
+      .limit(k)
+  }
 }

@@ -269,6 +269,18 @@ object Pipeline {
         .select(col("qid"), col("nid"), col("rn"), round(col("sim"), 6).as("sim"))
     }),
 
+    "sim_hybrid_rrf" -> ((s, dir) => {
+      // Hybrid retrieval (Similarity.hybridRrf): BM25 lexical arm +
+      // brute-cosine dense arm against doc 7's embedding, fused by
+      // reciprocal ranks. Both arms rank on ROUNDED scores so the
+      // integer ranks — and therefore the fusion — replay exactly.
+      Similarity.hybridRrf(
+        t(s, dir, "documents"), t(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        queryId = 7L, Seq("vector", "spark", "merge", "window"),
+        k = 20, armK = 50)
+    }),
+
     "sim_ivf_topk" -> ((s, dir) => {
       // IVF coarse-quantized ANN, bounded-recall oracle: k-means cells
       // are engine-local, but the CONTRACT is checkable — each query must
@@ -951,6 +963,48 @@ object Pipeline {
          |  count(DISTINCT canonical_id) AS n_clusters,
          |  (SELECT CAST(n AS BIGINT) FROM leaks) AS cross_split_pairs
          |FROM assigned GROUP BY split""".stripMargin,
+
+    "sim_hybrid_rrf" ->
+      """WITH base AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id <> 7),
+        |b2 AS (SELECT doc_id, toks, CAST(len(toks) AS DOUBLE) AS dl FROM base),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM b2),
+        |hits AS (
+        |  SELECT doc_id, dl,
+        |    unnest(list_filter(toks,
+        |      t -> list_contains(['vector','spark','merge','window'], t))) AS term
+        |  FROM b2),
+        |tf AS (
+        |  SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM hits GROUP BY doc_id, dl, term),
+        |dfx AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |bm AS (
+        |  SELECT doc_id,
+        |    round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0)
+        |      / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN dfx USING (term), stats
+        |  GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 50),
+        |lex AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+        |  FROM bm),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT v AS q FROM e WHERE vec_id = 7),
+        |dn AS (
+        |  SELECT c.vec_id AS doc_id, round(list_cosine_similarity(q, c.v), 6) AS sim
+        |  FROM e c, qv WHERE c.vec_id <> 7),
+        |dense AS (
+        |  SELECT doc_id, dense_rank FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY sim DESC, doc_id) AS dense_rank
+        |    FROM dn) WHERE dense_rank <= 50)
+        |SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+        |  CAST(l.lex_rank AS BIGINT) AS lex_rank,
+        |  CAST(d.dense_rank AS BIGINT) AS dense_rank,
+        |  round(COALESCE(1.0 / (60 + l.lex_rank), 0)
+        |      + COALESCE(1.0 / (60 + d.dense_rank), 0), 6) AS rrf_score
+        |FROM lex l FULL JOIN dense d ON l.doc_id = d.doc_id
+        |ORDER BY rrf_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "sim_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
