@@ -463,6 +463,62 @@ object ScaleStress {
         measure(spark, meter, "pipeline_end2end", stats, None)
       }
 
+      // BM25 search at scale with both query-term regimes a real corpus
+      // has: HOT terms (every boilerplate doc contains them — 100·mult
+      // docs share one term) and long-tail soup tokens. The pre-shuffle
+      // term filter must keep shuffle records ~linear in MATCHING docs,
+      // never the token stream.
+      val bm25 = if (!wanted("bm25")) None else Some(
+        measure(spark, meter, "text_bm25_topk",
+          graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+            Seq("boilerplate0", "boilerplate7", "t00042", "t01999"), k = 20), None))
+
+      // epoch shuffle: 2 epochs over the corpus; the invariant rides the
+      // measured df itself — per epoch, positions must be EXACTLY
+      // 0..n-1 (count, distinct count, and max all agree), so a rank
+      // collision or shard-offset bug cannot hide behind a wall-clock
+      // row. numShards scales with mult (bounded window partitions).
+      val epochShuf = if (!wanted("epoch")) None else Some {
+        val nDocs = docs.count()
+        val assignment = Curation.epochShuffle(docs, "doc_id", epochs = 2,
+          numShards = 16 * mult)
+        val check = assignment.groupBy(col("epoch"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("pos")).as("nd"),
+            max(col("pos")).as("mx"))
+          .select(sum(when(col("n") === nDocs && col("nd") === nDocs &&
+            col("mx") === nDocs - 1, 1L).otherwise(0L)).as("ok_epochs"))
+        val r = measure(spark, meter, "pipeline_epoch_shuffle", check, None)
+        val ok = check.head().getLong(0)
+        r.copy(plantedTotal = 2L, plantedFound = ok)
+      }
+
+      // incremental cross-corpus dedup: batch = twins + empty docs (the
+      // ingest slice), history = everything else. Every planted twin
+      // pair must surface within the banding recall envelope — same
+      // analytic expectation as the minhash row (planted j ≈ 0.82,
+      // per-pair miss ~0.9%); empties must be dropped by the shingle
+      // stage, and the identical-block history buckets hit the cap.
+      val incremental = if (!wanted("incremental")) None else Some {
+        val batch = docs.filter(col("source").isin("twin", "empty"))
+        val history = docs.filter(!col("source").isin("twin", "empty"))
+        val r = measure(spark, meter, "dedup_incremental",
+          Dedup.dedupAgainst(history, batch, "doc_id", "text")
+            .filter(col("jaccard") >= 0.8)
+            .select(col("hist_id").as("id_a"), col("batch_id").as("id_b")),
+          Some(docPairs))
+        val rowsPerBand = 4; val numBands = 8
+        val sh = docs.select(col("doc_id"),
+          Dedup.hashedShinglesUdf(col("text"), lit(3)).as("sh"))
+        val exp = docPairs
+          .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sa")), Seq("id_a"))
+          .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sb")), Seq("id_b"))
+          .select(call_function("jaccard_sorted", col("sa"), col("sb")).as("j"))
+          .agg(avg(lit(1.0) - pow(lit(1.0) - pow(col("j"), lit(rowsPerBand.toDouble)),
+            lit(numBands.toDouble))))
+          .head().getDouble(0)
+        r.copy(expectedRecall = Some(exp))
+      }
+
       // high-k Lloyd sweep (round-6 verdict #7): each iteration builds k
       // composite distance expressions per row, so large k is the widest
       // codegen stage in the repo — pin its wall and shuffle growth. The
@@ -493,7 +549,8 @@ object ScaleStress {
         .foreach(df => try df.unpersist(blocking = true)
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
-        decontam, pack, quota, mix, leakage, end2end).flatten ++ kmeansWide)
+        decontam, pack, quota, mix, leakage, end2end,
+        bm25, epochShuf, incremental).flatten ++ kmeansWide)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 
