@@ -474,6 +474,18 @@ object Pipeline {
         e => EventStreams.dedup(e).select(col("user_id"), col("event_type")))
     }),
 
+    "stream_incremental_dedup" -> ((s, dir) => {
+      // STREAMING ingest dedup (DocStreams.incrementalDedup): arriving
+      // docs (doc_id % 5 = 0) probe the static history band index via
+      // stateless stream-static joins; only the emitted-pair dedup
+      // holds state. Same banding/threshold as `dedup_incremental`, so
+      // the two paths share one oracle — the batch and streaming
+      // answers are required to be IDENTICAL.
+      graft.streaming.DocStreams.runToBatch(s, dir,
+        s"incdedup_${System.nanoTime()}",
+        graft.streaming.DocStreams.incrementalDedup(_, _))
+    }),
+
     "pipeline_mix_weights" -> ((s, dir) => {
       // data mixing to per-source token budgets (Curation.mixToBudget):
       // sources src0/src1/src2 weighted 0.5/0.25/0.25 against a 6000-
@@ -750,6 +762,36 @@ object Pipeline {
 
   private val exactJaccardPairsCte = "WITH " + jaccardPairsCteChain("documents")
 
+  /** Exact cross-corpus Jaccard (threshold-complete prefix-filter
+    * candidates) for the 80/20 history/batch split — the shared oracle
+    * of `dedup_incremental` (batch) and `stream_incremental_dedup`
+    * (Structured Streaming), whose answers must be identical. */
+  private val incrementalDedupSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform(
+      |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
+      |  FROM documents),
+      |pre AS (
+      |  SELECT doc_id,
+      |    unnest(list_slice(sh, 1,
+      |      len(sh) - CAST(ceil(0.8 * len(sh) - 1e-9) AS BIGINT) + 1)) AS tok
+      |  FROM d),
+      |cand AS (
+      |  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS hist_id
+      |  FROM pre a JOIN pre b ON a.tok = b.tok
+      |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+      |hi AS (
+      |  SELECT * FROM (
+      |    SELECT batch_id, hist_id,
+      |      len(list_intersect(db.sh, dh.sh)) * 1.0 /
+      |        (len(db.sh) + len(dh.sh) - len(list_intersect(db.sh, dh.sh))) AS jac
+      |    FROM cand JOIN d db ON cand.batch_id = db.doc_id
+      |              JOIN d dh ON cand.hist_id = dh.doc_id)
+      |  WHERE jac >= 0.8)
+      |SELECT batch_id, hist_id, round(jac, 6) AS jac FROM hi""".stripMargin
+
   /** Min-label propagation CTE chain (no leading WITH; requires
     * RECURSIVE) resolving `hi` pairs into `cc(id, comp)`. */
   private val componentsCteChain =
@@ -775,31 +817,12 @@ object Pipeline {
     // (doc_id % 5 <> 0) with a batch doc (doc_id % 5 = 0); the shared
     // prefix token keeps the candidate set threshold-complete across
     // the split exactly as within it
-    "dedup_incremental" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    list_sort(list_distinct(list_transform(
-        |      generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
-        |      i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS sh
-        |  FROM documents),
-        |pre AS (
-        |  SELECT doc_id,
-        |    unnest(list_slice(sh, 1,
-        |      len(sh) - CAST(ceil(0.8 * len(sh) - 1e-9) AS BIGINT) + 1)) AS tok
-        |  FROM d),
-        |cand AS (
-        |  SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS hist_id
-        |  FROM pre a JOIN pre b ON a.tok = b.tok
-        |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
-        |hi AS (
-        |  SELECT * FROM (
-        |    SELECT batch_id, hist_id,
-        |      len(list_intersect(db.sh, dh.sh)) * 1.0 /
-        |        (len(db.sh) + len(dh.sh) - len(list_intersect(db.sh, dh.sh))) AS jac
-        |    FROM cand JOIN d db ON cand.batch_id = db.doc_id
-        |              JOIN d dh ON cand.hist_id = dh.doc_id)
-        |  WHERE jac >= 0.8)
-        |SELECT batch_id, hist_id, round(jac, 6) AS jac FROM hi""".stripMargin,
+    "dedup_incremental" -> incrementalDedupSql,
+
+    // the STREAMING path is contractually identical to the batch path —
+    // one oracle covers both (same banding parameters, same threshold,
+    // same planted-region completeness argument)
+    "stream_incremental_dedup" -> incrementalDedupSql,
 
     "dedup_prefix_filter" ->
       s"""$exactJaccardPairsCte
