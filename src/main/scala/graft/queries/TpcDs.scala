@@ -83,6 +83,42 @@ object TpcDs {
       |        GROUP BY n_name, o_orderpriority) s) t
       |WHERE rk <= 3""".stripMargin
 
+  private val channelUnionSql =
+    """WITH channels AS (
+      |  SELECT 'returns' AS channel, CAST(month(l_shipdate) AS BIGINT) AS m,
+      |    l_extendedprice * (1 - l_discount) AS amt
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT 'ships', CAST(month(l_shipdate) AS BIGINT),
+      |    l_extendedprice * (1 - l_discount)
+      |  FROM lineitem WHERE l_returnflag <> 'R'
+      |  UNION ALL
+      |  SELECT 'orders', CAST(month(o_orderdate) AS BIGINT), o_totalprice
+      |  FROM orders WHERE o_orderstatus <> 'P')
+      |SELECT channel, m, CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(amt) AS DOUBLE), 2) AS total
+      |FROM channels GROUP BY channel, m ORDER BY channel, m""".stripMargin
+
+  private val movingPeerSql =
+    """WITH rev AS (
+      |  SELECT n_name, CAST(month(o_orderdate) AS BIGINT) AS m,
+      |    sum(l_extendedprice * (1 - l_discount)) AS r
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |  GROUP BY n_name, m),
+      |w AS (
+      |  SELECT n_name, m, r,
+      |    avg(r) OVER (PARTITION BY n_name ORDER BY m
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS peer
+      |  FROM rev)
+      |SELECT n_name, m, round(CAST(r AS DOUBLE), 2) AS rev,
+      |  round(CAST(peer AS DOUBLE), 2) AS peer_avg,
+      |  round(CAST(r / peer AS DOUBLE), 4) AS ratio
+      |FROM w
+      |WHERE r > 1.1 * peer OR r < 0.9 * peer
+      |ORDER BY n_name, m""".stripMargin
+
   private def sameText(sql: String): (SparkSession, String) => DataFrame =
     (s, dir) => { Engine.registerAll(s, dir); s.sql(sql) }
 
@@ -97,12 +133,21 @@ object TpcDs {
     // channel INTERSECT then EXCEPT (q38/q87)
     "tpcds_channel_intersect" -> sameText(channelIntersectSql),
     // rank-capped top-N per group over a joined aggregate (q67)
-    "tpcds_topn_per_group" -> sameText(topnPerGroupSql))
+    "tpcds_topn_per_group" -> sameText(topnPerGroupSql),
+    // heterogenous-channel UNION ALL re-aggregated (q5/q77) — partial
+    // aggregation must push below the union's branches
+    "tpcds_channel_union" -> sameText(channelUnionSql),
+    // moving-peer comparison: a bidirectional window frame over a
+    // 4-table join aggregate, filtered on the frame result (q47's
+    // deviation-from-neighbors shape)
+    "tpcds_moving_peer" -> sameText(movingPeerSql))
 
   val oracle: Map[String, String] = Map(
     "tpcds_window_over_join" -> windowOverJoinSql,
     "tpcds_rollup_filtered" -> rollupFilteredSql,
     "tpcds_exists_chain" -> existsChainSql,
     "tpcds_channel_intersect" -> channelIntersectSql,
-    "tpcds_topn_per_group" -> topnPerGroupSql)
+    "tpcds_topn_per_group" -> topnPerGroupSql,
+    "tpcds_channel_union" -> channelUnionSql,
+    "tpcds_moving_peer" -> movingPeerSql)
 }

@@ -56,12 +56,22 @@ class ShuffleBudgetSpec extends SparkSpec {
   // bm25 = tf exchange (reused for the |Q|-row df aggregate) + final
   // per-doc score agg + the 1-row corpus-stats agg; top-k itself is
   // TakeOrderedAndProject, not a shuffle.
+  // incremental = one banded exchange per side (each side's hot-bucket
+  // cap rides its OWN exchange) + the emitted-pair dropDuplicates; the
+  // shingle-refine joins ride broadcast/reuse, never a new shuffle.
+  // epoch shuffle = (epoch, shard) rank window + shard-count agg + the
+  // epochs·shards offset window + the QUERY's presentation orderBy.
+  // hybrid = the bm25 arm's tf/stats/final + the two bounded rank
+  // windows + the tiny full-outer fusion join, 5 after reuse.
   for ((name, budget) <- Seq(
     "dedup_minhash_pairs" -> 2,
     "dedup_prefix_filter" -> 2,
     "sim_cosine_topk" -> 1,
     "dedup_exact" -> 1,
-    "text_bm25_topk" -> 4)) {
+    "text_bm25_topk" -> 4,
+    "dedup_incremental" -> 3,
+    "pipeline_epoch_shuffle" -> 4,
+    "sim_hybrid_rrf" -> 5)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
