@@ -315,4 +315,68 @@ object Curation {
       .withColumn("rn", row_number().over(w2)).filter(col("rn") <= quota)
       .drop("rn1", "rn")
   }
+
+  /** Cross-document duplicate-SPAN detection (substring-level dedup, the
+    * "dedup training data at the span level" operation: doc-level
+    * near-dup passes miss a boilerplate paragraph pasted into otherwise
+    * distinct documents). A token position is DUPLICATED when the
+    * word n-gram starting there also occurs in at least one OTHER
+    * document; runs of duplicated starts merge into maximal islands
+    * (consecutive starts ≤ n apart overlap or touch as token
+    * intervals), and each document reports its island count, covered
+    * token count, and duplicated-token fraction.
+    *
+    * Scale shape — one corpus scan, two data exchanges, no quadratics:
+    * 1. Every (gram, doc, pos) triple carries an 8-byte rolling hash
+    *    ([[graft.plans.WordGramHashes]]), never the gram string.
+    * 2. "Appears in ≥ 2 docs" is `min(doc) <> max(doc)` computed by an
+    *    unbounded WINDOW over the gram partition and filtered in place
+    *    — not an aggregate joined back. The agg+join form reads the
+    *    corpus twice (column pruning makes the two gram subtrees
+    *    canonically different, so ReuseExchange cannot fuse them) and
+    *    shuffles the position stream by g for the probe anyway; the
+    *    window form shuffles it by g ONCE and decides duplication
+    *    inside the partition. A count-distinct would be strictly worse
+    *    (per-gram distinct sets); min<>max needs two longs. Hot
+    *    boilerplate grams concentrate their positions in one task in
+    *    EITHER form (the join's probe exchange has the same key) — the
+    *    window sort spills, a straggler not a failure.
+    * 3. Island merge is a per-document window (gaps-and-islands via
+    *    lag) riding one exchange on the doc id, bounded by document
+    *    length at any corpus size; both downstream aggregates stay
+    *    co-partitioned on the doc id.
+    *
+    * Intra-document repetition (same gram twice in ONE doc) is
+    * deliberately out of scope here — [[TextAnalysis]]'s repetition
+    * scorer owns that — so a doc pair is needed before anything flags.
+    * Reference substring surface: /root/reference/duckdb-6.cpp string
+    * split + list fns (the reference has no span dedup; this is the
+    * pipeline-native extension the curation suite exists for).
+    */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int = 10): DataFrame = {
+    require(n > 0, s"duplicateSpans: n must be > 0 (got $n)")
+    val pos = docs
+      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
+        posexplode(call_function("word_gram_hashes", col("__w"), lit(n))))
+      .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
+    val wGram = Window.partitionBy(col("__g"))
+    val marks = pos
+      .withColumn("__lo", min(col(idCol)).over(wGram))
+      .withColumn("__hi", max(col(idCol)).over(wGram))
+      .filter(col("__lo") =!= col("__hi"))
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    marks
+      .withColumn("__new",
+        when(col("__p") - lag(col("__p"), 1).over(wDoc) <= n, 0L).otherwise(1L))
+      .withColumn("__isl", sum(col("__new")).over(wDoc))
+      .groupBy(col(idCol), col("n_tokens"), col("__isl"))
+      .agg((max(col("__p")) - min(col("__p")) + n).as("__span_tok"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("__span_tok")).as("dup_tokens"))
+      .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        col("dup_frac"))
+  }
 }

@@ -676,6 +676,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "text_dup_spans" -> ((s, dir) => {
+      // Cross-document duplicate-span detection
+      // (operators.Curation.duplicateSpans): per doc, the maximal
+      // 10-token-gram spans shared with at least one OTHER document,
+      // merged into islands; one skew-free min/max pass decides
+      // duplication, the probe join reuses the same gram exchange.
+      Curation.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
+        .orderBy(col("doc_id"))
+    }),
+
     "pipeline_pack_sequences" -> ((s, dir) => {
       // Concatenate-and-chunk sequence packing
       // (operators.Curation.packSequences): per (source, doc_id%8 shard)
@@ -1223,6 +1233,33 @@ object Pipeline {
         |  round(count(*) FILTER (g IN (SELECT g FROM ev)) / CAST(count(*) AS DOUBLE), 6) AS contam
         |FROM grams WHERE source <> 'src0'
         |GROUP BY doc_id HAVING n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_dup_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens, i,
+        |    array_to_string(w[i:i+9], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w)-8)) AS t(i) WHERE len(w) >= 10),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |marks AS (SELECT p.doc_id, p.n_tokens, p.i FROM pos p JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, n_tokens, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+        |      THEN 0 ELSE 1 END AS newisl
+        |  FROM marks),
+        |isl2 AS (
+        |  SELECT doc_id, n_tokens, i,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, isl, max(i) - min(i) + 10 AS span_tok
+        |  FROM isl2 GROUP BY doc_id, n_tokens, isl)
+        |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tok) AS BIGINT) AS dup_tokens,
+        |  n_tokens, round(sum(span_tok) / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+        |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
 
     "pipeline_pack_sequences" ->
       """WITH toksz AS (

@@ -519,6 +519,25 @@ object ScaleStress {
         r.copy(expectedRecall = Some(exp))
       }
 
+      // cross-doc duplicate spans: the boilerplate block is the planted
+      // contract — every boiler doc shares its 20-token prefix with the
+      // rest of the block, so each must report a span covering AT LEAST
+      // those 20 tokens (≥, not ==: a 1/20011 suffix-token collision
+      // between two boiler docs legally extends a span). The identical
+      // block stresses the hot-gram window: every gram of the block
+      // concentrates its 25·mult positions in one g-partition.
+      val dupspans = if (!wanted("dupspans")) None else Some {
+        val spans = Curation.duplicateSpans(docs, "doc_id", "text", n = 10)
+        val r = measure(spark, meter, "text_dup_spans",
+          spans.select(col("doc_id").as("id_a"), col("dup_tokens").as("id_b")),
+          None)
+        val boiler = docs.filter(col("source") === "boiler").select(col("doc_id"))
+        val tot = boiler.count()
+        val hit = boiler
+          .join(spans.filter(col("dup_tokens") >= 20), Seq("doc_id")).count()
+        r.copy(plantedTotal = tot, plantedFound = hit)
+      }
+
       // high-k Lloyd sweep (round-6 verdict #7): each iteration builds k
       // composite distance expressions per row, so large k is the widest
       // codegen stage in the repo — pin its wall and shuffle growth. The
@@ -550,7 +569,7 @@ object ScaleStress {
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
-        bm25, epochShuf, incremental).flatten ++ kmeansWide)
+        bm25, epochShuf, incremental, dupspans).flatten ++ kmeansWide)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 

@@ -176,4 +176,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(run(1) == run(8), "numShards changed the permutation")
     assert(run(8) == run(64), "numShards changed the permutation")
   }
+
+  test("duplicateSpans finds planted cross-doc spans, merges islands, ignores intra-doc repeats") {
+    import spark.implicits._
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"${tag}_$i")
+    val boiler = (0 until 12).map(i => s"b$i")         // 12-token shared span
+    val rep = (0 until 10).map(i => s"r$i")            // intra-doc repeat only
+    val c = (0 until 10).map(i => s"c$i")              // shared 10-token span
+    val d = (0 until 10).map(i => s"d$i")              // second shared span
+    val docs = Seq(
+      (1L, (uniq("a", 10) ++ boiler ++ uniq("e", 10)).mkString(" ")),   // 32 toks
+      (2L, (uniq("f", 5) ++ boiler ++ uniq("g", 7)).mkString(" ")),     // 24 toks
+      (3L, uniq("h", 30).mkString(" ")),                                // clean
+      (4L, (rep ++ uniq("i", 5) ++ rep).mkString(" ")),                 // intra only
+      (5L, (uniq("j", 5) ++ c ++ uniq("k", 15) ++ d ++ uniq("l", 3)).mkString(" ")), // 43
+      (6L, (uniq("m", 2) ++ c ++ uniq("n", 12) ++ d).mkString(" "))     // 34
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.duplicateSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // the 12-token boiler = 3 consecutive dup gram starts = ONE island of
+    // 12 covered tokens; the two disjoint 10-token spans stay 2 islands;
+    // doc 3 (clean) and doc 4 (repeat within one doc) never flag
+    assert(out == Map(
+      1L -> ((1L, 12L, 32L, 0.375)),
+      2L -> ((1L, 12L, 24L, 0.5)),
+      5L -> ((2L, 20L, 43L, 0.465116)),
+      6L -> ((2L, 20L, 34L, 0.588235))), out.toString)
+  }
+
+  test("duplicateSpans is one corpus scan, no join: in-partition min/max window, no count-distinct") {
+    val df = SparkEntry.queries("text_dup_spans")(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.toLowerCase.contains("distinct"),
+      s"cross-doc test should be min<>max, not count-distinct:\n$plan")
+    assert(!plan.contains("Join"),
+      s"duplication must be decided inside the gram partition, not a probe join:\n$plan")
+    val explodes = "posexplode".r.findAllIn(plan).size
+    assert(explodes == 1,
+      s"gram subtree executed $explodes times (want 1 — the corpus is scanned once):\n$plan")
+  }
 }

@@ -71,7 +71,10 @@ class ShuffleBudgetSpec extends SparkSpec {
     "text_bm25_topk" -> 4,
     "dedup_incremental" -> 3,
     "pipeline_epoch_shuffle" -> 4,
-    "sim_hybrid_rrf" -> 5)) {
+    "sim_hybrid_rrf" -> 5,
+    // dup spans = one gram exchange (in-partition min/max window) +
+    // the doc-id island window + the presentation orderBy
+    "text_dup_spans" -> 3)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
