@@ -476,4 +476,48 @@ object Similarity {
       .orderBy(col("rrf_score").desc, col(docIdCol).asc)
       .limit(k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    * the embedding space with [[semanticClusters]], then WITHIN each
+    * cluster keep a document only if no lower-id cluster-mate sits
+    * within cosine `tau` — the paper's greedy one-representative-per-
+    * ε-ball rule, with the deterministic id order standing in for its
+    * arbitrary keep choice. Near-dup pairs split across two clusters
+    * are deliberately out of scope (the paper's own approximation; the
+    * global near-dup path is [[Dedup.cosineLshScoredPairsWeighted]]).
+    *
+    * Scale shape: candidate pairs are generated per CLUSTER (one
+    * exchange on cid per join side), so the pair count is Σ|C_i|²
+    * rather than n² — SemDeDup's published recipe keeps |C_i| bounded
+    * by growing k with the corpus (50k clusters on LAION; same rule as
+    * [[ivfTopK]]'s sqrt(n) cells). Cosines are computed on the SAME
+    * floor(x·scale+0.5) quantized vectors the clustering used, so both
+    * the assignment AND the prune replay bit-identically in integer/
+    * double SQL on any engine — the survivors set is exact, not
+    * approximately reproducible. The prune side of the anti-join is a
+    * distinct id set, broadcastable until the duplicate population
+    * itself is huge (then AQE falls back to a shuffled anti-join).
+    */
+  def semDedup(corpus: DataFrame, idCol: String, vecCol: String,
+               k: Int, iterations: Int, tau: Double,
+               scale: Long = 1000L): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"semDedup: tau in (0,1] (got $tau)")
+    val assign = semanticClusters(corpus, idCol, vecCol, k, iterations, scale)
+    val wq = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long"))
+    val quant = corpus
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .select(col(idCol).as("id"), wq.cast("array<double>").as("__wd"))
+      .withColumn("__nn", sqrt(dot(col("__wd"), col("__wd"))))
+      .join(assign, Seq("id"))
+    val a = quant.select(col("cid"), col("id").as("__ida"),
+      col("__wd").as("__wa"), col("__nn").as("__na"))
+    val b = quant.select(col("cid"), col("id").as("__idb"),
+      col("__wd").as("__wb"), col("__nn").as("__nb"))
+    val pruned = a.join(b, Seq("cid"))
+      .filter(col("__idb") < col("__ida") &&
+        dot(col("__wa"), col("__wb")) / (col("__na") * col("__nb")) >= tau)
+      .select(col("__ida").as("id")).distinct()
+    quant.join(pruned, Seq("id"), "left_anti").select(col("id"), col("cid"))
+  }
 }

@@ -90,9 +90,29 @@ object Pipeline {
        |  FROM (SELECT vec_id, w FROM e ORDER BY vec_id LIMIT $k)),
        |${cdCte(0)},
        |$iterCtes,
-       |${assignCte("afinal", iterations)}
-       |SELECT vec_id, cid FROM afinal ORDER BY vec_id""".stripMargin
+       |${assignCte("afinal", iterations)}""".stripMargin
   }
+
+  /** The full clustering SQL = the CTE chain + the assignment select. */
+  private def semanticClusterFullSql(k: Int, iterations: Int): String =
+    semanticClusterSql(k, iterations) +
+      "\nSELECT vec_id, cid FROM afinal ORDER BY vec_id"
+
+  /** SemDeDup replay: the clustering CTE chain + within-cluster greedy
+    * ε-ball prune on cosines of the SAME quantized vectors. */
+  private def semDedupSql(k: Int, iterations: Int, tau: Double): String =
+    semanticClusterSql(k, iterations) +
+      s""",
+         |nrm AS (
+         |  SELECT ed.vec_id, af.cid, ed.wd, sqrt(ed.ww) AS nn
+         |  FROM ed JOIN afinal af USING (vec_id)),
+         |pruned AS (
+         |  SELECT DISTINCT a.vec_id
+         |  FROM nrm a JOIN nrm b ON a.cid = b.cid AND b.vec_id < a.vec_id
+         |  WHERE list_dot_product(a.wd, b.wd) / (a.nn * b.nn) >= $tau)
+         |SELECT n.vec_id, n.cid FROM nrm n
+         |WHERE n.vec_id NOT IN (SELECT vec_id FROM pruned)
+         |ORDER BY n.vec_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -730,6 +750,17 @@ object Pipeline {
           k = 8, iterations = 2)
         .select(col("id").as("vec_id"), col("cid"))
         .orderBy(col("vec_id"))
+    }),
+
+    "pipeline_semdedup" -> ((s, dir) => {
+      // SemDeDup (Similarity.semDedup): semantic clustering + greedy
+      // within-cluster ε-ball prune at cosine 0.35 on the quantized
+      // vectors — cluster-bounded pairs, bit-replayable end to end.
+      graft.operators.Similarity.semDedup(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          k = 8, iterations = 2, tau = 0.35)
+        .select(col("id").as("vec_id"), col("cid"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -1309,6 +1340,7 @@ object Pipeline {
         |FROM keys
         |ORDER BY epoch, pos""".stripMargin,
 
-    "pipeline_semantic_cluster" -> semanticClusterSql(k = 8, iterations = 2)
+    "pipeline_semantic_cluster" -> semanticClusterFullSql(k = 8, iterations = 2),
+    "pipeline_semdedup" -> semDedupSql(k = 8, iterations = 2, tau = 0.35)
   )
 }

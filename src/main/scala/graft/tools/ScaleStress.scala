@@ -538,6 +538,29 @@ object ScaleStress {
         r.copy(plantedTotal = tot, plantedFound = hit)
       }
 
+      // SemDeDup at scale: k grows ~sqrt(n) (the paper's own recipe —
+      // bounded cluster sizes keep within-cluster pairs Σ|C|², not n²),
+      // tau high enough that only true copies/near-copies prune. The
+      // planted contract is exact: every twin vector is BYTE-identical
+      // to its lower-id base, lands in the same cluster by determinism
+      // of the integer assignment, and so MUST be pruned (even if the
+      // base itself was pruned by something lower still). The identical
+      // block additionally makes one hot cluster with 100·mult copies —
+      // the worst-case within-cluster join fan-out.
+      val semdedup = if (!wanted("semdedup")) None else Some {
+        val kC = math.max(8, math.sqrt(nEmb.toDouble).toInt)
+        val out = Similarity.semDedup(embs, "vec_id", "v",
+          k = kC, iterations = 1, tau = 0.9)
+        val r = measure(spark, meter, "pipeline_semdedup",
+          out.select(col("id").as("id_a"), col("cid").as("id_b")), None)
+        val twinIds = embs
+          .filter(col("vec_id") >= TwinOffset && col("vec_id") < SkewOffset)
+          .select(col("vec_id"))
+        val tot = twinIds.count()
+        val kept = out.join(twinIds, out("id") === twinIds("vec_id")).count()
+        r.copy(plantedTotal = tot, plantedFound = tot - kept)
+      }
+
       // high-k Lloyd sweep (round-6 verdict #7): each iteration builds k
       // composite distance expressions per row, so large k is the widest
       // codegen stage in the repo — pin its wall and shuffle growth. The
@@ -569,7 +592,7 @@ object ScaleStress {
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
-        bm25, epochShuf, incremental, dupspans).flatten ++ kmeansWide)
+        bm25, epochShuf, incremental, dupspans, semdedup).flatten ++ kmeansWide)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 

@@ -205,6 +205,44 @@ class CurationOpsSpec extends SparkSpec {
       6L -> ((2L, 20L, 34L, 0.588235))), out.toString)
   }
 
+  test("semDedup keeps the lowest id of a planted near-group and everything isolated") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.999f, 0.02f)),  // cos ~ 0.9998 with id 1 → pruned
+      (3L, Array(0.0f, 1.0f)),     // orthogonal → kept
+      (4L, Array(0.01f, 0.998f))   // cos ~ 0.999 with id 3 → pruned
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semDedup(vecs, "vec_id", "embedding", k = 1, iterations = 0, tau = 0.9)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(out == Seq(1L, 3L), s"survivors: $out")
+  }
+
+  test("semDedup survivors: no same-cluster pair within tau, and survivor+pruned partition the corpus") {
+    import org.apache.spark.sql.functions._
+    val tau = 0.35
+    val out = SparkEntry.queries("pipeline_semdedup")(spark, dir).cache()
+    val all = Engine.table(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => floor(x * 1000.0 + 0.5)).cast("array<double>").as("wd"))
+      .withColumn("nn", sqrt(graft.operators.Similarity.dot(col("wd"), col("wd"))))
+    def side(p: String) = out.join(all, Seq("vec_id"))
+      .select(col("vec_id").as(s"id$p"), col("cid").as(s"cid$p"),
+        col("wd").as(s"wd$p"), col("nn").as(s"nn$p"))
+    // greedy rule ⇒ NO survivor pair (either order) in one cluster sits
+    // within tau: the higher id would have been pruned by the lower
+    val close = side("a").join(side("b"),
+        col("cida") === col("cidb") && col("idb") < col("ida"))
+      .filter(graft.operators.Similarity.dot(col("wda"), col("wdb")) /
+        (col("nna") * col("nnb")) >= tau)
+    assert(close.isEmpty, close.collect().take(3).mkString(", "))
+    val pruned = all.join(out.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    assert(out.count() + pruned.count() == all.count())
+    out.unpersist()
+  }
+
   test("duplicateSpans is one corpus scan, no join: in-partition min/max window, no count-distinct") {
     val df = SparkEntry.queries("text_dup_spans")(spark, dir)
     df.collect()
