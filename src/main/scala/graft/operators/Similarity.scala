@@ -130,7 +130,17 @@ object Similarity {
     * lowest-id vectors (deterministic; k driver rows).
     */
   def semanticClusters(corpus: DataFrame, idCol: String, vecCol: String,
-                       k: Int, iterations: Int, scale: Long = 1000L): DataFrame = {
+                       k: Int, iterations: Int, scale: Long = 1000L): DataFrame =
+    semanticAssignments(corpus, idCol, vecCol, k, iterations, scale)
+      .select(col("id"), col("cid"))
+
+  /** [[semanticClusters]] keeping the quantized vector: (id, w, cid) in
+    * ONE corpus pass — consumers that need both the assignment and the
+    * vector (e.g. [[semDedup]]'s within-cluster cosine) read this
+    * instead of joining the assignment back to a second corpus scan. */
+  def semanticAssignments(corpus: DataFrame, idCol: String, vecCol: String,
+                          k: Int, iterations: Int,
+                          scale: Long = 1000L): DataFrame = {
     require(k >= 1, "semanticClusters: k must be >= 1")
     require(iterations >= 0, "semanticClusters: iterations must be >= 0")
     graft.functions.DuckFunctions.register(corpus.sparkSession)
@@ -195,7 +205,7 @@ object Similarity {
         }
       }
     }
-    base.select(col("id"), assignCol.cast("int").as("cid"))
+    base.select(col("id"), col("w"), assignCol.cast("int").as("cid"))
   }
 
   /** Per-JVM memo of trained IVF coarse quantizers, keyed on the
@@ -502,14 +512,9 @@ object Similarity {
                k: Int, iterations: Int, tau: Double,
                scale: Long = 1000L): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"semDedup: tau in (0,1] (got $tau)")
-    val assign = semanticClusters(corpus, idCol, vecCol, k, iterations, scale)
-    val wq = transform(col(vecCol).cast("array<double>"),
-      x => floor(x * lit(scale.toDouble) + lit(0.5)).cast("long"))
-    val quant = corpus
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
-      .select(col(idCol).as("id"), wq.cast("array<double>").as("__wd"))
+    val quant = semanticAssignments(corpus, idCol, vecCol, k, iterations, scale)
+      .select(col("id"), col("cid"), col("w").cast("array<double>").as("__wd"))
       .withColumn("__nn", sqrt(dot(col("__wd"), col("__wd"))))
-      .join(assign, Seq("id"))
     val a = quant.select(col("cid"), col("id").as("__ida"),
       col("__wd").as("__wa"), col("__nn").as("__na"))
     val b = quant.select(col("cid"), col("id").as("__idb"),
