@@ -74,7 +74,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     "sim_hybrid_rrf" -> 5,
     // dup spans = one gram exchange (in-partition min/max window) +
     // the doc-id island window + the presentation orderBy
-    "text_dup_spans" -> 3)) {
+    "text_dup_spans" -> 3,
+    // semdedup = one cid exchange (the pair join's other side reuses
+    // it) + the pruned-id distinct agg + the presentation orderBy;
+    // the anti-join's pruned side broadcasts at this scale
+    "pipeline_semdedup" -> 4)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
