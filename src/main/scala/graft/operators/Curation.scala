@@ -379,4 +379,51 @@ object Curation {
       .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
         col("dup_frac"))
   }
+
+  /** Boilerplate MINING — the inverse question of [[duplicateSpans]]:
+    * not "which documents carry shared text" but "what IS the shared
+    * text". Returns the top `k` word n-grams by DOCUMENT frequency
+    * (grams in ≥ 2 docs), with the gram text reconstructed from its
+    * sample document — the inspection tool that tells a curation run
+    * which navigation chrome / license header / template to strip.
+    *
+    * Scale shape: per-(gram, doc) rows collapse FIRST (a doc repeating
+    * a gram contributes one row), then the per-gram aggregate is
+    * count + min(struct(doc, pos)) — both partial-aggregable, so a
+    * boilerplate gram in millions of docs still sends one row per map
+    * partition to the final shuffle. Top-k is TakeOrderedAndProject
+    * (per-partition heaps, no global sort), and reconstruction
+    * re-tokenizes only the ≤ k sample documents via a broadcast join.
+    * Determinism: ties order by (sample_doc, sample_pos), and a
+    * (doc, pos) pair identifies ONE gram — a total order any engine
+    * replays; positions are reported 0-based on both sides.
+    */
+  def boilerplateGrams(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 10, k: Int = 20): DataFrame = {
+    require(n > 0 && k > 0, s"boilerplateGrams: n, k must be > 0 (got $n, $k)")
+    val pos = docs
+      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      .select(col(idCol),
+        posexplode(call_function("word_gram_hashes", col("__w"), lit(n))))
+      .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
+    val perDoc = pos.groupBy(col("__g"), col(idCol))
+      .agg(min(col("__p")).as("__p0"))
+    val topk = perDoc.groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct(col(idCol), col("__p0"))).as("__s"))
+      .filter(col("n_docs") >= 2)
+      .select(col("__g"), col("n_docs"),
+        col("__s").getField(idCol).as("sample_doc"),
+        col("__s").getField("__p0").cast("long").as("sample_pos"))
+      .orderBy(col("n_docs").desc, col("sample_doc"), col("sample_pos"))
+      .limit(k)
+    docs
+      .select(col(idCol).as("sample_doc"), wsTokens(col(textCol)).as("__w"))
+      .join(broadcast(topk), Seq("sample_doc"))
+      .select(
+        array_join(slice(col("__w"), col("sample_pos").cast("int") + 1, lit(n)), " ")
+          .as("gram"),
+        col("n_docs"), col("sample_doc"), col("sample_pos"))
+      .orderBy(col("n_docs").desc, col("sample_doc"), col("sample_pos"))
+  }
 }

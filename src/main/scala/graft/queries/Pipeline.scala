@@ -706,6 +706,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "text_boilerplate_topk" -> ((s, dir) => {
+      // Boilerplate mining (operators.Curation.boilerplateGrams): the
+      // top word 10-grams by document frequency with their text
+      // reconstructed from the sample doc — skew-free two-phase
+      // aggregate, TakeOrdered top-k, broadcast reconstruction.
+      Curation.boilerplateGrams(t(s, dir, "documents"), "doc_id", "text",
+        n = 10, k = 20)
+    }),
+
     "pipeline_pack_sequences" -> ((s, dir) => {
       // Concatenate-and-chunk sequence packing
       // (operators.Curation.packSequences): per (source, doc_id%8 shard)
@@ -1291,6 +1300,27 @@ object Pipeline {
         |SELECT doc_id, count(*) AS n_spans, CAST(sum(span_tok) AS BIGINT) AS dup_tokens,
         |  n_tokens, round(sum(span_tok) / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
         |FROM spans GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(w[i:i+9], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w)-8)) AS t(i) WHERE len(w) >= 10),
+        |perdoc AS (
+        |  SELECT g, doc_id, min(i) AS p0 FROM pos GROUP BY g, doc_id),
+        |agg AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+        |    min(struct_pack(d := doc_id, p := p0)) AS s
+        |  FROM perdoc GROUP BY g HAVING count(*) >= 2),
+        |topk AS (
+        |  SELECT g AS gram, n_docs, s.d AS sample_doc,
+        |    CAST(s.p - 1 AS BIGINT) AS sample_pos
+        |  FROM agg ORDER BY n_docs DESC, sample_doc, sample_pos LIMIT 20)
+        |SELECT gram, n_docs, sample_doc, sample_pos FROM topk
+        |ORDER BY n_docs DESC, sample_doc, sample_pos""".stripMargin,
 
     "pipeline_pack_sequences" ->
       """WITH toksz AS (

@@ -538,6 +538,24 @@ object ScaleStress {
         r.copy(plantedTotal = tot, plantedFound = hit)
       }
 
+      // boilerplate mining: the planted contract is the MINED TEXT
+      // itself — the top gram by document frequency must be a
+      // boilerplate-block gram at df = the full block size (100·mult),
+      // reconstructed to a string starting with "boilerplate". The
+      // ident block (25·mult byte-identical docs) must also surface.
+      val boilermine = if (!wanted("boilermine")) None else Some {
+        val mined = Curation.boilerplateGrams(docs, "doc_id", "text",
+          n = 10, k = 20)
+        val r = measure(spark, meter, "text_boilerplate_topk",
+          mined.select(col("gram").as("id_a"), col("n_docs").as("id_b")), None)
+        val rows = mined.collect()
+        val top = rows.head
+        val ok = top.getLong(1) == 100L * mult &&
+          top.getString(0).startsWith("boilerplate") &&
+          rows.exists(x => x.getString(0).startsWith("identical stress"))
+        r.copy(plantedTotal = 1L, plantedFound = if (ok) 1L else 0L)
+      }
+
       // SemDeDup at scale: k grows ~sqrt(n) (the paper's own recipe —
       // bounded cluster sizes keep within-cluster pairs Σ|C|², not n²),
       // tau high enough that only true copies/near-copies prune. The
@@ -592,7 +610,7 @@ object ScaleStress {
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
-        bm25, epochShuf, incremental, dupspans, semdedup).flatten ++ kmeansWide)
+        bm25, epochShuf, incremental, dupspans, semdedup, boilermine).flatten ++ kmeansWide)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 

@@ -243,6 +243,31 @@ class CurationOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("boilerplateGrams surfaces planted shared spans with reconstructed text, skips intra-doc repeats") {
+    import spark.implicits._
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"${tag}_$i")
+    val boiler = (0 until 12).map(i => s"b$i")
+    val rep = (0 until 10).map(i => s"r$i")
+    val c = (0 until 10).map(i => s"c$i")
+    val d = (0 until 10).map(i => s"d$i")
+    val docs = Seq(
+      (1L, (uniq("a", 10) ++ boiler ++ uniq("e", 10)).mkString(" ")),
+      (2L, (uniq("f", 5) ++ boiler ++ uniq("g", 7)).mkString(" ")),
+      (3L, uniq("h", 30).mkString(" ")),
+      (4L, (rep ++ uniq("i", 5) ++ rep).mkString(" ")),  // one doc only → excluded
+      (5L, (uniq("j", 5) ++ c ++ uniq("k", 15) ++ d ++ uniq("l", 3)).mkString(" ")),
+      (6L, (uniq("m", 2) ++ c ++ uniq("n", 12) ++ d).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation.boilerplateGrams(docs, "doc_id", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (boiler.slice(0, 10).mkString(" "), 2L, 1L, 10L),
+      (boiler.slice(1, 11).mkString(" "), 2L, 1L, 11L),
+      (boiler.slice(2, 12).mkString(" "), 2L, 1L, 12L),
+      (c.mkString(" "), 2L, 5L, 5L),
+      (d.mkString(" "), 2L, 5L, 30L)), out.mkString(", "))
+  }
+
   test("duplicateSpans is one corpus scan, no join: in-partition min/max window, no count-distinct") {
     val df = SparkEntry.queries("text_dup_spans")(spark, dir)
     df.collect()

@@ -78,7 +78,11 @@ class ShuffleBudgetSpec extends SparkSpec {
     // semdedup = one cid exchange (the pair join's other side reuses
     // it) + the pruned-id distinct agg + the presentation orderBy;
     // the anti-join's pruned side broadcasts at this scale
-    "pipeline_semdedup" -> 4)) {
+    "pipeline_semdedup" -> 4,
+    // boilerplate mining = (g, doc) collapse + per-gram agg + the
+    // ≤ k-row presentation orderBy; top-k is TakeOrdered and the
+    // reconstruction join broadcasts the k rows
+    "text_boilerplate_topk" -> 4)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
