@@ -19,9 +19,11 @@ import graft.operators.{Curation, Dedup, Similarity}
   *
   * For each operator it records wall seconds, shuffle bytes and shuffle
   * records (SparkListener stage totals), plus planted-pair recall. The
-  * `main` runs two multipliers and prints a JSON report (committed as
-  * SCALE_STRESS_r{N}.json); ScaleStressSpec runs the small multiplier and
-  * asserts recall = 1.0 and the shuffle budgets.
+  * `main` runs the requested multipliers (args: baseDir, "4,16,64",
+  * optional op filter) and prints a JSON report, committed as
+  * SCALE_STRESS_r{N}.json — the recall contracts live in that artifact;
+  * per-operator CORRECTNESS at fixed SF is the DuckDB oracle's job, and
+  * plan-shape regressions are ShuffleBudgetSpec's.
   *
   * Parameter scaling rules (the 100 TB story, applied here concretely):
   *   - sign-LSH bits per band grow with log2(n) so expected bucket size
