@@ -195,4 +195,52 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("duplicateSpans ≡ brute-force string-gram reference over random tiny-vocab corpora") {
+    // independent paths: the operator rides 64-bit rolling-hash grams,
+    // a gram-partition window, and a gaps-and-islands merge; the
+    // reference compares STRING grams with driver-side set logic. A
+    // 6-word vocabulary forces dense cross-doc gram sharing, adjacent
+    // and overlapping islands, and sub-n documents.
+    val n = 3
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.chooseNum(0, 15).flatMap(l =>
+      Gen.listOfN(l, word).map(_.mkString(" ")))
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Long, Long, Double)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq }.toMap
+      def grams(id: Long) = {
+        val w = toks(id)
+        if (w.length < n) Seq.empty
+        else (0 to w.length - n).map(p => p -> w.slice(p, p + n).mkString(" "))
+      }
+      val docsPerGram = docs.flatMap { case (id, _) =>
+        grams(id).map { case (_, g) => g -> id } }
+        .groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+      docs.flatMap { case (id, _) =>
+        val starts = grams(id).collect {
+          case (p, g) if docsPerGram(g) >= 2 => p }
+        if (starts.isEmpty) None else {
+          val islands = starts.foldLeft(List.empty[(Int, Int)]) {
+            case (Nil, p) => List((p, p))
+            case ((lo, hi) :: rest, p) =>
+              if (p - hi <= n) (lo, p) :: rest else (p, p) :: (lo, hi) :: rest
+          }
+          val dupTok = islands.map { case (lo, hi) => hi - lo + n }.sum.toLong
+          val nt = toks(id).length.toLong
+          val frac = BigDecimal(dupTok.toDouble / nt)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Some(id -> ((islands.size.toLong, dupTok, nt, frac)))
+        }
+      }.toMap
+    }
+    forAll(Gen.listOfN(8, doc), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = graft.operators.Curation
+        .duplicateSpans(docs.toDF("doc_id", "text"), "doc_id", "text", n)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+      assert(out == reference(docs), s"corpus: $docs")
+    }
+  }
 }
