@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text analysis for corpus pipelines: quality scoring, token counting,
   * language ID, fingerprinting. Quality/token/fingerprint are pure
@@ -139,5 +140,65 @@ object TextAnalysis {
         round(sum(contrib), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Bigram language-model cross-entropy per document (the CCNet/KenLM
+    * quality-filter shape, one order up from the unigram row): train an
+    * add-α-smoothed bigram model ON THE CORPUS ITSELF and score each
+    * document by the mean negative log-probability of its adjacent
+    * token pairs — fluent/common text scores low, gibberish and
+    * word-salad score high. P(b|a) = (c2(a,b)+α) / (c1(a)+α·V), with
+    * c1 the CONTEXT count Σ_b c2(a,b) and V the number of distinct
+    * contexts |{a}| — a valid add-α support constant that needs only a
+    * light distinct over context tokens, never a pair explode.
+    *
+    * Scale shape: within-doc repeated bigrams collapse FIRST (one
+    * (doc, a, b, m) row each), then c2 and c1 attach IN PLACE as
+    * unbounded windows over the (a, b) and (a) partitions of that
+    * collapsed stream — the same single-pass trick as
+    * [[graft.operators.Curation.duplicateSpans]]: a count-table
+    * join-back would re-execute the bigram explode for the probe side
+    * (column pruning defeats exchange reuse) and re-shuffle the stream
+    * by the same keys anyway. V rides a separate light projection
+    * (distinct context tokens; no pair explode). Hot bigrams
+    * concentrate their pre-collapsed rows in one window partition — one
+    * row per DOCUMENT containing the pair, the minimum any exact count
+    * needs. Docs with < 2 tokens carry no bigram and are absent.
+    * Rounded to 4 dp AFTER the mean, the same cross-engine float-sum
+    * tolerance contract as `text_unigram_lm`.
+    */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+                     alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, s"bigramLmScores: alpha must be > 0 (got $alpha)")
+    val base = docs.select(col(idCol),
+      graft.operators.Curation.wsTokens(col(textCol)).as("__w"))
+    val pairs = base
+      .filter(size(col("__w")) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("__w"), lit(1), size(col("__w")) - 1),
+          slice(col("__w"), lit(2), size(col("__w")) - 1),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+      .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
+    val docPair = pairs.groupBy(col(idCol), col("__a"), col("__b"))
+      .agg(count(lit(1)).as("__m"))
+    val wAB = Window.partitionBy(col("__a"), col("__b"))
+    val wA = Window.partitionBy(col("__a"))
+    val enriched = docPair
+      .withColumn("__c2", sum(col("__m")).over(wAB))
+      .withColumn("__c1", sum(col("__m")).over(wA))
+    val vocab = base
+      .filter(size(col("__w")) >= 2)
+      .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))
+      .agg(countDistinct(col("__t")).as("__v"))
+    val logp = log((col("__c2") + lit(alpha)) /
+      (col("__c1") + lit(alpha) * col("__v")))
+    enriched
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(sum(col("__m")).cast("long").as("n_bigrams"),
+        (-sum(col("__m") * logp) / sum(col("__m"))).as("__x"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("__x"), 4).as("bigram_xent"))
   }
 }

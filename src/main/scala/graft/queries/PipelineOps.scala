@@ -153,6 +153,17 @@ object PipelineOps {
         Seq("vector", "spark", "merge", "window"), k = 15)
     }),
 
+    "text_bigram_lm" -> ((s, dir) => {
+      // bigram LM cross-entropy (TextAnalysis.bigramLmScores): the
+      // CCNet/KenLM quality-filter shape one order up from the unigram
+      // row — within-doc bigrams collapse before any join, count
+      // tables are one row per key, smoothing add-0.1 over the corpus
+      // vocabulary.
+      graft.operators.TextAnalysis.bigramLmScores(
+          t(s, dir, "documents"), "doc_id", "text", alpha = 0.1)
+        .orderBy(col("doc_id"))
+    }),
+
     "text_unigram_lm" -> ((s, dir) => {
       // unigram language-model quality score (CCNet-style): per-doc mean
       // log corpus frequency of its tokens. One shuffle to build the
@@ -279,6 +290,27 @@ object PipelineOps {
         |GROUP BY doc_id
         |ORDER BY score DESC, doc_id
         |LIMIT 15""".stripMargin,
+
+    "text_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT doc_id, w[i] AS a, w[i+1] AS b
+        |  FROM toks, unnest(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+        |docpair AS (SELECT doc_id, a, b, count(*) AS m FROM pairs GROUP BY doc_id, a, b),
+        |c2 AS (SELECT a, b, sum(m) AS c2 FROM docpair GROUP BY a, b),
+        |c1 AS (SELECT a, sum(c2) AS c1 FROM c2 GROUP BY a),
+        |v AS (SELECT count(*) AS v FROM c1),
+        |sc AS (
+        |  SELECT doc_id, sum(m) AS nb,
+        |    -sum(m * ln((c2 + 0.1) / (c1 + 0.1 * v))) / sum(m) AS x
+        |  FROM docpair JOIN c2 USING (a, b) JOIN c1 USING (a), v
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_bigrams,
+        |  round(x, 4) AS bigram_xent
+        |FROM sc ORDER BY doc_id""".stripMargin,
 
     "text_unigram_lm" ->
       """WITH words AS (

@@ -558,6 +558,26 @@ object ScaleStress {
         r.copy(plantedTotal = 1L, plantedFound = if (ok) 1L else 0L)
       }
 
+      // bigram LM quality scoring: every count table builds from the
+      // pre-collapsed (doc, a, b) rows, so the hot bigram (the
+      // boilerplate block's repeated pairs, shared by 100·mult docs)
+      // costs one row per map partition per stage. The planted contract
+      // is SEMANTIC: boilerplate docs (corpus-common bigrams) must
+      // average strictly lower cross-entropy than the token-soup
+      // replicas (pairs seen almost nowhere else).
+      val bigramLm = if (!wanted("bigramlm")) None else Some {
+        val scored = graft.operators.TextAnalysis.bigramLmScores(
+          docs, "doc_id", "text")
+        val r = measure(spark, meter, "text_bigram_lm",
+          scored.select(col("doc_id").as("id_a"), col("n_bigrams").as("id_b")),
+          None)
+        val means = scored.join(docs.select(col("doc_id"), col("source")), "doc_id")
+          .groupBy(col("source")).agg(avg(col("bigram_xent")).as("mx"))
+          .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+        val ok = means("boiler") < means("src0")
+        r.copy(plantedTotal = 1L, plantedFound = if (ok) 1L else 0L)
+      }
+
       // SemDeDup at scale: k grows ~sqrt(n) (the paper's own recipe —
       // bounded cluster sizes keep within-cluster pairs Σ|C|², not n²),
       // tau high enough that only true copies/near-copies prune. The
@@ -612,7 +632,7 @@ object ScaleStress {
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
-        bm25, epochShuf, incremental, dupspans, semdedup, boilermine).flatten ++ kmeansWide)
+        bm25, epochShuf, incremental, dupspans, semdedup, boilermine, bigramLm).flatten ++ kmeansWide)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 

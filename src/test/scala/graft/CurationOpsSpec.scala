@@ -268,6 +268,27 @@ class CurationOpsSpec extends SparkSpec {
       (d.mkString(" "), 2L, 5L, 30L)), out.mkString(", "))
   }
 
+  test("bigramLmScores matches hand-computed add-alpha cross-entropy; fluent scores below word-salad") {
+    import spark.implicits._
+    // corpus: "x y x y" + "x y" → c2(x,y)=3, c2(y,x)=1, c1(x)=3,
+    // c1(y)=1, V = |contexts| = 2, alpha=0.1:
+    //   P(y|x) = 3.1/3.2, P(x|y) = 1.1/1.2
+    //   doc1 = -(2 ln(3.1/3.2) + ln(1.1/1.2))/3 = 0.0502 (4 dp)
+    //   doc2 = -ln(3.1/3.2) = 0.0317
+    val out = graft.operators.TextAnalysis.bigramLmScores(
+        Seq((1L, "x y x y"), (2L, "x y")).toDF("doc_id", "text"),
+        "doc_id", "text", alpha = 0.1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out == Map(1L -> ((3L, 0.0502)), 2L -> ((1L, 0.0317))), out.toString)
+    // semantic contract: a doc of corpus-common bigrams scores LOWER
+    // cross-entropy than one of bigrams seen nowhere else
+    val docs2 = (Seq.tabulate(10)(i => (i.toLong, "the cat sat here")) :+
+      (99L, "zq wv kx jm")).toDF("doc_id", "text")
+    val s2 = graft.operators.TextAnalysis.bigramLmScores(docs2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(s2(0L) < s2(99L), s"fluent ${s2(0L)} !< salad ${s2(99L)}")
+  }
+
   test("duplicateSpans is one corpus scan, no join: in-partition min/max window, no count-distinct") {
     val df = SparkEntry.queries("text_dup_spans")(spark, dir)
     df.collect()

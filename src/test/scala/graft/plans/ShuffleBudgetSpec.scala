@@ -82,7 +82,13 @@ class ShuffleBudgetSpec extends SparkSpec {
     // boilerplate mining = (g, doc) collapse + per-gram agg + the
     // ≤ k-row presentation orderBy; top-k is TakeOrdered and the
     // reconstruction join broadcasts the k rows
-    "text_boilerplate_topk" -> 4)) {
+    "text_boilerplate_topk" -> 4,
+    // bigram LM = (doc,a,b) collapse + the (a,b) and (a) count
+    // windows (c2/c1 attach in place — no join-back, no second pair
+    // explode) + the 2-stage distinct context count for V + the
+    // per-doc agg + the presentation orderBy = 6; the agg+join form
+    // this replaced materialized 9 and ran the explode twice
+    "text_bigram_lm" -> 6)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
