@@ -184,9 +184,12 @@ object TextAnalysis {
       .agg(count(lit(1)).as("__m"))
     val wAB = Window.partitionBy(col("__a"), col("__b"))
     val wA = Window.partitionBy(col("__a"))
+    // c1 window FIRST: hashpartitioning(a) also satisfies the (a, b)
+    // window's clustering requirement, so c2 adds only a sort — the
+    // opposite order exchanges the stream twice
     val enriched = docPair
-      .withColumn("__c2", sum(col("__m")).over(wAB))
       .withColumn("__c1", sum(col("__m")).over(wA))
+      .withColumn("__c2", sum(col("__m")).over(wAB))
     val vocab = base
       .filter(size(col("__w")) >= 2)
       .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))
