@@ -162,10 +162,9 @@ object Similarity {
     // 32-bit semanticHash (a hash collision would silently serve the
     // wrong centroids); the SQL oracle replays training from scratch
     // each run, so a stale/wrong memo hit cannot pass verification.
-    val centroids = centroidMemo.computeIfAbsent(
+    val centroids = centroidMemo.getOrCompute(
       (corpus.queryExecution.analyzed.canonicalized.toString,
-        idCol, vecCol, k, iterations, scale),
-      _ => trainLloyd(base, k, iterations))
+        idCol, vecCol, k, iterations, scale))(trainLloyd(base, k, iterations))
     // Assignment runs as ONE codegen expression
     // ([[graft.plans.ArgminSqDistLong]]): argmin of the exact integer
     // squared distance over the whole centroid table, first-wins ties;
@@ -177,8 +176,23 @@ object Similarity {
         .cast("int").as("cid"))
   }
 
-  private val centroidMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, Int, Int, Long), Array[Array[Long]]]()
+  /** Bounded per-JVM model memo (LRU on access): an unbounded map would
+    * grow for the process lifetime in a service that clusters many
+    * distinct corpora — each entry holds k·dim values plus a full
+    * canonicalized plan string. Eviction only costs a retrain. */
+  private final class ModelMemo[K, V <: AnyRef](cap: Int) {
+    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+        size() > cap
+    }
+    def getOrCompute(k: K)(f: => V): V = m.synchronized {
+      val hit = m.get(k)
+      if (hit != null) hit else { val v = f; m.put(k, v); v }
+    }
+  }
+
+  private val centroidMemo = new ModelMemo[
+    (String, String, String, Int, Int, Long), Array[Array[Long]]](64)
 
   private def trainLloyd(base: DataFrame, k: Int,
                          iterations: Int): Array[Array[Long]] = {
@@ -245,8 +259,8 @@ object Similarity {
     * params) — the same explicit-rebuild contract real ANN indexes have;
     * recall is a property the caller re-verifies after bulk loads.
     */
-  private val quantizerMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, String, String, Int, Int, Int), Array[(Int, Array[Double])]]()
+  private val quantizerMemo = new ModelMemo[
+    (String, String, String, Int, Int, Int), Array[(Int, Array[Double])]](64)
 
   /** [[kmeansCentroids]] through the offline-index memo: first call per
     * (corpus plan, params) trains, later calls serve the stored
@@ -258,10 +272,10 @@ object Similarity {
   def kmeansCentroidsCached(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, iterations: Int,
                             sampleCap: Int = 65536): Array[(Int, Array[Double])] =
-    quantizerMemo.computeIfAbsent(
+    quantizerMemo.getOrCompute(
       (corpus.queryExecution.analyzed.canonicalized.toString,
-        idCol, vecCol, k, iterations, sampleCap),
-      _ => kmeansCentroids(corpus, idCol, vecCol, k, iterations, sampleCap))
+        idCol, vecCol, k, iterations, sampleCap))(
+      kmeansCentroids(corpus, idCol, vecCol, k, iterations, sampleCap))
 
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iterations: Int,
