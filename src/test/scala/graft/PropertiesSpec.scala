@@ -243,4 +243,71 @@ class PropertiesSpec extends SparkSpec {
       assert(out == reference(docs), s"corpus: $docs")
     }
   }
+
+  test("boilerplateGrams ≡ brute-force reference over random tiny-vocab corpora") {
+    val n = 2; val k = 5
+    val word = Gen.oneOf("aa", "bb", "cc", "dd")
+    val doc = Gen.chooseNum(0, 8).flatMap(l =>
+      Gen.listOfN(l, word).map(_.mkString(" ")))
+    def reference(docs: Seq[(Long, String)]): Seq[(String, Long, Long, Long)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val perDoc = toks.flatMap { case (id, w) =>
+        (0 to w.length - n).map(p => (w.slice(p, p + n).mkString(" "), id, p))
+      }.groupBy(x => (x._1, x._2))
+        .map { case ((g, id), xs) => (g, id, xs.map(_._3).min) }.toSeq
+      perDoc.groupBy(_._1).toSeq
+        .map { case (g, xs) =>
+          val (sd, sp) = xs.map(x => (x._2, x._3)).min
+          (g, xs.size.toLong, sd, sp.toLong) }
+        .filter(_._2 >= 2)
+        .sortBy { case (_, nd, sd, sp) => (-nd, sd, sp) }
+        .take(k)
+    }
+    forAll(Gen.listOfN(7, doc), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      import spark.implicits._
+      val out = graft.operators.Curation
+        .boilerplateGrams(docs.toDF("doc_id", "text"), "doc_id", "text", n, k)
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(out == reference(docs), s"corpus: $docs")
+    }
+  }
+
+  test("bigramLmScores ≡ driver reference (exact counts, 1e-3-tolerant entropy) on random corpora") {
+    val word = Gen.oneOf("aa", "bb", "cc")
+    val doc = Gen.chooseNum(0, 8).flatMap(l =>
+      Gen.listOfN(l, word).map(_.mkString(" ")))
+    val alpha = 0.1
+    def reference(docs: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.split("\\s+").filter(_.nonEmpty).toSeq }
+      val pairs = toks.flatMap { case (id, w) =>
+        w.zip(w.drop(1)).map { case (a, b) => (id, a, b) } }
+      val c2 = pairs.groupBy(x => (x._2, x._3)).view.mapValues(_.size.toLong).toMap
+      val c1 = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val v = c1.size
+      toks.collect { case (id, w) if w.length >= 2 =>
+        val ps = w.zip(w.drop(1))
+        val x = -ps.map { case (a, b) =>
+          math.log((c2((a, b)) + alpha) / (c1(a) + alpha * v)) }.sum / ps.size
+        id -> ((ps.size.toLong, x))
+      }.toMap
+    }
+    forAll(Gen.listOfN(6, doc), n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      import spark.implicits._
+      val out = graft.operators.TextAnalysis.bigramLmScores(
+          docs.toDF("doc_id", "text"), "doc_id", "text", alpha)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      val ref = reference(docs)
+      assert(out.keySet == ref.keySet, s"docs differ: $out vs $ref")
+      out.foreach { case (id, (nb, x)) =>
+        assert(nb == ref(id)._1, s"doc $id n_bigrams $nb vs ${ref(id)._1}")
+        assert(math.abs(x - ref(id)._2) < 1e-3,
+          s"doc $id xent $x vs ${ref(id)._2}")
+      }
+    }
+  }
 }
