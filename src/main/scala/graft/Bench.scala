@@ -115,6 +115,8 @@ object Bench {
       "text_chunk", "text_unigram_lm", "text_decontaminate",
       "pipeline_pack_sequences", "pipeline_semantic_cluster",
       "pipeline_train_split", "emb_quantize",
+      "dedup_incremental", "text_bm25_topk", "text_dup_spans",
+      "pipeline_semdedup", "text_bigram_lm", "pipeline_epoch_shuffle",
       "stream_tumbling", "stream_session", "stream_stream_join",
       "mm_binary_stats", "arrow_roundtrip")
     val byName = results.toMap
