@@ -298,9 +298,16 @@ object Dedup {
     * — batch-sized, not corpus-sized), the batch side probes it with an
     * equi-join on the narrow band keys. Candidates re-join their
     * shingle arrays for the exact-Jaccard refine, so wide rows never
-    * enter the candidate shuffle. The skew cap applies per side on its
-    * own exchange (a degenerate/boilerplate bucket is hot on whichever
-    * side contains it).
+    * enter the candidate shuffle. The skew cap (`maxBucket`) applies to
+    * the HISTORY index only — that is where accumulated boilerplate
+    * makes buckets hot, and it is the side a production deployment
+    * persists and can size offline. The batch side is never capped:
+    * this keeps the operator's answer IDENTICAL to the streaming twin
+    * ([[graft.streaming.DocStreams.incrementalDedup]]), where a
+    * (band, bucket) window over the in-flight increment is not
+    * stream-expressible. A pathological batch (one gram in a million
+    * arriving docs) fans out on the join; the upstream fix there is
+    * batch partitioning, not silent candidate drops.
     *
     * Returns (batch_id, hist_id, jaccard) for every candidate pair;
     * callers filter at their threshold. Complete above the banding
@@ -331,7 +338,7 @@ object Dedup {
       .drop("bsize")
     val hsh = shingled(history)
     val bsh = shingled(batch)
-    val candidates = capped(banded(bsh)).select(
+    val candidates = banded(bsh).select(
         col("band"), col("bucket"), col("id").as("batch_id"))
       .join(capped(banded(hsh)).select(
         col("band"), col("bucket"), col("id").as("hist_id")),

@@ -162,9 +162,15 @@ object Similarity {
     // 32-bit semanticHash (a hash collision would silently serve the
     // wrong centroids); the SQL oracle replays training from scratch
     // each run, so a stale/wrong memo hit cannot pass verification.
-    val centroids = centroidMemo.getOrCompute(
-      (corpus.queryExecution.analyzed.canonicalized.toString,
-        idCol, vecCol, k, iterations, scale))(trainLloyd(base, k, iterations))
+    // Plans whose text does NOT capture their data (LocalRelation etc.,
+    // see [[memoSafePlan]]) bypass the memo entirely.
+    val planKey = corpus.queryExecution.analyzed.canonicalized
+    val centroids =
+      if (memoSafePlan(planKey))
+        centroidMemo.getOrCompute(
+          (planKey.toString, idCol, vecCol, k, iterations, scale))(
+          trainLloyd(base, k, iterations))
+      else trainLloyd(base, k, iterations)
     // Assignment runs as ONE codegen expression
     // ([[graft.plans.ArgminSqDistLong]]): argmin of the exact integer
     // squared distance over the whole centroid table, first-wins ties;
@@ -176,18 +182,60 @@ object Similarity {
         .cast("int").as("cid"))
   }
 
+  /** Memo-key safety gate: canonicalized-plan TEXT is a sound memo key
+    * only when the text pins down the data. File scans do (path +
+    * schema + pushed filters render); in-memory leaves do NOT —
+    * `LocalRelation` renders as `LocalRelation [cols]` with the rows
+    * elided, and LogicalRDD/ExternalRDD/InMemoryRelation render an
+    * opaque RDD/cache id — so two different in-memory corpora with the
+    * same schema would collide and silently serve each other's trained
+    * model. Those plans bypass the memo (training an in-memory corpus
+    * is cheap by definition; the memo exists for the re-scanned-table
+    * serving path). Class-name match because LogicalRDD/ExternalRDD
+    * live in the private execution package. */
+  private def memoSafePlan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    !plan.exists { n =>
+      val c = n.getClass.getSimpleName
+      c == "LocalRelation" || c == "LogicalRDD" || c == "ExternalRDD" ||
+        c == "InMemoryRelation"
+    }
+
   /** Bounded per-JVM model memo (LRU on access): an unbounded map would
     * grow for the process lifetime in a service that clusters many
     * distinct corpora — each entry holds k·dim values plus a full
-    * canonicalized plan string. Eviction only costs a retrain. */
+    * canonicalized plan string. Eviction only costs a retrain.
+    *
+    * Concurrency: the map lock is held only for get/put; the training
+    * thunk runs OUTSIDE it inside a per-key [[java.util.concurrent.FutureTask]]
+    * latch, so a multi-minute Lloyd training on one corpus never blocks
+    * memo hits (or concurrent trainings) for other keys, while two
+    * threads racing on the SAME key still train exactly once. A failed
+    * training removes its latch so the next caller retries instead of
+    * replaying a cached exception forever. */
   private final class ModelMemo[K, V <: AnyRef](cap: Int) {
-    private val m = new java.util.LinkedHashMap[K, V](16, 0.75f, true) {
-      override def removeEldestEntry(e: java.util.Map.Entry[K, V]): Boolean =
+    private type Cell = java.util.concurrent.FutureTask[V]
+    private val m = new java.util.LinkedHashMap[K, Cell](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[K, Cell]): Boolean =
         size() > cap
     }
-    def getOrCompute(k: K)(f: => V): V = m.synchronized {
-      val hit = m.get(k)
-      if (hit != null) hit else { val v = f; m.put(k, v); v }
+    def getOrCompute(k: K)(f: => V): V = {
+      val cell = m.synchronized {
+        val hit = m.get(k)
+        if (hit != null) hit
+        else {
+          val t = new Cell(() => f)
+          m.put(k, t)
+          t
+        }
+      }
+      cell.run() // no-op unless this thread installed the (fresh) task
+      try cell.get()
+      catch {
+        case e: java.util.concurrent.ExecutionException =>
+          m.synchronized { if (m.get(k) eq cell) m.remove(k) }
+          throw e.getCause
+      }
     }
   }
 
@@ -271,11 +319,14 @@ object Similarity {
     * (equal text = semantically equal plan by construction). */
   def kmeansCentroidsCached(corpus: DataFrame, idCol: String, vecCol: String,
                             k: Int, iterations: Int,
-                            sampleCap: Int = 65536): Array[(Int, Array[Double])] =
-    quantizerMemo.getOrCompute(
-      (corpus.queryExecution.analyzed.canonicalized.toString,
-        idCol, vecCol, k, iterations, sampleCap))(
-      kmeansCentroids(corpus, idCol, vecCol, k, iterations, sampleCap))
+                            sampleCap: Int = 65536): Array[(Int, Array[Double])] = {
+    val planKey = corpus.queryExecution.analyzed.canonicalized
+    if (memoSafePlan(planKey))
+      quantizerMemo.getOrCompute(
+        (planKey.toString, idCol, vecCol, k, iterations, sampleCap))(
+        kmeansCentroids(corpus, idCol, vecCol, k, iterations, sampleCap))
+    else kmeansCentroids(corpus, idCol, vecCol, k, iterations, sampleCap)
+  }
 
   def kmeansCentroids(corpus: DataFrame, idCol: String, vecCol: String,
                       k: Int, iterations: Int,

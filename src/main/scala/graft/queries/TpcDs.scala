@@ -108,12 +108,11 @@ object TpcDs {
       |    JOIN nation ON c_nationkey = n_nationkey
       |  GROUP BY n_name, m),
       |w AS (
-      |  SELECT n_name, m, r,
-      |    avg(r) OVER (PARTITION BY n_name ORDER BY m
-      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS peer
+      |  SELECT n_name, m, round(CAST(r AS DOUBLE), 2) AS r,
+      |    round(CAST(avg(r) OVER (PARTITION BY n_name ORDER BY m
+      |      ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE), 2) AS peer
       |  FROM rev)
-      |SELECT n_name, m, round(CAST(r AS DOUBLE), 2) AS rev,
-      |  round(CAST(peer AS DOUBLE), 2) AS peer_avg,
+      |SELECT n_name, m, r AS rev, peer AS peer_avg,
       |  round(CAST(r / peer AS DOUBLE), 4) AS ratio
       |FROM w
       |WHERE r > 1.1 * peer OR r < 0.9 * peer
@@ -139,7 +138,12 @@ object TpcDs {
     "tpcds_channel_union" -> sameText(channelUnionSql),
     // moving-peer comparison: a bidirectional window frame over a
     // 4-table join aggregate, filtered on the frame result (q47's
-    // deviation-from-neighbors shape)
+    // deviation-from-neighbors shape). r and peer are rounded to 2dp
+    // BEFORE the ratio filter: double sums are accumulation-order
+    // dependent, so an unrounded boundary comparison could flip row
+    // MEMBERSHIP between engines (or between two AQE runs), not just a
+    // displayed decimal — the repo's round-before-compare convention
+    // applies to predicates on aggregates, not only to output columns.
     "tpcds_moving_peer" -> sameText(movingPeerSql))
 
   val oracle: Map[String, String] = Map(

@@ -44,10 +44,12 @@ object DocStreams {
   /** Streaming incremental dedup: arriving docs (doc_id % 5 = 0) scored
     * against the static history (the other 80%) — the streaming twin of
     * the batch `dedup_incremental` query, same banding parameters, same
-    * answer. The history side is capped on hot buckets exactly like the
-    * batch operator; the stream side skips the cap (a window over
-    * (band, bucket) is not stream-expressible, and the skew the cap
-    * targets lives in the accumulated history, not the daily increment).
+    * answer. The cap contract matches [[Dedup.dedupAgainst]] EXACTLY:
+    * only the persisted history index is capped on hot buckets, the
+    * arriving side never is (a window over (band, bucket) is not
+    * stream-expressible, and the skew the cap targets lives in the
+    * accumulated history, not the daily increment) — so batch and
+    * streaming answers are identical by construction, not by luck.
     * `dropDuplicates` collapses multi-band candidate multiplicity; its
     * state is keyed on emitted pairs — bounded by the increment's match
     * count (a production deployment would add an ingest-time watermark

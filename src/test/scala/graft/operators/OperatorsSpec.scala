@@ -484,6 +484,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out(0L) == out(1L))
     assert(out(0L) != out(2L))
   }
+
+  test("centroid memo never collides two in-memory corpora with equal schema") {
+    // Regression: LocalRelation canonicalizes WITHOUT its rows, so a
+    // plan-text memo key would serve corpus A's centroids to corpus B.
+    // Two same-schema corpora whose cluster structure is orthogonal:
+    // each must get ITS OWN assignment (A splits ids {0,1} vs {2};
+    // B groups {10,12} vs {11} on the opposite axis).
+    val a = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val b = Seq((10L, Seq(0.0f, 5.0f)), (11L, Seq(5.0f, 0.0f)),
+      (12L, Seq(0.1f, 4.9f))).toDF("vec_id", "embedding")
+    val outA = Similarity.semanticClusters(a, "vec_id", "embedding",
+      k = 2, iterations = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val outB = Similarity.semanticClusters(b, "vec_id", "embedding",
+      k = 2, iterations = 3).collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(outA(0L) == outA(1L) && outA(0L) != outA(2L))
+    assert(outB(10L) == outB(12L) && outB(10L) != outB(11L))
+    // same shape for the IVF quantizer memo: B must be trained on B
+    val cA = Similarity.kmeansCentroidsCached(a, "vec_id", "embedding",
+      k = 1, iterations = 2)
+    val cB = Similarity.kmeansCentroidsCached(b, "vec_id", "embedding",
+      k = 1, iterations = 2)
+    assert(!java.util.Arrays.equals(cA(0)._2, cB(0)._2))
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
