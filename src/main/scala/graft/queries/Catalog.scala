@@ -409,6 +409,47 @@ object Catalog {
       skipped.crossJoin(unioned).crossJoin(hp)
     }),
 
+    "csv_sniffer" -> ((s, dir) => {
+      // dialect sniffer (reference read_csv_auto / BufferedCSVReader,
+      // duckdb-4.cpp:1949-3700): four tricky fixtures read with ZERO
+      // dialect options on BOTH engines — semicolon-delimited with
+      // quoted fields containing the delimiter and doubled quotes,
+      // pipe-delimited, tab-delimited, and gzip-compressed comma — so
+      // each engine must independently detect delim/quote/header
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get("/root/repo/target/csv_sniff")
+      Files.createDirectories(base)
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey")).collect()
+      def put(rel: String, lines: Seq[String]): Unit =
+        Files.write(base.resolve(rel), (lines.mkString("\n") + "\n").getBytes)
+      // values carry the delimiter AND a doubled quote inside a quoted
+      // field — the cases a delimiter-count sniffer gets wrong if it
+      // ignores quoting
+      put("semi.csv", "nkey;nname;nregion" +: nation.map(r =>
+        // renders as: 0;"NAME;""x""";0 — quoted field with embedded
+        // delimiter and a doubled-quote escape
+        r.getLong(0) + ";\"" + r.getString(1) + ";\"\"x\"\"\";" + r.getLong(2)))
+      put("pipe.csv", "nkey|nname|nregion" +: nation.map(r =>
+        s"${r.getLong(0)}|${r.getString(1)}|${r.getLong(2)}"))
+      put("tabs.csv", "nkey\tnname\tnregion" +: nation.map(r =>
+        s"${r.getLong(0)}\t${r.getString(1)}\t${r.getLong(2)}"))
+      val gz = new java.util.zip.GZIPOutputStream(
+        Files.newOutputStream(base.resolve("gzip.csv.gz")))
+      gz.write(("nkey,nname,nregion\n" + nation.map(r =>
+        s"${r.getLong(0)},${r.getString(1)},${r.getLong(2)}").mkString("\n") + "\n").getBytes)
+      gz.close()
+      def agg(rel: String, pfx: String) =
+        Csv.read(s, s"/root/repo/target/csv_sniff/$rel")
+          .agg(count(lit(1)).as(s"${pfx}_n"),
+            sum(col("nkey")).cast("long").as(s"${pfx}_keys"),
+            sum(length(col("nname"))).cast("long").as(s"${pfx}_chars"))
+      agg("semi.csv", "semi").crossJoin(agg("pipe.csv", "pipe"))
+        .crossJoin(agg("tabs.csv", "tabs")).crossJoin(agg("gzip.csv.gz", "gz"))
+    }),
+
     "dialect_table_macro" -> ((s, dir) => {
       // CREATE MACRO … AS TABLE (reference TableMacroFunction
       // duckdb-internal.hpp:9955) — call site in FROM with an alias
@@ -605,6 +646,24 @@ object Catalog {
         |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
         | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
         |               hive_partitioning=true, header=true))""".stripMargin,
+
+    "csv_sniffer" ->
+      """SELECT * FROM
+        |(SELECT count(*) AS semi_n, CAST(sum(nkey) AS BIGINT) AS semi_keys,
+        |        CAST(sum(length(nname)) AS BIGINT) AS semi_chars
+        | FROM read_csv_auto('/root/repo/target/csv_sniff/semi.csv'))
+        |CROSS JOIN
+        |(SELECT count(*) AS pipe_n, CAST(sum(nkey) AS BIGINT) AS pipe_keys,
+        |        CAST(sum(length(nname)) AS BIGINT) AS pipe_chars
+        | FROM read_csv_auto('/root/repo/target/csv_sniff/pipe.csv'))
+        |CROSS JOIN
+        |(SELECT count(*) AS tabs_n, CAST(sum(nkey) AS BIGINT) AS tabs_keys,
+        |        CAST(sum(length(nname)) AS BIGINT) AS tabs_chars
+        | FROM read_csv_auto('/root/repo/target/csv_sniff/tabs.csv'))
+        |CROSS JOIN
+        |(SELECT count(*) AS gz_n, CAST(sum(nkey) AS BIGINT) AS gz_keys,
+        |        CAST(sum(length(nname)) AS BIGINT) AS gz_chars
+        | FROM read_csv_auto('/root/repo/target/csv_sniff/gzip.csv.gz'))""".stripMargin,
 
     "dialect_table_macro" ->
       """CREATE OR REPLACE MACRO top_parts(n) AS TABLE

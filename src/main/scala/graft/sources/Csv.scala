@@ -5,13 +5,158 @@ import org.apache.spark.sql.functions._
 
 /** CSV source/sink with reference-style option names
   * (ReadCSVTableFunction's 30 named options, duckdb-6.cpp:10273-10299;
-  * writer = PhysicalCopyToFile, duckdb-4.cpp:4689). Dialect sniffing maps
-  * to Spark's schema inference; explicit options are translated 1:1;
-  * options with no DataFrameReader equivalent (`skip`, `union_by_name`,
-  * `filename`, `normalize_names`) are implemented as plan transforms.
-  * Remaining unknown options raise instead of silently diverging.
+  * writer = PhysicalCopyToFile, duckdb-4.cpp:4689). Dialect detection is
+  * a real sample-based sniffer (read_csv_auto's BufferedCSVReader
+  * analog, duckdb-4.cpp:1949-3700): delimiter/quote/header are detected
+  * from a driver-side sample whenever the caller doesn't pin them, then
+  * Spark's schema inference types the columns. Explicit options are
+  * translated 1:1; options with no DataFrameReader equivalent (`skip`,
+  * `union_by_name`, `filename`, `normalize_names`) are implemented as
+  * plan transforms. Remaining unknown options raise instead of silently
+  * diverging.
   */
 object Csv {
+
+  /** Detected CSV dialect. `escape` follows the doubled-quote
+    * convention (escape char = quote char), the reference's default. */
+  final case class Dialect(delim: Char, quote: Char, header: Boolean)
+
+  private val SniffBytes = 64 * 1024
+  private val SniffRecords = 200
+  // candidate search order = the reference sniffer's preference order
+  // (duckdb-4.cpp:3383): on a consistency tie the earlier delim wins
+  private val CandidateDelims = Seq(',', '|', ';', '\t')
+  private val CandidateQuotes = Seq('"', '\'')
+
+  /** Parse `sample` into records under (delim, quote) with doubled-quote
+    * escaping — one linear state-machine pass; newlines inside quotes do
+    * NOT terminate a record. The trailing record is dropped when the
+    * sample ends mid-stream (truncated by the byte cap), never when the
+    * text ends with a newline. */
+  private[graft] def parseRecords(sample: String, delim: Char, quote: Char,
+                                  truncated: Boolean): Vector[Vector[String]] = {
+    val records = Vector.newBuilder[Vector[String]]
+    var fields = Vector.newBuilder[String]
+    val field = new StringBuilder
+    var inQuote = false
+    var sawAny = false
+    var i = 0
+    val n = sample.length
+    while (i < n) {
+      val c = sample.charAt(i)
+      if (inQuote) {
+        if (c == quote) {
+          if (i + 1 < n && sample.charAt(i + 1) == quote) { field.append(quote); i += 1 }
+          else inQuote = false
+        } else field.append(c)
+      } else c match {
+        case `quote` => inQuote = true; sawAny = true
+        case `delim` => fields += field.result(); field.clear(); sawAny = true
+        case '\r' => // swallowed; '\n' (or EOF) closes the record
+        case '\n' =>
+          if (sawAny || field.nonEmpty) { fields += field.result(); records += fields.result() }
+          fields = Vector.newBuilder[String]; field.clear(); sawAny = false
+        case other => field.append(other); sawAny = true
+      }
+      i += 1
+    }
+    if ((sawAny || field.nonEmpty) && !truncated && !inQuote) {
+      fields += field.result(); records += fields.result()
+    }
+    records.result()
+  }
+
+  private val LongRe = "[+-]?\\d+".r
+  private val DoubleRe = "[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?".r
+  private val DateRe = "\\d{4}-\\d{2}-\\d{2}".r
+  private def typedNonVarchar(s: String): Boolean = {
+    val t = s.trim
+    t.nonEmpty && (LongRe.matches(t) || DoubleRe.matches(t) || DateRe.matches(t) ||
+      t.equalsIgnoreCase("true") || t.equalsIgnoreCase("false"))
+  }
+
+  /** Detect (delim, quote, header) from raw sample text. Scoring follows
+    * the sniffer contract: for each candidate pair, parse the sample and
+    * rank primarily by the NUMBER of records agreeing on a multi-column
+    * modal field count — an absolute count, not just a ratio, because a
+    * wrong quote char silently swallows records into one unterminated
+    * quoted field and would otherwise score a perfect ratio over one
+    * surviving row — then by consistency ratio and column count, ties
+    * resolved by the candidate preference order. Header detection then
+    * compares the first record against the body: a column whose body
+    * values all parse as a non-varchar type while the first record's
+    * value does not is header evidence (the reference's type-mismatch
+    * rule). */
+  private[graft] def sniffText(sample: String, truncated: Boolean): Dialect = {
+    final case class Cand(delim: Char, quote: Char,
+                          rows: Vector[Vector[String]], score: Int,
+                          consistency: Double, cols: Int)
+    val cands = for (d <- CandidateDelims; q <- CandidateQuotes) yield {
+      val rows = parseRecords(sample, d, q, truncated).take(SniffRecords)
+      if (rows.isEmpty) Cand(d, q, rows, 0, 0.0, 1)
+      else {
+        val counts = rows.map(_.length)
+        val modal = counts.groupBy(identity).maxBy { case (c, g) => (g.size, c) }._1
+        val agreeing = counts.count(_ == modal)
+        Cand(d, q, rows.filter(_.length == modal),
+          if (modal > 1) agreeing else 0,
+          agreeing.toDouble / counts.size, modal)
+      }
+    }
+    val best = cands.maxBy(c => (c.score, c.consistency, c.cols,
+      -CandidateDelims.indexOf(c.delim), -CandidateQuotes.indexOf(c.quote)))
+    val header = best.rows.length >= 2 && {
+      val head = best.rows.head
+      val body = best.rows.tail
+      (0 until best.cols).exists(c =>
+        !typedNonVarchar(head(c)) && head(c).trim.nonEmpty &&
+          body.forall(r => typedNonVarchar(r(c))))
+    }
+    Dialect(best.delim, best.quote, header)
+  }
+
+  /** Sniff a file's dialect from its first [[SniffBytes]] bytes
+    * (gzip-transparent by extension, like the reference's compressed
+    * reads), optionally skipping `skip` physical lines first. Driver-side
+    * by design: dialect detection reads ONE file head regardless of
+    * dataset size — the same O(sample) cost the reference pays. */
+  def sniffFile(spark: SparkSession, path: String, skip: Int = 0): Dialect = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    // resolve globs AND directories (a Spark-written CSV sink is a
+    // directory of part files + _SUCCESS markers) to the first data file
+    def firstData(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (st.isFile) {
+        val n = p.getName
+        if (n.startsWith("_") || n.startsWith(".")) None else Some(p)
+      } else fs.listStatus(p).map(_.getPath).sortBy(_.getName)
+        .iterator.flatMap(firstData).nextOption()
+    }
+    val files = globFiles(spark, path)
+    require(files.nonEmpty, s"sniff: no files match $path")
+    val p = files.iterator.map(f => new org.apache.hadoop.fs.Path(f))
+      .flatMap(firstData).nextOption()
+      .getOrElse(throw new IllegalArgumentException(s"sniff: no data files under $path"))
+    val fs = p.getFileSystem(conf)
+    val raw = fs.open(p)
+    try {
+      val in: java.io.InputStream =
+        if (p.getName.endsWith(".gz") || p.getName.endsWith(".gzip"))
+          new java.util.zip.GZIPInputStream(raw)
+        else raw
+      val buf = new Array[Byte](SniffBytes)
+      var off = 0
+      var n = 0
+      while (off < SniffBytes && { n = in.read(buf, off, SniffBytes - off); n > 0 })
+        off += n
+      val truncated = n > 0 || off == SniffBytes
+      var text = new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+      if (skip > 0)
+        text = text.linesWithSeparators.drop(skip).mkString
+      sniffText(text, truncated)
+    } finally raw.close()
+  }
 
   /** Reference option name → Spark CSV option (full named-parameter list:
     * ReadCSVAddNamedParameters, duckdb-6.cpp:10271-10299). */
@@ -32,9 +177,11 @@ object Csv {
     *  - columns={a:T,…}   explicit schema (no inference), reference
     *                      struct syntax
     *  - hive_partitioning Spark discovers key=value directories natively
-    *  - auto_detect       Spark always sniffs (inferSchema)
+    *  - auto_detect       dialect sniffing is the DEFAULT whenever a
+    *                      dialect knob is unspecified (see [[sniffFile]])
     *  - sample_size / sample_chunk_size / sample_chunks  sniffer hints;
-    *                      Spark's inference does a full pass
+    *                      this sniffer reads a fixed 64 KiB head and
+    *                      Spark's type inference does a full pass
     *  - max_line_size / maximum_line_size / buffer_size / parallel
     *                      reader tuning knobs; Spark sizes its own
     *                      buffers and is always parallel
@@ -92,12 +239,28 @@ object Csv {
         }.mkString(", "))
     val translated = translate(lower -- transformKeys)
 
+    // Sniff whenever the caller leaves any dialect knob open — detected
+    // values fill ONLY the unspecified knobs (explicit options always
+    // win via the later option fold). Escape defaults to the detected
+    // quote char: the reference's doubled-quote convention, which
+    // Spark's parser honors when escape == quote (its own default is
+    // backslash, which would mis-read RFC-4180 files).
+    val delimGiven = lower.contains("sep") || lower.contains("delim")
+    val sniffed: Option[Dialect] =
+      if (delimGiven && lower.contains("quote") && lower.contains("header")) None
+      else Some(sniffFile(spark, path, skip))
+
     def reader: DataFrameReader = {
-      val base = columns.foldLeft(
-        spark.read.option("header", "true")
-          .option("inferSchema", columns.isEmpty.toString)) {
-        case (acc, ddl) => acc.schema(ddl)
+      var b = spark.read.option("inferSchema", columns.isEmpty.toString)
+      sniffed match {
+        case Some(d) =>
+          if (!delimGiven) b = b.option("sep", d.delim.toString)
+          if (!lower.contains("quote")) b = b.option("quote", d.quote.toString)
+          if (!lower.contains("escape")) b = b.option("escape", d.quote.toString)
+          b = b.option("header", d.header.toString)
+        case None => b = b.option("header", "true")
       }
+      val base = columns.foldLeft(b) { case (acc, ddl) => acc.schema(ddl) }
       translated.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
     }
 
