@@ -84,6 +84,51 @@ object TypeHelpers {
     seq._1.get()
   }
 
+  // ---- TIME values (duckdb.hpp:914 dtime_t) ----
+  // TIME is carried as LongType microseconds-since-midnight (SURVEY
+  // §1.2's documented encoding: Spark has no TIME type). The encoding
+  // is order-isomorphic to the reference's dtime_t — comparisons,
+  // min/max, and sorts need no adapter — and all arithmetic wraps
+  // modulo 24 h exactly like TIME + INTERVAL does there. TIME_TZ
+  // (duckdb.hpp:931) remains a documented non-goal: it would need a
+  // (micros, offset) pair and offset-aware comparison.
+
+  private val MicrosPerDay = 86400L * 1000000L
+
+  /** make_time(h, m, s) → micros-since-midnight (reference make_time,
+    * integer seconds; fractional seconds would extend via a double
+    * seconds column the same way). */
+  def makeTime(h: Column, m: Column, s: Column): Column =
+    ((h.cast("long") * 3600L + m.cast("long") * 60L + s.cast("long")) * 1000000L)
+
+  /** TIME + INTERVAL micros, wrapping modulo 24 h in BOTH directions
+    * (pmod, matching the reference's negative-interval wrap). */
+  def timeAdd(t: Column, deltaMicros: Column): Column =
+    pmod(t + deltaMicros.cast("long"), lit(MicrosPerDay))
+
+  /** CAST(TIME AS VARCHAR): 'HH:MM:SS', with '.ffffff' (trailing zeros
+    * trimmed) only when a fractional second is present — the
+    * reference's rendering. */
+  def timeToString(t: Column): Column = {
+    val secs = t / 1000000L
+    val hh = lpad((secs / 3600L).cast("long").cast("string"), 2, "0")
+    val mm = lpad((pmod(secs, lit(3600L)) / 60L).cast("long").cast("string"), 2, "0")
+    val ss = lpad(pmod(secs, lit(60L)).cast("long").cast("string"), 2, "0")
+    val frac = pmod(t, lit(1000000L))
+    val fracStr = when(frac === 0L, lit(""))
+      .otherwise(concat(lit("."),
+        regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
+    concat(hh, lit(":"), mm, lit(":"), ss, fracStr)
+  }
+
+  /** extract(part FROM time) for hour/minute/second. */
+  def timePart(part: String, t: Column): Column = part.toLowerCase match {
+    case "hour" => (t / 1000000L / 3600L).cast("long")
+    case "minute" => (pmod(t / 1000000L, lit(3600L)) / 60L).cast("long")
+    case "second" => pmod(t / 1000000L, lit(60L)).cast("long")
+    case other => throw new IllegalArgumentException(s"timePart: unsupported $other")
+  }
+
   // ---- glob table function (duckdb-6.cpp:9491) ----
 
   /** glob('pattern'): matching file paths as a DataFrame. */

@@ -245,6 +245,32 @@ object ScalarFns {
         ((lit(1998) - year(ts)) * 12 + (lit(1) - month(ts))).cast("long").as("months_to_98"))
     }),
 
+    "fn_time" -> ((s, dir) => {
+      // TIME as a queryable surface (reference dtime_t, duckdb.hpp:914)
+      // under the documented LongType micros-since-midnight encoding:
+      // make_time, +/- INTERVAL with the 24 h wrap, hour/minute/second
+      // extracts, comparison, and ordering (min/max over the long
+      // encoding must equal DuckDB's min/max over native TIME — the
+      // order-isomorphism check). TIME_TZ stays a documented non-goal.
+      import graft.functions.TypeHelpers._
+      val k = col("o_orderkey")
+      val t0 = makeTime(pmod(k, lit(24)), pmod(k * 7, lit(60)), pmod(k * 13, lit(60)))
+      val rows = t(s, dir, "orders").filter(k <= 500).select(k, t0.as("__t"))
+      val perRow = rows.select(k,
+        timeToString(col("__t")).as("t_str"),
+        timeToString(timeAdd(col("__t"), lit(90L * 60L * 1000000L))).as("plus90m"),
+        timeToString(timeAdd(col("__t"), lit(-2L * 3600L * 1000000L))).as("minus2h"),
+        timePart("hour", col("__t")).as("t_hour"),
+        timePart("minute", col("__t")).as("t_min"),
+        timePart("second", col("__t")).as("t_sec"),
+        (col("__t") < makeTime(lit(12), lit(0), lit(0))).as("before_noon"))
+      val agg = rows.agg(
+        timeToString(min(col("__t"))).as("min_t"),
+        timeToString(max(col("__t"))).as("max_t"),
+        countDistinct(col("__t")).as("n_times"))
+      perRow.crossJoin(broadcast(agg))
+    }),
+
     "fn_json_props" -> ((s, dir) => {
       // events.props is a JSON string (reference treats JSON as an
       // extension; Spark has it native)
@@ -680,6 +706,26 @@ object ScalarFns {
         |  CAST(date_diff('month', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT)
         |    AS months_to_98
         |FROM orders WHERE o_orderkey <= 300""".stripMargin,
+
+    "fn_time" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    make_time(CAST(o_orderkey % 24 AS INT), CAST((o_orderkey * 7) % 60 AS INT),
+        |      CAST((o_orderkey * 13) % 60 AS DOUBLE)) AS t
+        |  FROM orders WHERE o_orderkey <= 500)
+        |SELECT o_orderkey,
+        |  CAST(t AS VARCHAR) AS t_str,
+        |  CAST(t + INTERVAL 90 MINUTE AS VARCHAR) AS plus90m,
+        |  CAST(t - INTERVAL 2 HOUR AS VARCHAR) AS minus2h,
+        |  CAST(extract(hour FROM t) AS BIGINT) AS t_hour,
+        |  CAST(extract(minute FROM t) AS BIGINT) AS t_min,
+        |  CAST(extract(second FROM t) AS BIGINT) AS t_sec,
+        |  t < TIME '12:00:00' AS before_noon,
+        |  min_t, max_t, n_times
+        |FROM b CROSS JOIN (
+        |  SELECT CAST(min(t) AS VARCHAR) AS min_t, CAST(max(t) AS VARCHAR) AS max_t,
+        |    CAST(count(DISTINCT t) AS BIGINT) AS n_times
+        |  FROM b)""".stripMargin,
 
     "fn_json_props" ->
       """SELECT event_type, count(*) AS n,
