@@ -102,15 +102,30 @@ object SqlDialect {
   // the call's literal arguments and runs the result through the full
   // dialect pipeline.
   // ---- PRIMARY KEY registry (reference: constraint binding for ON
-  // CONFLICT, duckdb-4.cpp:9996). Spark enforces no constraints — the
-  // declared key is conflict-resolution metadata only (documented), the
-  // same role it plays in the reference's OR REPLACE/ON CONFLICT path.
+  // CONFLICT, duckdb-4.cpp:9996). The declared key doubles as
+  // conflict-resolution metadata for the OR REPLACE/ON CONFLICT path
+  // and as a validated uniqueness constraint on plain INSERT (see the
+  // constraint registry below).
   private val primaryKeys = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Seq[String]]]())
   private def primaryKeysFor(spark: SparkSession) =
     primaryKeys.computeIfAbsent(spark,
       _ => new scala.collection.concurrent.TrieMap[String, Seq[String]])
+
+  // ---- declared-constraint registry (reference constraint binding,
+  // duckdb.hpp:20267-20272): NOT NULL/UNIQUE/CHECK parsed out of CREATE
+  // TABLE and validated by Engine.validateConstraints on the INSERT
+  // paths (off-switch: SET spark.graft.validateConstraints=false).
+  private val constraints = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Engine.TableConstraints]]())
+  private def constraintsFor(spark: SparkSession) =
+    constraints.computeIfAbsent(spark,
+      _ => new scala.collection.concurrent.TrieMap[String, Engine.TableConstraints])
+
+  private def validationEnabled(spark: SparkSession): Boolean =
+    spark.conf.getOption("spark.graft.validateConstraints").forall(_.toBoolean)
 
   private val prepared = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
@@ -291,19 +306,41 @@ object SqlDialect {
       case Some(m) =>
         val name = m.group(1)
         var keys = Vector.empty[String]
+        var notNull = Vector.empty[String]
+        var uniques = Vector.empty[(String, Seq[String])]
+        var checks = Vector.empty[String]
+        val tablePk = """(?is)^PRIMARY\s+KEY\s*\((.+)\)$""".r
+        val tableUnique = """(?is)^UNIQUE\s*\((.+)\)$""".r
+        val tableCheck = """(?is)^CHECK\s*\((.+)\)$""".r
+        // per-column CHECK (...) — greedy to the def's final ')': the
+        // constraint is syntactically last in a column definition
+        val colCheck = """(?is)\bCHECK\s*\((.+)\)\s*$""".r
         val fields = splitTopLevel(m.group(2)).map(_.trim).filter(_.nonEmpty).flatMap { d =>
-          val tablePk = """(?is)^PRIMARY\s+KEY\s*\((.+)\)$""".r
           d match {
             case tablePk(cols) =>
               keys ++= cols.split(",").map(_.trim); None
+            case tableUnique(cols) =>
+              uniques :+= ("unique", cols.split(",").map(_.trim).toSeq); None
+            case tableCheck(e) =>
+              checks :+= e.trim; None
             case _ =>
               val parts = d.split("\\s+", 2)
               require(parts.length == 2, s"CREATE TABLE: malformed column '$d'")
-              val tpe = parts(1)
+              var tpe = parts(1)
+              colCheck.findFirstMatchIn(tpe).foreach { cm =>
+                checks :+= cm.group(1).trim
+                tpe = tpe.substring(0, cm.start) + tpe.substring(cm.end)
+              }
               val isPk = """(?i)\bPRIMARY\s+KEY\b""".r.findFirstIn(tpe).isDefined
               if (isPk) keys :+= parts(0)
+              if ("""(?i)\bNOT\s+NULL\b""".r.findFirstIn(tpe).isDefined)
+                notNull :+= parts(0)
+              if ("""(?i)\bUNIQUE\b""".r.findFirstIn(
+                  tpe.replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")).isDefined)
+                uniques :+= ("unique", Seq(parts(0)))
               val cleaned = tpe.replaceAll("(?i)\\bPRIMARY\\s+KEY\\b", "")
-                .replaceAll("(?i)\\bNOT\\s+NULL\\b", "").trim
+                .replaceAll("(?i)\\bNOT\\s+NULL\\b", "")
+                .replaceAll("(?i)\\bUNIQUE\\b", "").trim
               Some(s"${parts(0)} ${sources.Csv.duckToSparkDdl(cleaned)}")
           }
         }
@@ -312,6 +349,15 @@ object SqlDialect {
           schema).createOrReplaceTempView(name)
         if (keys.nonEmpty) primaryKeysFor(spark)(name.toLowerCase) = keys
         else primaryKeysFor(spark).remove(name.toLowerCase)
+        // PRIMARY KEY implies NOT NULL on its columns + a unique key
+        // (the reference raises the NOT NULL error for a null PK part)
+        val cons = Engine.TableConstraints(
+          notNull = (notNull ++ keys).distinct,
+          unique = (if (keys.nonEmpty) Vector(("primary key", keys: Seq[String]))
+                    else Vector.empty) ++ uniques,
+          checks = checks)
+        if (cons.isEmpty) constraintsFor(spark).remove(name.toLowerCase)
+        else constraintsFor(spark)(name.toLowerCase) = cons
         return spark.emptyDataFrame
       case None =>
     }
@@ -368,6 +414,15 @@ object SqlDialect {
         if (returningCols.isDefined && (mode.nonEmpty || conflict.isDefined))
           throw new UnsupportedOperationException(
             "RETURNING with OR REPLACE / OR IGNORE / ON CONFLICT is not supported")
+        // declared-constraint validation (reference PhysicalInsert
+        // verification): NOT NULL/CHECK raise on EVERY insert form —
+        // the reference's OR IGNORE only forgives key conflicts —
+        // while uniqueness raises only on plain INSERT (conflict
+        // clauses consume the conflict as their resolution input)
+        constraintsFor(spark).get(name.toLowerCase)
+          .filter(_ => validationEnabled(spark))
+          .foreach(cons => Engine.validateConstraints(spark, name, rows, cons,
+            checkUnique = mode.isEmpty && conflict.isEmpty))
         val n = (mode, conflict) match {
           case ("", None) =>
             val c = rows.count(); Engine.insertInto(spark, name, rows); c
@@ -445,6 +500,7 @@ object SqlDialect {
         val existed = spark.catalog.dropTempView(m.group(2))
         require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
         primaryKeysFor(spark).remove(m.group(2).toLowerCase)
+        constraintsFor(spark).remove(m.group(2).toLowerCase)
         return spark.emptyDataFrame
       case None =>
     }

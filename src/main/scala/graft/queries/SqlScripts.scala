@@ -75,6 +75,23 @@ object SqlScripts {
     "DELETE FROM ret_demo WHERE k % 7 = 3 RETURNING k",
     "UPDATE ret_demo SET rk = rk + 100 WHERE k % 2 = 0 RETURNING k, name, rk")
 
+  private val constraintsStmts = Seq(
+    // declared constraints enforced at insert (reference constraint
+    // binding duckdb.hpp:20267-20272 + PhysicalInsert verification):
+    // PK dup under OR IGNORE is SKIPPED on both engines while the fresh
+    // row in the same statement lands; the rejection paths (plain-INSERT
+    // dup key, NULL into NOT NULL, failed CHECK — each raising the
+    // reference's named Constraint Error) are spec-verified in MacroSpec
+    // because a failing statement would abort the oracle script
+    """CREATE OR REPLACE TABLE con_demo(
+      |  id INTEGER PRIMARY KEY, name VARCHAR NOT NULL,
+      |  v INTEGER CHECK (v >= 0))""".stripMargin,
+    "INSERT INTO con_demo VALUES (1, 'a', 5), (2, 'b', 0)",
+    "INSERT OR IGNORE INTO con_demo VALUES (1, 'dup', 9)",
+    "INSERT OR IGNORE INTO con_demo VALUES (3, 'c', 7)",
+    """SELECT CAST(id AS BIGINT) AS id, name, CAST(v AS BIGINT) AS v
+      |FROM con_demo""".stripMargin)
+
   private val catalogSetup = Seq(
     "CREATE OR REPLACE TABLE cat5_t1 (a BIGINT, b VARCHAR)",
     """CREATE OR REPLACE TABLE cat5_t2 AS
@@ -146,7 +163,10 @@ object SqlScripts {
       script(s, dir, catalogSetup :+ tablesFnSql)),
 
     "catalog_columns_fn" -> ((s, dir) =>
-      script(s, dir, catalogSetup :+ columnsFnSql))
+      script(s, dir, catalogSetup :+ columnsFnSql)),
+
+    "catalog_constraints" -> ((s, dir) =>
+      script(s, dir, constraintsStmts))
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +175,7 @@ object SqlScripts {
     "catalog_copy_from" -> copyFromStmts(copyPathDuck).mkString(";\n"),
     "catalog_returning" -> returningStmts.mkString(";\n"),
     "catalog_tables_fn" -> (catalogSetup :+ tablesFnSql).mkString(";\n"),
-    "catalog_columns_fn" -> (catalogSetup :+ columnsFnSql).mkString(";\n")
+    "catalog_columns_fn" -> (catalogSetup :+ columnsFnSql).mkString(";\n"),
+    "catalog_constraints" -> constraintsStmts.mkString(";\n")
   )
 }

@@ -308,6 +308,53 @@ class MacroSpec extends SparkSpec {
     assert(e.getMessage.contains("no PRIMARY KEY"))
   }
 
+  test("declared constraints reject with the reference's named errors") {
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS con_t")
+    SqlDialect.sql(spark,
+      "CREATE TABLE con_t (id INTEGER PRIMARY KEY, name VARCHAR NOT NULL, " +
+        "tag VARCHAR UNIQUE, v INTEGER CHECK (v >= 0))")
+    SqlDialect.sql(spark, "INSERT INTO con_t VALUES (1, 'a', 't1', 5)")
+    // plain-INSERT duplicate key (stored row)
+    val dup = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "INSERT INTO con_t VALUES (1, 'x', 't9', 1)"))
+    assert(dup.getMessage.contains("Duplicate key") &&
+      dup.getMessage.contains("primary key"))
+    // within-batch duplicate key
+    val dup2 = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "INSERT INTO con_t VALUES (7, 'x', 't7', 1), (7, 'y', 't8', 2)"))
+    assert(dup2.getMessage.contains("primary key"))
+    // UNIQUE column (not the PK)
+    val uq = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "INSERT INTO con_t VALUES (2, 'b', 't1', 1)"))
+    assert(uq.getMessage.contains("unique"))
+    // NOT NULL — raises even under OR IGNORE (reference semantics:
+    // OR IGNORE forgives only key conflicts)
+    val nn = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "INSERT OR IGNORE INTO con_t VALUES (3, NULL, 't3', 1)"))
+    assert(nn.getMessage.contains("NOT NULL constraint failed: con_t.name"))
+    // NULL PK part hits the implied NOT NULL, like the reference
+    val nnpk = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "INSERT INTO con_t VALUES (NULL, 'n', 't4', 1)"))
+    assert(nnpk.getMessage.contains("NOT NULL constraint failed: con_t.id"))
+    // CHECK
+    val ck = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "INSERT INTO con_t VALUES (4, 'd', 't5', -1)"))
+    assert(ck.getMessage.contains("CHECK constraint failed: con_t"))
+    // NULL passes CHECK (SQL three-valued logic); multiple NULL tags
+    // pass UNIQUE
+    SqlDialect.sql(spark, "INSERT INTO con_t VALUES (5, 'e', NULL, NULL)")
+    SqlDialect.sql(spark, "INSERT INTO con_t VALUES (6, 'f', NULL, 2)")
+    assert(spark.table("con_t").count() == 3)
+    // opt-out switch for bulk loads
+    spark.conf.set("spark.graft.validateConstraints", "false")
+    try {
+      SqlDialect.sql(spark, "INSERT INTO con_t VALUES (1, 'dup-ok', 't1', -5)")
+      assert(spark.table("con_t").count() == 4)
+    } finally spark.conf.unset("spark.graft.validateConstraints")
+    // rejected batches must not have been partially applied
+    assert(spark.table("con_t").filter(col("id").isin(2, 3, 4, 7)).count() == 0)
+  }
+
   test("system sampling: seeded, deterministic, block-granular") {
     import spark.implicits._
     val df = (1 to 20000).map(i => (i.toLong, i % 7)).toDF("id", "g")
