@@ -1,0 +1,177 @@
+package graft.operators
+
+/** Character n-gram language identification (Cavnar & Trenkle 1994,
+  * "N-Gram-Based Text Categorization" — the rank-order profile method
+  * fastText-class identifiers descend from; the reference engine has no
+  * language ID, this is additive pipeline scope).
+  *
+  * Two tiers:
+  *   1. SCRIPT detection for languages whose writing system is
+  *      decisive: Han → zh, Kana → ja (checked before Han — Japanese
+  *      text mixes both), Hangul → ko, Cyrillic → ru, Arabic → ar,
+  *      Greek → el. Codepoint-range counting, no model needed.
+  *   2. LATIN-script classification by trigram rank profiles: each
+  *      language's profile is the frequency-ranked top trigram list of
+  *      an embedded seed text (public-domain prose — Universal
+  *      Declaration of Human Rights Article 1 plus common-usage
+  *      sentences); a document is scored by the out-of-place distance
+  *      between its own trigram ranks and each profile, smallest
+  *      distance wins. Profiles build once at class init (~profileDepth
+  *      entries per language) and classification is a per-row map
+  *      lookup — no network, no external model file, deterministic.
+  *
+  * Accuracy contract (spec-pinned): ≥95% on clean single-language
+  * sentences across the supported set. Not a fastText replacement —
+  * no code-switch handling, no dialect granularity — but a real
+  * statistical classifier replacing the former marker-word heuristic.
+  */
+object LangId {
+
+  private val ProfileDepth = 400
+  private val DocDepth = 300
+
+  // Embedded seed texts: UDHR Article 1 (public domain) + neutral
+  // common-usage prose, lowercased; punctuation is stripped by the
+  // trigram normalizer so only letter/space trigrams matter.
+  private val seeds: Map[String, String] = Map(
+    "en" -> ("all human beings are born free and equal in dignity and rights " +
+      "they are endowed with reason and conscience and should act towards one " +
+      "another in a spirit of brotherhood " +
+      "the quick brown fox jumps over the lazy dog it was the best of times " +
+      "and it was the worst of times there is nothing new under the sun " +
+      "this is the story of a family that lived in a small village what you " +
+      "see is what you get the house near the city has a garden and the " +
+      "children walk to school in the morning " +
+      "the woman had read many books and she had put them on the kitchen table when we arrived he could not find his things and asked us to help him right away because he had to leave soon " +
+      // technical register (English is the only supported language
+      // whose real-world corpora are dominated by it)
+      "the query engine scans each table and sorts the rows by key before " +
+      "the merge the data is stored in columns and joined in small batches " +
+      "a fast hash join groups the values and the window orders each group " +
+      "the stream of rows flows through the filter and the scan stays fast " +
+      "when the sort spills to disk the batch slows down and the planner " +
+      "picks a better part of the plan"),
+    "es" -> ("todos los seres humanos nacen libres e iguales en dignidad y " +
+      "derechos y dotados como estan de razon y conciencia deben comportarse " +
+      "fraternalmente los unos con los otros " +
+      "el perro y el gato viven en la casa que esta cerca de la ciudad no hay " +
+      "nada nuevo bajo el sol esta es la historia de una familia que vivia en " +
+      "un pueblo pequeno lo que ves es lo que tienes los ninos caminan a la " +
+      "escuela por la manana y la casa tiene un jardin muy bonito " +
+      "la mujer habia leido muchos libros y los habia puesto sobre la mesa de la cocina cuando llegamos no conseguia encontrar sus cosas y nos pidio ayuda porque tenia que salir pronto"),
+    "fr" -> ("tous les etres humains naissent libres et egaux en dignite et " +
+      "en droits ils sont doues de raison et de conscience et doivent agir " +
+      "les uns envers les autres dans un esprit de fraternite " +
+      "le chien et le chat vivent dans la maison qui est pres de la ville il " +
+      "n y a rien de nouveau sous le soleil c est l histoire d une famille " +
+      "qui vivait dans un petit village les enfants vont a l ecole le matin " +
+      "et la maison a un tres beau jardin " +
+      "la femme avait lu beaucoup de livres et elle les avait mis sur la table de la cuisine quand nous sommes arrives il ne trouvait plus ses affaires et nous a demande de l aider tout de suite"),
+    "de" -> ("alle menschen sind frei und gleich an wurde und rechten geboren " +
+      "sie sind mit vernunft und gewissen begabt und sollen einander im geist " +
+      "der bruderlichkeit begegnen " +
+      "der hund und die katze wohnen in dem haus das in der nahe der stadt " +
+      "liegt es gibt nichts neues unter der sonne das ist die geschichte " +
+      "einer familie die in einem kleinen dorf lebte die kinder gehen am " +
+      "morgen zur schule und das haus hat einen schonen garten " +
+      "die frau hatte viele bucher gelesen und sie hatte sie auf den tisch in der kuche gelegt als wir ankamen konnte er seine sachen nicht finden und bat uns ihm sofort zu helfen weil er bald abreisen musste"),
+    "it" -> ("tutti gli esseri umani nascono liberi ed eguali in dignita e " +
+      "diritti essi sono dotati di ragione e di coscienza e devono agire gli " +
+      "uni verso gli altri in spirito di fratellanza " +
+      "il cane e il gatto vivono nella casa che si trova vicino alla citta " +
+      "non c e niente di nuovo sotto il sole questa e la storia di una " +
+      "famiglia che viveva in un piccolo paese i bambini vanno a scuola la " +
+      "mattina e la casa ha un giardino molto bello " +
+      "la donna aveva letto molti libri e li aveva messi sopra la tavola della cucina quando siamo arrivati non riusciva piu a trovare le sue cose e ci ha chiesto di aiutarla subito perche doveva partire"),
+    "pt" -> ("todos os seres humanos nascem livres e iguais em dignidade e em " +
+      "direitos dotados de razao e de consciencia devem agir uns para com os " +
+      "outros em espirito de fraternidade " +
+      "o cao e o gato vivem na casa que fica perto da cidade nao ha nada de " +
+      "novo debaixo do sol esta e a historia de uma familia que vivia numa " +
+      "aldeia pequena as criancas caminham para a escola de manha e a casa " +
+      "tem um jardim muito bonito " +
+      "a mulher tinha lido muitos livros e ela os tinha posto sobre a mesa da cozinha quando chegamos ele nao conseguia encontrar as suas coisas e pediu que o ajudassemos porque tinha de partir logo"),
+    "nl" -> ("alle mensen worden vrij en gelijk in waardigheid en rechten " +
+      "geboren zij zijn begiftigd met verstand en geweten en behoren zich " +
+      "jegens elkander in een geest van broederschap te gedragen " +
+      "de hond en de kat wonen in het huis dat dicht bij de stad ligt er is " +
+      "niets nieuws onder de zon dit is het verhaal van een gezin dat in een " +
+      "klein dorp woonde de kinderen lopen s morgens naar school en het huis " +
+      "heeft een mooie tuin " +
+      "de vrouw had veel boeken gelezen en zij had ze op de tafel in de keuken gelegd toen wij aankwamen kon hij zijn spullen niet vinden en vroeg ons hem meteen te helpen omdat hij snel moest vertrekken"))
+
+  /** Supported output codes (incl. script-detected and 'und'). */
+  val knownCodes: Seq[String] =
+    (seeds.keys.toSeq ++ Seq("zh", "ja", "ko", "ru", "ar", "el", "und")).distinct.sorted
+
+  /** Letters-and-single-spaces normalization; diacritics folded so the
+    * seed texts (written unaccented) and accented real text meet in the
+    * same trigram space. */
+  private def normalize(text: String): String = {
+    val folded = java.text.Normalizer.normalize(text.toLowerCase,
+      java.text.Normalizer.Form.NFD).replaceAll("\\p{M}", "")
+    (" " + folded.replaceAll("[^\\p{L}]+", " ").trim + " ")
+  }
+
+  private def trigramCounts(norm: String): collection.Map[String, Int] = {
+    val m = collection.mutable.HashMap.empty[String, Int]
+    var i = 0
+    while (i + 3 <= norm.length) {
+      val g = norm.substring(i, i + 3)
+      if (g.trim.nonEmpty) m.update(g, m.getOrElse(g, 0) + 1)
+      i += 1
+    }
+    m
+  }
+
+  /** gram → rank (0-based), frequency-descending, gram-lexicographic
+    * ties for determinism. */
+  private def rankProfile(text: String, depth: Int): Map[String, Int] =
+    trigramCounts(normalize(text)).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(depth)
+      .zipWithIndex.map { case ((g, _), r) => g -> r }.toMap
+
+  private val profiles: Map[String, Map[String, Int]] =
+    seeds.map { case (lang, seed) => lang -> rankProfile(seed, ProfileDepth) }
+
+  private def inRange(cp: Int, lo: Int, hi: Int): Boolean = cp >= lo && cp <= hi
+
+  /** Classify one text. Returns a code from [[knownCodes]]. */
+  def classify(text: String): String = {
+    if (text == null || text.trim.isEmpty) return "und"
+    var han = 0; var kana = 0; var hangul = 0; var cyr = 0
+    var arab = 0; var greek = 0; var letters = 0
+    text.codePoints().forEach { cp =>
+      if (Character.isLetter(cp)) {
+        letters += 1
+        if (inRange(cp, 0x4E00, 0x9FFF) || inRange(cp, 0x3400, 0x4DBF)) han += 1
+        else if (inRange(cp, 0x3040, 0x30FF)) kana += 1
+        else if (inRange(cp, 0xAC00, 0xD7AF) || inRange(cp, 0x1100, 0x11FF)) hangul += 1
+        else if (inRange(cp, 0x0400, 0x04FF)) cyr += 1
+        else if (inRange(cp, 0x0600, 0x06FF) || inRange(cp, 0x0750, 0x077F)) arab += 1
+        else if (inRange(cp, 0x0370, 0x03FF)) greek += 1
+      }
+    }
+    if (letters == 0) return "und"
+    val l = letters.toDouble
+    if (kana / l > 0.05) return "ja" // kana decides BEFORE han (ja mixes both)
+    if (han / l > 0.20) return "zh"
+    if (hangul / l > 0.20) return "ko"
+    if (cyr / l > 0.50) return "ru"
+    if (arab / l > 0.50) return "ar"
+    if (greek / l > 0.50) return "el"
+    // latin-script tier: out-of-place distance against each profile
+    val docRanks = trigramCounts(normalize(text)).toSeq
+      .sortBy { case (g, c) => (-c, g) }.take(DocDepth).map(_._1)
+    if (docRanks.isEmpty) return "und"
+    val best = profiles.toSeq.map { case (lang, prof) =>
+      var d = 0L
+      var i = 0
+      docRanks.foreach { g =>
+        d += math.abs(i - prof.getOrElse(g, ProfileDepth)); i += 1
+      }
+      (d, lang)
+    }.minBy(identity) // (distance, lang) — lexicographic tie-break
+    best._2
+  }
+}

@@ -52,29 +52,10 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(stopwordRatio(t), 6))
   }
 
-  /** Language-ID heuristic: CJK codepoint detection + per-language marker
-    * words. Works on natural text; on the synthetic corpus it mostly
-    * reports 'en', which is honest — the generator labels rows but emits
-    * one shared vocabulary.
-    */
-  def langIdHeuristic(text: String): String = {
-    if (text == null || text.isEmpty) return "und"
-    var cjk = 0; var total = 0
-    text.codePoints().forEach { cp =>
-      total += 1
-      if ((cp >= 0x4E00 && cp <= 0x9FFF) || (cp >= 0x3040 && cp <= 0x30FF)) cjk += 1
-    }
-    if (total > 0 && cjk.toDouble / total > 0.2) return "zh"
-    val words = text.toLowerCase.split("\\s+").toSet
-    val markers = Map(
-      "en" -> Set("the", "and", "of", "is", "to", "a"),
-      "es" -> Set("el", "la", "los", "que", "de", "y"),
-      "de" -> Set("der", "die", "das", "und", "ist", "nicht"),
-      "fr" -> Set("le", "la", "les", "et", "est", "une"))
-    val scored = markers.view.mapValues(m => (m & words).size).toMap
-    val (best, score) = scored.maxBy { case (l, s) => (s, -l(0).toInt) }
-    if (score == 0) "und" else best
-  }
+  /** Language ID: character n-gram rank-profile classifier + script
+    * detection — see [[LangId]]. (Replaced the round-1 marker-word
+    * heuristic; name kept for the registered `lang_id` UDF.) */
+  def langIdHeuristic(text: String): String = LangId.classify(text)
 
   /** Content fingerprint: md5 of the normalized text (lowercase, collapsed
     * whitespace) — stable across engines, unlike seeded 64-bit hashes. */

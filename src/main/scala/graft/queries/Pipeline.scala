@@ -392,20 +392,21 @@ object Pipeline {
     }),
 
     "text_langid" -> ((s, dir) => {
-      // heuristic language ID — the synthetic documents' lang labels are
-      // uncorrelated with their text (all five langs draw from the same
-      // ASCII English-word distribution — verified: 0 non-ASCII chars
-      // corpus-wide, per-label marker agreement is 0% for de/es/fr/zh),
-      // so per-row label agreement is unverifiable BY NECESSITY. The
-      // checkable bounded contract instead: every prediction is a known
-      // code, and on an English-vocabulary corpus the heuristic reports
-      // 'en' for ≥90% of docs. Per-sentence behavior (CJK ranges, marker
-      // stopwords) is spec-checked in TextAnalysisSpec.
+      // n-gram language ID (operators.LangId) — the synthetic documents'
+      // lang labels are uncorrelated with their text (all five labels
+      // draw from the same ASCII English-word distribution — verified:
+      // 0 non-ASCII chars corpus-wide), so per-row label agreement is
+      // unverifiable BY NECESSITY. The checkable bounded contract
+      // instead: every prediction is a supported code, and on an
+      // English-vocabulary corpus the classifier reads ≥90% 'en'.
+      // Real per-language accuracy (≥95% on clean sentences across the
+      // supported set) is spec-pinned in TextAnalysisSpec.
+      val known = graft.operators.LangId.knownCodes
       val p = t(s, dir, "documents")
         .select(callUDF("lang_id", col("text")).as("predicted"))
       p.agg(
         count(lit(1)).as("n_docs"),
-        (count(when(!col("predicted").isin("en", "de", "es", "fr", "zh", "und"), 1)) === 0)
+        (count(when(!col("predicted").isin(known: _*), 1)) === 0)
           .as("all_known"),
         (count(when(col("predicted") === "en", 1)).cast("double") /
           count(lit(1)).cast("double") >= 0.9).as("mostly_en"))

@@ -521,11 +521,61 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getAs[Double]("digit_ratio") == 0.0)
   }
 
-  test("langId heuristic: CJK and marker words") {
+  test("langId: script detection and legacy behaviors") {
     assert(TextAnalysis.langIdHeuristic("你好世界你好世界") == "zh")
+    assert(TextAnalysis.langIdHeuristic("これはとても面白い本です") == "ja") // kana beats han
+    assert(TextAnalysis.langIdHeuristic("안녕하세요 오늘 날씨가 좋네요") == "ko")
+    assert(TextAnalysis.langIdHeuristic("сегодня хорошая погода на улице") == "ru")
     assert(TextAnalysis.langIdHeuristic("the cat is on the mat") == "en")
     assert(TextAnalysis.langIdHeuristic("el perro y la casa que de") == "es")
     assert(TextAnalysis.langIdHeuristic("") == "und")
+    assert(TextAnalysis.langIdHeuristic("12345 !!! ???") == "und")
+  }
+
+  test("langId: >=95% accuracy on clean sentences across the supported set") {
+    // fixture sentences deliberately DISJOINT from the embedded seed
+    // prose — ordinary written language, 5 per latin-script language
+    val fixture: Seq[(String, String)] = Seq(
+      "en" -> "she opened the window because the room was too warm",
+      "en" -> "our neighbors bought a new car last week and they love it",
+      "en" -> "the museum closes early on sundays during the winter months",
+      "en" -> "he could not remember where he had left his keys",
+      "en" -> "many students prefer studying together before difficult exams",
+      "es" -> "ella abrio la ventana porque la habitacion estaba demasiado calida",
+      "es" -> "nuestros vecinos compraron un coche nuevo la semana pasada",
+      "es" -> "el museo cierra temprano los domingos durante el invierno",
+      "es" -> "no podia recordar donde habia dejado sus llaves",
+      "es" -> "muchos estudiantes prefieren estudiar juntos antes de los examenes",
+      "fr" -> "elle a ouvert la fenetre parce que la piece etait trop chaude",
+      "fr" -> "nos voisins ont achete une nouvelle voiture la semaine derniere",
+      "fr" -> "le musee ferme tot le dimanche pendant les mois d hiver",
+      "fr" -> "il ne pouvait pas se rappeler ou il avait laisse ses cles",
+      "fr" -> "beaucoup d etudiants preferent etudier ensemble avant les examens",
+      "de" -> "sie offnete das fenster weil das zimmer zu warm war",
+      "de" -> "unsere nachbarn haben letzte woche ein neues auto gekauft",
+      "de" -> "das museum schliesst sonntags im winter immer sehr fruh",
+      "de" -> "er konnte sich nicht erinnern wo er seine schlussel gelassen hatte",
+      "de" -> "viele studenten lernen lieber zusammen vor schweren prufungen",
+      "it" -> "lei ha aperto la finestra perche la stanza era troppo calda",
+      "it" -> "i nostri vicini hanno comprato una macchina nuova la settimana scorsa",
+      "it" -> "il museo chiude presto la domenica durante i mesi invernali",
+      "it" -> "non riusciva a ricordare dove aveva lasciato le sue chiavi",
+      "it" -> "molti studenti preferiscono studiare insieme prima degli esami",
+      "pt" -> "ela abriu a janela porque o quarto estava quente demais",
+      "pt" -> "os nossos vizinhos compraram um carro novo na semana passada",
+      "pt" -> "o museu fecha cedo aos domingos durante os meses de inverno",
+      "pt" -> "ele nao conseguia lembrar onde tinha deixado as suas chaves",
+      "pt" -> "muitos estudantes preferem estudar juntos antes das provas",
+      "nl" -> "zij opende het raam omdat de kamer veel te warm was",
+      "nl" -> "onze buren hebben vorige week een nieuwe auto gekocht",
+      "nl" -> "het museum sluit s winters op zondag altijd heel vroeg",
+      "nl" -> "hij kon zich niet herinneren waar hij zijn sleutels had gelaten",
+      "nl" -> "veel studenten leren liever samen voor moeilijke examens")
+    val wrong = fixture.filter { case (lang, s) =>
+      graft.operators.LangId.classify(s) != lang }
+    val acc = 1.0 - wrong.size.toDouble / fixture.size
+    assert(acc >= 0.95, s"accuracy $acc; misclassified: " + wrong.map { case (l, s) =>
+      s"[$l->${graft.operators.LangId.classify(s)}] $s" }.mkString("; "))
   }
 
   test("fingerprint is whitespace/case normalized") {
