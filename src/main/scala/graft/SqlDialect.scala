@@ -188,8 +188,36 @@ object SqlDialect {
     }
 
   /** Rewrite + execute. */
+  /** Strip `-- …\n` and `/* … */` comments outside string literals.
+    * Comments are whitespace to the grammar, but the shim's keyword
+    * scanners are textual — a `-- QUALIFY x` comment would otherwise
+    * trigger the QUALIFY rewrite. Run FIRST so every downstream
+    * rewrite sees comment-free text (Spark would accept the comments,
+    * the rewriters are what need the normalization). Newlines of line
+    * comments are kept so statement structure survives. */
+  private[graft] def stripComments(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
+        while (i < n && sql.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        i += 2
+        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+        i = math.min(i + 2, n)
+        sb.append(' ')
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   def sql(spark: SparkSession, query: String): DataFrame = {
-    var q = query.trim.stripSuffix(";")
+    var q = stripComments(query).trim.stripSuffix(";").trim
     guardUnsupported(q)
 
     // macro DDL
@@ -703,7 +731,16 @@ object SqlDialect {
     q = usingSampleRows.replaceAllIn(q, m => s"TABLESAMPLE (${m.group(1)} ROWS)")
     q = usingSamplePct.replaceAllIn(q, m => s"TABLESAMPLE (${m.group(1)} PERCENT)")
 
-    spark.sql(rewriteCore(spark, q))
+    val rewritten = rewriteCore(spark, q)
+    // LIMIT n% is an executed-count rewrite and only handled at the top
+    // level (above); a nested one surviving to here would otherwise die
+    // as an opaque Spark parse error — refuse loudly instead
+    """(?is)\bLIMIT\s+[0-9.]+\s*%""".r.findFirstMatchIn(rewritten).foreach { mm =>
+      if (!insideQuotes(rewritten, mm.start))
+        throw new UnsupportedOperationException(
+          "LIMIT n% inside a subquery/CTE is not supported (top level only)")
+    }
+    spark.sql(rewritten)
   }
 
   /** Text-level rewrites that stay inside one SQL statement. */
@@ -738,15 +775,90 @@ object SqlDialect {
     // combined form `* EXCLUDE (…) REPLACE (…)` folds into one EXCEPT.
     q = rewriteStarModifiers(q)
 
-    // QUALIFY pred [ORDER BY …] → subquery + WHERE. Window expressions
-    // used directly in the predicate (QUALIFY row_number() OVER (…) <= 3)
-    // are auto-aliased into the select list first.
+    // QUALIFY / DISTINCT ON at EVERY nesting depth (a CTE body or a
+    // derived table is where a migrated DuckDB script uses them first)
+    q = rewriteNested(q)
+
+    q
+  }
+
+  /** Bottom-up structural recursion: rewrite each parenthesized
+    * interior first (so a QUALIFY inside a CTE body or derived table is
+    * handled at ITS level), then apply the level-local rewrites to this
+    * level's text. Recursing into every paren group — function calls
+    * included — is harmless: the level rewrites anchor on SELECT-clause
+    * keywords that cannot appear there. */
+  private def rewriteNested(query: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    val n = query.length
+    while (i < n) {
+      val c = query.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '(') {
+        val close = matchParen(query, i)
+        if (close > i) {
+          sb.append('(').append(rewriteNested(query.substring(i + 1, close))).append(')')
+          i = close + 1
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    rewriteLevel(sb.toString)
+  }
+
+  /** Split a leading `WITH name [(cols)] AS (…) [, …]` chain off a
+    * level's text, so a rewrite can wrap ONLY the main SELECT in a
+    * subquery (CTE names stay visible — Spark resolves outer CTEs
+    * inside derived tables) instead of nesting the WITH illegally. */
+  private def splitWithPrefix(q: String): (String, String) = {
+    val t = q.trim
+    if (!t.toUpperCase.startsWith("WITH") ||
+        (t.length > 4 && (t.charAt(4).isLetterOrDigit || t.charAt(4) == '_')))
+      return ("", q)
+    var i = 4
+    var done = false
+    while (!done) {
+      val open = t.indexOf('(', i)
+      require(open > 0, "WITH: malformed CTE (expected parenthesized body)")
+      // the first paren after the name may be a column list — the CTE
+      // body is the paren group that follows `AS`
+      val beforeParen = t.substring(i, open).trim.toUpperCase
+      val close = matchParen(t, open)
+      require(close > open, "WITH: unbalanced CTE body")
+      i = close + 1
+      if (beforeParen.endsWith("AS")) {
+        // consumed one full CTE; a comma continues the chain
+        val rest = t.substring(i)
+        val next = rest.takeWhile(_.isWhitespace).length
+        if (i + next < t.length && t.charAt(i + next) == ',') i = i + next + 1
+        else done = true
+      } // else: column list — loop again for the AS (…) body
+    }
+    (t.substring(0, i), t.substring(i))
+  }
+
+  /** Level-local rewrites (operate on depth-0 text only; nested parens
+    * were already handled by [[rewriteNested]]). */
+  private def rewriteLevel(query: String): String = {
+    var q = query
+
+    // QUALIFY pred [ORDER BY … | LIMIT …] → subquery + WHERE. Window
+    // expressions used directly in the predicate
+    // (QUALIFY row_number() OVER (…) <= 3) are auto-aliased into the
+    // select list first.
     val qi = topLevelIndex(q, "QUALIFY")
     if (qi >= 0) {
-      var inner = q.substring(0, qi)
+      val (withPrefix, level) = splitWithPrefix(q.substring(0, qi))
+      var inner = level
       val rest = q.substring(qi + "QUALIFY".length)
-      val oi = topLevelIndex(rest, "ORDER")
-      var (pred, tail) = if (oi >= 0) (rest.substring(0, oi), rest.substring(oi)) else (rest, "")
+      val boundary = Seq(topLevelIndex(rest, "ORDER"), topLevelIndex(rest, "LIMIT"))
+        .filter(_ >= 0).sorted.headOption
+      var (pred, tail) = boundary match {
+        case Some(b) => (rest.substring(0, b), rest.substring(b))
+        case None => (rest, "")
+      }
       val winExprs = extractWindowExprs(pred)
       winExprs.zipWithIndex.foreach { case (we, i) =>
         val alias = s"__q$i"
@@ -757,21 +869,32 @@ object SqlDialect {
       }
       val drop = if (winExprs.isEmpty) "*"
       else s"* EXCEPT (${winExprs.indices.map(i => s"__q$i").mkString(", ")})"
-      q = s"SELECT $drop FROM ($inner) __qualify WHERE ($pred) $tail"
+      q = s"$withPrefix SELECT $drop FROM ($inner) __qualify WHERE ($pred) $tail"
     }
 
     // SELECT DISTINCT ON (keys) cols FROM … [ORDER BY s] →
     //   row_number() OVER (PARTITION BY keys ORDER BY s) = 1
-    if (distinctOn.findFirstIn(q).isDefined) {
-      val open = q.indexOf('(', q.toUpperCase.indexOf("ON"))
+    // (any leading WITH chain stays outside the wrapping subquery)
+    val di = {
+      val m = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r.findAllMatchIn(q)
+        .find(mm => !insideQuotes(q, mm.start) && parenDepth(q, mm.start) == 0)
+      m
+    }
+    if (di.isDefined) {
+      val m = di.get
+      val withPrefix = q.substring(0, m.start)
+      require(withPrefix.trim.isEmpty || splitWithPrefix(q)._1.nonEmpty,
+        "DISTINCT ON: unsupported statement shape (text before SELECT)")
+      val sub = q.substring(m.start)
+      val open = sub.indexOf('(', sub.toUpperCase.indexOf("ON"))
       var depth = 1; var i = open + 1
-      while (depth > 0 && i < q.length) {
-        if (q.charAt(i) == '(') depth += 1
-        else if (q.charAt(i) == ')') depth -= 1
+      while (depth > 0 && i < sub.length) {
+        if (sub.charAt(i) == '(') depth += 1
+        else if (sub.charAt(i) == ')') depth -= 1
         i += 1
       }
-      val keys = q.substring(open + 1, i - 1)
-      val afterKeys = q.substring(i) // "cols FROM … [WHERE …] [ORDER BY …]"
+      val keys = sub.substring(open + 1, i - 1)
+      val afterKeys = sub.substring(i) // "cols FROM … [WHERE …] [ORDER BY …]"
       val oi = topLevelIndex(afterKeys, "ORDER")
       val (body, order) =
         if (oi >= 0) (afterKeys.substring(0, oi),
@@ -781,7 +904,7 @@ object SqlDialect {
       require(fi >= 0, "DISTINCT ON rewrite needs a FROM clause")
       val proj = body.substring(0, fi).trim
       val fromRest = body.substring(fi)
-      q = s"""SELECT * EXCEPT (__rn) FROM (
+      q = s"""$withPrefix SELECT * EXCEPT (__rn) FROM (
              |  SELECT $proj, row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __rn
              |  $fromRest
              |) WHERE __rn = 1""".stripMargin
@@ -992,12 +1115,16 @@ object SqlDialect {
     depth
   }
 
-  /** Index of the ')' matching the '(' at `open`, or -1. */
+  /** Index of the ')' matching the '(' at `open`, or -1 (quote-aware:
+    * parens inside string literals don't count). */
   private def matchParen(s: String, open: Int): Int = {
-    var depth = 0; var i = open
+    var depth = 0; var i = open; var inStr = false
     while (i < s.length) {
-      if (s.charAt(i) == '(') depth += 1
-      else if (s.charAt(i) == ')') { depth -= 1; if (depth == 0) return i }
+      val c = s.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else if (c == '\'') inStr = true
+      else if (c == '(') depth += 1
+      else if (c == ')') { depth -= 1; if (depth == 0) return i }
       i += 1
     }
     -1

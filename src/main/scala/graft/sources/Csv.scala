@@ -245,6 +245,10 @@ object Csv {
     // quote char: the reference's doubled-quote convention, which
     // Spark's parser honors when escape == quote (its own default is
     // backslash, which would mis-read RFC-4180 files).
+    require(skip == 0 || !unionByName,
+      "skip cannot be combined with union_by_name (skip is applied per file " +
+        "before parsing; combine them by reading each file separately)")
+
     val delimGiven = lower.contains("sep") || lower.contains("delim")
     val sniffed: Option[Dialect] =
       if (delimGiven && lower.contains("quote") && lower.contains("header")) None
@@ -263,10 +267,6 @@ object Csv {
       val base = columns.foldLeft(b) { case (acc, ddl) => acc.schema(ddl) }
       translated.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
     }
-
-    require(skip == 0 || !unionByName,
-      "skip cannot be combined with union_by_name (skip is applied per file " +
-        "before parsing; combine them by reading each file separately)")
 
     var df =
       if (skip > 0) {
