@@ -354,18 +354,45 @@ object Curation {
     * pipeline-native extension the curation suite exists for).
     */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int = 10): DataFrame = {
+                     n: Int = 10, saltBuckets: Int = 1): DataFrame = {
     require(n > 0, s"duplicateSpans: n must be > 0 (got $n)")
+    require(saltBuckets >= 1, s"duplicateSpans: saltBuckets >= 1 (got $saltBuckets)")
     val pos = docs
       .select(col(idCol), wsTokens(col(textCol)).as("__w"))
       .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
         posexplode(call_function("word_gram_hashes", col("__w"), lit(n))))
       .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
-    val wGram = Window.partitionBy(col("__g"))
-    val marks = pos
-      .withColumn("__lo", min(col(idCol)).over(wGram))
-      .withColumn("__hi", max(col(idCol)).over(wGram))
-      .filter(col("__lo") =!= col("__hi"))
+    // Hot-gram escape hatch (saltBuckets > 1): the window form below
+    // must SORT each gram partition in ONE task — a degenerate
+    // boilerplate gram appearing in millions of documents makes that
+    // one task the job's straggler, and a window partition cannot be
+    // split. The salted form computes the same min<>max decision as a
+    // TWO-LEVEL aggregate — (gram, salt-of-doc) cells first, then the
+    // per-gram fold over ≤ saltBuckets cell rows — and joins the
+    // surviving gram ids back with a shuffle-hash hint: the skewed
+    // probe side then STREAMS (no sort), and AQE's skew-join splitting
+    // can break the hot probe partition, which is structurally
+    // impossible for the window. Cost: the position stream is scanned
+    // twice (the documented reason the oracle default stays the
+    // single-pass window form).
+    val marks =
+      if (saltBuckets <= 1) {
+        val wGram = Window.partitionBy(col("__g"))
+        pos
+          .withColumn("__lo", min(col(idCol)).over(wGram))
+          .withColumn("__hi", max(col(idCol)).over(wGram))
+          .filter(col("__lo") =!= col("__hi"))
+      } else {
+        val dupGrams = pos
+          .groupBy(col("__g"),
+            pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)).as("__salt"))
+          .agg(min(col(idCol)).as("__lo1"), max(col(idCol)).as("__hi1"))
+          .groupBy(col("__g"))
+          .agg(min(col("__lo1")).as("__lo"), max(col("__hi1")).as("__hi"))
+          .filter(col("__lo") =!= col("__hi"))
+          .select(col("__g"))
+        pos.join(dupGrams.hint("shuffle_hash"), Seq("__g"))
+      }
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     marks
       .withColumn("__new",

@@ -149,8 +149,9 @@ object TextAnalysis {
     * tolerance contract as `text_unigram_lm`.
     */
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
-                     alpha: Double = 0.1): DataFrame = {
+                     alpha: Double = 0.1, saltBuckets: Int = 1): DataFrame = {
     require(alpha > 0, s"bigramLmScores: alpha must be > 0 (got $alpha)")
+    require(saltBuckets >= 1, s"bigramLmScores: saltBuckets >= 1 (got $saltBuckets)")
     val base = docs.select(col(idCol),
       graft.operators.Curation.wsTokens(col(textCol)).as("__w"))
     val pairs = base
@@ -163,14 +164,36 @@ object TextAnalysis {
       .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
     val docPair = pairs.groupBy(col(idCol), col("__a"), col("__b"))
       .agg(count(lit(1)).as("__m"))
-    val wAB = Window.partitionBy(col("__a"), col("__b"))
-    val wA = Window.partitionBy(col("__a"))
-    // c1 window FIRST: hashpartitioning(a) also satisfies the (a, b)
-    // window's clustering requirement, so c2 adds only a sort — the
-    // opposite order exchanges the stream twice
-    val enriched = docPair
-      .withColumn("__c1", sum(col("__m")).over(wA))
-      .withColumn("__c2", sum(col("__m")).over(wAB))
+    // Hot-context escape hatch (saltBuckets > 1): same rationale as
+    // [[graft.operators.Curation.duplicateSpans]] — the window form
+    // sorts each context partition in one unsplittable task, so a
+    // degenerate context word ('the' in a scriptless corpus) becomes
+    // the straggler. The salted form builds c2 as a two-level
+    // (a, b, salt-of-doc) → (a, b) aggregate, derives c1 = Σ_b c2(a,b)
+    // from the (small) c2 table rather than rescanning pairs, and
+    // joins both back shuffle-hash so the skewed probe streams and AQE
+    // can split it. Cost: the collapsed pair stream is scanned twice.
+    val enriched =
+      if (saltBuckets <= 1) {
+        val wAB = Window.partitionBy(col("__a"), col("__b"))
+        val wA = Window.partitionBy(col("__a"))
+        // c1 window FIRST: hashpartitioning(a) also satisfies the (a, b)
+        // window's clustering requirement, so c2 adds only a sort — the
+        // opposite order exchanges the stream twice
+        docPair
+          .withColumn("__c1", sum(col("__m")).over(wA))
+          .withColumn("__c2", sum(col("__m")).over(wAB))
+      } else {
+        val c2t = docPair
+          .groupBy(col("__a"), col("__b"),
+            pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)).as("__s"))
+          .agg(sum(col("__m")).as("__c2p"))
+          .groupBy(col("__a"), col("__b")).agg(sum(col("__c2p")).as("__c2"))
+        val c1t = c2t.groupBy(col("__a")).agg(sum(col("__c2")).as("__c1"))
+        docPair
+          .join(c2t.hint("shuffle_hash"), Seq("__a", "__b"))
+          .join(c1t.hint("shuffle_hash"), Seq("__a"))
+      }
     val vocab = base
       .filter(size(col("__w")) >= 2)
       .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))

@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Engine
@@ -188,10 +188,25 @@ object ScaleStress {
     def snapshot: (Long, Long) = (bytes.get, records.get)
   }
 
+  /** Longest single task across every job run while active — the
+    * straggler metric the salt tier exists to measure. */
+  final class MaxTaskMeter extends SparkListener {
+    private val maxMs = new java.util.concurrent.atomic.AtomicLong
+    override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+      if (te.taskInfo != null) {
+        val d = te.taskInfo.duration
+        var cur = maxMs.get
+        while (d > cur && !maxMs.compareAndSet(cur, d)) cur = maxMs.get
+      }
+    def reset(): Unit = maxMs.set(0L)
+    def max: Long = maxMs.get
+  }
+
   final case class OpResult(name: String, wallSec: Double, shuffleBytes: Long,
                             shuffleRecords: Long, outRows: Long,
                             plantedTotal: Long, plantedFound: Long,
-                            expectedRecall: Option[Double] = None) {
+                            expectedRecall: Option[Double] = None,
+                            maxTaskMs: Long = 0L) {
     def recall: Double =
       if (plantedTotal == 0) 1.0 else plantedFound.toDouble / plantedTotal
   }
@@ -625,6 +640,50 @@ object ScaleStress {
             snap._2, outRows, 0L, 0L)
         }
 
+      // Salted-count escape hatch evidence (round-8 verdict #10): a
+      // DEGENERATE corpus — every document shares an 11-token
+      // boilerplate prefix plus one unique token, so TWO word-10-grams
+      // each appear in ALL 100k·mult documents (the "million-doc gram"
+      // at x16+). The unsalted window form must sort each hot gram
+      // partition in one unsplittable task; the salted two-level form
+      // aggregates then streams the join-back. Reported metric:
+      // max_task_ms for each — the straggler ratio the knob exists to
+      // shrink. Answers are pinned identical by CurationOpsSpec.
+      val saltspans: Seq[OpResult] =
+        if (!wanted("saltspans")) Seq.empty
+        else {
+          val nDocs = 100000L * mult
+          val boiler = (0 until 11).map(i => s"hot$i").mkString(" ")
+          val hotDocs = spark.range(nDocs)
+            .select(col("id").as("doc_id"),
+              concat(lit(boiler + " u"), col("id").cast("string")).as("text"))
+            .localCheckpoint()
+          val tm = new MaxTaskMeter
+          spark.sparkContext.addSparkListener(tm)
+          try {
+            def run(salt: Int): OpResult = {
+              val spans = Curation.duplicateSpans(hotDocs, "doc_id", "text",
+                n = 10, saltBuckets = salt)
+              val n = spans.count() // warm pass
+              var wall = Double.MaxValue
+              var snap = (0L, 0L)
+              var maxT = 0L
+              for (_ <- 1 to 2) {
+                meter.reset(); tm.reset()
+                val t0 = System.nanoTime()
+                spans.count()
+                val w = (System.nanoTime() - t0) / 1e9
+                if (w < wall) { wall = w; snap = meter.snapshot; maxT = tm.max }
+              }
+              OpResult(s"text_dup_spans_salt$salt", wall, snap._1, snap._2,
+                n, 0L, 0L, maxTaskMs = maxT)
+            }
+            val out = Seq(run(1), run(32))
+            hotDocs.unpersist(blocking = true)
+            out
+          } finally spark.sparkContext.removeSparkListener(tm)
+        }
+
       // free this section's pinned checkpoint blocks so the next
       // multiplier's measurements start from a clean heap
       (Seq(docs, names, embs, docPairs, namePairs, vecPairs) ++ edges)
@@ -632,7 +691,8 @@ object ScaleStress {
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
-        bm25, epochShuf, incremental, dupspans, semdedup, boilermine, bigramLm).flatten ++ kmeansWide)
+        bm25, epochShuf, incremental, dupspans, semdedup, boilermine, bigramLm).flatten ++
+        kmeansWide ++ saltspans)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
 
@@ -648,7 +708,8 @@ object ScaleStress {
         f""""${r.name}":{"wall_sec":${r.wallSec}%.3f,"shuffle_mb":${r.shuffleBytes / 1e6}%.2f,""" +
           s""""shuffle_records":${r.shuffleRecords},"out_rows":${r.outRows},""" +
           s""""planted":${r.plantedTotal},"found":${r.plantedFound},"recall":${r.recall}""" +
-          r.expectedRecall.map(e => f""","expected_recall":$e%.4f""").getOrElse("") + "}"
+          r.expectedRecall.map(e => f""","expected_recall":$e%.4f""").getOrElse("") +
+          (if (r.maxTaskMs > 0) s""","max_task_ms":${r.maxTaskMs}""" else "") + "}"
       }.mkString(",")
       s""""x$m":{$items}"""
     }

@@ -205,6 +205,35 @@ class CurationOpsSpec extends SparkSpec {
       6L -> ((2L, 20L, 34L, 0.588235))), out.toString)
   }
 
+  test("saltBuckets escape hatch: exact same answers, no gram/context window in the plan") {
+    import spark.implicits._
+    // hot-gram corpus: 40 docs share one 14-token boilerplate block
+    val boiler = (0 until 14).map(i => s"hot$i")
+    val docs = (0L until 40L).map { id =>
+      val tail = (0 until 8).map(i => s"u${id}_$i")
+      (id, (boiler ++ tail).mkString(" "))
+    }.toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val spansPlain = graft.operators.Curation.duplicateSpans(docs, "doc_id", "text")
+    val spansSalt = graft.operators.Curation.duplicateSpans(
+      docs, "doc_id", "text", saltBuckets = 8)
+    assert(canon(spansPlain) == canon(spansSalt))
+    val lmPlain = graft.operators.TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+    val lmSalt = graft.operators.TextAnalysis.bigramLmScores(
+      docs, "doc_id", "text", saltBuckets = 8)
+    assert(canon(lmPlain) == canon(lmSalt))
+    // structural claim: the salted plans carry NO window over the hot
+    // key (spans keeps only its per-document island window; the LM
+    // keeps none) — the count tables aggregate two-level and join back
+    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      "\\bWindow\\b".r.findAllIn(df.queryExecution.executedPlan.toString).size
+    }
+    assert(windows(spansSalt) < windows(spansPlain))
+    assert(windows(lmSalt) == 0)
+  }
+
   test("semDedup keeps the lowest id of a planted near-group and everything isolated") {
     import spark.implicits._
     val vecs = Seq(
