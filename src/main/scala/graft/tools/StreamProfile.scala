@@ -35,6 +35,52 @@ object StreamProfile {
       }
     })
     val name = args.lift(1).getOrElse("sess")
+
+    // bigstate: synthetic N-key stateful aggregation for the
+    // state-store provider crossover (round-8 verdict #8). The sf0.1
+    // events table tops out at ~95k states — far below where the
+    // in-heap HDFSBacked provider starts paying GC/heap rent — so this
+    // mode generates nKeys distinct sessions (2 events each, one
+    // windowed-agg state row per key), runs ONE AvailableNow batch into
+    // a noop sink, and the listener reports stateRows + commit time.
+    // Run with SPARK_GRAFT_STATESTORE to switch providers and
+    // SPARK_DRIVER_MEM to move the heap wall.
+    if (name == "bigstate") {
+      import org.apache.spark.sql.functions._
+      val nKeys = args.lift(2).map(_.toLong).getOrElse(5000000L)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bigstate_").toString
+      spark.range(nKeys * 2)
+        .select((col("id") % nKeys).as("k"),
+          (lit(1704067200L) + (col("id") % 3600L)).cast("timestamp").as("ts"),
+          (col("id") * 7L).as("v"))
+        .repartition(8).write.mode("overwrite").parquet(tmp)
+      val sch = spark.read.parquet(tmp).schema
+      def pass(): Double = {
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(sch).parquet(tmp)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("k"), window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+          .writeStream.format("noop").outputMode("update")
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft_bigstate_ck_").toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (1 to 2).foreach { p =>
+        val w = pass()
+        println(f"RESULT bigstate pass=$p keys=$nKeys wall=$w%.3f " +
+          s"provider=${sys.env.getOrElse("SPARK_GRAFT_STATESTORE", "hdfs-default")} " +
+          s"heap=${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}")
+      }
+      Thread.sleep(500)
+      lines.forEach(println)
+      spark.stop()
+      return
+    }
+
     def once(): Long = {
       val out = name match {
         case "sess" => graft.streaming.EventStreams.runToBatch(spark, dir,
