@@ -117,6 +117,7 @@ object Bench {
       "pipeline_train_split", "emb_quantize",
       "dedup_incremental", "text_bm25_topk", "text_dup_spans",
       "pipeline_semdedup", "text_bigram_lm", "pipeline_epoch_shuffle",
+      "csv_sniffer", "fn_time", "catalog_constraints", "text_langid",
       "stream_tumbling", "stream_session", "stream_stream_join",
       "mm_binary_stats", "arrow_roundtrip")
     val byName = results.toMap

@@ -42,6 +42,15 @@ out = {
                   "ratio": round(s_tot / d_tot, 3) if d_tot else None},
     "queries": queries,
 }
+# interleaved-session provenance (bench_session.py): duck passes bracket
+# the spark runs — carry the UTC stamps so the artifact is
+# self-adjudicating
+if "stamps" in duck_raw:
+    out["protocol"]["session_stamps_utc"] = duck_raw["stamps"]
+    out["protocol"]["interleaving"] = (
+        "one session via tools/bench_session.py: duck A / spark 1 / duck B / "
+        "spark 2 / duck C; duck time = per-query min(A,B,C), spark time = "
+        "per-query min over both Bench dumps")
 json.dump(out, open(sys.argv[2], "w"), indent=1)
 
 rows = [(n, q["spark_sec"], q["duckdb_sec"], q["ratio"]) for n, q in queries.items()

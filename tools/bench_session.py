@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""One-session interleaved bench (round-8 verdict #1): DuckDB and Spark
+passes alternate on the same machine state so the duck baseline's
+timestamps BRACKET the Spark runs and no provenance adjudication is
+needed. Sequence: duck A -> spark 1 -> duck B -> spark 2 -> duck C.
+Per-query duck time = min(A, B, C); per-query spark time = min over the
+two Bench dumps (each itself min-of-2 passes). Emits
+target/duck_interleaved.json (with UTC stamps per pass) for
+assemble_bench.py.
+
+Usage: bench_session.py [sf_dir]
+"""
+import json, os, subprocess, sys, time
+
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.1'
+out = 'target/verify_out'
+stamps = {}
+
+
+def utc(t):
+    return time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime(t))
+
+
+def duck(tag):
+    t0 = time.time()
+    r = subprocess.run([sys.executable, 'tools/bench_duck.py', sf, out],
+                       capture_output=True, text=True, check=True)
+    j = json.loads(r.stdout.strip().splitlines()[-1])
+    stamps[tag] = [utc(t0), utc(time.time())]
+    json.dump(j, open(f'target/{tag}.json', 'w'))
+    print(f'[{tag}] total={j["value"]:.1f}s', flush=True)
+    return j['queries']
+
+
+def spark(tag):
+    t0 = time.time()
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf, SPARK_GRAFT_CPUS='32',
+               SPARK_GRAFT_DUMP=f'target/{tag}.json')
+    subprocess.run(['sbt', '-batch', 'runMain graft.Bench'], env=env,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+                   check=True)
+    stamps[tag] = [utc(t0), utc(time.time())]
+    d = json.load(open(f'target/{tag}.json'))
+    print(f'[{tag}] total={sum(v for v in d.values() if v > 0):.1f}s', flush=True)
+    return d
+
+
+da = duck('duck_a')
+s1 = spark('spark_1')
+db = duck('duck_b')
+s2 = spark('spark_2')
+dc = duck('duck_c')
+
+names = set(da) | set(db) | set(dc)
+duckmin = {}
+for n in sorted(names):
+    ts = [t for t in (da.get(n, -1), db.get(n, -1), dc.get(n, -1)) if t and t > 0]
+    duckmin[n] = min(ts) if ts else -1
+json.dump({'metric': 'duckdb_total',
+           'value': sum(v for v in duckmin.values() if v > 0),
+           'queries': duckmin, 'sf': sf, 'stamps': stamps},
+          open('target/duck_interleaved.json', 'w'), indent=1)
+print('wrote target/duck_interleaved.json; stamps:', json.dumps(stamps))
