@@ -766,6 +766,43 @@ object SqlDialect {
       if (last > 0) q = sb.append(q.substring(last)).toString
     }
 
+    // COLLATE NOCASE / NOACCENT (reference collation registry,
+    // duckdb-5.cpp:5156-5158) as comparison-key folding. COLLATE
+    // attaches to a COMPARISON, not a value: `a = b COLLATE NOCASE`
+    // folds BOTH operands (`lower(a) = lower(b)`), while in an ORDER BY
+    // / windowed ORDER BY item only the sort key folds — the projected
+    // value keeps its original case either way, matching the
+    // reference. Operands are the textual common shapes (identifier /
+    // dotted column / single function call / string literal); anything
+    // fancier should fold explicitly. NOACCENT maps to the registered
+    // strip_accents UDF (same fold `TypeHelpers.collateNoaccent` uses).
+    locally {
+      val opnd = """(?:'(?:[^']|'')*'|[A-Za-z_][\w.]*(?:\([^()]*\))?)"""
+      def fold(c: String, e: String): String =
+        if (c.equalsIgnoreCase("NOCASE")) s"lower($e)" else s"strip_accents($e)"
+      val cmp = (s"(?is)($opnd)\\s*(=|<>|!=|<=|>=|<|>)\\s*($opnd)" +
+        """\s+COLLATE\s+(NOCASE|NOACCENT)\b""").r
+      var changed = true
+      while (changed) {
+        changed = false
+        cmp.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
+          q = q.substring(0, m.start) +
+            s"${fold(m.group(4), m.group(1))} ${m.group(2)} ${fold(m.group(4), m.group(3))}" +
+            q.substring(m.end)
+          changed = true
+        }
+      }
+      val single = (s"(?is)($opnd)\\s+COLLATE\\s+(NOCASE|NOACCENT)\\b").r
+      changed = true
+      while (changed) {
+        changed = false
+        single.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
+          q = q.substring(0, m.start) + fold(m.group(2), m.group(1)) + q.substring(m.end)
+          changed = true
+        }
+      }
+    }
+
     // star modifiers (reference: star expression EXCLUDE / REPLACE,
     // duckdb-internal.hpp star expr):
     //   * EXCLUDE (a, b)            → * EXCEPT (a, b)        (Spark native)

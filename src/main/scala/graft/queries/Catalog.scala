@@ -409,6 +409,21 @@ object Catalog {
       skipped.crossJoin(unioned).crossJoin(hp)
     }),
 
+    "dialect_collate" -> ((s, dir) => {
+      // SQL-level COLLATE NOCASE (reference collation registry,
+      // duckdb-5.cpp:5156): the shim folds the COMPARISON — both
+      // operands of `a = b COLLATE NOCASE`, the sort key of an ORDER
+      // BY item — while projected values keep their case. Same
+      // statement text runs natively on DuckDB.
+      graft.functions.DuckFunctions.register(s)
+      SqlDialect.sql(s,
+        """SELECT s,
+          |  CAST(row_number() OVER (ORDER BY s COLLATE NOCASE, s) AS BIGINT) AS rk,
+          |  (s = 'BANANA' COLLATE NOCASE) AS is_banana,
+          |  (s < 'b' COLLATE NOCASE) AS lt_b
+          |FROM (VALUES ('apple'), ('Banana'), ('cherry'), ('APRICOT'), ('banana')) AS v(s)""".stripMargin)
+    }),
+
     "csv_sniffer" -> ((s, dir) => {
       // dialect sniffer (reference read_csv_auto / BufferedCSVReader,
       // duckdb-4.cpp:1949-3700): four tricky fixtures read with ZERO
@@ -646,6 +661,13 @@ object Catalog {
         |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
         | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
         |               hive_partitioning=true, header=true))""".stripMargin,
+
+    "dialect_collate" ->
+      """SELECT s,
+        |  CAST(row_number() OVER (ORDER BY s COLLATE NOCASE, s) AS BIGINT) AS rk,
+        |  (s = 'BANANA' COLLATE NOCASE) AS is_banana,
+        |  (s < 'b' COLLATE NOCASE) AS lt_b
+        |FROM (VALUES ('apple'), ('Banana'), ('cherry'), ('APRICOT'), ('banana')) AS v(s)""".stripMargin,
 
     "csv_sniffer" ->
       """SELECT * FROM

@@ -65,6 +65,11 @@ class DialectFuzzSpec extends SparkSpec {
       s"SELECT n_nationkey AS k, n_regionkey * 100 + $a AS v FROM nation")
   }
 
+  private def collate(lit: String): Pair = {
+    (s"SELECT n_nationkey AS k, n_name FROM nation WHERE n_name = '$lit' COLLATE NOCASE",
+      s"SELECT n_nationkey AS k, n_name FROM nation WHERE lower(n_name) = lower('$lit')")
+  }
+
   private def prepareExec(i: Int, m: Int): Pair = {
     SqlDialect.sql(spark,
       s"PREPARE fz_p$i AS SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey <= $$1")
@@ -119,7 +124,7 @@ class DialectFuzzSpec extends SparkSpec {
     var checked = 0
     val failures = scala.collection.mutable.Buffer.empty[String]
     for (i <- 0 until 250) {
-      val base: Pair = rnd.nextInt(8) match {
+      val base: Pair = rnd.nextInt(9) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -128,6 +133,7 @@ class DialectFuzzSpec extends SparkSpec {
         case 5 => similarTo(Seq(".*A.*", "[A-Z]+", ".*(IA|AN)").apply(rnd.nextInt(3)))
         case 6 => macroCall(i, rnd.nextInt(50))
         case 7 => prepareExec(i, 1 + rnd.nextInt(20))
+        case 8 => collate(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
       }
       // EXECUTE cannot nest inside a context (statement-level construct)
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
