@@ -755,22 +755,23 @@ object Pipeline {
       // vectors + exact int64 distances + floor-division centroid update
       // make the full per-row assignment bit-replayable by the SQL
       // oracle — the strongest possible check for an iterative operator.
+      // no presentation sort: the gate compares row-order-insensitively
+      // and a global orderBy adds a range exchange to a map-only plan
       graft.operators.Similarity.semanticClusters(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, iterations = 2)
         .select(col("id").as("vec_id"), col("cid"))
-        .orderBy(col("vec_id"))
     }),
 
     "pipeline_semdedup" -> ((s, dir) => {
       // SemDeDup (Similarity.semDedup): semantic clustering + greedy
       // within-cluster ε-ball prune at cosine 0.35 on the quantized
       // vectors — cluster-bounded pairs, bit-replayable end to end.
+      // no presentation sort (same rationale as the clustering row)
       graft.operators.Similarity.semDedup(
           t(s, dir, "embeddings"), "vec_id", "embedding",
           k = 8, iterations = 2, tau = 0.35)
         .select(col("id").as("vec_id"), col("cid"))
-        .orderBy(col("vec_id"))
     })
   )
 
