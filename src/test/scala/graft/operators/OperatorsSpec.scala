@@ -61,6 +61,24 @@ class DedupSpec extends SparkSpec {
     assert(novel === Set(101L, 102L))
   }
 
+  test("dedupAgainst never caps the batch side: hot batch bucket keeps all its candidates") {
+    // Regression (round-8 ADVICE): a batch-side (band, bucket) group
+    // exceeding maxBucket must NOT be dropped — the cap applies to the
+    // persisted HISTORY index only, keeping batch answers identical to
+    // the streaming twin by construction. 150 byte-identical batch
+    // docs (every band bucket holds all 150, far over maxBucket = 100)
+    // probing a history that contains the same text: every batch doc
+    // must surface its history pair at jaccard 1.0.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val hist = Seq((0L, txt), (1L, "unrelated words about something else entirely here"))
+      .toDF("doc_id", "text")
+    val batch = (100L until 250L).map(i => (i, txt)).toDF("doc_id", "text")
+    val hits = Dedup.dedupAgainst(hist, batch, "doc_id", "text", maxBucket = 100)
+      .filter(col("jaccard") >= 0.99)
+      .select("batch_id").distinct().count()
+    assert(hits == 150L, s"expected all 150 hot-bucket batch docs to match, got $hits")
+  }
+
   test("codegen shingle/banding/neighborhood kernels match their UDF reference semantics") {
     // The dedup hot paths now run codegen expressions (HashedShingles,
     // MinhashBands, DeleteNeighborhoodHashes); the ScalaUDF forms stay
