@@ -51,6 +51,12 @@ object SqlDialect {
   private val bareCsv = """(?is)\bFROM\s+'([^']+\.csv)'""".r
   private val readParquetFn = """(?is)\bread_parquet\s*\(\s*'([^']+)'\s*\)""".r
   private val bareParquet = """(?is)\bFROM\s+'([^']+\.parquet)'""".r
+  // read_json / read_json_auto / read_ndjson: newline-delimited JSON
+  // replacement scan (the reference ships these in its JSON extension;
+  // Spark's json reader is NDJSON-native with full schema inference)
+  private val readJsonFn =
+    """(?is)\bread_(?:nd)?json(?:_auto)?\s*\(\s*'([^']+)'\s*\)""".r
+  private val bareJson = """(?is)\bFROM\s+'([^']+\.(?:json|ndjson|jsonl))'""".r
   private val distinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
   // COPY (query)|table TO 'path' [(options)] — reference PhysicalCopyToFile,
   // duckdb-4.cpp:4689
@@ -513,6 +519,16 @@ object SqlDialect {
         val post = assignments.foldLeft(spark.table(m.group(1)).filter(cond)) {
           case (acc, (c, v)) => acc.withColumn(c, v)
         }.localCheckpoint()
+        // declared-constraint validation on the POST-assignment rows,
+        // BEFORE the view is replaced (the reference verifies updates
+        // the same way it verifies inserts). NOT NULL + CHECK only: a
+        // key-modifying UPDATE's uniqueness is the documented residual
+        // (checking it needs the old/new key delta, not just changed
+        // rows).
+        constraintsFor(spark).get(m.group(1).toLowerCase)
+          .filter(_ => validationEnabled(spark))
+          .foreach(cons => Engine.validateConstraints(spark, m.group(1), post,
+            cons.copy(unique = Nil), checkUnique = false))
         Engine.updateWhere(spark, m.group(1), cond, assignments.toMap)
         if (returningCols.isDefined) return returned(post)
         return Seq(post.count()).toDF("count")
@@ -699,6 +715,8 @@ object SqlDialect {
     q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1), ""))
     q = readParquetFn.replaceAllIn(q, m => registerParquet(spark, m.group(1)))
     q = bareParquet.replaceAllIn(q, m => "FROM " + registerParquet(spark, m.group(1)))
+    q = readJsonFn.replaceAllIn(q, m => registerJson(spark, m.group(1)))
+    q = bareJson.replaceAllIn(q, m => "FROM " + registerJson(spark, m.group(1)))
 
     // LIMIT p% → run + limit
     limitPercent.findFirstMatchIn(q) match {
@@ -1186,6 +1204,12 @@ object SqlDialect {
   private def registerParquet(spark: SparkSession, path: String): String = {
     val view = "pq_" + math.abs(path.hashCode).toString
     spark.read.parquet(path).createOrReplaceTempView(view)
+    view
+  }
+
+  private def registerJson(spark: SparkSession, path: String): String = {
+    val view = "js_" + math.abs(path.hashCode).toString
+    spark.read.json(path).createOrReplaceTempView(view)
     view
   }
 }

@@ -409,6 +409,28 @@ object Catalog {
       skipped.crossJoin(unioned).crossJoin(hp)
     }),
 
+    "scan_json" -> ((s, dir) => {
+      // NDJSON replacement scan (read_json_auto — the reference's JSON
+      // extension scan; Spark's json reader is NDJSON-native): both
+      // engines auto-detect schema from the same byte-identical file
+      import java.nio.file.{Files, Paths}
+      val base = Paths.get("/root/repo/target/json_scan")
+      Files.createDirectories(base)
+      val nation = t(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name"),
+          col("n_regionkey").cast("long"))
+        .orderBy(col("n_nationkey")).collect()
+      val lines = nation.map(r =>
+        s"""{"k": ${r.getLong(0)}, "name": "${r.getString(1)}", "rk": ${r.getLong(2)}}""")
+      Files.write(base.resolve("nation.ndjson"),
+        (lines.mkString("\n") + "\n").getBytes)
+      SqlDialect.sql(s,
+        """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+          |  min(name) AS lo_name, CAST(sum(rk) AS BIGINT) AS rk_sum,
+          |  CAST(count(*) FILTER (WHERE rk = 0) AS BIGINT) AS n_r0
+          |FROM read_json_auto('/root/repo/target/json_scan/nation.ndjson')""".stripMargin)
+    }),
+
     "dialect_collate" -> ((s, dir) => {
       // SQL-level COLLATE NOCASE (reference collation registry,
       // duckdb-5.cpp:5156): the shim folds the COMPARISON — both
@@ -661,6 +683,12 @@ object Catalog {
         |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
         | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
         |               hive_partitioning=true, header=true))""".stripMargin,
+
+    "scan_json" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+        |  min(name) AS lo_name, CAST(sum(rk) AS BIGINT) AS rk_sum,
+        |  CAST(count(*) FILTER (WHERE rk = 0) AS BIGINT) AS n_r0
+        |FROM read_json_auto('/root/repo/target/json_scan/nation.ndjson')""".stripMargin,
 
     "dialect_collate" ->
       """SELECT s,

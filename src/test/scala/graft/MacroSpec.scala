@@ -355,6 +355,28 @@ class MacroSpec extends SparkSpec {
     assert(spark.table("con_t").filter(col("id").isin(2, 3, 4, 7)).count() == 0)
   }
 
+  test("UPDATE validates NOT NULL and CHECK on the post-assignment rows") {
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS conu_t")
+    SqlDialect.sql(spark,
+      "CREATE TABLE conu_t (id INTEGER PRIMARY KEY, name VARCHAR NOT NULL, " +
+        "v INTEGER CHECK (v >= 0))")
+    SqlDialect.sql(spark, "INSERT INTO conu_t VALUES (1, 'a', 5), (2, 'b', 3)")
+    val nn = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "UPDATE conu_t SET name = NULL WHERE id = 1"))
+    assert(nn.getMessage.contains("NOT NULL constraint failed: conu_t.name"))
+    val ck = intercept[Engine.ConstraintViolation](SqlDialect.sql(spark,
+      "UPDATE conu_t SET v = v - 10 WHERE id = 2"))
+    assert(ck.getMessage.contains("CHECK constraint failed: conu_t"))
+    // the rejected updates must not have been applied
+    val rows = spark.table("conu_t").orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(rows == Seq((1, "a", 5), (2, "b", 3)))
+    // a legal update still lands
+    SqlDialect.sql(spark, "UPDATE conu_t SET v = v + 1 WHERE id = 1")
+    assert(spark.table("conu_t").filter(col("id") === 1)
+      .head().getInt(2) == 6)
+  }
+
   test("system sampling: seeded, deterministic, block-granular") {
     import spark.implicits._
     val df = (1 to 20000).map(i => (i.toLong, i % 7)).toDF("id", "g")
