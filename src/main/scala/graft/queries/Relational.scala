@@ -389,6 +389,22 @@ object Relational {
       c.intersect(n)
     }),
 
+    "set_allvariants" -> ((s, dir) => {
+      // EXCEPT ALL / INTERSECT ALL (bag semantics — multiplicities
+      // subtract / take the min, unlike the DISTINCT set forms above);
+      // aggregated so duplicate multiplicity is what the hash checks
+      val c = t(s, dir, "customer")
+        .select((col("c_nationkey") % 9).cast("long").as("k"))
+      val o = t(s, dir, "orders")
+        .select((col("o_custkey") % 9).cast("long").as("k"))
+      val ea = c.exceptAll(o).groupBy(col("k")).agg(count(lit(1)).as("n_except_all"))
+      val ia = c.intersectAll(o).groupBy(col("k")).agg(count(lit(1)).as("n_intersect_all"))
+      ea.join(ia, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+    }),
+
     "set_recursive_cte" -> ((s, _) => {
       // WITH RECURSIVE (PhysicalRecursiveCTE, duckdb-4.cpp:7608) via the
       // driver-side fixpoint loop in graft.operators.Recursion
@@ -1012,6 +1028,18 @@ object Relational {
       """SELECT CAST(c_nationkey + 10 AS BIGINT) AS k FROM customer
         |INTERSECT
         |SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation""".stripMargin,
+
+    "set_allvariants" ->
+      """WITH c AS (SELECT CAST(c_nationkey % 9 AS BIGINT) AS k FROM customer),
+        |o AS (SELECT CAST(o_custkey % 9 AS BIGINT) AS k FROM orders),
+        |ea AS (SELECT k, count(*) AS n_except_all FROM (
+        |         SELECT k FROM c EXCEPT ALL SELECT k FROM o) GROUP BY k),
+        |ia AS (SELECT k, count(*) AS n_intersect_all FROM (
+        |         SELECT k FROM c INTERSECT ALL SELECT k FROM o) GROUP BY k)
+        |SELECT coalesce(ea.k, ia.k) AS k,
+        |  CAST(coalesce(n_except_all, 0) AS BIGINT) AS n_except_all,
+        |  CAST(coalesce(n_intersect_all, 0) AS BIGINT) AS n_intersect_all
+        |FROM ea FULL OUTER JOIN ia ON ea.k = ia.k""".stripMargin,
 
     "set_recursive_cte" ->
       """WITH RECURSIVE t(i) AS (

@@ -101,6 +101,12 @@ class DialectFuzzSpec extends SparkSpec {
     (s"SELECT *, '$trapLit' AS __trap FROM (${p._1}) __t",
       s"SELECT *, '$trapLit' AS __trap FROM (${p._2}) __t")
 
+  /** Parenthesized set-operation branches: each operand is its own
+    * rewrite level, so a QUALIFY/DISTINCT ON inside either branch must
+    * rewrite independently. */
+  private def ctxUnion(p: Pair): Pair =
+    (s"(${p._1}) UNION ALL (${p._1})", s"(${p._2}) UNION ALL (${p._2})")
+
   /** Comments injected into the DIALECT side only — they are whitespace
     * to the grammar, so the plain side stays clean. */
   private def ctxComments(p: Pair): Pair = {
@@ -120,7 +126,7 @@ class DialectFuzzSpec extends SparkSpec {
     Engine.registerAll(spark, dir)
     val rnd = new scala.util.Random(20260814L)
     val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
-      ctxTrapString, ctxComments)
+      ctxTrapString, ctxComments, ctxUnion)
     var checked = 0
     val failures = scala.collection.mutable.Buffer.empty[String]
     for (i <- 0 until 250) {
