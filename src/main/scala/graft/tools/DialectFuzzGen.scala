@@ -1,0 +1,202 @@
+package graft.tools
+
+/** Seeded generator behind the dialect-composition fuzz (round-8
+  * verdict #2). Every emitted construct is NATIVE DuckDB syntax
+  * (QUALIFY, DISTINCT ON, star EXCLUDE/REPLACE, SIMILAR TO, COLLATE,
+  * macros, PREPARE/EXECUTE), so the same statement text runs on both
+  * engines: the ScalaTest spec checks the shim's rewrite against a
+  * hand-paired plain-Spark formulation in-process, and
+  * [[FuzzDump]] + tools/fuzz_compare.py replay the IDENTICAL
+  * statements on DuckDB for the cross-engine differential — the full
+  * "rewrite ≡ oracle" loop the reference's Postgres grammar
+  * (duckdb-libpg_query.cpp, Parser::ParseQuery duckdb-8.cpp:7252)
+  * makes unnecessary there.
+  *
+  * Determinism: a fixed seed drives construct + context choice; every
+  * construct's result is total-order deterministic (complete ORDER BY
+  * keys under row_number / DISTINCT ON), so engines can't disagree by
+  * tie-break.
+  */
+object DialectFuzzGen {
+
+  /** One generated case: session-state setup statements (macros,
+    * prepares — DuckDB runs them in the same script), the dialect
+    * statement, and a plain-Spark-SQL equivalent for the in-process
+    * spec. */
+  final case class Case(name: String, setup: Seq[String],
+                        dialectSql: String, sparkSql: String)
+
+  private type Pair = (String, String)
+
+  private def qualifyAliased(m: Int): (Seq[String], Pair) = {
+    val core = "SELECT n_regionkey AS rk, n_nationkey AS k, " +
+      "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey) AS rn FROM nation"
+    (Nil, (s"$core QUALIFY rn <= $m",
+      s"SELECT * FROM ($core) __x WHERE rn <= $m"))
+  }
+
+  private def qualifyInline(m: Int): (Seq[String], Pair) = {
+    val win = "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_nationkey DESC)"
+    (Nil, (s"SELECT n_regionkey AS rk, n_name FROM nation QUALIFY $win <= $m",
+      s"SELECT rk, n_name FROM (SELECT n_regionkey AS rk, n_name, $win AS __w " +
+        s"FROM nation) __x WHERE __w <= $m"))
+  }
+
+  private def distinctOn(desc: Boolean): (Seq[String], Pair) = {
+    val ord = if (desc) "DESC" else "ASC"
+    (Nil, ("SELECT DISTINCT ON (n_regionkey) n_regionkey AS rk, n_nationkey AS k, n_name " +
+      s"FROM nation ORDER BY n_regionkey, n_nationkey $ord",
+      "SELECT rk, k, n_name FROM (SELECT n_regionkey AS rk, n_nationkey AS k, n_name, " +
+        s"row_number() OVER (PARTITION BY n_regionkey ORDER BY n_regionkey, n_nationkey $ord) AS __rn " +
+        "FROM nation) __x WHERE __rn = 1"))
+  }
+
+  private def starExclude(): (Seq[String], Pair) =
+    (Nil, ("SELECT * EXCLUDE (n_name) FROM nation",
+      "SELECT n_nationkey, n_regionkey FROM nation"))
+
+  private def starReplace(k: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT * EXCLUDE (n_name) REPLACE (n_nationkey * $k AS n_nationkey) FROM nation",
+      s"SELECT n_regionkey, n_nationkey * $k AS n_nationkey FROM nation"))
+
+  private def similarTo(pat: String): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_name FROM nation WHERE n_name SIMILAR TO '$pat'",
+      s"SELECT n_name FROM nation WHERE n_name RLIKE '^(?:$pat)$$'"))
+
+  private def collate(lit: String): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, n_name FROM nation WHERE n_name = '$lit' COLLATE NOCASE",
+      s"SELECT n_nationkey AS k, n_name FROM nation WHERE lower(n_name) = lower('$lit')"))
+
+  private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
+    (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
+      (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
+        s"SELECT n_nationkey AS k, n_regionkey * 100 + $a AS v FROM nation"))
+
+  private def prepareExec(i: Int, m: Int): (Seq[String], Pair) =
+    (Seq(s"PREPARE fz_p$i AS SELECT n_nationkey AS k, n_name FROM nation " +
+      s"WHERE n_nationkey <= $$1"),
+      (s"EXECUTE fz_p$i($m)",
+        s"SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey <= $m"))
+
+  // ---- composition contexts (applied to both sides) ----
+
+  private def ctxDerived(p: Pair): Pair =
+    (s"SELECT * FROM (${p._1}) __d WHERE 1 = 1",
+      s"SELECT * FROM (${p._2}) __d WHERE 1 = 1")
+
+  private def ctxCte(p: Pair): Pair =
+    (s"WITH __c AS (${p._1}) SELECT * FROM __c",
+      s"WITH __c AS (${p._2}) SELECT * FROM __c")
+
+  private def ctxCteChain(p: Pair): Pair =
+    (s"WITH __c AS (${p._1}), __c2 AS (SELECT * FROM __c) SELECT * FROM __c2",
+      s"WITH __c AS (${p._2}), __c2 AS (SELECT * FROM __c) SELECT * FROM __c2")
+
+  /** String literal stuffed with every trap the textual rewriters must
+    * NOT trigger on — keywords, comment markers, a doubled quote, an
+    * unbalanced paren. */
+  val trapLit: String =
+    "QUALIFY rn <= 1 -- LIMIT 5% /* DISTINCT ON (x) */ it''s a (test SIMILAR TO"
+
+  private def ctxTrapString(alias: String)(p: Pair): Pair =
+    (s"SELECT *, '$trapLit' AS $alias FROM (${p._1}) __t",
+      s"SELECT *, '$trapLit' AS $alias FROM (${p._2}) __t")
+
+  /** Comments injected into the DIALECT side only (whitespace to the
+    * grammar; the trailing line comment ends with a newline so an
+    * outer wrapper's ')' survives). */
+  private def ctxComments(p: Pair): Pair = {
+    val d = p._1
+    val withInline =
+      if (d.toUpperCase.startsWith("SELECT"))
+        "SELECT /* QUALIFY trap LIMIT 9% */ " + d.substring(6)
+      else d
+    (s"-- DISTINCT ON (zzz) QUALIFY junk\n$withInline\n-- LIMIT 44% trailing\n",
+      p._2)
+  }
+
+  private def ctxUnion(p: Pair): Pair =
+    (s"(${p._1}) UNION ALL (${p._1})", s"(${p._2}) UNION ALL (${p._2})")
+
+  /** The deterministic case list: `n` cases from the given seed. */
+  def cases(n: Int, seed: Long = 20260814L): Seq[Case] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      // trap-string aliases are unique PER APPLICATION: two stacked
+      // trap contexts would otherwise emit duplicate column names,
+      // which collect() tolerates but any sink (parquet) rejects
+      var trapN = 0
+      def freshTrap(p: Pair): Pair = {
+        trapN += 1
+        ctxTrapString(s"__trap${trapN}")(p)
+      }
+      val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
+        freshTrap, ctxComments, ctxUnion)
+      val (setup, base) = rnd.nextInt(9) match {
+        case 0 => qualifyAliased(1 + rnd.nextInt(4))
+        case 1 => qualifyInline(1 + rnd.nextInt(4))
+        case 2 => distinctOn(rnd.nextBoolean())
+        case 3 => starExclude()
+        case 4 => starReplace(1 + rnd.nextInt(9))
+        case 5 => similarTo(Seq(".*A.*", "[A-Z]+", ".*(IA|AN)").apply(rnd.nextInt(3)))
+        case 6 => macroCall(i, rnd.nextInt(50))
+        case 7 => prepareExec(i, 1 + rnd.nextInt(20))
+        case 8 => collate(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
+      }
+      val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
+      val wrapped = if (!nestable) base
+      else rnd.nextInt(3) match {
+        case 0 => base
+        case 1 => contexts(rnd.nextInt(contexts.length))(base)
+        case 2 =>
+          val c1 = contexts(rnd.nextInt(contexts.length))
+          val c2 = contexts(rnd.nextInt(contexts.length))
+          c2(c1(base))
+      }
+      Case(f"fuzz_$i%03d", setup, wrapped._1, wrapped._2)
+    }
+  }
+}
+
+/** Dump every fuzz case's Spark result (through the dialect shim) as
+  * parquet plus a manifest of the statements, for the DuckDB
+  * differential (tools/fuzz_compare.py — DuckDB executes the SAME
+  * dialect text natively). Usage:
+  *   runMain graft.tools.FuzzDump <sfDir> <outDir> [nCases]
+  */
+object FuzzDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val outDir = if (args.length > 1) args(1) else "target/fuzz_out"
+    val n = if (args.length > 2) args(2).toInt else 250
+    val spark = graft.Engine.session(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Engine.registerAll(spark, sfDir)
+    val cs = DialectFuzzGen.cases(n)
+    val manifest = new StringBuilder("{\n")
+    var failed = 0
+    cs.zipWithIndex.foreach { case (c, i) =>
+      try {
+        c.setup.foreach(graft.SqlDialect.sql(spark, _))
+        graft.SqlDialect.sql(spark, c.dialectSql)
+          .write.mode("overwrite").parquet(s"$outDir/${c.name}")
+      } catch {
+        case e: Throwable =>
+          failed += 1
+          System.err.println(s"[fuzzdump] ${c.name} failed: ${e.getMessage}")
+      }
+      def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n") + "\""
+      manifest.append(s"  ${js(c.name)}: {\"setup\": [${c.setup.map(js).mkString(", ")}], ")
+        .append(s"\"sql\": ${js(c.dialectSql)}}")
+        .append(if (i == cs.length - 1) "\n" else ",\n")
+    }
+    manifest.append("}\n")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/fuzz_manifest.json"), manifest.toString)
+    println(s"FUZZDUMP cases=${cs.length} failed=$failed out=$outDir")
+    spark.stop()
+  }
+}
