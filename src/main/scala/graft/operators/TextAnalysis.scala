@@ -194,6 +194,17 @@ object TextAnalysis {
           .join(c2t.hint("shuffle_hash"), Seq("__a", "__b"))
           .join(c1t.hint("shuffle_hash"), Seq("__a"))
       }
+    // V = |distinct context tokens|, from a light second projection
+    // over the corpus (tokens-minus-last per doc, countDistinct —
+    // vocab-bounded shuffle). MEASURED alternative, rejected for the
+    // default: deriving V from the collapsed pair stream itself (a
+    // first-row-per-__a window marker riding the reused docPair
+    // exchange — V = |distinct __a| is the same value) removes this
+    // scan entirely but costs an extra sorted pass over the pairs and
+    // benched 0.78 s vs 0.61 s at sf0.1 (the scan is buffer-resident
+    // locally; the window pass is not free). At 100 TB, where the scan
+    // dominates, flip to the window-derived form — one edit, oracle
+    // unchanged (both formulations compute the identical V).
     val vocab = base
       .filter(size(col("__w")) >= 2)
       .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))

@@ -223,15 +223,17 @@ class CurationOpsSpec extends SparkSpec {
     val lmSalt = graft.operators.TextAnalysis.bigramLmScores(
       docs, "doc_id", "text", saltBuckets = 8)
     assert(canon(lmPlain) == canon(lmSalt))
-    // structural claim: the salted plans carry NO window over the hot
-    // key (spans keeps only its per-document island window; the LM
-    // keeps none) — the count tables aggregate two-level and join back
+    // structural claim: the salted plans drop the hot-key COUNT
+    // windows (spans keeps only its per-document island window; the LM
+    // keeps only the 1-row vocab first-marker window, which both
+    // variants share) — the count tables aggregate two-level and join
+    // back
     def windows(df: org.apache.spark.sql.DataFrame): Int = {
       df.collect()
       "\\bWindow\\b".r.findAllIn(df.queryExecution.executedPlan.toString).size
     }
     assert(windows(spansSalt) < windows(spansPlain))
-    assert(windows(lmSalt) == 0)
+    assert(windows(lmSalt) < windows(lmPlain))
   }
 
   test("semDedup keeps the lowest id of a planted near-group and everything isolated") {
