@@ -52,6 +52,37 @@ object TextAnalysis {
       .withColumn("stop_ratio", round(stopwordRatio(t), 6))
   }
 
+  /** Composed document quality GATE (C4 / Gopher-rule shape): the
+    * accept/reject step a curation run applies after scoring —
+    * [[qualityFeatures]]' per-doc features tested against named
+    * thresholds, returning the verdict plus WHICH rules failed (the
+    * reasons string is what makes a filter auditable: per-rule drop
+    * counts are one groupBy away). Pure projection — no shuffle at any
+    * corpus size — and every rule compares a ROUNDED feature (the
+    * repo's round-before-compare convention), so the verdict replays
+    * bit-identically cross-engine.
+    */
+  def qualityFilter(df: DataFrame, idCol: String, textCol: String,
+                    minTokens: Int = 5, maxTokens: Int = 10000,
+                    minAvgTokLen: Double = 2.0, maxAvgTokLen: Double = 12.0,
+                    minAlpha: Double = 0.6, maxDigit: Double = 0.2,
+                    minStop: Double = 0.02): DataFrame = {
+    val f = qualityFeatures(df, textCol)
+    val rules: Seq[(String, Column)] = Seq(
+      "too_short" -> (col("n_tokens") < minTokens),
+      "too_long" -> (col("n_tokens") > maxTokens),
+      "token_len" -> !col("avg_token_len").between(minAvgTokLen, maxAvgTokLen),
+      "low_alpha" -> (col("alpha_ratio") < minAlpha),
+      "high_digit" -> (col("digit_ratio") > maxDigit),
+      "low_stopwords" -> (col("stop_ratio") < minStop))
+    val nFailed = rules.map { case (_, c) => when(c, 1).otherwise(0) }
+      .reduce(_ + _).cast("long")
+    val reasons = concat_ws(",",
+      rules.map { case (nm, c) => when(c, lit(nm)) }: _*)
+    f.select(col(idCol), (nFailed === 0L).as("pass"),
+      nFailed.as("n_failed"), reasons.as("reasons"))
+  }
+
   /** Language ID: character n-gram rank-profile classifier + script
     * detection — see [[LangId]]. (Replaced the round-1 marker-word
     * heuristic; name kept for the registered `lang_id` UDF.) */

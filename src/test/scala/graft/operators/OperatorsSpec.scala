@@ -596,6 +596,22 @@ class TextAnalysisSpec extends SparkSpec {
       s"[$l->${graft.operators.LangId.classify(s)}] $s" }.mkString("; "))
   }
 
+  test("qualityFilter names exactly the failed rules") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat and it is fine for all of us to see"), // clean
+      (2L, "word"),                                    // too_short (+ no stopwords)
+      (3L, "1234 5678 9999 0000 1111 2222"),           // digits: alpha+digit+stopwords
+      (4L, "the " + "pneumonoultramicroscopic " * 9)   // token_len (avg > 12)
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityFilter(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(3)))).toMap
+    assert(out(1L) == ((true, "")))
+    assert(!out(2L)._1 && out(2L)._2.contains("too_short"))
+    assert(!out(3L)._1 && out(3L)._2.contains("high_digit") &&
+      out(3L)._2.contains("low_alpha") && out(3L)._2.contains("low_stopwords"))
+    assert(!out(4L)._1 && out(4L)._2.contains("token_len"))
+  }
+
   test("fingerprint is whitespace/case normalized") {
     val df = Seq("A  B c", "a b C").toDF("t")
     val fps = df.select(TextAnalysis.fingerprint(col("t"))).collect().map(_.getString(0))
