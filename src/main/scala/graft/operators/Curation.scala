@@ -357,6 +357,26 @@ object Curation {
                      n: Int = 10, saltBuckets: Int = 1): DataFrame = {
     require(n > 0, s"duplicateSpans: n must be > 0 (got $n)")
     require(saltBuckets >= 1, s"duplicateSpans: saltBuckets >= 1 (got $saltBuckets)")
+    val marks = dupSpanMarks(docs, idCol, textCol, n, saltBuckets)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    marks
+      .withColumn("__new",
+        when(col("__p") - lag(col("__p"), 1).over(wDoc) <= n, 0L).otherwise(1L))
+      .withColumn("__isl", sum(col("__new")).over(wDoc))
+      .groupBy(col(idCol), col("n_tokens"), col("__isl"))
+      .agg((max(col("__p")) - min(col("__p")) + n).as("__span_tok"))
+      .groupBy(col(idCol), col("n_tokens"))
+      .agg(count(lit(1)).as("n_spans"), sum(col("__span_tok")).as("dup_tokens"))
+      .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 6))
+      .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
+        col("dup_frac"))
+  }
+
+  /** Shared detection stages of [[duplicateSpans]] /
+    * [[removeDuplicateSpans]]: gram-hash positions marked as cross-doc
+    * duplicates, columns (idCol, n_tokens, __p). */
+  private def dupSpanMarks(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, saltBuckets: Int): DataFrame = {
     val pos = docs
       .select(col(idCol), wsTokens(col(textCol)).as("__w"))
       .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
@@ -393,18 +413,58 @@ object Curation {
           .select(col("__g"))
         pos.join(dupGrams.hint("shuffle_hash"), Seq("__g"))
       }
-    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
     marks
+  }
+
+  /** [[duplicateSpans]]' ACTION: strip the flagged cross-doc islands
+    * from the text and return the cleaned document — the "remove the
+    * boilerplate" step a curation run applies after detection. A
+    * token survives iff its 0-based position lies in NO island's
+    * covered range [min __p, max __p + n − 1]; islands are disjoint by
+    * construction (consecutive islands start > n apart), so coverage
+    * needs no overlap handling. Text is reconstructed from the
+    * NORMALIZED token stream (lowercased, whitespace-collapsed — the
+    * same stream the detector scored; byte-exact reconstruction would
+    * need original-offset tracking, out of scope).
+    *
+    * Scale shape: the detection stages are [[duplicateSpans]]'
+    * (including the `saltBuckets` hot-gram hatch); on top, the per-doc
+    * covered ranges collect on the island aggregate's own (doc)
+    * exchange (a handful of (start, end) pairs per flagged doc) and
+    * join back to the corpus by id — one additional corpus-keyed
+    * exchange; unflagged docs pass through the left join untouched.
+    * The strip itself is a per-row HOF filter (no shuffle).
+    *
+    * Returns (idCol, n_tokens, n_removed, clean_text).
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 10, saltBuckets: Int = 1): DataFrame = {
+    require(n > 0, s"removeDuplicateSpans: n must be > 0 (got $n)")
+    val marks = dupSpanMarks(docs, idCol, textCol, n, saltBuckets)
+    val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val ranges = marks
       .withColumn("__new",
         when(col("__p") - lag(col("__p"), 1).over(wDoc) <= n, 0L).otherwise(1L))
       .withColumn("__isl", sum(col("__new")).over(wDoc))
-      .groupBy(col(idCol), col("n_tokens"), col("__isl"))
-      .agg((max(col("__p")) - min(col("__p")) + n).as("__span_tok"))
-      .groupBy(col(idCol), col("n_tokens"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("__span_tok")).as("dup_tokens"))
-      .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 6))
-      .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
-        col("dup_frac"))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__p")).cast("long").as("__s"),
+        (max(col("__p")) + (n - 1)).cast("long").as("__e"))
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("__s"), col("__e"))).as("__rs"))
+    docs
+      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      .join(ranges, Seq(idCol), "left")
+      .select(col(idCol), col("__w"),
+        when(col("__rs").isNull, col("__w"))
+          .otherwise(filter(col("__w"), (t, i) => {
+            val _ = t
+            !exists(col("__rs"), r =>
+              i.cast("long") >= r.getField("__s") && i.cast("long") <= r.getField("__e"))
+          })).as("__clean"))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        (size(col("__w")) - size(col("__clean"))).cast("long").as("n_removed"),
+        array_join(col("__clean"), " ").as("clean_text"))
   }
 
   /** Boilerplate MINING — the inverse question of [[duplicateSpans]]:

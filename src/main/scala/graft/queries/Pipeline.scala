@@ -705,6 +705,15 @@ object Pipeline {
         .orderBy(col("doc_id"))
     }),
 
+    "text_remove_spans" -> ((s, dir) => {
+      // the detection's ACTION (Curation.removeDuplicateSpans): strip
+      // cross-doc duplicate islands from the normalized token stream —
+      // per-doc verdict is the cleaned text itself, oracle-replayed
+      // token by token
+      graft.operators.Curation.removeDuplicateSpans(
+        t(s, dir, "documents"), "doc_id", "text")
+    }),
+
     "text_dup_spans" -> ((s, dir) => {
       // Cross-document duplicate-span detection
       // (operators.Curation.duplicateSpans): per doc, the maximal
@@ -1315,6 +1324,45 @@ object Pipeline {
         |  round(count(*) FILTER (g IN (SELECT g FROM ev)) / CAST(count(*) AS DOUBLE), 6) AS contam
         |FROM grams WHERE source <> 'src0'
         |GROUP BY doc_id HAVING n_hit > 0 ORDER BY doc_id""".stripMargin,
+
+    "text_remove_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, i, array_to_string(w[i:i+9], ' ') AS g
+        |  FROM toks, unnest(range(1, len(w)-8)) AS t(i) WHERE len(w) >= 10),
+        |dup AS (SELECT g FROM pos GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+        |marks AS (SELECT p.doc_id, p.i FROM pos p JOIN dup USING (g)),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 10
+        |      THEN 0 ELSE 1 END AS newisl
+        |  FROM marks),
+        |isl2 AS (
+        |  SELECT doc_id, i,
+        |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY i) AS isl
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, isl, min(i) AS s, max(i) + 9 AS e
+        |  FROM isl2 GROUP BY doc_id, isl),
+        |idx AS (
+        |  SELECT doc_id, i, w[i] AS tok, len(w) AS nt
+        |  FROM toks, unnest(range(1, len(w)+1)) AS t(i)),
+        |cov AS (
+        |  SELECT DISTINCT x.doc_id, x.i
+        |  FROM idx x JOIN spans sp ON sp.doc_id = x.doc_id AND x.i BETWEEN sp.s AND sp.e),
+        |agg AS (
+        |  SELECT x.doc_id, CAST(count(c.i) AS BIGINT) AS n_removed,
+        |    coalesce(string_agg(CASE WHEN c.i IS NULL THEN x.tok END, ' ' ORDER BY x.i), '')
+        |      AS clean_text
+        |  FROM idx x LEFT JOIN cov c ON x.doc_id = c.doc_id AND x.i = c.i
+        |  GROUP BY x.doc_id)
+        |SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+        |  coalesce(a.n_removed, 0) AS n_removed,
+        |  coalesce(a.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "text_dup_spans" ->
       """WITH toks AS (

@@ -236,6 +236,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(windows(lmSalt) < windows(lmPlain))
   }
 
+  test("removeDuplicateSpans strips exactly the flagged islands, leaves clean docs alone") {
+    import spark.implicits._
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"${tag}_$i")
+    val boiler = (0 until 12).map(i => s"b$i")
+    val docs = Seq(
+      (1L, (uniq("a", 10) ++ boiler ++ uniq("e", 10)).mkString(" ")),
+      (2L, (uniq("f", 5) ++ boiler ++ uniq("g", 7)).mkString(" ")),
+      (3L, uniq("h", 30).mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Curation
+      .removeDuplicateSpans(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // the shared 12-token block vanishes; the unique flanks survive in order
+    assert(out(1L) == ((32L, 12L, (uniq("a", 10) ++ uniq("e", 10)).mkString(" "))))
+    assert(out(2L) == ((24L, 12L, (uniq("f", 5) ++ uniq("g", 7)).mkString(" "))))
+    // the clean doc passes through byte-identically (normalized stream)
+    assert(out(3L) == ((30L, 0L, uniq("h", 30).mkString(" "))))
+  }
+
   test("semDedup keeps the lowest id of a planted near-group and everything isolated") {
     import spark.implicits._
     val vecs = Seq(
