@@ -503,6 +503,18 @@ object Pipeline {
         e => EventStreams.dedup(e).select(col("user_id"), col("event_type")))
     }),
 
+    "stream_quality_filter" -> ((s, dir) => {
+      // the quality GATE applied IN FLIGHT (ingest-time filtering — the
+      // production place for it: reject before paying storage):
+      // qualityFilter is a pure projection, so the SAME operator code
+      // runs on the stream with no state, no watermark, and a
+      // batch-identical answer — one oracle covers both paths.
+      graft.streaming.DocStreams.runToBatch(s, dir,
+        s"qgate_${System.nanoTime()}",
+        (ss, d) => graft.operators.TextAnalysis.qualityFilter(
+          graft.streaming.DocStreams.readDocuments(ss, d), "doc_id", "text"))
+    }),
+
     "stream_incremental_dedup" -> ((s, dir) => {
       // STREAMING ingest dedup (DocStreams.incrementalDedup): arriving
       // docs (doc_id % 5 = 0) probe the static history band index via
@@ -835,6 +847,41 @@ object Pipeline {
     * candidates) for the 80/20 history/batch split — the shared oracle
     * of `dedup_incremental` (batch) and `stream_incremental_dedup`
     * (Structured Streaming), whose answers must be identical. */
+  /** Shared oracle of `text_quality_filter` (batch) and
+    * `stream_quality_filter` (in-flight) — the gate is a pure
+    * projection, so the two paths must answer identically. */
+  private val qualityFilterSql =
+    """WITH f AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    round(length(replace(text, ' ', '')) /
+        |      greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len,
+        |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
+        |      greatest(length(text), 1), 6) AS alpha_ratio,
+        |    round(length(regexp_replace(text, '[^0-9]', '', 'g')) /
+        |      greatest(length(text), 1), 6) AS digit_ratio,
+        |    round(len(list_filter(string_split(text, ' '),
+        |      w -> list_contains(['the','a','an','of','to','and','in','is','it','for'], w))) /
+        |      greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_tokens < 5 THEN 'too_short' END AS r1,
+        |    CASE WHEN n_tokens > 10000 THEN 'too_long' END AS r2,
+        |    CASE WHEN NOT (avg_token_len BETWEEN 2.0 AND 12.0) THEN 'token_len' END AS r3,
+        |    CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END AS r4,
+        |    CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END AS r5,
+        |    CASE WHEN stop_ratio < 0.02 THEN 'low_stopwords' END AS r6
+        |  FROM f)
+        |SELECT doc_id,
+        |  (r1 IS NULL AND r2 IS NULL AND r3 IS NULL AND r4 IS NULL
+        |    AND r5 IS NULL AND r6 IS NULL) AS pass,
+        |  CAST((r1 IS NOT NULL)::int + (r2 IS NOT NULL)::int + (r3 IS NOT NULL)::int +
+        |    (r4 IS NOT NULL)::int + (r5 IS NOT NULL)::int + (r6 IS NOT NULL)::int
+        |    AS BIGINT) AS n_failed,
+        |  concat_ws(',', r1, r2, r3, r4, r5, r6) AS reasons
+        |FROM r""".stripMargin
+
   private val incrementalDedupSql =
     """WITH d AS (
       |  SELECT doc_id,
@@ -1143,37 +1190,9 @@ object Pipeline {
         |    greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
         |FROM documents""".stripMargin,
 
-    "text_quality_filter" ->
-      """WITH f AS (
-        |  SELECT doc_id,
-        |    len(string_split(text, ' ')) AS n_tokens,
-        |    round(length(replace(text, ' ', '')) /
-        |      greatest(len(string_split(text, ' ')), 1), 6) AS avg_token_len,
-        |    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) /
-        |      greatest(length(text), 1), 6) AS alpha_ratio,
-        |    round(length(regexp_replace(text, '[^0-9]', '', 'g')) /
-        |      greatest(length(text), 1), 6) AS digit_ratio,
-        |    round(len(list_filter(string_split(text, ' '),
-        |      w -> list_contains(['the','a','an','of','to','and','in','is','it','for'], w))) /
-        |      greatest(len(string_split(text, ' ')), 1), 6) AS stop_ratio
-        |  FROM documents),
-        |r AS (
-        |  SELECT doc_id,
-        |    CASE WHEN n_tokens < 5 THEN 'too_short' END AS r1,
-        |    CASE WHEN n_tokens > 10000 THEN 'too_long' END AS r2,
-        |    CASE WHEN NOT (avg_token_len BETWEEN 2.0 AND 12.0) THEN 'token_len' END AS r3,
-        |    CASE WHEN alpha_ratio < 0.6 THEN 'low_alpha' END AS r4,
-        |    CASE WHEN digit_ratio > 0.2 THEN 'high_digit' END AS r5,
-        |    CASE WHEN stop_ratio < 0.02 THEN 'low_stopwords' END AS r6
-        |  FROM f)
-        |SELECT doc_id,
-        |  (r1 IS NULL AND r2 IS NULL AND r3 IS NULL AND r4 IS NULL
-        |    AND r5 IS NULL AND r6 IS NULL) AS pass,
-        |  CAST((r1 IS NOT NULL)::int + (r2 IS NOT NULL)::int + (r3 IS NOT NULL)::int +
-        |    (r4 IS NOT NULL)::int + (r5 IS NOT NULL)::int + (r6 IS NOT NULL)::int
-        |    AS BIGINT) AS n_failed,
-        |  concat_ws(',', r1, r2, r3, r4, r5, r6) AS reasons
-        |FROM r""".stripMargin,
+    "text_quality_filter" -> qualityFilterSql,
+
+    "stream_quality_filter" -> qualityFilterSql,
 
     "text_tokens_top" ->
       """SELECT tok, count(*) AS n
