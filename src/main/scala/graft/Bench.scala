@@ -118,6 +118,7 @@ object Bench {
       "dedup_incremental", "text_bm25_topk", "text_dup_spans",
       "pipeline_semdedup", "text_bigram_lm", "pipeline_epoch_shuffle",
       "csv_sniffer", "fn_time", "catalog_constraints", "text_langid",
+      "text_quality_filter", "text_remove_spans", "scan_json",
       "stream_tumbling", "stream_session", "stream_stream_join",
       "mm_binary_stats", "arrow_roundtrip")
     val byName = results.toMap

@@ -640,6 +640,30 @@ object ScaleStress {
             snap._2, outRows, 0L, 0L)
         }
 
+      // span REMOVAL at scale: same detection stages as dupspans plus
+      // the ranges join-back; planted contract = every boiler doc loses
+      // at least its 20-token shared prefix (n_removed >= 20) while
+      // clean soup replicas lose nothing
+      val removespans = if (!wanted("removespans")) None else Some {
+        val cleaned = Curation.removeDuplicateSpans(docs, "doc_id", "text", n = 10)
+        // the >= 0 filter is a no-op semantically but forces n_removed
+        // (and with it the whole detection + strip pipeline) into the
+        // counted plan — a bare count prunes the 1:1 ranges join away
+        // and would measure nothing
+        val r = measure(spark, meter, "text_remove_spans",
+          cleaned.filter(col("n_removed") >= 0)
+            .select(col("doc_id").as("id_a"), col("n_removed").as("id_b")),
+          None)
+        // contract: every boiler doc loses at least its 20-token shared
+        // prefix. (Twins and their bases ALSO legitimately lose text —
+        // they share >n-token spans by construction — so no
+        // "untouched" assertion is possible on this corpus.)
+        val boiler = docs.filter(col("source") === "boiler").select(col("doc_id"))
+        val tot = boiler.count()
+        val hit = boiler.join(cleaned.filter(col("n_removed") >= 20), Seq("doc_id")).count()
+        r.copy(plantedTotal = tot, plantedFound = hit)
+      }
+
       // Salted-count escape hatch evidence (round-8 verdict #10): a
       // DEGENERATE corpus — every document shares an 11-token
       // boilerplate prefix plus one unique token, so TWO word-10-grams
@@ -691,7 +715,8 @@ object ScaleStress {
         catch { case _: Throwable => () })
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
-        bm25, epochShuf, incremental, dupspans, semdedup, boilermine, bigramLm).flatten ++
+        bm25, epochShuf, incremental, dupspans, removespans, semdedup,
+        boilermine, bigramLm).flatten ++
         kmeansWide ++ saltspans)
     } finally spark.sparkContext.removeSparkListener(meter)
   }
