@@ -70,9 +70,10 @@ object Bench {
         catch { case _: Throwable => () }
       }
     }
-    // warm-up pass (untimed): JIT, codegen caches, file footers
+    // warm-up pass (untimed): JIT, codegen caches, file footers —
+    // through the SAME sink as the timed passes (plan identity)
     names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
+      try run(SparkEntry.queries(name)(spark, sfDir), name.contains("stream"))
       catch { case _: Throwable => () }
       if (name.contains("stream")) unloadStreamingState()
     }
@@ -80,10 +81,20 @@ object Bench {
     // single pass sees multi-second noise spikes — min-of-2 reports the
     // machine's actual capability). A failed query reports -1, never a
     // fast-looking time.
+    // Sink = noop WRITE, not count(): a count lets Catalyst prune every
+    // projected expression (a pure-projection query would time only its
+    // scan), while the DuckDB baseline's fetchall() materializes all
+    // columns — the noop sink forces the same full-row evaluation on
+    // this side, so the comparison is work-for-work. (Streaming rows
+    // drive their own sink inside the query and keep count().)
+    def run(df: org.apache.spark.sql.DataFrame, streaming: Boolean): Unit =
+      if (streaming) { df.count(); () }
+      else df.write.format("noop").mode("overwrite").save()
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
-      catch { case e: Throwable =>
+      val ok = try {
+        run(SparkEntry.queries(name)(spark, sfDir), name.contains("stream")); true
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
       }
       val w = (System.nanoTime() - t0) / 1e9
