@@ -578,15 +578,25 @@ object Relational {
       // must sit within 2% (relative, price) / ±1 unit (discrete
       // quantity) of the exact interpolated quantile, which itself IS
       // cross-engine comparable
+      // Each quantile FAMILY aggregates once: the exact `percentile`
+      // buffers every group value, so asking for array(0.1, 0.9) in one
+      // aggregate halves the value buffering vs two scalar calls (and
+      // likewise one sketch serves both approx quantities). Measured
+      // under the honest noop sink: ~15% off the row (isolated 1.27 s
+      // vs 1.48 s in-session); the remaining wall is the exact
+      // percentile's per-group value buffer itself — the price of the
+      // contract row computing its own ground truth.
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("exact_med"),
-        (abs(percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
-          - expr("percentile(l_extendedprice, 0.5)"))
-          <= expr("percentile(l_extendedprice, 0.5)") * 0.02).as("med_ok"),
-        (abs(percentile_approx(col("l_quantity"), lit(0.1), lit(1000))
-          - expr("percentile(l_quantity, 0.1)")) <= 1.0).as("p10_ok"),
-        (abs(percentile_approx(col("l_quantity"), lit(0.9), lit(1000))
-          - expr("percentile(l_quantity, 0.9)")) <= 1.0).as("p90_ok"))
+          expr("percentile(l_extendedprice, 0.5)").as("__ep_ex"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__ep_ap"),
+          expr("percentile(l_quantity, array(0.1, 0.9))").as("__q_ex"),
+          percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.9)), lit(1000))
+            .as("__q_ap"))
+        .select(col("l_returnflag"),
+          round(col("__ep_ex"), 4).as("exact_med"),
+          (abs(col("__ep_ap") - col("__ep_ex")) <= col("__ep_ex") * 0.02).as("med_ok"),
+          (abs(col("__q_ap").getItem(0) - col("__q_ex").getItem(0)) <= 1.0).as("p10_ok"),
+          (abs(col("__q_ap").getItem(1) - col("__q_ex").getItem(1)) <= 1.0).as("p90_ok"))
     }),
 
     "join_asof_backward" -> ((s, dir) => {
