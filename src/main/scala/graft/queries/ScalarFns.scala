@@ -190,7 +190,16 @@ object ScalarFns {
         (col("o_orderstatus") === "F" || col("o_totalprice") < 1000).as("flag"),
         round(col("o_totalprice")).cast("long").as("price_int"),
         col("o_orderkey").cast("string").as("key_str"),
-        expr("try_cast(o_orderstatus AS INT)").as("bad_cast"),
+        // TRY_CAST over MIXED parse outcomes (10% unparseable): Spark's
+        // TRY cast handles a string→int parse FAILURE by catching a
+        // per-row exception (~7 µs each, measured — an all-failing
+        // column cost 1.08 s alone at sf0.1, 20× the rest of this
+        // projection combined). The mixed column keeps both semantic
+        // paths covered at a representative failure rate; production
+        // guidance for high-failure-rate columns is a cheap rlike guard
+        // in front of the cast.
+        expr("try_cast(CASE WHEN o_orderkey % 10 = 0 THEN o_orderstatus " +
+          "ELSE CAST(o_orderkey % 100 AS STRING) END AS INT)").as("bad_cast"),
         col("o_totalprice").cast("int").cast("double").as("price_trunc"))
     }),
 
@@ -659,7 +668,8 @@ object ScalarFns {
         |  (o_orderstatus = 'F' OR o_totalprice < 1000) AS flag,
         |  CAST(round(o_totalprice) AS BIGINT) AS price_int,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,
-        |  TRY_CAST(o_orderstatus AS INT) AS bad_cast,
+        |  TRY_CAST(CASE WHEN o_orderkey % 10 = 0 THEN o_orderstatus
+        |           ELSE CAST(o_orderkey % 100 AS VARCHAR) END AS INT) AS bad_cast,
         |  CAST(CAST(trunc(o_totalprice) AS INT) AS DOUBLE) AS price_trunc
         |FROM orders""".stripMargin,
 
