@@ -139,7 +139,12 @@ object Bench {
     def line(es: Seq[String]): String = {
       val total = results.map(_._2).filter(_ > 0).sum
       val nFail = results.count(_._2 < 0)
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$nFail,"queries":${es.mkString("{", ",", "}")},"sf":"$sfDir"}"""
+      // failed queries are NAMED in the artifact (not just counted):
+      // a driver-run "fails: 1" with the name only on a truncated
+      // stderr tail is unfalsifiable (round-8 verdict finding 3)
+      val failed = results.filter(_._2 < 0)
+        .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$nFail,"failed":$failed,"queries":${es.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
     while (line(entries).length > 1600 && entries.nonEmpty) entries = entries.init
     println(line(entries))

@@ -192,12 +192,19 @@ object Relational {
     }),
 
     "agg_quantile" -> ((s, dir) => {
-      // holistic aggregates (duckdb-5.cpp:12-17): exact quantiles + mode
+      // holistic aggregates (duckdb-5.cpp:12-17): exact quantiles + mode.
+      // Exact `percentile` buffers every group value PER CALL, so both
+      // l_extendedprice quantiles ride ONE array(0.25, 0.75) aggregate
+      // and the column buffers once (two scalar calls measured 1.58 s;
+      // the same fusion bought ~15% on the approx row in r8)
       t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        round(median(col("l_quantity")), 4).as("med_qty"),
-        round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
-        round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
-        mode(col("l_linestatus")).as("mode_ls"))
+          round(median(col("l_quantity")), 4).as("med_qty"),
+          expr("percentile(l_extendedprice, array(0.25, 0.75))").as("__pq"),
+          mode(col("l_linestatus")).as("mode_ls"))
+        .select(col("l_returnflag"), col("med_qty"),
+          round(col("__pq").getItem(0), 4).as("p25_price"),
+          round(col("__pq").getItem(1), 4).as("p75_price"),
+          col("mode_ls"))
     }),
 
     "agg_entropy" -> ((s, dir) => {
@@ -574,29 +581,45 @@ object Relational {
     "agg_approx_quantile" -> ((s, dir) => {
       // approx_quantile analog (reference: holistic list,
       // duckdb-5.cpp:12-17). Sketches differ across engines, so the
-      // oracle checks the sketch CONTRACT: each engine's own estimate
-      // must sit within 2% (relative, price) / ±1 unit (discrete
-      // quantity) of the exact interpolated quantile, which itself IS
-      // cross-engine comparable
-      // Each quantile FAMILY aggregates once: the exact `percentile`
-      // buffers every group value, so asking for array(0.1, 0.9) in one
-      // aggregate halves the value buffering vs two scalar calls (and
-      // likewise one sketch serves both approx quantities). Measured
-      // under the honest noop sink: ~15% off the row (isolated 1.27 s
-      // vs 1.48 s in-session); the remaining wall is the exact
-      // percentile's per-group value buffer itself — the price of the
-      // contract row computing its own ground truth.
-      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-          expr("percentile(l_extendedprice, 0.5)").as("__ep_ex"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__ep_ap"),
-          expr("percentile(l_quantity, array(0.1, 0.9))").as("__q_ex"),
-          percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.9)), lit(1000))
-            .as("__q_ap"))
-        .select(col("l_returnflag"),
-          round(col("__ep_ex"), 4).as("exact_med"),
-          (abs(col("__ep_ap") - col("__ep_ex")) <= col("__ep_ex") * 0.02).as("med_ok"),
-          (abs(col("__q_ap").getItem(0) - col("__q_ex").getItem(0)) <= 1.0).as("p10_ok"),
-          (abs(col("__q_ap").getItem(1) - col("__q_ex").getItem(1)) <= 1.0).as("p90_ok"))
+      // oracle checks the sketch CONTRACT — and since r9 the ground
+      // truth is RANK-based, not value-based: count the rows strictly
+      // below / at-or-below each engine's own estimate and require the
+      // [lo, hi] rank window to overlap q*n within 2%. The old contract
+      // computed an exact `percentile` ground truth INSIDE the timed
+      // plan, buffering every group value (1.17 s vs duck 0.17 s — the
+      // one genuine over-2x gap in r8). Rank counting is two streaming
+      // aggregates plus a 3-row broadcast join: no buffering anywhere,
+      // and at 100 TB it is the only viable sketch validation — no
+      // engine can hold a group's values for an exact quantile, but
+      // every engine can count. Tolerance 2% of n covers Spark's GK
+      // guarantee at accuracy=1000 (rank error <= n/1000) and DuckDB's
+      // t-digest at default compression (~1% near the median) with
+      // margin; the two-sided lo/hi form stays exact under ties
+      // (l_quantity is discrete: lo(v) <= qn + eps and hi(v) >= qn - eps
+      // follow from the sketch's rank guarantee whatever the tie mass).
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      val sk = li.groupBy(col("l_returnflag")).agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__ep_ap"),
+        percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.9)), lit(1000))
+          .as("__q_ap"))
+      li.join(broadcast(sk), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("__ep_ap"), 1)).as("__ep_lo"),
+          count(when(col("l_extendedprice") <= col("__ep_ap"), 1)).as("__ep_hi"),
+          count(when(col("l_quantity") < col("__q_ap").getItem(0), 1)).as("__q10_lo"),
+          count(when(col("l_quantity") <= col("__q_ap").getItem(0), 1)).as("__q10_hi"),
+          count(when(col("l_quantity") < col("__q_ap").getItem(1), 1)).as("__q90_lo"),
+          count(when(col("l_quantity") <= col("__q_ap").getItem(1), 1)).as("__q90_hi"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("__ep_lo") <= col("n") * 0.5 + col("n") * 0.02) &&
+            (col("__ep_hi") >= col("n") * 0.5 - col("n") * 0.02)).as("med_ok"),
+          ((col("__q10_lo") <= col("n") * 0.1 + col("n") * 0.02) &&
+            (col("__q10_hi") >= col("n") * 0.1 - col("n") * 0.02)).as("p10_ok"),
+          ((col("__q90_lo") <= col("n") * 0.9 + col("n") * 0.02) &&
+            (col("__q90_hi") >= col("n") * 0.9 - col("n") * 0.02)).as("p90_ok"))
     }),
 
     "join_asof_backward" -> ((s, dir) => {
@@ -1176,13 +1199,21 @@ object Relational {
         |FROM lineitem GROUP BY l_linestatus""".stripMargin,
 
     "agg_approx_quantile" ->
-      """SELECT l_returnflag,
-        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_med,
-        |  abs(approx_quantile(l_extendedprice, 0.5) - quantile_cont(l_extendedprice, 0.5))
-        |    <= quantile_cont(l_extendedprice, 0.5) * 0.02 AS med_ok,
-        |  abs(approx_quantile(l_quantity, 0.1) - quantile_cont(l_quantity, 0.1)) <= 1.0 AS p10_ok,
-        |  abs(approx_quantile(l_quantity, 0.9) - quantile_cont(l_quantity, 0.9)) <= 1.0 AS p90_ok
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+      """WITH sk AS (
+        |  SELECT l_returnflag,
+        |    approx_quantile(l_extendedprice, 0.5) AS ep_ap,
+        |    approx_quantile(l_quantity, 0.1) AS q10_ap,
+        |    approx_quantile(l_quantity, 0.9) AS q90_ap
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_returnflag, count(*) AS n,
+        |  (count(*) FILTER (WHERE l.l_extendedprice < sk.ep_ap) <= count(*) * 0.5 + count(*) * 0.02
+        |   AND count(*) FILTER (WHERE l.l_extendedprice <= sk.ep_ap) >= count(*) * 0.5 - count(*) * 0.02) AS med_ok,
+        |  (count(*) FILTER (WHERE l.l_quantity < sk.q10_ap) <= count(*) * 0.1 + count(*) * 0.02
+        |   AND count(*) FILTER (WHERE l.l_quantity <= sk.q10_ap) >= count(*) * 0.1 - count(*) * 0.02) AS p10_ok,
+        |  (count(*) FILTER (WHERE l.l_quantity < sk.q90_ap) <= count(*) * 0.9 + count(*) * 0.02
+        |   AND count(*) FILTER (WHERE l.l_quantity <= sk.q90_ap) >= count(*) * 0.9 - count(*) * 0.02) AS p90_ok
+        |FROM lineitem l JOIN sk USING (l_returnflag)
+        |GROUP BY l.l_returnflag""".stripMargin,
 
     "join_asof_backward" ->
       """SELECT v.event_id, v.user_id, round(c.value, 2) AS prev_click_value
