@@ -105,13 +105,20 @@ object Csv {
     }
     val best = cands.maxBy(c => (c.score, c.consistency, c.cols,
       -CandidateDelims.indexOf(c.delim), -CandidateQuotes.indexOf(c.quote)))
-    val header = best.rows.length >= 2 && {
-      val head = best.rows.head
-      val body = best.rows.tail
-      (0 until best.cols).exists(c =>
-        !typedNonVarchar(head(c)) && head(c).trim.nonEmpty &&
-          body.forall(r => typedNonVarchar(r(c))))
-    }
+    val header =
+      if (best.rows.length >= 2) {
+        val head = best.rows.head
+        val body = best.rows.tail
+        (0 until best.cols).exists(c =>
+          !typedNonVarchar(head(c)) && head(c).trim.nonEmpty &&
+            body.forall(r => typedNonVarchar(r(c))))
+      } else if (best.rows.length == 1) {
+        // Single-record sample with no typed (non-varchar) field: the
+        // reference sniffer's bias is header=true (duckdb-4.cpp:1949-3700,
+        // all-varchar first row) — the common producer of this shape is a
+        // header-only part file from an empty write partition.
+        best.rows.head.forall(v => !typedNonVarchar(v) && v.trim.nonEmpty)
+      } else false
     Dialect(best.delim, best.quote, header)
   }
 
@@ -123,39 +130,57 @@ object Csv {
   def sniffFile(spark: SparkSession, path: String, skip: Int = 0): Dialect = {
     val conf = spark.sparkContext.hadoopConfiguration
     // resolve globs AND directories (a Spark-written CSV sink is a
-    // directory of part files + _SUCCESS markers) to the first data file
-    def firstData(p: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] = {
+    // directory of part files + _SUCCESS markers) to data files, in name
+    // order so the choice is deterministic
+    def dataFiles(p: org.apache.hadoop.fs.Path): Iterator[org.apache.hadoop.fs.Path] = {
       val fs = p.getFileSystem(conf)
       val st = fs.getFileStatus(p)
       if (st.isFile) {
         val n = p.getName
-        if (n.startsWith("_") || n.startsWith(".")) None else Some(p)
+        if (n.startsWith("_") || n.startsWith(".")) Iterator.empty else Iterator.single(p)
       } else fs.listStatus(p).map(_.getPath).sortBy(_.getName)
-        .iterator.flatMap(firstData).nextOption()
+        .iterator.flatMap(dataFiles)
+    }
+    def readSample(p: org.apache.hadoop.fs.Path): (String, Boolean) = {
+      val fs = p.getFileSystem(conf)
+      val raw = fs.open(p)
+      try {
+        val in: java.io.InputStream =
+          if (p.getName.endsWith(".gz") || p.getName.endsWith(".gzip"))
+            new java.util.zip.GZIPInputStream(raw)
+          else raw
+        val buf = new Array[Byte](SniffBytes)
+        var off = 0
+        var n = 0
+        while (off < SniffBytes && { n = in.read(buf, off, SniffBytes - off); n > 0 })
+          off += n
+        val truncated = n > 0 || off == SniffBytes
+        var text = new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+        if (skip > 0)
+          text = text.linesWithSeparators.drop(skip).mkString
+        (text, truncated)
+      } finally raw.close()
     }
     val files = globFiles(spark, path)
     require(files.nonEmpty, s"sniff: no files match $path")
-    val p = files.iterator.map(f => new org.apache.hadoop.fs.Path(f))
-      .flatMap(firstData).nextOption()
-      .getOrElse(throw new IllegalArgumentException(s"sniff: no data files under $path"))
-    val fs = p.getFileSystem(conf)
-    val raw = fs.open(p)
-    try {
-      val in: java.io.InputStream =
-        if (p.getName.endsWith(".gz") || p.getName.endsWith(".gzip"))
-          new java.util.zip.GZIPInputStream(raw)
-        else raw
-      val buf = new Array[Byte](SniffBytes)
-      var off = 0
-      var n = 0
-      while (off < SniffBytes && { n = in.read(buf, off, SniffBytes - off); n > 0 })
-        off += n
-      val truncated = n > 0 || off == SniffBytes
-      var text = new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
-      if (skip > 0)
-        text = text.linesWithSeparators.drop(skip).mkString
-      sniffText(text, truncated)
-    } finally raw.close()
+    val candidates = files.iterator.map(f => new org.apache.hadoop.fs.Path(f))
+      .flatMap(dataFiles)
+    if (!candidates.hasNext)
+      throw new IllegalArgumentException(s"sniff: no data files under $path")
+    // A partitioned write routinely produces header-only part files (an
+    // empty input partition still writes its header line). Sniffing one of
+    // those loses header detection for the whole dataset, so prefer the
+    // first file whose sample holds >=2 physical records; fall back to the
+    // first data file when every file is that short.
+    var fallback: Option[(String, Boolean)] = None
+    var picked: Option[(String, Boolean)] = None
+    while (picked.isEmpty && candidates.hasNext) {
+      val s = readSample(candidates.next())
+      if (fallback.isEmpty) fallback = Some(s)
+      if (s._1.linesIterator.count(_.trim.nonEmpty) >= 2) picked = Some(s)
+    }
+    val (text, truncated) = picked.orElse(fallback).get
+    sniffText(text, truncated)
   }
 
   /** Reference option name → Spark CSV option (full named-parameter list:

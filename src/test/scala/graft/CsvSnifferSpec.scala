@@ -39,6 +39,26 @@ class CsvSnifferSpec extends SparkSpec {
     assert(!sniff("a,b\nx,y\nz,w\n").header)           // all-varchar: no evidence
   }
 
+  test("single all-varchar record defaults header=true (reference bias)") {
+    // the common producer of this shape is a header-only part file from an
+    // empty write partition — the reference sniffer treats an all-varchar
+    // first row as a header (duckdb-4.cpp:1949-3700)
+    assert(sniff("l_orderkey,l_quantity,l_tax\n").header)
+    assert(!sniff("1,2,3\n").header) // a typed single record is data
+  }
+
+  test("header-only leading part file does not poison directory sniffing") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_sniff_parts_")
+    // Spark writes an empty input partition as a header-only CSV part
+    Files.write(dir.resolve("part-00000"), "id,qty\n".getBytes)
+    Files.write(dir.resolve("part-00001"), "id,qty\n1,10\n2,20\n".getBytes)
+    Files.write(dir.resolve("_SUCCESS"), Array.empty[Byte])
+    val df = Csv.read(spark, dir.toString)
+    assert(df.columns.toSeq == Seq("id", "qty"))
+    assert(df.agg(sum(col("qty"))).head().getLong(0) == 30L)
+  }
+
   test("newlines inside quoted fields do not split records") {
     val recs = Csv.parseRecords("1,\"a\nb\",2\n3,c,4\n", ',', '"', truncated = false)
     assert(recs == Vector(Vector("1", "a\nb", "2"), Vector("3", "c", "4")))
