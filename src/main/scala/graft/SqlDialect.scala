@@ -810,12 +810,76 @@ object SqlDialect {
           changed = true
         }
       }
+      // Single-operand COLLATE is position-sensitive: in a SORT-KEY
+      // position (ORDER BY / PARTITION BY) the key folds; in a
+      // PROJECTED position the annotation is dropped — a collation
+      // changes comparisons, never the returned value (reference
+      // duckdb-5.cpp:5156) — and in grouping / aggregate-argument /
+      // predicate positions (where dropping it would silently change
+      // which rows group or match) we raise a named error asking for an
+      // explicit fold.
+      def clauseAt(s: String, pos: Int): String = {
+        var i = 0
+        var depth = 0
+        val kw = scala.collection.mutable.Map[Int, String](0 -> "select")
+        while (i < pos) {
+          val c = s.charAt(i)
+          if (c == '\'' || c == '"') {
+            val qc = c; i += 1
+            var open = true
+            while (open && i < pos) {
+              if (s.charAt(i) == qc) {
+                if (i + 1 < pos && s.charAt(i + 1) == qc) i += 2 // doubled = escaped
+                else { open = false; i += 1 }
+              } else i += 1
+            }
+          } else if (c == '(') {
+            var j = i - 1
+            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+            val isCall = j >= 0 &&
+              (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')
+            depth += 1
+            kw(depth) = if (isCall) "func" else kw.getOrElse(depth - 1, "select")
+            i += 1
+          } else if (c == ')') {
+            kw.remove(depth); depth -= 1; i += 1
+          } else if (c.isLetter && (i == 0 || {
+            val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.'
+          })) {
+            var j = i
+            while (j < pos && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
+            val word = s.substring(i, j).toLowerCase
+            val rest = s.substring(j, math.min(pos, j + 12))
+            val byFollows = rest.matches("(?is)\\s+by\\b[\\s\\S]*")
+            word match {
+              case "order" | "partition" if byFollows => kw(depth) = "sort"
+              case "group" if byFollows               => kw(depth) = "group"
+              case "select" | "values" | "returning"  => kw(depth) = "select"
+              case "where" | "having" | "qualify" | "when" => kw(depth) = "pred"
+              case "on" if !rest.matches("(?is)\\s+conflict\\b[\\s\\S]*") =>
+                kw(depth) = "pred"
+              case _ => ()
+            }
+            i = j
+          } else i += 1
+        }
+        kw.getOrElse(depth, "select")
+      }
       val single = (s"(?is)($opnd)\\s+COLLATE\\s+(NOCASE|NOACCENT)\\b").r
       changed = true
       while (changed) {
         changed = false
         single.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
-          q = q.substring(0, m.start) + fold(m.group(2), m.group(1)) + q.substring(m.end)
+          val repl = clauseAt(q, m.start) match {
+            case "sort"   => fold(m.group(2), m.group(1))
+            case "select" => m.group(1)
+            case ctx => throw new IllegalArgumentException(
+              s"graft: COLLATE ${m.group(2).toUpperCase} on a single operand in a " +
+                s"$ctx position would change ${if (ctx == "group") "grouping" else "matching"} " +
+                "semantics silently — fold explicitly with lower()/strip_accents() " +
+                "(reference collation registry, duckdb-5.cpp:5156)")
+          }
+          q = q.substring(0, m.start) + repl + q.substring(m.end)
           changed = true
         }
       }

@@ -67,6 +67,15 @@ object DialectFuzzGen {
     (Nil, (s"SELECT n_nationkey AS k, n_name FROM nation WHERE n_name = '$lit' COLLATE NOCASE",
       s"SELECT n_nationkey AS k, n_name FROM nation WHERE lower(n_name) = lower('$lit')"))
 
+  /** Projected + sort-key COLLATE: the annotation must NOT change the
+    * returned value (DuckDB returns the original case), only the sort
+    * key folds. */
+  private def collateProjected(lit: String): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, n_name COLLATE NOCASE AS nm FROM nation " +
+      s"WHERE n_name = '$lit' COLLATE NOCASE ORDER BY n_name COLLATE NOCASE",
+      s"SELECT n_nationkey AS k, n_name AS nm FROM nation " +
+        s"WHERE lower(n_name) = lower('$lit') ORDER BY lower(n_name)"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -132,7 +141,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(9) match {
+      val (setup, base) = rnd.nextInt(10) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -142,6 +151,7 @@ object DialectFuzzGen {
         case 6 => macroCall(i, rnd.nextInt(50))
         case 7 => prepareExec(i, 1 + rnd.nextInt(20))
         case 8 => collate(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
+        case 9 => collateProjected(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

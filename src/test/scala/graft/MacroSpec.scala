@@ -207,6 +207,29 @@ class MacroSpec extends SparkSpec {
     assert(neg + pos == 25, s"NOT SIMILAR TO must complement (got $neg + $pos)")
   }
 
+  test("COLLATE is position-sensitive: projected value keeps case, sort key folds, grouping raises") {
+    Engine.registerAll(spark, dir)
+    // projected position: the annotation must NOT change the value
+    // (reference collation registry, duckdb-5.cpp:5156)
+    val v = SqlDialect.sql(spark,
+      "SELECT n_name COLLATE NOCASE AS nm FROM nation WHERE n_nationkey = 1")
+      .head().getString(0)
+    assert(v == v.toUpperCase && v.startsWith("NATION"), s"projected COLLATE mutated the value: $v")
+    // sort-key position folds the KEY only
+    val sorted = SqlDialect.sql(spark,
+      "SELECT n_name FROM nation ORDER BY n_name COLLATE NOCASE LIMIT 3")
+      .collect().map(_.getString(0))
+    assert(sorted.forall(s => s == s.toUpperCase))
+    // grouping / aggregate-argument positions raise the named error
+    // instead of silently changing which rows group
+    val eg = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation GROUP BY n_name COLLATE NOCASE"))
+    assert(eg.getMessage.contains("COLLATE"))
+    val ea = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "SELECT min(n_name COLLATE NOCASE) AS m FROM nation"))
+    assert(ea.getMessage.contains("COLLATE"))
+  }
+
   test("COPY FROM ingests a COPY TO file through the table's schema") {
     Engine.registerAll(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("copyfrom").toString
