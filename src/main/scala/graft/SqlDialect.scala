@@ -314,6 +314,10 @@ object SqlDialect {
       case Some(m) =>
         val df = sql(spark, m.group(2)).localCheckpoint()
         df.createOrReplaceTempView(m.group(1))
+        // the replaced table's declared constraints/PK do not carry over
+        // (a CTAS result has no declared constraints in the reference)
+        primaryKeysFor(spark).remove(m.group(1).toLowerCase)
+        constraintsFor(spark).remove(m.group(1).toLowerCase)
         return df
       case None =>
     }
@@ -947,7 +951,13 @@ object SqlDialect {
       val close = matchParen(t, open)
       require(close > open, "WITH: unbalanced CTE body")
       i = close + 1
-      if (beforeParen.endsWith("AS")) {
+      // AS must be its own token — an identifier ending in "as"
+      // (`WITH atlas (a, b) AS (…)`) is a name, not the AS keyword
+      val asToken = beforeParen == "AS" || (beforeParen.endsWith("AS") && {
+        val c = beforeParen.charAt(beforeParen.length - 3)
+        !c.isLetterOrDigit && c != '_'
+      })
+      if (asToken) {
         // consumed one full CTE; a comma continues the chain
         val rest = t.substring(i)
         val next = rest.takeWhile(_.isWhitespace).length

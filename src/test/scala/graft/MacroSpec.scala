@@ -207,6 +207,43 @@ class MacroSpec extends SparkSpec {
     assert(neg + pos == 25, s"NOT SIMILAR TO must complement (got $neg + $pos)")
   }
 
+  test("CREATE OR REPLACE TABLE AS clears the replaced table's constraint registry") {
+    Engine.registerAll(spark, dir)
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS ctas_cons")
+    SqlDialect.sql(spark,
+      "CREATE TABLE ctas_cons (id INT PRIMARY KEY, v VARCHAR NOT NULL)")
+    SqlDialect.sql(spark, "INSERT INTO ctas_cons VALUES (1, 'a')")
+    intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "INSERT INTO ctas_cons VALUES (2, NULL)"))
+    // the replacement drops the declared column entirely — stale
+    // constraints on it must not outlive the old table
+    SqlDialect.sql(spark,
+      "CREATE OR REPLACE TABLE ctas_cons AS SELECT n_nationkey AS nk FROM nation")
+    SqlDialect.sql(spark, "INSERT INTO ctas_cons VALUES (99)")
+    val n = SqlDialect.sql(spark, "SELECT count(*) AS n FROM ctas_cons")
+      .head().getLong(0)
+    assert(n == 26)
+    SqlDialect.sql(spark, "DROP TABLE ctas_cons")
+  }
+
+  test("WITH names ending in 'as' with a column list split correctly") {
+    Engine.registerAll(spark, dir)
+    // 'atlas' ends in AS — the CTE splitter must not treat the column
+    // list paren as the CTE body (QUALIFY forces the split + rewrite)
+    val rows = SqlDialect.sql(spark,
+      """WITH atlas (a, b) AS (SELECT n_nationkey, n_regionkey FROM nation)
+        |SELECT a, b FROM atlas QUALIFY row_number() OVER (ORDER BY a) <= 3""".stripMargin)
+      .collect()
+    assert(rows.length == 3 && rows.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // chain: a second CTE after the column-list form
+    val n = SqlDialect.sql(spark,
+      """WITH atlas (a) AS (SELECT n_nationkey FROM nation),
+        |     bigas AS (SELECT a FROM atlas WHERE a > 10)
+        |SELECT a FROM bigas QUALIFY row_number() OVER (ORDER BY a) = 1""".stripMargin)
+      .head().getInt(0)
+    assert(n == 11)
+  }
+
   test("COLLATE is position-sensitive: projected value keeps case, sort key folds, grouping raises") {
     Engine.registerAll(spark, dir)
     // projected position: the annotation must NOT change the value
