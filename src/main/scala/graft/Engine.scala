@@ -200,8 +200,10 @@ object Engine {
     * SQL). */
   final case class TableConstraints(notNull: Seq[String] = Nil,
                                     unique: Seq[(String, Seq[String])] = Nil,
-                                    checks: Seq[String] = Nil) {
-    def isEmpty: Boolean = notNull.isEmpty && unique.isEmpty && checks.isEmpty
+                                    checks: Seq[String] = Nil,
+                                    foreignKeys: Seq[(Seq[String], String, Seq[String])] = Nil) {
+    def isEmpty: Boolean =
+      notNull.isEmpty && unique.isEmpty && checks.isEmpty && foreignKeys.isEmpty
   }
 
   final class ConstraintViolation(msg: String) extends RuntimeException(msg)
@@ -235,6 +237,22 @@ object Engine {
           throw new ConstraintViolation(
             s"Constraint Error: CHECK constraint failed: $name")
       }
+    }
+    // FOREIGN KEY referential check (reference ForeignKeyConstraint,
+    // duckdb.hpp:20272): every non-null FK tuple in the batch must
+    // exist in the referenced table. MATCH SIMPLE semantics — a row
+    // with ANY null key part skips the check, like the reference. One
+    // left-anti probe per declared FK; the referenced-key projection is
+    // broadcast-sized in any sane schema, so this is a map-side join.
+    cons.foreignKeys.foreach { case (cols, ref, refCols) =>
+      val keyed = rows.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+        .select(cols.map(col): _*)
+      val parent = spark.table(ref)
+        .select(refCols.zip(cols).map { case (rc, c) => col(rc).as(c) }: _*)
+      if (keyed.join(parent, cols, "left_anti").limit(1).count() > 0)
+        throw new ConstraintViolation(
+          s"Constraint Error: Violates foreign key constraint because the key " +
+            s"does not exist in the referenced table $ref")
     }
     if (checkUnique) cons.unique.foreach { case (label, keys) =>
       // SQL UNIQUE ignores rows with any NULL key part (multiple NULLs

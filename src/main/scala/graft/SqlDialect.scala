@@ -347,9 +347,14 @@ object SqlDialect {
         var notNull = Vector.empty[String]
         var uniques = Vector.empty[(String, Seq[String])]
         var checks = Vector.empty[String]
+        var fks = Vector.empty[(Seq[String], String, Seq[String])]
         val tablePk = """(?is)^PRIMARY\s+KEY\s*\((.+)\)$""".r
         val tableUnique = """(?is)^UNIQUE\s*\((.+)\)$""".r
         val tableCheck = """(?is)^CHECK\s*\((.+)\)$""".r
+        val tableFk =
+          """(?is)^FOREIGN\s+KEY\s*\(([^)]+)\)\s+REFERENCES\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]+)\))?$""".r
+        val colFk =
+          """(?i)\bREFERENCES\s+([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^)]*)\))?""".r
         // per-column CHECK (...) — greedy to the def's final ')': the
         // constraint is syntactically last in a column definition
         val colCheck = """(?is)\bCHECK\s*\((.+)\)\s*$""".r
@@ -361,6 +366,10 @@ object SqlDialect {
               uniques :+= ("unique", cols.split(",").map(_.trim).toSeq); None
             case tableCheck(e) =>
               checks :+= e.trim; None
+            case tableFk(cols, ref, refCols) =>
+              fks :+= ((cols.split(",").map(_.trim).toSeq, ref,
+                Option(refCols).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
+              None
             case _ =>
               val parts = d.split("\\s+", 2)
               require(parts.length == 2, s"CREATE TABLE: malformed column '$d'")
@@ -368,6 +377,11 @@ object SqlDialect {
               colCheck.findFirstMatchIn(tpe).foreach { cm =>
                 checks :+= cm.group(1).trim
                 tpe = tpe.substring(0, cm.start) + tpe.substring(cm.end)
+              }
+              colFk.findFirstMatchIn(tpe).foreach { fm =>
+                fks :+= ((Seq(parts(0)), fm.group(1),
+                  Option(fm.group(2)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
+                tpe = tpe.substring(0, fm.start) + tpe.substring(fm.end)
               }
               val isPk = """(?i)\bPRIMARY\s+KEY\b""".r.findFirstIn(tpe).isDefined
               if (isPk) keys :+= parts(0)
@@ -388,12 +402,26 @@ object SqlDialect {
         if (keys.nonEmpty) primaryKeysFor(spark)(name.toLowerCase) = keys
         else primaryKeysFor(spark).remove(name.toLowerCase)
         // PRIMARY KEY implies NOT NULL on its columns + a unique key
-        // (the reference raises the NOT NULL error for a null PK part)
+        // (the reference raises the NOT NULL error for a null PK part).
+        // FK referenced columns resolve at CREATE time: an omitted
+        // column list means the referenced table's declared PRIMARY KEY
+        // (reference ForeignKeyConstraint binding, duckdb.hpp:20272).
+        val resolvedFks = fks.map { case (cols, ref, rc) =>
+          val rcols =
+            if (rc.nonEmpty) rc
+            else primaryKeysFor(spark).getOrElse(ref.toLowerCase,
+              throw new IllegalArgumentException(
+                s"FOREIGN KEY on $name: referenced table '$ref' has no declared PRIMARY KEY"))
+          require(rcols.length == cols.length,
+            s"FOREIGN KEY on $name: column count mismatch against $ref(${rcols.mkString(", ")})")
+          (cols, ref, rcols)
+        }
         val cons = Engine.TableConstraints(
           notNull = (notNull ++ keys).distinct,
           unique = (if (keys.nonEmpty) Vector(("primary key", keys: Seq[String]))
                     else Vector.empty) ++ uniques,
-          checks = checks)
+          checks = checks,
+          foreignKeys = resolvedFks)
         if (cons.isEmpty) constraintsFor(spark).remove(name.toLowerCase)
         else constraintsFor(spark)(name.toLowerCase) = cons
         return spark.emptyDataFrame
@@ -499,6 +527,28 @@ object SqlDialect {
         // materialize the doomed rows BEFORE the view is re-registered
         // (filter keeps only predicate-TRUE rows — exactly the deleted set)
         val deleted = spark.table(m.group(1)).filter(cond).localCheckpoint()
+        // parent-side FK check (reference ForeignKeyConstraint,
+        // duckdb.hpp:20272): a deleted key still referenced by any
+        // declared child FK raises before the delete lands
+        if (validationEnabled(spark)) {
+          val fn = org.apache.spark.sql.functions
+          val pname = m.group(1).toLowerCase
+          constraintsFor(spark).foreach { case (child, ccons) =>
+            ccons.foreignKeys.filter(_._2.toLowerCase == pname).foreach {
+              case (cols, _, refCols) =>
+                if (spark.catalog.tableExists(child)) {
+                  val childKeys = spark.table(child)
+                    .filter(cols.map(fn.col(_).isNotNull).reduce(_ && _))
+                    .select(cols.zip(refCols).map { case (c, rc) => fn.col(c).as(rc) }: _*)
+                  val stillRef = deleted.select(refCols.map(fn.col): _*)
+                    .join(childKeys, refCols, "left_semi").limit(1).count() > 0
+                  if (stillRef) throw new Engine.ConstraintViolation(
+                    "Constraint Error: Violates foreign key constraint because the key " +
+                      s"is still referenced by a foreign key in table $child")
+                }
+            }
+          }
+        }
         Engine.deleteWhere(spark, m.group(1), cond)
         if (returningCols.isDefined) return returned(deleted)
         return Seq(deleted.count()).toDF("count")

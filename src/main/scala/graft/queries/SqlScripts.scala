@@ -92,6 +92,24 @@ object SqlScripts {
     """SELECT CAST(id AS BIGINT) AS id, name, CAST(v AS BIGINT) AS v
       |FROM con_demo""".stripMargin)
 
+  private val fkStmts = Seq(
+    // FOREIGN KEY referential integrity (reference ForeignKeyConstraint
+    // binding, duckdb.hpp:20272): passing paths only — a violating
+    // statement would abort the oracle script, so the rejection paths
+    // (missing parent key on INSERT/UPDATE, still-referenced parent on
+    // DELETE, each raising the reference's Constraint Error wording)
+    // are spec-verified in MacroSpec. A NULL FK part skips the check
+    // (MATCH SIMPLE), and a child DELETE never probes the parent.
+    "CREATE OR REPLACE TABLE fk_parent (id INTEGER PRIMARY KEY, nm VARCHAR)",
+    "INSERT INTO fk_parent VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')",
+    """CREATE OR REPLACE TABLE fk_child (cid INTEGER PRIMARY KEY,
+      |  pid INTEGER REFERENCES fk_parent(id), amt INTEGER)""".stripMargin,
+    "INSERT INTO fk_child VALUES (10, 1, 100), (11, 1, 110), (12, 3, 120), (13, NULL, 130)",
+    "DELETE FROM fk_child WHERE cid = 12",
+    """SELECT CAST(c.cid AS BIGINT) AS cid, coalesce(p.nm, '-') AS nm,
+      |  CAST(c.amt AS BIGINT) AS amt
+      |FROM fk_child c LEFT JOIN fk_parent p ON c.pid = p.id""".stripMargin)
+
   private val catalogSetup = Seq(
     "CREATE OR REPLACE TABLE cat5_t1 (a BIGINT, b VARCHAR)",
     """CREATE OR REPLACE TABLE cat5_t2 AS
@@ -166,7 +184,10 @@ object SqlScripts {
       script(s, dir, catalogSetup :+ columnsFnSql)),
 
     "catalog_constraints" -> ((s, dir) =>
-      script(s, dir, constraintsStmts))
+      script(s, dir, constraintsStmts)),
+
+    "catalog_constraints_fk" -> ((s, dir) =>
+      script(s, dir, fkStmts))
   )
 
   val oracle: Map[String, String] = Map(
@@ -176,6 +197,7 @@ object SqlScripts {
     "catalog_returning" -> returningStmts.mkString(";\n"),
     "catalog_tables_fn" -> (catalogSetup :+ tablesFnSql).mkString(";\n"),
     "catalog_columns_fn" -> (catalogSetup :+ columnsFnSql).mkString(";\n"),
-    "catalog_constraints" -> constraintsStmts.mkString(";\n")
+    "catalog_constraints" -> constraintsStmts.mkString(";\n"),
+    "catalog_constraints_fk" -> fkStmts.mkString(";\n")
   )
 }

@@ -207,6 +207,46 @@ class MacroSpec extends SparkSpec {
     assert(neg + pos == 25, s"NOT SIMILAR TO must complement (got $neg + $pos)")
   }
 
+  test("FOREIGN KEY: referential checks on INSERT/UPDATE, parent DELETE blocked while referenced") {
+    Engine.registerAll(spark, dir)
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS fks_child")
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS fks_parent")
+    SqlDialect.sql(spark, "CREATE TABLE fks_parent (id INT PRIMARY KEY, nm VARCHAR)")
+    SqlDialect.sql(spark, "INSERT INTO fks_parent VALUES (1, 'a'), (2, 'b')")
+    // column-level REFERENCES with an omitted column list resolves to
+    // the parent's declared PRIMARY KEY
+    SqlDialect.sql(spark,
+      "CREATE TABLE fks_child (cid INT PRIMARY KEY, pid INT REFERENCES fks_parent, v INT)")
+    SqlDialect.sql(spark, "INSERT INTO fks_child VALUES (10, 1, 5), (11, NULL, 6)")
+    // INSERT with a missing parent key raises the reference's error
+    val ei = intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "INSERT INTO fks_child VALUES (12, 99, 7)"))
+    assert(ei.getMessage.contains("foreign key"))
+    // UPDATE moving the FK to a missing key raises; to an existing key passes
+    val eu = intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "UPDATE fks_child SET pid = 42 WHERE cid = 10"))
+    assert(eu.getMessage.contains("foreign key"))
+    SqlDialect.sql(spark, "UPDATE fks_child SET pid = 2 WHERE cid = 10")
+    // parent DELETE of a still-referenced key raises; unreferenced passes
+    val ed = intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "DELETE FROM fks_parent WHERE id = 2"))
+    assert(ed.getMessage.contains("still referenced"))
+    SqlDialect.sql(spark, "DELETE FROM fks_parent WHERE id = 1")
+    // table-level composite syntax parses and enforces too
+    SqlDialect.sql(spark,
+      """CREATE TABLE fks_child2 (a INT, b INT,
+        |  FOREIGN KEY (a) REFERENCES fks_parent (id))""".stripMargin)
+    intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "INSERT INTO fks_child2 VALUES (77, 0)"))
+    SqlDialect.sql(spark, "INSERT INTO fks_child2 VALUES (2, 0)")
+    // the off-switch bypasses the probe for bulk loads
+    spark.conf.set("spark.graft.validateConstraints", "false")
+    try SqlDialect.sql(spark, "INSERT INTO fks_child2 VALUES (500, 1)")
+    finally spark.conf.unset("spark.graft.validateConstraints")
+    Seq("fks_child2", "fks_child", "fks_parent").foreach(t =>
+      SqlDialect.sql(spark, s"DROP TABLE $t"))
+  }
+
   test("CREATE OR REPLACE TABLE AS clears the replaced table's constraint registry") {
     Engine.registerAll(spark, dir)
     SqlDialect.sql(spark, "DROP TABLE IF EXISTS ctas_cons")
