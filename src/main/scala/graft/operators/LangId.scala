@@ -98,7 +98,38 @@ object LangId {
       "niets nieuws onder de zon dit is het verhaal van een gezin dat in een " +
       "klein dorp woonde de kinderen lopen s morgens naar school en het huis " +
       "heeft een mooie tuin " +
-      "de vrouw had veel boeken gelezen en zij had ze op de tafel in de keuken gelegd toen wij aankwamen kon hij zijn spullen niet vinden en vroeg ons hem meteen te helpen omdat hij snel moest vertrekken"))
+      "de vrouw had veel boeken gelezen en zij had ze op de tafel in de keuken gelegd toen wij aankwamen kon hij zijn spullen niet vinden en vroeg ons hem meteen te helpen omdat hij snel moest vertrekken"),
+    "sv" -> ("alla manniskor ar fodda fria och lika i varde och rattigheter " +
+      "de ar utrustade med fornuft och samvete och bor handla gentemot " +
+      "varandra i en anda av broderskap " +
+      "hunden och katten bor i huset som ligger nara staden det finns inget " +
+      "nytt under solen detta ar historien om en familj som bodde i en liten " +
+      "by barnen gar till skolan pa morgonen och huset har en mycket vacker " +
+      "tradgard " +
+      "kvinnan hade last manga bocker och hon hade lagt dem pa bordet i koket nar vi kom fram kunde han inte hitta sina saker och bad oss hjalpa honom genast eftersom han snart maste aka"),
+    "pl" -> ("wszyscy ludzie rodza sie wolni i rowni pod wzgledem swej " +
+      "godnosci i swych praw sa oni obdarzeni rozumem i sumieniem i powinni " +
+      "postepowac wobec innych w duchu braterstwa " +
+      "pies i kot mieszkaja w domu ktory znajduje sie blisko miasta nie ma " +
+      "nic nowego pod sloncem to jest historia rodziny ktora mieszkala w " +
+      "malej wiosce dzieci ida rano do szkoly a dom ma bardzo piekny ogrod " +
+      "kobieta przeczytala wiele ksiazek i polozyla je na stole w kuchni kiedy przyjechalismy nie mogl znalezc swoich rzeczy i poprosil nas o pomoc poniewaz musial wkrotce wyjechac"),
+    "ro" -> ("toate fiintele umane se nasc libere si egale in demnitate si " +
+      "in drepturi ele sunt inzestrate cu ratiune si constiinta si trebuie " +
+      "sa se comporte unele fata de altele in spiritul fraternitatii " +
+      "cainele si pisica locuiesc in casa care se afla aproape de oras nu " +
+      "este nimic nou sub soare aceasta este povestea unei familii care " +
+      "traia intr un sat mic copiii merg dimineata la scoala si casa are o " +
+      "gradina foarte frumoasa " +
+      "femeia citise multe carti si le pusese pe masa din bucatarie cand am ajuns el nu isi putea gasi lucrurile si ne a rugat sa il ajutam imediat pentru ca trebuia sa plece curand"),
+    "id" -> ("semua orang dilahirkan merdeka dan mempunyai martabat dan hak " +
+      "hak yang sama mereka dikaruniai akal dan hati nurani dan hendaknya " +
+      "bergaul satu sama lain dalam semangat persaudaraan " +
+      "anjing dan kucing tinggal di rumah yang terletak dekat kota tidak " +
+      "ada yang baru di bawah matahari ini adalah kisah sebuah keluarga " +
+      "yang tinggal di sebuah desa kecil anak anak berjalan ke sekolah pada " +
+      "pagi hari dan rumah itu mempunyai kebun yang sangat indah " +
+      "wanita itu telah membaca banyak buku dan meletakkannya di atas meja dapur ketika kami tiba dia tidak dapat menemukan barang barangnya dan meminta kami untuk segera membantunya karena dia harus segera berangkat"))
 
   /** Supported output codes (incl. script-detected and 'und'). */
   val knownCodes: Seq[String] =
@@ -107,10 +138,16 @@ object LangId {
   /** Letters-and-single-spaces normalization; diacritics folded so the
     * seed texts (written unaccented) and accented real text meet in the
     * same trigram space. */
+  // compiled ONCE: String.replaceAll would recompile both patterns on
+  // every row of the classify UDF (measured at ~40% of text_langid's
+  // runtime before hoisting)
+  private val MarksRe = java.util.regex.Pattern.compile("\\p{M}")
+  private val NonLetterRe = java.util.regex.Pattern.compile("[^\\p{L}]+")
+
   private def normalize(text: String): String = {
-    val folded = java.text.Normalizer.normalize(text.toLowerCase,
-      java.text.Normalizer.Form.NFD).replaceAll("\\p{M}", "")
-    (" " + folded.replaceAll("[^\\p{L}]+", " ").trim + " ")
+    val folded = MarksRe.matcher(java.text.Normalizer.normalize(
+      text.toLowerCase, java.text.Normalizer.Form.NFD)).replaceAll("")
+    (" " + NonLetterRe.matcher(folded).replaceAll(" ").trim + " ")
   }
 
   private def trigramCounts(norm: String): collection.Map[String, Int] = {
@@ -133,6 +170,24 @@ object LangId {
 
   private val profiles: Map[String, Map[String, Int]] =
     seeds.map { case (lang, seed) => lang -> rankProfile(seed, ProfileDepth) }
+
+  // scoring structures, built once: langsArr is sorted so taking the
+  // FIRST minimum preserves the (distance, lang) lexicographic
+  // tie-break; gramRanks inverts the per-language profiles into one
+  // gram → rank-per-language array, turning the per-document cost from
+  // |langs| map probes per gram into ONE probe + |langs| array adds
+  private val langsArr: Array[String] = profiles.keys.toArray.sorted
+  private val gramRanks: java.util.HashMap[String, Array[Int]] = {
+    val m = new java.util.HashMap[String, Array[Int]]()
+    langsArr.zipWithIndex.foreach { case (lang, li) =>
+      profiles(lang).foreach { case (g, r) =>
+        var arr = m.get(g)
+        if (arr == null) { arr = Array.fill(langsArr.length)(ProfileDepth); m.put(g, arr) }
+        arr(li) = r
+      }
+    }
+    m
+  }
 
   private def inRange(cp: Int, lo: Int, hi: Int): Boolean = cp >= lo && cp <= hi
 
@@ -162,16 +217,24 @@ object LangId {
     if (greek / l > 0.50) return "el"
     // latin-script tier: out-of-place distance against each profile
     val docRanks = trigramCounts(normalize(text)).toSeq
-      .sortBy { case (g, c) => (-c, g) }.take(DocDepth).map(_._1)
+      .sortBy { case (g, c) => (-c, g) }.take(DocDepth).map(_._1).toArray
     if (docRanks.isEmpty) return "und"
-    val best = profiles.toSeq.map { case (lang, prof) =>
-      var d = 0L
-      var i = 0
-      docRanks.foreach { g =>
-        d += math.abs(i - prof.getOrElse(g, ProfileDepth)); i += 1
+    val n = langsArr.length
+    val d = new Array[Long](n)
+    var i = 0
+    while (i < docRanks.length) {
+      val arr = gramRanks.get(docRanks(i))
+      if (arr == null) {
+        val miss = (ProfileDepth - i).toLong // |i - ProfileDepth|, i < depth
+        var j = 0; while (j < n) { d(j) += miss; j += 1 }
+      } else {
+        var j = 0; while (j < n) { d(j) += math.abs(i - arr(j)); j += 1 }
       }
-      (d, lang)
-    }.minBy(identity) // (distance, lang) — lexicographic tie-break
-    best._2
+      i += 1
+    }
+    var bi = 0
+    var j = 1
+    while (j < n) { if (d(j) < d(bi)) bi = j; j += 1 }
+    langsArr(bi)
   }
 }

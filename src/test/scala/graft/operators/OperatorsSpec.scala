@@ -588,7 +588,27 @@ class TextAnalysisSpec extends SparkSpec {
       "nl" -> "onze buren hebben vorige week een nieuwe auto gekocht",
       "nl" -> "het museum sluit s winters op zondag altijd heel vroeg",
       "nl" -> "hij kon zich niet herinneren waar hij zijn sleutels had gelaten",
-      "nl" -> "veel studenten leren liever samen voor moeilijke examens")
+      "nl" -> "veel studenten leren liever samen voor moeilijke examens",
+      "sv" -> "hon oppnade fonstret eftersom rummet var alldeles for varmt",
+      "sv" -> "vara grannar kopte en ny bil forra veckan och de alskar den",
+      "sv" -> "museet stanger tidigt pa sondagar under vintermanaderna",
+      "sv" -> "han kunde inte minnas var han hade lagt sina nycklar",
+      "sv" -> "manga studenter foredrar att plugga tillsammans infor svara prov",
+      "pl" -> "ona otworzyla okno poniewaz w pokoju bylo za goraco",
+      "pl" -> "nasi sasiedzi kupili w zeszlym tygodniu nowy samochod",
+      "pl" -> "muzeum zamyka sie wczesnie w niedziele w miesiacach zimowych",
+      "pl" -> "nie mogl sobie przypomniec gdzie zostawil swoje klucze",
+      "pl" -> "wielu studentow woli uczyc sie razem przed trudnymi egzaminami",
+      "ro" -> "ea a deschis fereastra pentru ca in camera era prea cald",
+      "ro" -> "vecinii nostri au cumparat o masina noua saptamana trecuta",
+      "ro" -> "muzeul se inchide devreme duminica in lunile de iarna",
+      "ro" -> "el nu isi putea aminti unde isi lasase cheile",
+      "ro" -> "multi studenti prefera sa invete impreuna inaintea examenelor grele",
+      "id" -> "dia membuka jendela karena kamar itu terlalu panas",
+      "id" -> "tetangga kami membeli mobil baru minggu lalu dan mereka menyukainya",
+      "id" -> "museum itu tutup lebih awal pada hari minggu selama musim dingin",
+      "id" -> "dia tidak ingat di mana dia meninggalkan kuncinya",
+      "id" -> "banyak pelajar lebih suka belajar bersama sebelum ujian yang sulit")
     val wrong = fixture.filter { case (lang, s) =>
       graft.operators.LangId.classify(s) != lang }
     val acc = 1.0 - wrong.size.toDouble / fixture.size
