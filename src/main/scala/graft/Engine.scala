@@ -100,6 +100,77 @@ object Engine {
     schema.fields.exists(f => f.name == "ts" &&
       f.dataType == org.apache.spark.sql.types.LongType)
 
+  // Effective scan parallelism of a table = its total parquet ROW GROUP
+  // count (a row group is the atomic read unit: Spark assigns it to the
+  // one split covering its midpoint, so byte-range splits beyond this
+  // are empty tasks). Driver-side footer reads, memoized per path —
+  // queries whose first stage fuses heavy per-row work with the scan
+  // use this to decide whether a redistribution is worth one shuffle.
+  private val rowGroupMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  def parquetRowGroups(spark: SparkSession, dir: String, name: String): Int =
+    rowGroupMemo.computeIfAbsent(s"$dir/$name", { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet")).toSeq
+        else Seq(root)
+      Integer.valueOf(files.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try r.getRowGroups.size finally r.close()
+      }.sum)
+    }).intValue()
+
+  // Column [min, max] from the same parquet footers (row-group
+  // statistics — the reference's zone maps, duckdb-10.cpp:5441), for
+  // sketches that need a value range at PLAN time without a data pass.
+  private val colRangeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (Double, Double)]()
+
+  def parquetColumnRange(spark: SparkSession, dir: String, name: String,
+                         column: String): (Double, Double) =
+    colRangeMemo.computeIfAbsent(s"$dir/$name/$column", { _ =>
+      val conf = spark.sparkContext.hadoopConfiguration
+      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val files =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .filter(p => p.getName.endsWith(".parquet")).toSeq
+        else Seq(root)
+      var lo = Double.PositiveInfinity
+      var hi = Double.NegativeInfinity
+      files.foreach { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+        try {
+          r.getRowGroups.forEach { rg =>
+            rg.getColumns.forEach { c =>
+              if (c.getPath.toDotString == column && c.getStatistics != null &&
+                  c.getStatistics.hasNonNullValue) {
+                def d(v: Any): Double = v match {
+                  case x: java.lang.Double => x.doubleValue()
+                  case x: java.lang.Float => x.doubleValue()
+                  case x: java.lang.Integer => x.doubleValue()
+                  case x: java.lang.Long => x.doubleValue()
+                  case x => x.toString.toDouble
+                }
+                lo = math.min(lo, d(c.getStatistics.genericGetMin))
+                hi = math.max(hi, d(c.getStatistics.genericGetMax))
+              }
+            }
+          }
+        } finally r.close()
+      }
+      require(lo <= hi, s"parquetColumnRange: no stats for $name.$column")
+      (lo, hi)
+    })
+
   private def resolveTable(spark: SparkSession, dir: String, name: String): DataFrame = {
     functions.DuckFunctions.register(spark)
     // ts-unit handling: if the file stores TIMESTAMP(NANOS) it infers as

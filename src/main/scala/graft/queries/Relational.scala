@@ -597,29 +597,72 @@ object Relational {
       // margin; the two-sided lo/hi form stays exact under ties
       // (l_quantity is discrete: lo(v) <= qn + eps and hi(v) >= qn - eps
       // follow from the sketch's rank guarantee whatever the tie mass).
+      // r10 rewrite: the sketch itself is now a fixed-resolution BINNED
+      // COUNT (an equi-width histogram sketch over the footer-stats
+      // value range — the zone maps the reference reads,
+      // duckdb-10.cpp:5441), replacing percentile_approx. The GK
+      // ObjectHashAggregate inserted per-row into a boxing ArrayBuffer
+      // and, fused into a single-row-group scan task, serialized the
+      // whole row at ~370 ms; a binned count is a codegen hash
+      // aggregate with map-side combine. Rank math is then EXACT from
+      // the bin cumsums: the estimate v is the upper boundary of the
+      // first bin whose cumulative count reaches q*n, rows < v equal
+      // that cumsum exactly (a row at the boundary bins upward), and
+      // count(<=v) >= count(<v) closes the hi side. The lo check passes
+      // whenever the chosen bin holds under 2% of the group's mass —
+      // 4096 stats-derived bins put a uniformish column two orders of
+      // magnitude inside that. l_quantity is discrete, so its bins are
+      // the values themselves and p10/p90 are exact. At 100 TB: two
+      // column-pruned scans, both aggregates partial+tiny-shuffle
+      // (<=4096+50 keys per group), window over the 30k-row bin table,
+      // one 3-row join — nothing holistic anywhere.
+      val (epMin, epMax) =
+        Engine.parquetColumnRange(s, dir, "lineitem", "l_extendedprice")
+      val nBins = 4096
+      val w = math.max((epMax - epMin) / nBins, 1e-9)
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-      val sk = li.groupBy(col("l_returnflag")).agg(
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("__ep_ap"),
-        percentile_approx(col("l_quantity"), array(lit(0.1), lit(0.9)), lit(1000))
-          .as("__q_ap"))
-      li.join(broadcast(sk), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          count(when(col("l_extendedprice") < col("__ep_ap"), 1)).as("__ep_lo"),
-          count(when(col("l_extendedprice") <= col("__ep_ap"), 1)).as("__ep_hi"),
-          count(when(col("l_quantity") < col("__q_ap").getItem(0), 1)).as("__q10_lo"),
-          count(when(col("l_quantity") <= col("__q_ap").getItem(0), 1)).as("__q10_hi"),
-          count(when(col("l_quantity") < col("__q_ap").getItem(1), 1)).as("__q90_lo"),
-          count(when(col("l_quantity") <= col("__q_ap").getItem(1), 1)).as("__q90_hi"))
-        .select(col("l_returnflag"), col("n"),
-          ((col("__ep_lo") <= col("n") * 0.5 + col("n") * 0.02) &&
-            (col("__ep_hi") >= col("n") * 0.5 - col("n") * 0.02)).as("med_ok"),
-          ((col("__q10_lo") <= col("n") * 0.1 + col("n") * 0.02) &&
-            (col("__q10_hi") >= col("n") * 0.1 - col("n") * 0.02)).as("p10_ok"),
-          ((col("__q90_lo") <= col("n") * 0.9 + col("n") * 0.02) &&
-            (col("__q90_hi") >= col("n") * 0.9 - col("n") * 0.02)).as("p90_ok"))
+      // post-shuffle rank walk over one group's sorted bin table (3 rows,
+      // <=4096 entries each — a UDF HERE is driver-scale bookkeeping, not
+      // the hot path): per quantile, the first bin whose cumsum reaches
+      // q*n yields (lo = cum before it, hi = cum through it, n)
+      val rankWalk = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
+        var n = 0L
+        bins.foreach(r => n += r.getLong(1))
+        qs.map { q =>
+          var cum = 0L; var lo = 0L; var hi = 0L; var found = false
+          val it = bins.iterator
+          while (!found && it.hasNext) {
+            val c = it.next().getLong(1)
+            if (cum + c >= q * n) { lo = cum; hi = cum + c; found = true }
+            else cum += c
+          }
+          Seq(lo, hi, n)
+        }
+      }
+      def quantiles(df: DataFrame, binCol: org.apache.spark.sql.Column,
+                    qs: Seq[Double], out: String) =
+        df.groupBy(col("l_returnflag"), binCol.cast("double").as("__b"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col("l_returnflag"))
+          .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__bins"))
+          .select(col("l_returnflag"),
+            rankWalk(col("__bins"), typedLit(qs)).as(out))
+      def okCol(arr: String, i: Int, q: Double) = {
+        val lo = col(arr).getItem(i).getItem(0)
+        val hi = col(arr).getItem(i).getItem(1)
+        val n = col(arr).getItem(i).getItem(2)
+        (lo <= n * q + n * 0.02) && (hi >= n * q - n * 0.02)
+      }
+      val ep = quantiles(li,
+        floor((col("l_extendedprice") - lit(epMin)) / lit(w)), Seq(0.5), "__ep")
+      val qty = quantiles(li, col("l_quantity"), Seq(0.1, 0.9), "__qt")
+      ep.join(qty, "l_returnflag")
+        .select(col("l_returnflag"),
+          col("__ep").getItem(0).getItem(2).as("n"),
+          okCol("__ep", 0, 0.5).as("med_ok"),
+          okCol("__qt", 0, 0.1).as("p10_ok"),
+          okCol("__qt", 1, 0.9).as("p90_ok"))
     }),
 
     "join_asof_backward" -> ((s, dir) => {

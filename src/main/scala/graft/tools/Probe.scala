@@ -9,7 +9,8 @@ import graft.Engine
   */
 object Probe {
   def main(args: Array[String]): Unit = {
-    val spark = Engine.session("local[4]")
+    val spark = Engine.session(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     args match {
       case Array("query", name, sfDir) =>
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -25,6 +26,33 @@ object Probe {
         println(p)
         println(s"SCANCOUNT=${"Scan parquet".r.findAllIn(p).size} " +
           s"REUSED=${"ReusedExchange".r.findAllIn(p).size}")
+      case Array("stagetime", name, sfDir) =>
+        // per-stage wall time + task counts of the SECOND (warm) run,
+        // noop sink like Bench — locates which exchange/scan a slow
+        // query actually spends its time in
+        val stages = scala.collection.mutable.Buffer[(Int, Long, Int, String)]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            stages += ((si.stageId,
+              si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L),
+              si.numTasks, si.name.linesIterator.next().take(90)))
+          }
+        })
+        def run(): Double = {
+          val df = graft.SparkEntry.queries(name)(spark, sfDir)
+          val t0 = System.nanoTime()
+          df.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e6
+        }
+        run() // warm-up: JIT + file index + broadcast pools
+        stages.clear()
+        val wall = run()
+        Thread.sleep(500) // listener bus drain
+        stages.sortBy(_._1).foreach { case (id, ms, nt, nm) =>
+          println(f"STAGE $id%3d ${ms}%5d ms tasks=$nt%-3d $nm") }
+        println(f"WALL $wall%.0f ms")
       case Array("functions") =>
         Engine.functionsTable(spark).collect()
           .foreach(r => println("FN " + r.getString(0)))
