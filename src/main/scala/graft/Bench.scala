@@ -142,7 +142,10 @@ object Bench {
       // failed queries are NAMED in the artifact (not just counted):
       // a driver-run "fails: 1" with the name only on a truncated
       // stderr tail is unfalsifiable (round-8 verdict finding 3)
-      val failed = results.filter(_._2 < 0)
+      // capped at 20 names: `fails` carries the true count, and an
+      // unbounded list in a failure-heavy run would blow the driver's
+      // ~2000-char tail parse window even after `entries` drains
+      val failed = results.filter(_._2 < 0).take(20)
         .map("\"" + _._1 + "\"").mkString("[", ",", "]")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"fails":$nFail,"failed":$failed,"queries":${es.mkString("{", ",", "}")},"sf":"$sfDir"}"""
     }
