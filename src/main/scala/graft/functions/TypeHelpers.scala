@@ -90,8 +90,8 @@ object TypeHelpers {
   // is order-isomorphic to the reference's dtime_t — comparisons,
   // min/max, and sorts need no adapter — and all arithmetic wraps
   // modulo 24 h exactly like TIME + INTERVAL does there. TIME_TZ
-  // (duckdb.hpp:931) remains a documented non-goal: it would need a
-  // (micros, offset) pair and offset-aware comparison.
+  // (duckdb.hpp:931) is carried as the packed (micros, offset) long
+  // below (r10).
 
   private val MicrosPerDay = 86400L * 1000000L
 
@@ -119,6 +119,65 @@ object TypeHelpers {
       .otherwise(concat(lit("."),
         regexp_replace(lpad(frac.cast("string"), 6, "0"), "0+$", "")))
     concat(hh, lit(":"), mm, lit(":"), ss, fracStr)
+  }
+
+  // ---- TIME_TZ values (duckdb.hpp:931 dtime_tz_t) ----
+  // Packed LongType: micros-since-midnight << 24 | (MaxOffset − offset
+  // seconds). Order-isomorphic to DuckDB's packed key — LOCAL time
+  // ascending, then offset DESCENDING on ties (probed on the oracle
+  // engine: ORDER BY puts '10:00:00+02' before '10:00:00+00' before
+  // '10:00:00-03', and '01:00:00+05' < '12:00:00+00' even though its
+  // UTC instant is later). Equality is the (time, offset) PAIR:
+  // '10:00:00+02' <> '09:00:00+01' despite the same instant.
+
+  private val TzOffsetMax = 57599L // ±15:59:59, the packed key's offset bound
+  private val TzOffsetMask = (1L << 24) - 1L
+
+  def makeTimeTz(t: Column, offsetSeconds: Column): Column =
+    shiftleft(t.cast("long"), 24) + (lit(TzOffsetMax) - offsetSeconds.cast("long"))
+
+  /** Local-time micros of a packed TIME_TZ. */
+  def timeTzTime(v: Column): Column = shiftright(v, 24)
+
+  /** Offset seconds of a packed TIME_TZ. */
+  def timeTzOffset(v: Column): Column =
+    lit(TzOffsetMax) - v.bitwiseAND(lit(TzOffsetMask))
+
+  /** Parse 'HH:MM:SS[.ffffff]±HH[:MM[:SS]]' (the reference's TIMETZ
+    * literal shape) into the packed encoding. */
+  def timeTzFromString(s: Column): Column = {
+    val h = regexp_extract(s, "^(\\d{1,2}):", 1).cast("long")
+    val m = regexp_extract(s, "^\\d{1,2}:(\\d{2})", 1).cast("long")
+    val sec = regexp_extract(s, "^\\d{1,2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
+      .cast("double")
+    val micros = (h * 3600L + m * 60L) * 1000000L +
+      (sec * 1000000.0).cast("long")
+    val sign = when(regexp_extract(s, "([+-])\\d{1,2}(?::\\d{2})?(?::\\d{2})?$", 1)
+      === "-", -1L).otherwise(1L)
+    val oh = coalesce(regexp_extract(s,
+      "[+-](\\d{1,2})(?::\\d{2})?(?::\\d{2})?$", 1).cast("long"), lit(0L))
+    val om = coalesce(nullif(regexp_extract(s,
+      "[+-]\\d{1,2}:(\\d{2})(?::\\d{2})?$", 1), lit("")).cast("long"), lit(0L))
+    val os = coalesce(nullif(regexp_extract(s,
+      "[+-]\\d{1,2}:\\d{2}:(\\d{2})$", 1), lit("")).cast("long"), lit(0L))
+    makeTimeTz(micros, sign * (oh * 3600L + om * 60L + os))
+  }
+
+  /** CAST(TIMETZ AS VARCHAR): 'HH:MM:SS[.f]±HH[:MM[:SS]]' with offset
+    * minutes/seconds rendered only when nonzero — the oracle engine's
+    * rendering ('+00', '+05:30', '-08'). */
+  def timeTzToString(v: Column): Column = {
+    val off = timeTzOffset(v)
+    val a = abs(off)
+    val ohS = lpad((a / 3600L).cast("long").cast("string"), 2, "0")
+    val omS = when(pmod(a, lit(3600L)) === 0L, lit(""))
+      .otherwise(concat(lit(":"),
+        lpad((pmod(a, lit(3600L)) / 60L).cast("long").cast("string"), 2, "0")))
+    val osS = when(pmod(a, lit(60L)) === 0L, lit(""))
+      .otherwise(concat(lit(":"),
+        lpad(pmod(a, lit(60L)).cast("long").cast("string"), 2, "0")))
+    concat(timeToString(timeTzTime(v)),
+      when(off < 0L, lit("-")).otherwise(lit("+")), ohS, omS, osS)
   }
 
   /** extract(part FROM time) for hour/minute/second. */

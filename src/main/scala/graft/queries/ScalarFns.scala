@@ -260,7 +260,7 @@ object ScalarFns {
       // make_time, +/- INTERVAL with the 24 h wrap, hour/minute/second
       // extracts, comparison, and ordering (min/max over the long
       // encoding must equal DuckDB's min/max over native TIME — the
-      // order-isomorphism check). TIME_TZ stays a documented non-goal.
+      // order-isomorphism check). TIME_TZ: fn_time_tz.
       import graft.functions.TypeHelpers._
       val k = col("o_orderkey")
       val t0 = makeTime(pmod(k, lit(24)), pmod(k * 7, lit(60)), pmod(k * 13, lit(60)))
@@ -539,6 +539,38 @@ object ScalarFns {
         first(callUDF("strip_accents", lit("Málagà"))).as("stripped"))
     }),
 
+    "fn_time_tz" -> ((s, dir) => {
+      // TIME_TZ (reference dtime_tz_t, duckdb.hpp:931) under the packed
+      // (local-micros << 24 | MaxOffset − offset) LongType encoding:
+      // literal parse, rendering, and the order isomorphism — local
+      // time ascending then offset DESCENDING on ties, verified by
+      // ranking against DuckDB's native TIMETZ sort. The string is
+      // built from order keys, parsed by timeTzFromString (the packed
+      // key is never compared as text), and re-rendered for the hash.
+      import graft.functions.TypeHelpers._
+      val k = col("o_orderkey")
+      val offs = array(lit("+00"), lit("+01"), lit("+05:30"), lit("-08"),
+        lit("+02"), lit("-01"), lit("+00:30"))
+      val sCol = concat(
+        lpad(pmod(k, lit(24)).cast("string"), 2, "0"), lit(":"),
+        lpad(pmod(k * 7, lit(60)).cast("string"), 2, "0"), lit(":"),
+        lpad(pmod(k * 13, lit(60)).cast("string"), 2, "0"),
+        element_at(offs, (pmod(k * 11, lit(7)) + 1).cast("int")))
+      val rows = t(s, dir, "orders").filter(k <= 500)
+        .select(k, timeTzFromString(sCol).as("__tz"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__tz"), k)
+      val perRow = rows.select(k,
+        timeTzToString(col("__tz")).as("tz_str"),
+        row_number().over(w).cast("long").as("rk"),
+        timePart("hour", timeTzTime(col("__tz"))).as("local_hour"),
+        (timeTzOffset(col("__tz")) / 60L).cast("long").as("offset_min"))
+      val agg = rows.agg(
+        timeTzToString(min(col("__tz"))).as("min_tz"),
+        timeTzToString(max(col("__tz"))).as("max_tz"),
+        countDistinct(col("__tz")).as("n_tz"))
+      perRow.crossJoin(broadcast(agg))
+    }),
+
     "fn_datetime_parts" -> ((s, dir) => {
       // date_part long tail (reference date-part registration,
       // duckdb-5.cpp date funcs): quarter/week/doy/century/decade +
@@ -736,6 +768,26 @@ object ScalarFns {
         |  SELECT CAST(min(t) AS VARCHAR) AS min_t, CAST(max(t) AS VARCHAR) AS max_t,
         |    CAST(count(DISTINCT t) AS BIGINT) AS n_times
         |  FROM b)""".stripMargin,
+
+    "fn_time_tz" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    printf('%02d:%02d:%02d', CAST(o_orderkey % 24 AS INT),
+        |      CAST((o_orderkey * 7) % 60 AS INT), CAST((o_orderkey * 13) % 60 AS INT))
+        |    || list_extract(['+00','+01','+05:30','-08','+02','-01','+00:30'],
+        |         CAST((o_orderkey * 11) % 7 AS INT) + 1) AS s
+        |  FROM orders WHERE o_orderkey <= 500),
+        |c AS (SELECT o_orderkey, CAST(s AS TIMETZ) AS tz FROM b)
+        |SELECT o_orderkey,
+        |  CAST(tz AS VARCHAR) AS tz_str,
+        |  CAST(row_number() OVER (ORDER BY tz, o_orderkey) AS BIGINT) AS rk,
+        |  CAST(extract(hour FROM tz) AS BIGINT) AS local_hour,
+        |  CAST(list_extract([0,60,330,-480,120,-60,30],
+        |    CAST((o_orderkey * 11) % 7 AS INT) + 1) AS BIGINT) AS offset_min,
+        |  min_tz, max_tz, n_tz
+        |FROM c CROSS JOIN (
+        |  SELECT CAST(min(tz) AS VARCHAR) AS min_tz, CAST(max(tz) AS VARCHAR) AS max_tz,
+        |    CAST(count(DISTINCT tz) AS BIGINT) AS n_tz FROM c)""".stripMargin,
 
     "fn_json_props" ->
       """SELECT event_type, count(*) AS n,

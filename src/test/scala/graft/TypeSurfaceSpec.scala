@@ -82,6 +82,29 @@ class TypeSurfaceSpec extends SparkSpec {
       (col("c_hugeint") % 10).as("h1")).head()
     assert(r.getAs[java.math.BigDecimal]("u1").toString == "18446744073709551616")
   }
+
+  test("TIME_TZ packed encoding: parse/render roundtrip and the reference ordering") {
+    import graft.functions.TypeHelpers._
+    import spark.implicits._
+    // edge shapes beyond the fn_time_tz oracle row: fractional local
+    // seconds, an offset with seconds, bare '+00'
+    val lits = Seq("10:00:00+02", "10:00:00+00", "10:00:00-03",
+      "01:02:03.5+05:30", "23:59:59-08", "08:15:00+00:30", "04:00:00+01:02:03")
+    val df = lits.toDF("s").select(col("s"), timeTzFromString(col("s")).as("tz"))
+    val back = df.select(timeTzToString(col("tz"))).collect().map(_.getString(0))
+    assert(back.toSeq == lits)
+    // ordering: LOCAL time ascending, offset DESCENDING on ties — the
+    // oracle engine's packed-key order (probed r10: '+02' < '+00' < '-03'
+    // at the same local time)
+    val sorted = df.orderBy(col("tz")).select(col("s")).collect().map(_.getString(0))
+    assert(sorted.toSeq == Seq("01:02:03.5+05:30", "04:00:00+01:02:03",
+      "08:15:00+00:30", "10:00:00+02", "10:00:00+00", "10:00:00-03", "23:59:59-08"))
+    // components recover exactly
+    val r = df.filter(col("s") === "01:02:03.5+05:30")
+      .select(timeTzTime(col("tz")), timeTzOffset(col("tz"))).head()
+    assert(r.getLong(0) == (1L * 3600 + 2 * 60 + 3) * 1000000L + 500000L)
+    assert(r.getLong(1) == 5 * 3600L + 30 * 60L)
+  }
 }
 
 class LevenshteinWithinSpec extends SparkSpec {
