@@ -844,12 +844,18 @@ object SqlDialect {
     // folds BOTH operands (`lower(a) = lower(b)`), while in an ORDER BY
     // / windowed ORDER BY item only the sort key folds — the projected
     // value keeps its original case either way, matching the
-    // reference. Operands are the textual common shapes (identifier /
-    // dotted column / single function call / string literal); anything
-    // fancier should fold explicitly. NOACCENT maps to the registered
-    // strip_accents UDF (same fold `TypeHelpers.collateNoaccent` uses).
+    // reference. Operands are the textual expression shapes (string
+    // literal / identifier / dotted column / function call with one
+    // paren-nesting level / parenthesized group), optionally chained
+    // with || + - * / — so `(a || b) = c COLLATE NOCASE` and
+    // `a || b = c COLLATE NOCASE` fold BOTH full sides (the chain must
+    // be captured whole: folding just the nearest atom would rewrite
+    // `a || lower(b)` and silently change the comparison). NOACCENT
+    // maps to the registered strip_accents UDF (same fold
+    // `TypeHelpers.collateNoaccent` uses).
     locally {
-      val opnd = """(?:'(?:[^']|'')*'|[A-Za-z_][\w.]*(?:\([^()]*\))?)"""
+      val atom = """(?:'(?:[^']|'')*'|[A-Za-z_][\w.]*(?:\((?:[^()]|\([^()]*\))*\))?|\((?:[^()]|\([^()]*\))*\))"""
+      val opnd = s"$atom(?:\\s*(?:\\|\\||[+*/-])\\s*$atom)*"
       def fold(c: String, e: String): String =
         if (c.equalsIgnoreCase("NOCASE")) s"lower($e)" else s"strip_accents($e)"
       val cmp = (s"(?is)($opnd)\\s*(=|<>|!=|<=|>=|<|>)\\s*($opnd)" +

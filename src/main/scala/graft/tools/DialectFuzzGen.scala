@@ -67,6 +67,14 @@ object DialectFuzzGen {
     (Nil, (s"SELECT n_nationkey AS k, n_name FROM nation WHERE n_name = '$lit' COLLATE NOCASE",
       s"SELECT n_nationkey AS k, n_name FROM nation WHERE lower(n_name) = lower('$lit')"))
 
+  /** Parenthesized / concatenation-chain comparison operands: the fold
+    * must wrap the WHOLE side, not the nearest atom. */
+  private def collateParen(lit: String): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, n_name FROM nation " +
+      s"WHERE (n_name || '!') = '$lit!' COLLATE NOCASE",
+      s"SELECT n_nationkey AS k, n_name FROM nation " +
+        s"WHERE lower(n_name || '!') = lower('$lit!')"))
+
   /** Projected + sort-key COLLATE: the annotation must NOT change the
     * returned value (DuckDB returns the original case), only the sort
     * key folds. */
@@ -141,7 +149,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(10) match {
+      val (setup, base) = rnd.nextInt(11) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -152,6 +160,7 @@ object DialectFuzzGen {
         case 7 => prepareExec(i, 1 + rnd.nextInt(20))
         case 8 => collate(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
         case 9 => collateProjected(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
+        case 10 => collateParen(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base
