@@ -61,6 +61,11 @@ out = {
 # interleaved-session provenance (bench_session.py): duck passes bracket
 # the spark runs — carry the UTC stamps so the artifact is
 # self-adjudicating
+if "stabilized" in duck_raw:
+    out["protocol"]["stabilized_rows"] = duck_raw["stabilized"]
+    out["protocol"]["stabilization"] = (
+        "rows with duck min in [0.05, 0.2] s received 2 extra duck passes "
+        "(min folded in) so near-threshold ratios do not flip on jitter")
 if "stamps" in duck_raw:
     out["protocol"]["session_stamps_utc"] = duck_raw["stamps"]
     out["protocol"]["interleaving"] = (

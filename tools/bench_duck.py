@@ -11,6 +11,10 @@ for p in glob.glob(f'{sf}/*.parquet'):
     name = os.path.basename(p).replace('.parquet', '')
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 oracle = json.load(open(f'{out}/oracle_sql.json'))
+# optional subset (comma list) for threshold-row stabilization passes
+only = [s for s in os.environ.get('DUCK_ONLY', '').split(',') if s]
+if only:
+    oracle = {k: v for k, v in oracle.items() if k in only}
 times = {}
 for name, sql in sorted(oracle.items()):
     try:

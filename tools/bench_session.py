@@ -21,10 +21,13 @@ def utc(t):
     return time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime(t))
 
 
-def duck(tag):
+def duck(tag, only=None):
     t0 = time.time()
+    env = dict(os.environ)
+    if only:
+        env['DUCK_ONLY'] = ','.join(sorted(only))
     r = subprocess.run([sys.executable, 'tools/bench_duck.py', sf, out],
-                       capture_output=True, text=True, check=True)
+                       capture_output=True, text=True, check=True, env=env)
     j = json.loads(r.stdout.strip().splitlines()[-1])
     stamps[tag] = [utc(t0), utc(time.time())]
     json.dump(j, open(f'target/{tag}.json', 'w'))
@@ -56,8 +59,24 @@ duckmin = {}
 for n in sorted(names):
     ts = [t for t in (da.get(n, -1), db.get(n, -1), dc.get(n, -1)) if t and t > 0]
     duckmin[n] = min(ts) if ts else -1
+
+# threshold-row stabilization (round-8 verdict task 3): rows whose duck
+# min sits within 2x of the 0.1 s ratio floor flip over/under 2x on
+# scheduler jitter alone — give them two extra duck passes and fold the
+# mins in, so the adjudicated ratio reflects the row, not the noise
+thresh = {n for n, v in duckmin.items() if 0.05 <= v <= 0.2}
+if thresh:
+    print(f'[stabilize] {len(thresh)} threshold rows get 2 extra duck passes',
+          flush=True)
+    for tag in ('duck_t1', 'duck_t2'):
+        extra = duck(tag, only=thresh)
+        for n, v in extra.items():
+            if v and v > 0 and (duckmin.get(n, -1) <= 0 or v < duckmin[n]):
+                duckmin[n] = v
+
 json.dump({'metric': 'duckdb_total',
            'value': sum(v for v in duckmin.values() if v > 0),
-           'queries': duckmin, 'sf': sf, 'stamps': stamps},
+           'queries': duckmin, 'sf': sf, 'stamps': stamps,
+           'stabilized': sorted(thresh)},
           open('target/duck_interleaved.json', 'w'), indent=1)
 print('wrote target/duck_interleaved.json; stamps:', json.dumps(stamps))
