@@ -51,6 +51,28 @@ object Engine {
     spark
   }
 
+  /** One pinned, conf-tweaked child session per (parent, key) — the
+    * generalization of the no-broadcast child SqlScripts pins for
+    * join_piecewise_merge. Weak-keyed on the parent so stopped parents
+    * don't pin children for the JVM lifetime; memoized so repeat runs
+    * of the same query share one child and its resolved-plan caches
+    * (a fresh child per call would give table relations new identity
+    * and re-run plan-time work every execution). */
+  private val pinnedChildren = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, SparkSession]]())
+
+  def pinnedSession(parent: SparkSession, key: String)
+                   (configure: SparkSession => Unit): SparkSession = {
+    val perKey = pinnedChildren.computeIfAbsent(parent,
+      _ => new scala.collection.concurrent.TrieMap[String, SparkSession])
+    perKey.getOrElseUpdate(key, {
+      val child = parent.newSession()
+      configure(child)
+      child
+    })
+  }
+
   /** Load one driver-generated table from an sf directory.
     *
     * Plain `spark.read.parquet`: filter pushdown + column pruning into the

@@ -225,21 +225,22 @@ object TextAnalysis {
           .join(c2t.hint("shuffle_hash"), Seq("__a", "__b"))
           .join(c1t.hint("shuffle_hash"), Seq("__a"))
       }
-    // V = |distinct context tokens|, from a light second projection
-    // over the corpus (tokens-minus-last per doc, countDistinct —
-    // vocab-bounded shuffle). MEASURED alternative, rejected for the
-    // default: deriving V from the collapsed pair stream itself (a
-    // first-row-per-__a window marker riding the reused docPair
-    // exchange — V = |distinct __a| is the same value) removes this
-    // scan entirely but costs an extra sorted pass over the pairs and
-    // benched 0.78 s vs 0.61 s at sf0.1 (the scan is buffer-resident
-    // locally; the window pass is not free). At 100 TB, where the scan
-    // dominates, flip to the window-derived form — one edit, oracle
-    // unchanged (both formulations compute the identical V).
-    val vocab = base
-      .filter(size(col("__w")) >= 2)
-      .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))
-      .agg(countDistinct(col("__t")).as("__v"))
+    // V = |distinct context tokens| = |distinct __a| over the collapsed
+    // pair stream. r10: derived from docPair as a SECOND CONSUMER of its
+    // shuffle — ReuseExchange collapses the two subtrees onto one
+    // scan+explode, deleting what Probe stagetime measured as the row's
+    // critical-path stage (a 566 ms single-task corpus re-scan +
+    // explode + distinct; the testdata's single-row-group file caps any
+    // scan at one task). The r8 note that rejected deriving V from the
+    // pair stream measured the WINDOW-marker form, which added a sorted
+    // pass; a distinct-aggregate over the reused exchange adds none.
+    // The no-op conditional referencing __b/__m is load-bearing: column
+    // pruning would otherwise specialize this consumer's copy of the
+    // shared subtree and ReuseExchange only fires on canonically
+    // identical exchanges (plan-asserted in LshExchangeReuseSpec).
+    val vocab = docPair
+      .agg(countDistinct(when(col("__m") >= 0 || col("__b").isNotNull,
+        col("__a"))).as("__v"))
     val logp = log((col("__c2") + lit(alpha)) /
       (col("__c1") + lit(alpha) * col("__v")))
     enriched

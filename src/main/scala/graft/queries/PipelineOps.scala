@@ -162,8 +162,37 @@ object PipelineOps {
       // No presentation sort: the gate compares row-order-insensitively,
       // and a global orderBy would add a range exchange (a full extra
       // stage barrier) just to order 500 result rows.
+      // Pinned child session (r10): the collapsed pair table compresses
+      // so well that AQE coalesced its exchange to ONE partition and the
+      // docPair final aggregate + next shuffle write ran serial (566 ms
+      // of the row, Probe stagetime). A 256 KB coalesce floor keeps the
+      // mid-stages parallel; scoped to a child so the default floor
+      // (which the streaming rows prefer) is untouched elsewhere.
+      val child = graft.Engine.pinnedSession(s, "bigram-lm-fine-coalesce") { c =>
+        // 256 KB coalesce floor: the collapsed pair shuffle compresses
+        // so well that the default floor serialized the mid-stages onto
+        // 1-2 tasks. (AQE itself stays ON — measured: disabling it for
+        // this row cost +0.17 s, the fixed 32-partition window sorts
+        // outweigh the replan pauses.)
+        c.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
+        c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      }
+      // Source-aware spread (r10): a single-row-group file caps the scan
+      // at ONE task, serializing the explode + pair-collapse partial agg
+      // (557 ms of the row). Repartitioning the RAW docs first moves a
+      // compact 60k-row shuffle ahead of the expensive explode so it
+      // parallelizes; skipped whenever the file's row groups already
+      // feed the cores (always true at cluster scale). The operator
+      // itself stays redistribution-free — this is the caller's call.
+      val docs = graft.Engine.table(child, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val cores = child.sparkContext.defaultParallelism
+      val spread =
+        if (graft.Engine.parquetRowGroups(child, dir, "documents") < cores / 2)
+          docs.repartition(cores)
+        else docs
       graft.operators.TextAnalysis.bigramLmScores(
-          t(s, dir, "documents"), "doc_id", "text", alpha = 0.1)
+          spread, "doc_id", "text", alpha = 0.1)
     }),
 
     "text_unigram_lm" -> ((s, dir) => {

@@ -41,4 +41,17 @@ class LshExchangeReuseSpec extends SparkSpec {
     assert(explodes == 1,
       s"banded subtree executed $explodes times (want 1):\n$plan")
   }
+
+  test("bigram LM derives V from the reused pair exchange (one corpus scan)") {
+    // r10: the vocabulary count is a second consumer of the collapsed
+    // pair shuffle; the prune-guard conditional in bigramLmScores keeps
+    // both consumers' subtrees canonically identical so ReuseExchange
+    // fires and the corpus is scanned + exploded exactly once
+    val plan = finalPlan("text_bigram_lm")
+    assert(plan.contains("ReusedExchange"),
+      s"expected the vocab branch to reuse the pair shuffle:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1,
+      s"corpus scanned $scans times in the final plan (want 1):\n$plan")
+  }
 }
