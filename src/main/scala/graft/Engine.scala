@@ -148,6 +148,21 @@ object Engine {
       }.sum)
     }).intValue()
 
+  /** Redistribute a row-group-bound source ahead of per-row-expensive
+    * work (JSON parse, explode, sketch build): a single-row-group file
+    * caps the scan at ONE task, so the fused projection/partial-agg
+    * serializes. The repartition moves a COMPACT row shuffle ahead of
+    * the expensive stage; skipped whenever the file's row groups
+    * already feed half the cores — always true at cluster scale, so
+    * the branch is inert there. Callers pass the pre-projection frame
+    * (fewest columns) to keep the shuffle small. */
+  def spread(spark: SparkSession, dir: String, name: String,
+             df: DataFrame): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    if (parquetRowGroups(spark, dir, name) < cores / 2) df.repartition(cores)
+    else df
+  }
+
   // Column [min, max] from the same parquet footers (row-group
   // statistics — the reference's zone maps, duckdb-10.cpp:5441), for
   // sketches that need a value range at PLAN time without a data pass.

@@ -177,22 +177,15 @@ object PipelineOps {
         c.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       }
-      // Source-aware spread (r10): a single-row-group file caps the scan
-      // at ONE task, serializing the explode + pair-collapse partial agg
-      // (557 ms of the row). Repartitioning the RAW docs first moves a
-      // compact 60k-row shuffle ahead of the expensive explode so it
-      // parallelizes; skipped whenever the file's row groups already
-      // feed the cores (always true at cluster scale). The operator
-      // itself stays redistribution-free — this is the caller's call.
-      val docs = graft.Engine.table(child, dir, "documents")
-        .select(col("doc_id"), col("text"))
-      val cores = child.sparkContext.defaultParallelism
-      val spread =
-        if (graft.Engine.parquetRowGroups(child, dir, "documents") < cores / 2)
-          docs.repartition(cores)
-        else docs
+      // Source-aware spread (Engine.spread): the single-row-group file
+      // serialized the explode + pair-collapse partial agg (557 ms of
+      // the row); the compact raw-docs shuffle parallelizes it. The
+      // operator itself stays redistribution-free — caller's call.
       graft.operators.TextAnalysis.bigramLmScores(
-          spread, "doc_id", "text", alpha = 0.1)
+          graft.Engine.spread(child, dir, "documents",
+            graft.Engine.table(child, dir, "documents")
+              .select(col("doc_id"), col("text"))),
+          "doc_id", "text", alpha = 0.1)
     }),
 
     "text_unigram_lm" -> ((s, dir) => {

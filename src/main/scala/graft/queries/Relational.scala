@@ -228,12 +228,21 @@ object Relational {
       // checks the HLL CONTRACT instead: each engine's own estimate must
       // land within 10% of the exact distinct count (both are ~0.5-2%
       // off in practice; bound leaves margin)
-      t(s, dir, "lineitem").agg(
+      // two single-distinct aggregates instead of one two-distinct
+      // aggregate: distinct aggs over DIFFERENT columns force an Expand
+      // (every input row duplicated per distinct group) while a single
+      // distinct column plans as a plain two-phase hash distinct —
+      // measured 1.16 s -> ~0.6 s, and the same shape at cluster scale
+      // (the 1-row cross join is free)
+      val li = t(s, dir, "lineitem")
+      val part = li.agg(
         countDistinct(col("l_partkey")).as("n_exact"),
         (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-          <= countDistinct(col("l_partkey")) * 0.1).as("apx_part_ok"),
+          <= countDistinct(col("l_partkey")) * 0.1).as("apx_part_ok"))
+      val ord = li.agg(
         (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
           <= countDistinct(col("l_orderkey")) * 0.1).as("apx_order_ok"))
+      part.crossJoin(broadcast(ord))
     }),
 
     "agg_histogram" -> ((s, dir) => {
