@@ -66,6 +66,11 @@ object Engine {
                    (configure: SparkSession => Unit): SparkSession = {
     val perKey = pinnedChildren.computeIfAbsent(parent,
       _ => new scala.collection.concurrent.TrieMap[String, SparkSession])
+    // concurrent.Map.getOrElseUpdate may evaluate the thunk in two
+    // racing threads but installs exactly ONE child (putIfAbsent), and
+    // both callers receive the installed one; the loser's newSession is
+    // a discarded lightweight SessionState wrapper (same SparkContext),
+    // not a leaked context
     perKey.getOrElseUpdate(key, {
       val child = parent.newSession()
       configure(child)
@@ -131,21 +136,30 @@ object Engine {
   private val rowGroupMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** One footer pass over every parquet file of a table, folding `f`
+    * over the open readers — the single listing/open/close routine both
+    * footer probes below share, so their file-resolution rules can
+    * never diverge. */
+  private def withFooters[T](spark: SparkSession, dir: String, name: String)
+                            (zero: T)(f: (T, org.apache.parquet.hadoop.ParquetFileReader) => T): T = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = root.getFileSystem(conf)
+    val files =
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(p => p.getName.endsWith(".parquet")).toSeq
+      else Seq(root)
+    files.foldLeft(zero) { (acc, p) =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try f(acc, r) finally r.close()
+    }
+  }
+
   def parquetRowGroups(spark: SparkSession, dir: String, name: String): Int =
     rowGroupMemo.computeIfAbsent(s"$dir/$name", { _ =>
-      val conf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-      val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet")).toSeq
-        else Seq(root)
-      Integer.valueOf(files.map { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try r.getRowGroups.size finally r.close()
-      }.sum)
+      Integer.valueOf(withFooters(spark, dir, name)(0)(_ + _.getRowGroups.size))
     }).intValue()
 
   /** Redistribute a row-group-bound source ahead of per-row-expensive
@@ -172,40 +186,52 @@ object Engine {
   def parquetColumnRange(spark: SparkSession, dir: String, name: String,
                          column: String): (Double, Double) =
     colRangeMemo.computeIfAbsent(s"$dir/$name/$column", { _ =>
-      val conf = spark.sparkContext.hadoopConfiguration
-      val root = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
-      val fs = root.getFileSystem(conf)
-      val files =
-        if (fs.getFileStatus(root).isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .filter(p => p.getName.endsWith(".parquet")).toSeq
-        else Seq(root)
+      // LOGICAL-type aware decoding (self-review r10): an int32/int64-
+      // backed DECIMAL's statistics hold the UNSCALED value — divide by
+      // 10^scale or the range is 10^scale off; byte-array-backed stats
+      // (string/binary/fixed-len decimal) have no defensible numeric
+      // reading here, so the column is skipped and the caller's
+      // data-pass fallback below kicks in rather than crashing on
+      // Binary.toString.
       var lo = Double.PositiveInfinity
       var hi = Double.NegativeInfinity
-      files.foreach { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
-        try {
-          r.getRowGroups.forEach { rg =>
-            rg.getColumns.forEach { c =>
-              if (c.getPath.toDotString == column && c.getStatistics != null &&
-                  c.getStatistics.hasNonNullValue) {
-                def d(v: Any): Double = v match {
-                  case x: java.lang.Double => x.doubleValue()
-                  case x: java.lang.Float => x.doubleValue()
-                  case x: java.lang.Integer => x.doubleValue()
-                  case x: java.lang.Long => x.doubleValue()
-                  case x => x.toString.toDouble
+      withFooters(spark, dir, name)(()) { (_, r) =>
+        r.getRowGroups.forEach { rg =>
+          rg.getColumns.forEach { c =>
+            if (c.getPath.toDotString == column && c.getStatistics != null &&
+                c.getStatistics.hasNonNullValue) {
+              val scaleDiv = {
+                val lt = c.getPrimitiveType.getLogicalTypeAnnotation
+                lt match {
+                  case d: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+                    math.pow(10, d.getScale)
+                  case _ => 1.0
                 }
-                lo = math.min(lo, d(c.getStatistics.genericGetMin))
-                hi = math.max(hi, d(c.getStatistics.genericGetMax))
               }
+              def d(v: Any): Option[Double] = v match {
+                case x: java.lang.Double => Some(x.doubleValue() / scaleDiv)
+                case x: java.lang.Float => Some(x.doubleValue() / scaleDiv)
+                case x: java.lang.Integer => Some(x.doubleValue() / scaleDiv)
+                case x: java.lang.Long => Some(x.doubleValue() / scaleDiv)
+                case _ => None // binary-backed stats: no numeric reading
+              }
+              d(c.getStatistics.genericGetMin).foreach(v => lo = math.min(lo, v))
+              d(c.getStatistics.genericGetMax).foreach(v => hi = math.max(hi, v))
             }
           }
-        } finally r.close()
+        }
       }
-      require(lo <= hi, s"parquetColumnRange: no stats for $name.$column")
-      (lo, hi)
+      if (lo <= hi) (lo, hi)
+      else {
+        // fallback: one tiny min/max aggregate over the column — the
+        // same plan-time data probe RangeJoinRule's bounds job runs
+        val row = table(spark, dir, name)
+          .agg(org.apache.spark.sql.functions.min(column).cast("double"),
+            org.apache.spark.sql.functions.max(column).cast("double")).head()
+        require(!row.isNullAt(0) && !row.isNullAt(1),
+          s"parquetColumnRange: no stats and no values for $name.$column")
+        (row.getDouble(0), row.getDouble(1))
+      }
     })
 
   private def resolveTable(spark: SparkSession, dir: String, name: String): DataFrame = {

@@ -374,14 +374,18 @@ object SqlDialect {
               val parts = d.split("\\s+", 2)
               require(parts.length == 2, s"CREATE TABLE: malformed column '$d'")
               var tpe = parts(1)
-              colCheck.findFirstMatchIn(tpe).foreach { cm =>
-                checks :+= cm.group(1).trim
-                tpe = tpe.substring(0, cm.start) + tpe.substring(cm.end)
-              }
+              // REFERENCES extracts FIRST: colCheck is greedy to the
+              // def's FINAL ')', so `CHECK (x > 0) REFERENCES p(id)`
+              // would otherwise swallow the FK into the check text
+              // (self-review r10)
               colFk.findFirstMatchIn(tpe).foreach { fm =>
                 fks :+= ((Seq(parts(0)), fm.group(1),
                   Option(fm.group(2)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
                 tpe = tpe.substring(0, fm.start) + tpe.substring(fm.end)
+              }
+              colCheck.findFirstMatchIn(tpe).foreach { cm =>
+                checks :+= cm.group(1).trim
+                tpe = tpe.substring(0, cm.start) + tpe.substring(cm.end)
               }
               val isPk = """(?i)\bPRIMARY\s+KEY\b""".r.findFirstIn(tpe).isDefined
               if (isPk) keys :+= parts(0)
@@ -583,6 +587,39 @@ object SqlDialect {
           .filter(_ => validationEnabled(spark))
           .foreach(cons => Engine.validateConstraints(spark, m.group(1), post,
             cons.copy(unique = Nil), checkUnique = false))
+        // parent-side FK check (self-review r10): an UPDATE that
+        // rewrites a REFERENCED column can remove keys children still
+        // point at. Removed keys = old key set EXCEPT the post-update
+        // key set (rows not matching cond keep their old key, so a
+        // same-key rewrite removes nothing); probe each dependent FK
+        // like the DELETE path does.
+        if (validationEnabled(spark)) {
+          val fn = org.apache.spark.sql.functions
+          val pname = m.group(1).toLowerCase
+          val assignedCols = assignments.map(_._1.toLowerCase).toSet
+          lazy val newTable = assignments.foldLeft(spark.table(m.group(1))) {
+            case (acc, (c, v)) =>
+              acc.withColumn(c, fn.when(cond, v).otherwise(fn.col(c)))
+          }
+          constraintsFor(spark).foreach { case (child, ccons) =>
+            ccons.foreignKeys.filter(_._2.toLowerCase == pname).foreach {
+              case (cols, _, refCols) =>
+                if (refCols.exists(rc => assignedCols(rc.toLowerCase)) &&
+                    spark.catalog.tableExists(child)) {
+                  val removed = spark.table(m.group(1))
+                    .select(refCols.map(fn.col): _*)
+                    .except(newTable.select(refCols.map(fn.col): _*))
+                  val childKeys = spark.table(child)
+                    .filter(cols.map(fn.col(_).isNotNull).reduce(_ && _))
+                    .select(cols.zip(refCols).map { case (c, rc) => fn.col(c).as(rc) }: _*)
+                  if (removed.join(childKeys, refCols, "left_semi").limit(1).count() > 0)
+                    throw new Engine.ConstraintViolation(
+                      "Constraint Error: Violates foreign key constraint because the key " +
+                        s"is still referenced by a foreign key in table $child")
+                }
+            }
+          }
+        }
         Engine.updateWhere(spark, m.group(1), cond, assignments.toMap)
         if (returningCols.isDefined) return returned(post)
         return Seq(post.count()).toDF("count")
@@ -595,10 +632,20 @@ object SqlDialect {
       """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
     dropTableRe.findFirstMatchIn(q) match {
       case Some(m) =>
+        // dependency check (reference catalog dependency manager):
+        // dropping a table other tables reference by FK raises, like
+        // the reference's "Cannot drop entry … depend on it"
+        val dropped = m.group(2).toLowerCase
+        constraintsFor(spark).foreach { case (child, ccons) =>
+          if (child != dropped && ccons.foreignKeys.exists(_._2.toLowerCase == dropped))
+            throw new IllegalArgumentException(
+              s"""Cannot drop entry "${m.group(2)}" because there are entries that """ +
+                s"""depend on it. table "$child" depends on table "${m.group(2)}".""")
+        }
         val existed = spark.catalog.dropTempView(m.group(2))
         require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
-        primaryKeysFor(spark).remove(m.group(2).toLowerCase)
-        constraintsFor(spark).remove(m.group(2).toLowerCase)
+        primaryKeysFor(spark).remove(dropped)
+        constraintsFor(spark).remove(dropped)
         return spark.emptyDataFrame
       case None =>
     }
@@ -882,6 +929,7 @@ object SqlDialect {
         var i = 0
         var depth = 0
         val kw = scala.collection.mutable.Map[Int, String](0 -> "select")
+        var prevWord = ""
         while (i < pos) {
           val c = s.charAt(i)
           if (c == '\'' || c == '"') {
@@ -894,10 +942,19 @@ object SqlDialect {
               } else i += 1
             }
           } else if (c == '(') {
+            // a paren after an identifier is a CALL (args = aggregate/
+            // function position) — but a paren after a KEYWORD (ON, IN,
+            // OVER, …) is a grouping paren that inherits its context
             var j = i - 1
             while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
+            var k = j
+            while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
+            val wordBefore = if (j >= 0 && k < j) s.substring(k + 1, j + 1).toLowerCase else ""
             val isCall = j >= 0 &&
-              (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')
+              (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_') &&
+              !Set("on", "in", "by", "over", "and", "or", "not", "when", "then",
+                "else", "where", "select", "from", "values", "using", "as",
+                "exists", "between", "all", "any", "some", "distinct")(wordBefore)
             depth += 1
             kw(depth) = if (isCall) "func" else kw.getOrElse(depth - 1, "select")
             i += 1
@@ -916,10 +973,18 @@ object SqlDialect {
               case "group" if byFollows               => kw(depth) = "group"
               case "select" | "values" | "returning"  => kw(depth) = "select"
               case "where" | "having" | "qualify" | "when" => kw(depth) = "pred"
+              // THEN/ELSE open a value position, END closes the CASE —
+              // without these a CASE WHEN anywhere earlier would pin
+              // "pred" on every later projected item (self-review r10)
+              case "then" | "else" | "end" => kw(depth) = "select"
+              // DISTINCT ON (keys) is a comparison-key position — fold
+              // like a sort key; join/filter ON stays a predicate
+              case "on" if prevWord == "distinct" => kw(depth) = "sort"
               case "on" if !rest.matches("(?is)\\s+conflict\\b[\\s\\S]*") =>
                 kw(depth) = "pred"
               case _ => ()
             }
+            prevWord = word
             i = j
           } else i += 1
         }

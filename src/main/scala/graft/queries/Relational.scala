@@ -613,65 +613,81 @@ object Relational {
       // ObjectHashAggregate inserted per-row into a boxing ArrayBuffer
       // and, fused into a single-row-group scan task, serialized the
       // whole row at ~370 ms; a binned count is a codegen hash
-      // aggregate with map-side combine. Rank math is then EXACT from
-      // the bin cumsums: the estimate v is the upper boundary of the
-      // first bin whose cumulative count reaches q*n, rows < v equal
-      // that cumsum exactly (a row at the boundary bins upward), and
-      // count(<=v) >= count(<v) closes the hi side. The lo check passes
-      // whenever the chosen bin holds under 2% of the group's mass —
-      // 4096 stats-derived bins put a uniformish column two orders of
-      // magnitude inside that. l_quantity is discrete, so its bins are
-      // the values themselves and p10/p90 are exact. At 100 TB: two
-      // column-pruned scans, both aggregates partial+tiny-shuffle
-      // (<=4096+50 keys per group), window over the 30k-row bin table,
-      // one 3-row join — nothing holistic anywhere.
+      // aggregate with map-side combine. The sketch ESTIMATE per
+      // quantile is the upper boundary of the first bin whose
+      // cumulative count reaches q*n (for discrete l_quantity the bin
+      // IS the value). The rank CHECK then counts data rows against
+      // that estimate in an INDEPENDENT probe aggregate — self-review
+      // r10 caught that deriving lo/hi from the same cumsum that chose
+      // the bin made the contract a tautology; the probe keeps it a
+      // genuine gate (a wrong footer range or a >2%-mass bin fails it).
+      // At 100 TB: three column-pruned scans, every aggregate
+      // partial+tiny-shuffle (<=4096+50 keys per group, 3-row probe
+      // broadcast) — nothing holistic anywhere.
       val (epMin, epMax) =
         Engine.parquetColumnRange(s, dir, "lineitem", "l_extendedprice")
       val nBins = 4096
       val w = math.max((epMax - epMin) / nBins, 1e-9)
+      // Three independent column-pruned scans (ep bins / qty bins /
+      // probe), submitted concurrently by AQE. A shared Engine.spread
+      // exchange was tried and rejected: the 600k-row repartition WRITE
+      // serializes on the single-row-group scan task and costs more
+      // than the cheap codegen consumers it would deduplicate (same
+      // measurement as the r10 GK experiment); at cluster scale extra
+      // columnar scans are the cheap side of that trade anyway.
       val li = t(s, dir, "lineitem")
         .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
       // post-shuffle rank walk over one group's sorted bin table (3 rows,
       // <=4096 entries each — a UDF HERE is driver-scale bookkeeping, not
       // the hot path): per quantile, the first bin whose cumsum reaches
-      // q*n yields (lo = cum before it, hi = cum through it, n)
-      val rankWalk = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
+      // q*n is the estimate's bin
+      val rankPick = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
         var n = 0L
         bins.foreach(r => n += r.getLong(1))
         qs.map { q =>
-          var cum = 0L; var lo = 0L; var hi = 0L; var found = false
+          var cum = 0L; var b = 0.0; var found = false
           val it = bins.iterator
           while (!found && it.hasNext) {
-            val c = it.next().getLong(1)
-            if (cum + c >= q * n) { lo = cum; hi = cum + c; found = true }
-            else cum += c
+            val r = it.next()
+            if (cum + r.getLong(1) >= q * n) { b = r.getDouble(0); found = true }
+            else cum += r.getLong(1)
           }
-          Seq(lo, hi, n)
+          b
         }
       }
-      def quantiles(df: DataFrame, binCol: org.apache.spark.sql.Column,
-                    qs: Seq[Double], out: String) =
+      def pickBins(df: DataFrame, binCol: org.apache.spark.sql.Column,
+                   qs: Seq[Double], out: String) =
         df.groupBy(col("l_returnflag"), binCol.cast("double").as("__b"))
           .agg(count(lit(1)).as("__c"))
           .groupBy(col("l_returnflag"))
           .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__bins"))
           .select(col("l_returnflag"),
-            rankWalk(col("__bins"), typedLit(qs)).as(out))
-      def okCol(arr: String, i: Int, q: Double) = {
-        val lo = col(arr).getItem(i).getItem(0)
-        val hi = col(arr).getItem(i).getItem(1)
-        val n = col(arr).getItem(i).getItem(2)
-        (lo <= n * q + n * 0.02) && (hi >= n * q - n * 0.02)
-      }
-      val ep = quantiles(li,
+            rankPick(col("__bins"), typedLit(qs)).as(out))
+      val ep = pickBins(li,
         floor((col("l_extendedprice") - lit(epMin)) / lit(w)), Seq(0.5), "__ep")
-      val qty = quantiles(li, col("l_quantity"), Seq(0.1, 0.9), "__qt")
-      ep.join(qty, "l_returnflag")
         .select(col("l_returnflag"),
-          col("__ep").getItem(0).getItem(2).as("n"),
-          okCol("__ep", 0, 0.5).as("med_ok"),
-          okCol("__qt", 0, 0.1).as("p10_ok"),
-          okCol("__qt", 1, 0.9).as("p90_ok"))
+          (lit(epMin) + (col("__ep").getItem(0) + 1) * w).as("__ep_v"))
+      val qty = pickBins(li, col("l_quantity"), Seq(0.1, 0.9), "__qt")
+        .select(col("l_returnflag"),
+          col("__qt").getItem(0).as("__q10_v"), col("__qt").getItem(1).as("__q90_v"))
+      val est = ep.join(qty, "l_returnflag")
+      li.join(broadcast(est), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("l_extendedprice") < col("__ep_v"), 1)).as("__ep_lo"),
+          count(when(col("l_extendedprice") <= col("__ep_v"), 1)).as("__ep_hi"),
+          count(when(col("l_quantity") < col("__q10_v"), 1)).as("__q10_lo"),
+          count(when(col("l_quantity") <= col("__q10_v"), 1)).as("__q10_hi"),
+          count(when(col("l_quantity") < col("__q90_v"), 1)).as("__q90_lo"),
+          count(when(col("l_quantity") <= col("__q90_v"), 1)).as("__q90_hi"))
+        .select(col("l_returnflag"), col("n"),
+          ((col("__ep_lo") <= col("n") * 0.5 + col("n") * 0.02) &&
+            (col("__ep_hi") >= col("n") * 0.5 - col("n") * 0.02)).as("med_ok"),
+          ((col("__q10_lo") <= col("n") * 0.1 + col("n") * 0.02) &&
+            (col("__q10_hi") >= col("n") * 0.1 - col("n") * 0.02)).as("p10_ok"),
+          ((col("__q90_lo") <= col("n") * 0.9 + col("n") * 0.02) &&
+            (col("__q90_hi") >= col("n") * 0.9 - col("n") * 0.02)).as("p90_ok"))
     }),
 
     "join_asof_backward" -> ((s, dir) => {

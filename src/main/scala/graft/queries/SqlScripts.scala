@@ -100,9 +100,14 @@ object SqlScripts {
     // DELETE, each raising the reference's Constraint Error wording)
     // are spec-verified in MacroSpec. A NULL FK part skips the check
     // (MATCH SIMPLE), and a child DELETE never probes the parent.
-    "CREATE OR REPLACE TABLE fk_parent (id INTEGER PRIMARY KEY, nm VARCHAR)",
+    // child-first DROPs make the script re-runnable in ONE connection
+    // (the bench warm+timed double-run would otherwise hit the
+    // dependency error on CREATE OR REPLACE of the referenced parent)
+    "DROP TABLE IF EXISTS fk_child",
+    "DROP TABLE IF EXISTS fk_parent",
+    "CREATE TABLE fk_parent (id INTEGER PRIMARY KEY, nm VARCHAR)",
     "INSERT INTO fk_parent VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')",
-    """CREATE OR REPLACE TABLE fk_child (cid INTEGER PRIMARY KEY,
+    """CREATE TABLE fk_child (cid INTEGER PRIMARY KEY,
       |  pid INTEGER REFERENCES fk_parent(id), amt INTEGER)""".stripMargin,
     "INSERT INTO fk_child VALUES (10, 1, 100), (11, 1, 110), (12, 3, 120), (13, NULL, 130)",
     "DELETE FROM fk_child WHERE cid = 12",

@@ -47,6 +47,8 @@ object Probe {
           (System.nanoTime() - t0) / 1e6
         }
         run() // warm-up: JIT + file index + broadcast pools
+        Thread.sleep(500) // drain async listener bus BEFORE clearing —
+        // late warm-up stage events would otherwise pollute the report
         stages.clear()
         val wall = run()
         Thread.sleep(500) // listener bus drain

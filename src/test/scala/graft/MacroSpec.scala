@@ -247,6 +247,57 @@ class MacroSpec extends SparkSpec {
       SqlDialect.sql(spark, s"DROP TABLE $t"))
   }
 
+  test("FOREIGN KEY: CHECK+REFERENCES order, parent UPDATE removes key, DROP dependency") {
+    Engine.registerAll(spark, dir)
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS fko_child")
+    SqlDialect.sql(spark, "DROP TABLE IF EXISTS fko_parent")
+    SqlDialect.sql(spark, "CREATE TABLE fko_parent (id INT PRIMARY KEY, nm VARCHAR)")
+    SqlDialect.sql(spark, "INSERT INTO fko_parent VALUES (1, 'a'), (2, 'b')")
+    // column constraints in EITHER order: CHECK before REFERENCES used
+    // to swallow the FK into the check text (self-review r10)
+    SqlDialect.sql(spark,
+      "CREATE TABLE fko_child (cid INT PRIMARY KEY, pid INT CHECK (pid > 0) REFERENCES fko_parent(id))")
+    SqlDialect.sql(spark, "INSERT INTO fko_child VALUES (10, 1)")
+    intercept[Engine.ConstraintViolation]( // FK registered despite CHECK-first
+      SqlDialect.sql(spark, "INSERT INTO fko_child VALUES (11, 99)"))
+    intercept[Engine.ConstraintViolation]( // CHECK registered too
+      SqlDialect.sql(spark, "INSERT INTO fko_child VALUES (12, -5)"))
+    // parent UPDATE that removes a still-referenced key raises; a
+    // same-key or unreferenced-key update passes
+    val eu = intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "UPDATE fko_parent SET id = 77 WHERE id = 1"))
+    assert(eu.getMessage.contains("still referenced"))
+    SqlDialect.sql(spark, "UPDATE fko_parent SET id = 88 WHERE id = 2") // unreferenced
+    SqlDialect.sql(spark, "UPDATE fko_parent SET nm = 'z' WHERE id = 1") // non-key
+    // DROP of a referenced parent raises the dependency error
+    val ed = intercept[IllegalArgumentException](
+      SqlDialect.sql(spark, "DROP TABLE fko_parent"))
+    assert(ed.getMessage.contains("depend"))
+    SqlDialect.sql(spark, "DROP TABLE fko_child")
+    SqlDialect.sql(spark, "DROP TABLE fko_parent") // now unreferenced
+  }
+
+  test("COLLATE after CASE WHEN / in DISTINCT ON keys is not poisoned context") {
+    Engine.registerAll(spark, dir)
+    // a CASE earlier in the projection must not pin 'pred' on later items
+    val v = SqlDialect.sql(spark,
+      """SELECT CASE WHEN n_nationkey > 5 THEN 'x' ELSE 'y' END AS flag,
+        |  n_name COLLATE NOCASE AS nm FROM nation WHERE n_nationkey = 1""".stripMargin)
+      .head().getString(1)
+    assert(v == v.toUpperCase && v.startsWith("NATION"))
+    // sort context after a CASE still folds
+    val sorted = SqlDialect.sql(spark,
+      """SELECT n_name FROM nation
+        |ORDER BY CASE WHEN n_nationkey < 0 THEN '' ELSE n_name END COLLATE NOCASE
+        |LIMIT 2""".stripMargin).collect()
+    assert(sorted.length == 2)
+    // DISTINCT ON key position folds (comparison semantics), no raise
+    val n = SqlDialect.sql(spark,
+      """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name
+        |FROM nation ORDER BY n_regionkey, n_name""".stripMargin).count()
+    assert(n == 5)
+  }
+
   test("CREATE OR REPLACE TABLE AS clears the replaced table's constraint registry") {
     Engine.registerAll(spark, dir)
     SqlDialect.sql(spark, "DROP TABLE IF EXISTS ctas_cons")

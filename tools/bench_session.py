@@ -24,6 +24,9 @@ def utc(t):
 def duck(tag, only=None):
     t0 = time.time()
     env = dict(os.environ)
+    # a stray exported DUCK_ONLY must not filter the MAIN passes — only
+    # the explicit stabilization subset sets it
+    env.pop('DUCK_ONLY', None)
     if only:
         env['DUCK_ONLY'] = ','.join(sorted(only))
     r = subprocess.run([sys.executable, 'tools/bench_duck.py', sf, out],
