@@ -615,15 +615,19 @@ object Relational {
       // whole row at ~370 ms; a binned count is a codegen hash
       // aggregate with map-side combine. The sketch ESTIMATE per
       // quantile is the upper boundary of the first bin whose
-      // cumulative count reaches q*n (for discrete l_quantity the bin
-      // IS the value). The rank CHECK then counts data rows against
-      // that estimate in an INDEPENDENT probe aggregate — self-review
-      // r10 caught that deriving lo/hi from the same cumsum that chose
-      // the bin made the contract a tautology; the probe keeps it a
-      // genuine gate (a wrong footer range or a >2%-mass bin fails it).
-      // At 100 TB: three column-pruned scans, every aggregate
-      // partial+tiny-shuffle (<=4096+50 keys per group, 3-row probe
-      // broadcast) — nothing holistic anywhere.
+      // cumulative count reaches q*n. The ep rank CHECK then counts
+      // data rows against that estimate in an INDEPENDENT probe
+      // aggregate — self-review r10 caught that deriving lo/hi from
+      // the same cumsum that chose the bin made the contract a
+      // tautology; the probe keeps it a genuine gate (a wrong footer
+      // range or a >2%-mass bin fails it). l_quantity needs NO probe:
+      // its bins ARE the discrete values, so cum(<v)/cum(<=v) are
+      // exact data counts and the p10/p90 checks are the exact-
+      // quantile class (same standing as agg_quantile_disc), not a
+      // sketch being verified by itself. At 100 TB: three
+      // column-pruned scans, every aggregate partial+tiny-shuffle
+      // (<=4096+50 keys per group, 3-row probe broadcast) — nothing
+      // holistic anywhere.
       val (epMin, epMax) =
         Engine.parquetColumnRange(s, dir, "lineitem", "l_extendedprice")
       val nBins = 4096
@@ -641,6 +645,8 @@ object Relational {
       // <=4096 entries each — a UDF HERE is driver-scale bookkeeping, not
       // the hot path): per quantile, the first bin whose cumsum reaches
       // q*n is the estimate's bin
+      // rankPick → the estimate's bin; rankWalk → (lo, hi, n) exact
+      // counts from the discrete-value cumsum (qty only)
       val rankPick = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
         var n = 0L
         bins.foreach(r => n += r.getLong(1))
@@ -655,39 +661,53 @@ object Relational {
           b
         }
       }
-      def pickBins(df: DataFrame, binCol: org.apache.spark.sql.Column,
-                   qs: Seq[Double], out: String) =
+      val rankWalk = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
+        var n = 0L
+        bins.foreach(r => n += r.getLong(1))
+        qs.map { q =>
+          var cum = 0L; var lo = 0L; var hi = 0L; var found = false
+          val it = bins.iterator
+          while (!found && it.hasNext) {
+            val c = it.next().getLong(1)
+            if (cum + c >= q * n) { lo = cum; hi = cum + c; found = true }
+            else cum += c
+          }
+          Seq(lo, hi, n)
+        }
+      }
+      def bins(df: DataFrame, binCol: org.apache.spark.sql.Column) =
         df.groupBy(col("l_returnflag"), binCol.cast("double").as("__b"))
           .agg(count(lit(1)).as("__c"))
           .groupBy(col("l_returnflag"))
           .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__bins"))
-          .select(col("l_returnflag"),
-            rankPick(col("__bins"), typedLit(qs)).as(out))
-      val ep = pickBins(li,
-        floor((col("l_extendedprice") - lit(epMin)) / lit(w)), Seq(0.5), "__ep")
+      def okOf(arr: String, i: Int, q: Double) = {
+        val lo = col(arr).getItem(i).getItem(0)
+        val hi = col(arr).getItem(i).getItem(1)
+        val n = col(arr).getItem(i).getItem(2)
+        (lo <= n * q + n * 0.02) && (hi >= n * q - n * 0.02)
+      }
+      val ep = bins(li.select(col("l_returnflag"), col("l_extendedprice")),
+        floor((col("l_extendedprice") - lit(epMin)) / lit(w)))
         .select(col("l_returnflag"),
-          (lit(epMin) + (col("__ep").getItem(0) + 1) * w).as("__ep_v"))
-      val qty = pickBins(li, col("l_quantity"), Seq(0.1, 0.9), "__qt")
+          (lit(epMin) + (rankPick(col("__bins"), typedLit(Seq(0.5))).getItem(0) + 1) * w)
+            .as("__ep_v"))
+      val qty = bins(li.select(col("l_returnflag"), col("l_quantity")),
+        col("l_quantity"))
         .select(col("l_returnflag"),
-          col("__qt").getItem(0).as("__q10_v"), col("__qt").getItem(1).as("__q90_v"))
-      val est = ep.join(qty, "l_returnflag")
-      li.join(broadcast(est), "l_returnflag")
+          rankWalk(col("__bins"), typedLit(Seq(0.1, 0.9))).as("__qt"))
+      li.select(col("l_returnflag"), col("l_extendedprice"))
+        .join(broadcast(ep), "l_returnflag")
         .groupBy(col("l_returnflag"))
         .agg(
           count(lit(1)).as("n"),
           count(when(col("l_extendedprice") < col("__ep_v"), 1)).as("__ep_lo"),
-          count(when(col("l_extendedprice") <= col("__ep_v"), 1)).as("__ep_hi"),
-          count(when(col("l_quantity") < col("__q10_v"), 1)).as("__q10_lo"),
-          count(when(col("l_quantity") <= col("__q10_v"), 1)).as("__q10_hi"),
-          count(when(col("l_quantity") < col("__q90_v"), 1)).as("__q90_lo"),
-          count(when(col("l_quantity") <= col("__q90_v"), 1)).as("__q90_hi"))
+          count(when(col("l_extendedprice") <= col("__ep_v"), 1)).as("__ep_hi"))
+        .join(qty, "l_returnflag")
         .select(col("l_returnflag"), col("n"),
           ((col("__ep_lo") <= col("n") * 0.5 + col("n") * 0.02) &&
             (col("__ep_hi") >= col("n") * 0.5 - col("n") * 0.02)).as("med_ok"),
-          ((col("__q10_lo") <= col("n") * 0.1 + col("n") * 0.02) &&
-            (col("__q10_hi") >= col("n") * 0.1 - col("n") * 0.02)).as("p10_ok"),
-          ((col("__q90_lo") <= col("n") * 0.9 + col("n") * 0.02) &&
-            (col("__q90_hi") >= col("n") * 0.9 - col("n") * 0.02)).as("p90_ok"))
+          okOf("__qt", 0, 0.1).as("p10_ok"),
+          okOf("__qt", 1, 0.9).as("p90_ok"))
     }),
 
     "join_asof_backward" -> ((s, dir) => {
