@@ -180,7 +180,8 @@ object TextAnalysis {
     * tolerance contract as `text_unigram_lm`.
     */
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
-                     alpha: Double = 0.1, saltBuckets: Int = 1): DataFrame = {
+                     alpha: Double = 0.1, saltBuckets: Int = 1,
+                     vocabFromPairs: Boolean = false): DataFrame = {
     require(alpha > 0, s"bigramLmScores: alpha must be > 0 (got $alpha)")
     require(saltBuckets >= 1, s"bigramLmScores: saltBuckets >= 1 (got $saltBuckets)")
     val base = docs.select(col(idCol),
@@ -225,22 +226,30 @@ object TextAnalysis {
           .join(c2t.hint("shuffle_hash"), Seq("__a", "__b"))
           .join(c1t.hint("shuffle_hash"), Seq("__a"))
       }
-    // V = |distinct context tokens| = |distinct __a| over the collapsed
-    // pair stream. r10: derived from docPair as a SECOND CONSUMER of its
-    // shuffle — ReuseExchange collapses the two subtrees onto one
-    // scan+explode, deleting what Probe stagetime measured as the row's
-    // critical-path stage (a 566 ms single-task corpus re-scan +
-    // explode + distinct; the testdata's single-row-group file caps any
-    // scan at one task). The r8 note that rejected deriving V from the
-    // pair stream measured the WINDOW-marker form, which added a sorted
-    // pass; a distinct-aggregate over the reused exchange adds none.
-    // The no-op conditional referencing __b/__m is load-bearing: column
-    // pruning would otherwise specialize this consumer's copy of the
-    // shared subtree and ReuseExchange only fires on canonically
-    // identical exchanges (plan-asserted in LshExchangeReuseSpec).
-    val vocab = docPair
-      .agg(countDistinct(when(col("__m") >= 0 || col("__b").isNotNull,
-        col("__a"))).as("__v"))
+    // V = |distinct context tokens|. TWO equivalent formulations, and
+    // the right one depends on scan economics (measured r10, three
+    // interleaved sessions):
+    //  - vocabFromPairs = true: V = |distinct __a| as a SECOND CONSUMER
+    //    of docPair's shuffle — ReuseExchange collapses the subtrees
+    //    onto ONE scan+explode (plan-asserted in LshExchangeReuseSpec;
+    //    the no-op conditional referencing __b/__m is load-bearing:
+    //    column pruning would otherwise specialize this consumer's
+    //    subtree and reuse fires only on canonical identity). This is
+    //    the 100 TB form: half the scan+explode work.
+    //  - default: a light second projection over the corpus. LOCALLY
+    //    faster (in-inventory 0.80 s vs 1.06 s across sessions): the
+    //    re-scan is buffer-resident while the reuse form re-runs the
+    //    pair-collapse final aggregate per consumer. Same r8 lesson as
+    //    the window-derived form — flip the flag at cluster scale,
+    //    oracle unchanged (identical V either way).
+    val vocab =
+      if (vocabFromPairs)
+        docPair.agg(countDistinct(when(col("__m") >= 0 || col("__b").isNotNull,
+          col("__a"))).as("__v"))
+      else base
+        .filter(size(col("__w")) >= 2)
+        .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))
+        .agg(countDistinct(col("__t")).as("__v"))
     val logp = log((col("__c2") + lit(alpha)) /
       (col("__c1") + lit(alpha) * col("__v")))
     enriched

@@ -168,24 +168,15 @@ object PipelineOps {
       // of the row, Probe stagetime). A 256 KB coalesce floor keeps the
       // mid-stages parallel; scoped to a child so the default floor
       // (which the streaming rows prefer) is untouched elsewhere.
-      val child = graft.Engine.pinnedSession(s, "bigram-lm-fine-coalesce") { c =>
-        // 256 KB coalesce floor: the collapsed pair shuffle compresses
-        // so well that the default floor serialized the mid-stages onto
-        // 1-2 tasks. (AQE itself stays ON — measured: disabling it for
-        // this row cost +0.17 s, the fixed 32-partition window sorts
-        // outweigh the replan pauses.)
-        c.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
-        c.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
-      }
-      // Source-aware spread (Engine.spread): the single-row-group file
-      // serialized the explode + pair-collapse partial agg (557 ms of
-      // the row); the compact raw-docs shuffle parallelizes it. The
-      // operator itself stays redistribution-free — caller's call.
+      // Default (two-scan) form after the three-session r10 measurement:
+      // the single-scan reuse form (vocabFromPairs=true) and the
+      // spread/pinned-session variants each read 0.2-0.4 s SLOWER
+      // in-inventory here — the second scan is buffer-resident locally —
+      // while at 100 TB the reuse form halves the scan+explode work;
+      // flip the flag on a cluster (the scale note lives on the
+      // operator, LshExchangeReuseSpec keeps the reuse plan asserted).
       graft.operators.TextAnalysis.bigramLmScores(
-          graft.Engine.spread(child, dir, "documents",
-            graft.Engine.table(child, dir, "documents")
-              .select(col("doc_id"), col("text"))),
-          "doc_id", "text", alpha = 0.1)
+          t(s, dir, "documents"), "doc_id", "text", alpha = 0.1)
     }),
 
     "text_unigram_lm" -> ((s, dir) => {

@@ -42,16 +42,28 @@ class LshExchangeReuseSpec extends SparkSpec {
       s"banded subtree executed $explodes times (want 1):\n$plan")
   }
 
-  test("bigram LM derives V from the reused pair exchange (one corpus scan)") {
-    // r10: the vocabulary count is a second consumer of the collapsed
-    // pair shuffle; the prune-guard conditional in bigramLmScores keeps
-    // both consumers' subtrees canonically identical so ReuseExchange
-    // fires and the corpus is scanned + exploded exactly once
-    val plan = finalPlan("text_bigram_lm")
+  test("bigram LM scale form derives V from the reused pair exchange (one corpus scan)") {
+    // r10: with vocabFromPairs=true (the 100 TB form; the local default
+    // keeps the buffer-resident second scan, measured faster here) the
+    // vocabulary count is a second consumer of the collapsed pair
+    // shuffle; the prune-guard conditional keeps both consumers'
+    // subtrees canonically identical so ReuseExchange fires and the
+    // corpus is scanned + exploded exactly once
+    val df = graft.operators.TextAnalysis.bigramLmScores(
+      graft.Engine.table(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", alpha = 0.1, vocabFromPairs = true)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     assert(plan.contains("ReusedExchange"),
       s"expected the vocab branch to reuse the pair shuffle:\n$plan")
     val scans = "Scan parquet".r.findAllIn(plan).size
     assert(scans == 1,
       s"corpus scanned $scans times in the final plan (want 1):\n$plan")
+    // and the two formulations compute the identical result
+    val viaScan = graft.operators.TextAnalysis.bigramLmScores(
+      graft.Engine.table(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", alpha = 0.1)
+    assert(df.collect().map(_.toString).sorted.toSeq ==
+      viaScan.collect().map(_.toString).sorted.toSeq)
   }
 }
