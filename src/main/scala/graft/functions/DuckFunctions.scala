@@ -352,6 +352,10 @@ object DuckFunctions {
           graft.plans.WordGramHashes.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
+        .createOrReplaceTempFunction("ws_token_hashes",
+          graft.plans.WsTokenHashes.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
         .createOrReplaceTempFunction("sign_lsh_buckets",
           graft.plans.SignLshBuckets.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

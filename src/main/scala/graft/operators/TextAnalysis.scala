@@ -164,20 +164,25 @@ object TextAnalysis {
     * contexts |{a}| — a valid add-α support constant that needs only a
     * light distinct over context tokens, never a pair explode.
     *
-    * Scale shape: within-doc repeated bigrams collapse FIRST (one
-    * (doc, a, b, m) row each), then c2 and c1 attach IN PLACE as
-    * unbounded windows over the (a, b) and (a) partitions of that
-    * collapsed stream — the same single-pass trick as
-    * [[graft.operators.Curation.duplicateSpans]]: a count-table
-    * join-back would re-execute the bigram explode for the probe side
-    * (column pruning defeats exchange reuse) and re-shuffle the stream
-    * by the same keys anyway. V rides a separate light projection
-    * (distinct context tokens; no pair explode). Hot bigrams
-    * concentrate their pre-collapsed rows in one window partition — one
-    * row per DOCUMENT containing the pair, the minimum any exact count
-    * needs. Docs with < 2 tokens carry no bigram and are absent.
-    * Rounded to 4 dp AFTER the mean, the same cross-engine float-sum
-    * tolerance contract as `text_unigram_lm`.
+    * Scale shape (rebuilt r11 — this row sat over the 2× bar for three
+    * rounds; the fix was measurement, not guessing): the pair stream
+    * carries 16-byte TOKEN-HASH pairs from the fused
+    * [[graft.plans.WsTokenHashes]] kernel (one byte pass: split + fold
+    * + FNV; the old `zip_with` lambda form paid ~6 µs/pair of
+    * interpreted higher-order evaluation — HOFs are CodegenFallback),
+    * and the within-doc pre-collapse is GONE: it removed only ~3% of
+    * rows at sf0.1 while costing a full (id, a, b) exchange and a
+    * 600k-entry hash aggregate inside the serial scan stage
+    * (tools/BigramLab, 934 → 408 ms). c2 and c1 attach in place as
+    * unbounded windows over the (a, b) and (a) partitions of one
+    * hash(a) exchange. Hot contexts make that window partition an
+    * unsplittable straggler at scale — saltBuckets is the escape hatch.
+    * Token hashes are engine-internal keys only (the WordGramHashes
+    * collision contract: the DuckDB oracle replays the string form, so
+    * a 64-bit collision surfaces as a verification diff, not silently).
+    * Docs with < 2 tokens carry no bigram and are absent. Rounded to
+    * 4 dp AFTER the mean, the same cross-engine float-sum tolerance
+    * contract as `text_unigram_lm`.
     */
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
                      alpha: Double = 0.1, saltBuckets: Int = 1,
@@ -185,17 +190,16 @@ object TextAnalysis {
     require(alpha > 0, s"bigramLmScores: alpha must be > 0 (got $alpha)")
     require(saltBuckets >= 1, s"bigramLmScores: saltBuckets >= 1 (got $saltBuckets)")
     val base = docs.select(col(idCol),
-      graft.operators.Curation.wsTokens(col(textCol)).as("__w"))
+      call_function("ws_token_hashes", col(textCol)).as("__th"))
     val pairs = base
-      .filter(size(col("__w")) >= 2)
+      .filter(size(col("__th")) >= 2)
+      .select(col(idCol), col("__th"), (size(col("__th")) - 1).as("__n"))
       .select(col(idCol),
-        explode(zip_with(
-          slice(col("__w"), lit(1), size(col("__w")) - 1),
-          slice(col("__w"), lit(2), size(col("__w")) - 1),
-          (a, b) => struct(a.as("a"), b.as("b")))).as("__p"))
+        explode(arrays_zip(
+          slice(col("__th"), lit(1), col("__n")).as("a"),
+          slice(col("__th"), lit(2), col("__n")).as("b"))).as("__p"))
       .select(col(idCol), col("__p.a").as("__a"), col("__p.b").as("__b"))
-    val docPair = pairs.groupBy(col(idCol), col("__a"), col("__b"))
-      .agg(count(lit(1)).as("__m"))
+      .withColumn("__m", lit(1L))
     // Hot-context escape hatch (saltBuckets > 1): same rationale as
     // [[graft.operators.Curation.duplicateSpans]] — the window form
     // sorts each context partition in one unsplittable task, so a
@@ -204,51 +208,59 @@ object TextAnalysis {
     // (a, b, salt-of-doc) → (a, b) aggregate, derives c1 = Σ_b c2(a,b)
     // from the (small) c2 table rather than rescanning pairs, and
     // joins both back shuffle-hash so the skewed probe streams and AQE
-    // can split it. Cost: the collapsed pair stream is scanned twice.
+    // can split it. Cost: the pair stream is scanned twice.
+    val part = pairs.repartition(col("__a"))
     val enriched =
       if (saltBuckets <= 1) {
         val wAB = Window.partitionBy(col("__a"), col("__b"))
         val wA = Window.partitionBy(col("__a"))
-        // c1 window FIRST: hashpartitioning(a) also satisfies the (a, b)
-        // window's clustering requirement, so c2 adds only a sort — the
-        // opposite order exchanges the stream twice
-        docPair
+        // explicit repartition(__a) FIRST (shared with the vocab branch
+        // below — same exchange node, so ReuseExchange can collapse
+        // them); hashpartitioning(a) also satisfies the (a, b) window's
+        // clustering requirement, so c2 adds only a sort
+        part
           .withColumn("__c1", sum(col("__m")).over(wA))
           .withColumn("__c2", sum(col("__m")).over(wAB))
       } else {
-        val c2t = docPair
+        val c2t = pairs
           .groupBy(col("__a"), col("__b"),
             pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)).as("__s"))
           .agg(sum(col("__m")).as("__c2p"))
           .groupBy(col("__a"), col("__b")).agg(sum(col("__c2p")).as("__c2"))
         val c1t = c2t.groupBy(col("__a")).agg(sum(col("__c2")).as("__c1"))
-        docPair
+        pairs
           .join(c2t.hint("shuffle_hash"), Seq("__a", "__b"))
           .join(c1t.hint("shuffle_hash"), Seq("__a"))
       }
     // V = |distinct context tokens|. TWO equivalent formulations, and
-    // the right one depends on scan economics (measured r10, three
-    // interleaved sessions):
+    // the right one depends on scan economics:
     //  - vocabFromPairs = true: V = |distinct __a| as a SECOND CONSUMER
-    //    of docPair's shuffle — ReuseExchange collapses the subtrees
-    //    onto ONE scan+explode (plan-asserted in LshExchangeReuseSpec;
-    //    the no-op conditional referencing __b/__m is load-bearing:
-    //    column pruning would otherwise specialize this consumer's
-    //    subtree and reuse fires only on canonical identity). This is
-    //    the 100 TB form: half the scan+explode work.
-    //  - default: a light second projection over the corpus. LOCALLY
-    //    faster (in-inventory 0.80 s vs 1.06 s across sessions): the
-    //    re-scan is buffer-resident while the reuse form re-runs the
-    //    pair-collapse final aggregate per consumer. Same r8 lesson as
-    //    the window-derived form — flip the flag at cluster scale,
-    //    oracle unchanged (identical V either way).
+    //    of the same repartition(__a) exchange the windows sit on —
+    //    ReuseExchange collapses the subtrees onto ONE scan+explode
+    //    (plan-asserted in LshExchangeReuseSpec; the no-op conditional
+    //    referencing idCol/__b/__m is load-bearing: column pruning
+    //    would otherwise specialize this consumer's subtree and reuse
+    //    fires only on canonical identity). This is the 100 TB form:
+    //    half the scan+explode work.
+    //  - default: a light second kernel pass over the corpus. LOCALLY
+    //    faster — at 32 shuffle partitions the second scan is
+    //    buffer-resident AND fully shadowed by the longer pairs stage
+    //    (BigramLab r11: 408 vs 420 ms) — flip the flag at cluster
+    //    scale, oracle unchanged (identical V either way).
+    // prune guard: the when() condition is a runtime tautology the
+    // optimizer cannot fold (xxhash64 of attributes is non-foldable),
+    // so idCol and __b survive column pruning and the vocab branch's
+    // below-exchange projection stays canonically identical to the
+    // window branch's — the r10 form (`__m >= 0`) died when __m became
+    // a literal 1 and the whole guard constant-folded away
     val vocab =
       if (vocabFromPairs)
-        docPair.agg(countDistinct(when(col("__m") >= 0 || col("__b").isNotNull,
+        part.agg(countDistinct(when(
+          xxhash64(col(idCol), col("__b")) >= lit(Long.MinValue),
           col("__a"))).as("__v"))
       else base
-        .filter(size(col("__w")) >= 2)
-        .select(explode(slice(col("__w"), lit(1), size(col("__w")) - 1)).as("__t"))
+        .filter(size(col("__th")) >= 2)
+        .select(explode(slice(col("__th"), lit(1), size(col("__th")) - 1)).as("__t"))
         .agg(countDistinct(col("__t")).as("__v"))
     val logp = log((col("__c2") + lit(alpha)) /
       (col("__c1") + lit(alpha) * col("__v")))

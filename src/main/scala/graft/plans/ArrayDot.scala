@@ -101,6 +101,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       LevenshteinWithin.info, LevenshteinWithin.builder))
     ext.injectFunction((FunctionIdentifier("word_gram_hashes"),
       WordGramHashes.info, WordGramHashes.builder))
+    ext.injectFunction((FunctionIdentifier("ws_token_hashes"),
+      WsTokenHashes.info, WsTokenHashes.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
     ext.injectPostHocResolutionRule(_ => ResolveReservoirHint)

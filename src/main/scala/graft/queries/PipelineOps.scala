@@ -156,25 +156,20 @@ object PipelineOps {
     "text_bigram_lm" -> ((s, dir) => {
       // bigram LM cross-entropy (TextAnalysis.bigramLmScores): the
       // CCNet/KenLM quality-filter shape one order up from the unigram
-      // row — within-doc bigrams collapse before any join, count
-      // tables are one row per key, smoothing add-0.1 over the corpus
-      // vocabulary.
+      // row — smoothing add-0.1 over the corpus vocabulary.
       // No presentation sort: the gate compares row-order-insensitively,
       // and a global orderBy would add a range exchange (a full extra
       // stage barrier) just to order 500 result rows.
-      // Pinned child session (r10): the collapsed pair table compresses
-      // so well that AQE coalesced its exchange to ONE partition and the
-      // docPair final aggregate + next shuffle write ran serial (566 ms
-      // of the row, Probe stagetime). A 256 KB coalesce floor keeps the
-      // mid-stages parallel; scoped to a child so the default floor
-      // (which the streaming rows prefer) is untouched elsewhere.
-      // Default (two-scan) form after the three-session r10 measurement:
-      // the single-scan reuse form (vocabFromPairs=true) and the
-      // spread/pinned-session variants each read 0.2-0.4 s SLOWER
-      // in-inventory here — the second scan is buffer-resident locally —
-      // while at 100 TB the reuse form halves the scan+explode work;
-      // flip the flag on a cluster (the scale note lives on the
-      // operator, LshExchangeReuseSpec keeps the reuse plan asserted).
+      // r11 rebuild: the row's three-rounds-over-2× cost was the
+      // interpreted zip_with pair lambda (HOFs are CodegenFallback) plus
+      // a within-doc pre-collapse that removed ~3% of rows for a full
+      // extra exchange — the fused ws_token_hashes kernel + raw-pair
+      // windows took the row 0.93 → ~0.41 s (tools/BigramLab, stage
+      // decomposition in BASELINE.md). Default keeps the second light
+      // vocab scan (shadowed by the longer pairs stage locally); at
+      // cluster scale flip vocabFromPairs=true — V rides the window
+      // exchange and the corpus is scanned once (plan-asserted in
+      // LshExchangeReuseSpec).
       graft.operators.TextAnalysis.bigramLmScores(
           t(s, dir, "documents"), "doc_id", "text", alpha = 0.1)
     }),

@@ -43,12 +43,13 @@ class LshExchangeReuseSpec extends SparkSpec {
   }
 
   test("bigram LM scale form derives V from the reused pair exchange (one corpus scan)") {
-    // r10: with vocabFromPairs=true (the 100 TB form; the local default
-    // keeps the buffer-resident second scan, measured faster here) the
-    // vocabulary count is a second consumer of the collapsed pair
-    // shuffle; the prune-guard conditional keeps both consumers'
-    // subtrees canonically identical so ReuseExchange fires and the
-    // corpus is scanned + exploded exactly once
+    // r11: with vocabFromPairs=true (the 100 TB form; the local default
+    // keeps the shadowed second scan, measured faster here) the
+    // vocabulary count is a second consumer of the same explicit
+    // repartition(__a) exchange the c1/c2 windows sit on; the
+    // prune-guard conditional keeps both consumers' subtrees
+    // canonically identical so ReuseExchange fires and the corpus is
+    // scanned + exploded exactly once
     val df = graft.operators.TextAnalysis.bigramLmScores(
       graft.Engine.table(spark, "/root/testdata/sf0.001", "documents"),
       "doc_id", "text", alpha = 0.1, vocabFromPairs = true)
