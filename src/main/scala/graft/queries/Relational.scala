@@ -48,6 +48,65 @@ object Relational {
       |  (n1 = n2) AS repeat_ok
       |FROM pop, s1, s2""".stripMargin
 
+  /** Rank-contract validation of an approximate-quantile sketch over
+    * (l_returnflag, l_extendedprice, l_quantity) — see the
+    * `agg_approx_quantile` entry for the full design rationale. Split
+    * out so ApproxQuantileGateSpec can drive [[fusedQuantileProbe]]
+    * with a deliberately wrong estimate and watch the gate fail. */
+  private[graft] def approxQuantileContract(li: DataFrame): DataFrame = {
+    val ep = li.select(col("l_returnflag"), col("l_extendedprice"))
+      .limit(60000)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile_approx(l_extendedprice, 0.5, 1000)").as("__ep_v"))
+    fusedQuantileProbe(li, ep)
+  }
+
+  /** The single fused full pass: per (flag, qty) value counts carry the
+    * two ep probe counters, then a 3-row per-flag walk derives the
+    * p10/p90 exact rank windows and the median rank check against the
+    * broadcast estimate `ep` (columns l_returnflag, __ep_v). The probe
+    * counts RAW rows — it never sees how the estimate was chosen. */
+  private[graft] def fusedQuantileProbe(li: DataFrame, ep: DataFrame): DataFrame = {
+    // post-shuffle rank walk over one group's sorted value table (3
+    // rows, <=50 entries each — driver-scale bookkeeping, not hot path)
+    val rankWalk = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
+      var n = 0L
+      bins.foreach(r => n += r.getLong(1))
+      qs.map { q =>
+        var cum = 0L; var lo = 0L; var hi = 0L; var found = false
+        val it = bins.iterator
+        while (!found && it.hasNext) {
+          val c = it.next().getLong(1)
+          if (cum + c >= q * n) { lo = cum; hi = cum + c; found = true }
+          else cum += c
+        }
+        Seq(lo, hi, n)
+      }
+    }
+    def okOf(arr: String, i: Int, q: Double) = {
+      val lo = col(arr).getItem(i).getItem(0)
+      val hi = col(arr).getItem(i).getItem(1)
+      val n = col(arr).getItem(i).getItem(2)
+      (lo <= n * q + n * 0.02) && (hi >= n * q - n * 0.02)
+    }
+    li.join(broadcast(ep), "l_returnflag")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("__c"),
+        count(when(col("l_extendedprice") < col("__ep_v"), 1)).as("__eplo"),
+        count(when(col("l_extendedprice") <= col("__ep_v"), 1)).as("__ephi"))
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(struct(col("l_quantity").cast("double"), col("__c"))))
+          .as("__bins"),
+        sum(col("__c")).as("n"), sum(col("__eplo")).as("__ep_lo"),
+        sum(col("__ephi")).as("__ep_hi"))
+      .select(col("l_returnflag"), col("n").cast("long").as("n"),
+        ((col("__ep_lo") <= col("n") * 0.5 + col("n") * 0.02) &&
+          (col("__ep_hi") >= col("n") * 0.5 - col("n") * 0.02)).as("med_ok"),
+        rankWalk(col("__bins"), typedLit(Seq(0.1, 0.9))).as("__qt"))
+      .select(col("l_returnflag"), col("n"), col("med_ok"),
+        okOf("__qt", 0, 0.1).as("p10_ok"), okOf("__qt", 1, 0.9).as("p90_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / in-memory sources (SURVEY §2.1) ----
@@ -606,108 +665,27 @@ object Relational {
       // margin; the two-sided lo/hi form stays exact under ties
       // (l_quantity is discrete: lo(v) <= qn + eps and hi(v) >= qn - eps
       // follow from the sketch's rank guarantee whatever the tie mass).
-      // r10 rewrite: the sketch itself is now a fixed-resolution BINNED
-      // COUNT (an equi-width histogram sketch over the footer-stats
-      // value range — the zone maps the reference reads,
-      // duckdb-10.cpp:5441), replacing percentile_approx. The GK
-      // ObjectHashAggregate inserted per-row into a boxing ArrayBuffer
-      // and, fused into a single-row-group scan task, serialized the
-      // whole row at ~370 ms; a binned count is a codegen hash
-      // aggregate with map-side combine. The sketch ESTIMATE per
-      // quantile is the upper boundary of the first bin whose
-      // cumulative count reaches q*n. The ep rank CHECK then counts
-      // data rows against that estimate in an INDEPENDENT probe
-      // aggregate — self-review r10 caught that deriving lo/hi from
-      // the same cumsum that chose the bin made the contract a
-      // tautology; the probe keeps it a genuine gate (a wrong footer
-      // range or a >2%-mass bin fails it). l_quantity needs NO probe:
-      // its bins ARE the discrete values, so cum(<v)/cum(<=v) are
-      // exact data counts and the p10/p90 checks are the exact-
-      // quantile class (same standing as agg_quantile_disc), not a
-      // sketch being verified by itself. At 100 TB: three
-      // column-pruned scans, every aggregate partial+tiny-shuffle
-      // (<=4096+50 keys per group, 3-row probe broadcast) — nothing
-      // holistic anywhere.
-      val (epMin, epMax) =
-        Engine.parquetColumnRange(s, dir, "lineitem", "l_extendedprice")
-      val nBins = 4096
-      val w = math.max((epMax - epMin) / nBins, 1e-9)
-      // Three independent column-pruned scans (ep bins / qty bins /
-      // probe), submitted concurrently by AQE. A shared Engine.spread
-      // exchange was tried and rejected: the 600k-row repartition WRITE
-      // serializes on the single-row-group scan task and costs more
-      // than the cheap codegen consumers it would deduplicate (same
-      // measurement as the r10 GK experiment); at cluster scale extra
-      // columnar scans are the cheap side of that trade anyway.
-      val li = t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
-      // post-shuffle rank walk over one group's sorted bin table (3 rows,
-      // <=4096 entries each — a UDF HERE is driver-scale bookkeeping, not
-      // the hot path): per quantile, the first bin whose cumsum reaches
-      // q*n is the estimate's bin
-      // rankPick → the estimate's bin; rankWalk → (lo, hi, n) exact
-      // counts from the discrete-value cumsum (qty only)
-      val rankPick = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
-        var n = 0L
-        bins.foreach(r => n += r.getLong(1))
-        qs.map { q =>
-          var cum = 0L; var b = 0.0; var found = false
-          val it = bins.iterator
-          while (!found && it.hasNext) {
-            val r = it.next()
-            if (cum + r.getLong(1) >= q * n) { b = r.getDouble(0); found = true }
-            else cum += r.getLong(1)
-          }
-          b
-        }
-      }
-      val rankWalk = udf { (bins: Seq[org.apache.spark.sql.Row], qs: Seq[Double]) =>
-        var n = 0L
-        bins.foreach(r => n += r.getLong(1))
-        qs.map { q =>
-          var cum = 0L; var lo = 0L; var hi = 0L; var found = false
-          val it = bins.iterator
-          while (!found && it.hasNext) {
-            val c = it.next().getLong(1)
-            if (cum + c >= q * n) { lo = cum; hi = cum + c; found = true }
-            else cum += c
-          }
-          Seq(lo, hi, n)
-        }
-      }
-      def bins(df: DataFrame, binCol: org.apache.spark.sql.Column) =
-        df.groupBy(col("l_returnflag"), binCol.cast("double").as("__b"))
-          .agg(count(lit(1)).as("__c"))
-          .groupBy(col("l_returnflag"))
-          .agg(sort_array(collect_list(struct(col("__b"), col("__c")))).as("__bins"))
-      def okOf(arr: String, i: Int, q: Double) = {
-        val lo = col(arr).getItem(i).getItem(0)
-        val hi = col(arr).getItem(i).getItem(1)
-        val n = col(arr).getItem(i).getItem(2)
-        (lo <= n * q + n * 0.02) && (hi >= n * q - n * 0.02)
-      }
-      val ep = bins(li.select(col("l_returnflag"), col("l_extendedprice")),
-        floor((col("l_extendedprice") - lit(epMin)) / lit(w)))
-        .select(col("l_returnflag"),
-          (lit(epMin) + (rankPick(col("__bins"), typedLit(Seq(0.5))).getItem(0) + 1) * w)
-            .as("__ep_v"))
-      val qty = bins(li.select(col("l_returnflag"), col("l_quantity")),
-        col("l_quantity"))
-        .select(col("l_returnflag"),
-          rankWalk(col("__bins"), typedLit(Seq(0.1, 0.9))).as("__qt"))
-      li.select(col("l_returnflag"), col("l_extendedprice"))
-        .join(broadcast(ep), "l_returnflag")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          count(lit(1)).as("n"),
-          count(when(col("l_extendedprice") < col("__ep_v"), 1)).as("__ep_lo"),
-          count(when(col("l_extendedprice") <= col("__ep_v"), 1)).as("__ep_hi"))
-        .join(qty, "l_returnflag")
-        .select(col("l_returnflag"), col("n"),
-          ((col("__ep_lo") <= col("n") * 0.5 + col("n") * 0.02) &&
-            (col("__ep_hi") >= col("n") * 0.5 - col("n") * 0.02)).as("med_ok"),
-          okOf("__qt", 0, 0.1).as("p10_ok"),
-          okOf("__qt", 1, 0.9).as("p90_ok"))
+      // r11 rewrite (r10 was three column-pruned scans at 2.10x): the
+      // SKETCH is a GK percentile_approx over a bounded HEAD SAMPLE
+      // (~60k rows — the ObjectHashAggregate cost that made full-column
+      // GK the r8 bottleneck is fine at sample size), and the probe +
+      // the exact qty rank table FUSE into ONE full scan: groupBy(flag,
+      // qty) carries the two ep probe counters alongside the qty value
+      // counts, so cum(<v)/cum(<=v) for p10/p90 and the ep rank check
+      // all come out of a single pass (tools/QuantLab: 635 → 543 ms
+      // local; at 100 TB it is 1 full pass + a few head row groups
+      // instead of 3 full passes). The gate stays GENUINE — the
+      // estimate comes from an aggregate the probe never sees, and the
+      // probe counts raw data rows (ApproxQuantileGateSpec feeds a
+      // garbage estimate through the same fused shape and med_ok goes
+      // false). A value-ordered file would bias the head sample and
+      // FAIL the gate visibly — that is the gate working; callers with
+      // sorted data should sample uniformly instead (documented trade:
+      // TABLESAMPLE-style uniform sampling costs a full scan of the
+      // sampled column, the head sample costs a few row groups).
+      Relational.approxQuantileContract(
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity")))
     }),
 
     "join_asof_backward" -> ((s, dir) => {
