@@ -356,6 +356,10 @@ object DuckFunctions {
           graft.plans.WsTokenHashes.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
+        .createOrReplaceTempFunction("gram_roll_hashes",
+          graft.plans.GramRollHashes.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
         .createOrReplaceTempFunction("sign_lsh_buckets",
           graft.plans.SignLshBuckets.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -31,11 +31,15 @@ object Curation {
   def wordGramsFromTokens(w: Column, n: Int): Column =
     array_distinct(call_function("word_gram_hashes", w, lit(n)))
 
-  /** Per-doc (id, g) distinct-gram rows with tokens materialized once. */
+  /** Per-doc (id, g) distinct-gram rows, fused-tokenizer form (r11):
+    * gram_roll_hashes(ws_token_hashes(text), n) emits the exact same
+    * keys as word_gram_hashes over [[wsTokens]] with one byte pass. */
   private def gramRows(df: DataFrame, idCols: Seq[String], textCol: String,
                        n: Int): DataFrame =
-    df.select(idCols.map(col) :+ wsTokens(col(textCol)).as("w"): _*)
-      .select(idCols.map(col) :+ explode(wordGramsFromTokens(col("w"), n)).as("g"): _*)
+    df.select(idCols.map(col) :+
+        call_function("ws_token_hashes", col(textCol)).as("__th"): _*)
+      .select(idCols.map(col) :+ explode(array_distinct(
+        call_function("gram_roll_hashes", col("__th"), lit(n)))).as("g"): _*)
 
   /** Benchmark decontamination: per training doc, how many of its
     * distinct word n-grams appear in the eval corpus (`evalDf`, already
@@ -60,8 +64,9 @@ object Curation {
 
   /** Distinct-gram eval set for [[decontaminate]] from a corpus slice. */
   def evalGrams(evalDocs: DataFrame, textCol: String, n: Int = 8): DataFrame =
-    evalDocs.select(wsTokens(col(textCol)).as("w"))
-      .select(explode(wordGramsFromTokens(col("w"), n)).as("g")).distinct()
+    evalDocs.select(call_function("ws_token_hashes", col(textCol)).as("__th"))
+      .select(explode(array_distinct(
+        call_function("gram_roll_hashes", col("__th"), lit(n)))).as("g")).distinct()
 
   /** Concatenate-and-chunk sequence packing (GPT-style): within each
     * (strata, shard) the token stream is laid out in id order and cut
@@ -75,7 +80,8 @@ object Curation {
   def packSequences(docs: DataFrame, idCol: String, strataCol: String,
                     textCol: String, budget: Int, numShards: Int): DataFrame = {
     val toksz = docs.select(col(idCol), col(strataCol),
-        size(wsTokens(col(textCol))).cast("long").as("tok"))
+        // token COUNT only — the fused kernel skips the string array
+        size(call_function("ws_token_hashes", col(textCol))).cast("long").as("tok"))
       .withColumn("shard", pmod(col(idCol), lit(numShards.toLong)))
     val w = Window.partitionBy(col(strataCol), col("shard")).orderBy(col(idCol))
     toksz.withColumn("seq_id",
@@ -377,10 +383,15 @@ object Curation {
     * duplicates, columns (idCol, n_tokens, __p). */
   private def dupSpanMarks(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, saltBuckets: Int): DataFrame = {
+    // fused tokenizer (r11): ws_token_hashes + gram_roll_hashes produce
+    // values IDENTICAL to word_gram_hashes over wsTokens (same FNV +
+    // roll pipeline) with no lower() copy, no regex split, and no
+    // string-array materialization — the serial scan stage was the
+    // row's cost center (Probe stagetime: 294 ms of a 443 ms row)
     val pos = docs
-      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
-      .select(col(idCol), size(col("__w")).cast("long").as("n_tokens"),
-        posexplode(call_function("word_gram_hashes", col("__w"), lit(n))))
+      .select(col(idCol), call_function("ws_token_hashes", col(textCol)).as("__th"))
+      .select(col(idCol), size(col("__th")).cast("long").as("n_tokens"),
+        posexplode(call_function("gram_roll_hashes", col("__th"), lit(n))))
       .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
     // Hot-gram escape hatch (saltBuckets > 1): the window form below
     // must SORT each gram partition in ONE task — a degenerate
@@ -489,9 +500,9 @@ object Curation {
                        n: Int = 10, k: Int = 20): DataFrame = {
     require(n > 0 && k > 0, s"boilerplateGrams: n, k must be > 0 (got $n, $k)")
     val pos = docs
-      .select(col(idCol), wsTokens(col(textCol)).as("__w"))
+      .select(col(idCol), call_function("ws_token_hashes", col(textCol)).as("__th"))
       .select(col(idCol),
-        posexplode(call_function("word_gram_hashes", col("__w"), lit(n))))
+        posexplode(call_function("gram_roll_hashes", col("__th"), lit(n))))
       .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
     val perDoc = pos.groupBy(col("__g"), col(idCol))
       .agg(min(col("__p")).as("__p0"))

@@ -103,6 +103,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WordGramHashes.info, WordGramHashes.builder))
     ext.injectFunction((FunctionIdentifier("ws_token_hashes"),
       WsTokenHashes.info, WsTokenHashes.builder))
+    ext.injectFunction((FunctionIdentifier("gram_roll_hashes"),
+      GramRollHashes.info, GramRollHashes.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
     ext.injectPostHocResolutionRule(_ => ResolveReservoirHint)

@@ -107,6 +107,86 @@ case class WordGramHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** The rolling stage of [[WordGramHashes]] over PRE-HASHED tokens
+  * (array<long>, e.g. [[WsTokenHashes]] output): position i is the
+  * polynomial combination of hashes[i..i+n-1] with the same multiplier
+  * P, so `gram_roll_hashes(ws_token_hashes(text), n)` produces values
+  * IDENTICAL to `word_gram_hashes(filter(split(lower(text), "\\s+"),
+  * x -> x != ''), n)` — callers can swap the fused tokenizer in without
+  * changing any downstream key. */
+case class GramRollHashes(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_roll_hashes"
+
+  override def nullSafeEval(hs: Any, nv: Any): Any = {
+    val a = hs.asInstanceOf[ArrayData]
+    val n = nv.asInstanceOf[Int]
+    val len = a.numElements()
+    if (n <= 0 || len < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = a.toLongArray()
+    val out = new Array[Long](len - n + 1)
+    var pn = 1L
+    var j = 1
+    while (j < n) { pn *= WordGramHashes.P; j += 1 }
+    var h = 0L
+    j = 0
+    while (j < n) { h = h * WordGramHashes.P + th(j); j += 1 }
+    out(0) = h
+    var i = 1
+    while (i <= len - n) {
+      h = (h - th(i - 1) * pn) * WordGramHashes.P + th(i + n - 1)
+      out(i) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, nv) => {
+      val len = ctx.freshName("len")
+      val th = ctx.freshName("th")
+      val out = ctx.freshName("out")
+      val pn = ctx.freshName("pn")
+      val h = ctx.freshName("h")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $len = $a.numElements();
+         |if ($nv <= 0 || $len < $nv) {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(new long[0]);
+         |} else {
+         |  long[] $th = $a.toLongArray();
+         |  long[] $out = new long[$len - $nv + 1];
+         |  long $pn = 1L;
+         |  for (int $j = 1; $j < $nv; $j++) { $pn *= ${WordGramHashes.P}L; }
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $nv; $j++) { $h = $h * ${WordGramHashes.P}L + $th[$j]; }
+         |  $out[0] = $h;
+         |  for (int $i = 1; $i <= $len - $nv; $i++) {
+         |    $h = ($h - $th[$i - 1] * $pn) * ${WordGramHashes.P}L + $th[$i + $nv - 1];
+         |    $out[$i] = $h;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): GramRollHashes =
+    copy(left = newLeft, right = newRight)
+}
+
+object GramRollHashes {
+  val info = new ExpressionInfo(classOf[GramRollHashes].getName, "gram_roll_hashes")
+  val builder: Seq[Expression] => Expression = args => GramRollHashes(args(0), args(1))
+}
+
 object WordGramHashes {
   /** Polynomial multiplier: odd, high bit diffusion (same constant
     * family as FNV's prime, distinct from it so token and gram mixing
