@@ -19,29 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object SqlDialect {
 
-  /** Top-level (paren-depth-0, outside quotes) index of a keyword. */
-  private def topLevelIndex(sql: String, kw: String): Int = {
-    val upper = sql.toUpperCase
-    var depth = 0
-    var inStr = false
-    var i = 0
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) { if (c == '\'') inStr = false }
-      else c match {
-        case '\'' => inStr = true
-        case '(' => depth += 1
-        case ')' => depth -= 1
-        case _ =>
-          if (depth == 0 && upper.startsWith(kw, i) &&
-            (i == 0 || !upper.charAt(i - 1).isLetterOrDigit) &&
-            (i + kw.length >= sql.length || !upper.charAt(i + kw.length).isLetterOrDigit))
-            return i
-      }
-      i += 1
-    }
-    -1
-  }
+  /** Top-level (paren-depth-0, outside quotes) index of a keyword —
+    * the shared lexer's token view ([[SqlLex.keywordIndex]]): quoted
+    * identifiers and dotted references can never match. */
+  private def topLevelIndex(sql: String, kw: String): Int =
+    SqlLex.keywordIndex(sql, kw)
 
   private val limitPercent = """(?is)\bLIMIT\s+([0-9.]+)\s*%\s*$""".r
   private val usingSampleRows = """(?is)\bUSING\s+SAMPLE\s+(\d+)\s+ROWS\b""".r
@@ -866,6 +848,36 @@ object SqlDialect {
   private[graft] def rewriteCore(spark: SparkSession, query: String): String = {
     var q = query
 
+    // Double-quoted / bracketed identifiers → backticks (reference
+    // identifiers are "quoted" per the SQL standard — Postgres grammar
+    // ident rules, duckdb-libpg_query region; Spark's default parser
+    // reads "…" as a string literal, so a migrated script's "order key"
+    // column would silently become a constant). Token-driven: only
+    // QIdent tokens rewrite, a double quote INSIDE a string literal is
+    // untouchable by construction.
+    locally {
+      val toks = SqlLex.tokenize(q)
+      if (toks.exists(t => t.kind == SqlLex.QIdent && t.lower.length > 0 &&
+          (t.lower.charAt(0) == '"' || t.lower.charAt(0) == '['))) {
+        val sb = new StringBuilder
+        var last = 0
+        toks.foreach { t =>
+          if (t.kind == SqlLex.QIdent &&
+              (q.charAt(t.start) == '"' || q.charAt(t.start) == '[')) {
+            sb.append(q.substring(last, t.start))
+            val raw = q.substring(t.start, t.end)
+            val inner =
+              if (raw.startsWith("\""))
+                raw.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
+              else raw.stripPrefix("[").stripSuffix("]")
+            sb.append('`').append(inner.replace("`", "``")).append('`')
+            last = t.end
+          }
+        }
+        q = sb.append(q.substring(last)).toString
+      }
+    }
+
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
     // regex matched against the WHOLE string, duckdb-6.cpp:5993-6041 —
@@ -924,78 +936,16 @@ object SqlDialect {
       // duckdb-5.cpp:5156) — and in grouping / aggregate-argument /
       // predicate positions (where dropping it would silently change
       // which rows group or match) we raise a named error asking for an
-      // explicit fold.
-      def clauseAt(s: String, pos: Int): String = {
-        var i = 0
-        var depth = 0
-        val kw = scala.collection.mutable.Map[Int, String](0 -> "select")
-        var prevWord = ""
-        while (i < pos) {
-          val c = s.charAt(i)
-          if (c == '\'' || c == '"') {
-            val qc = c; i += 1
-            var open = true
-            while (open && i < pos) {
-              if (s.charAt(i) == qc) {
-                if (i + 1 < pos && s.charAt(i + 1) == qc) i += 2 // doubled = escaped
-                else { open = false; i += 1 }
-              } else i += 1
-            }
-          } else if (c == '(') {
-            // a paren after an identifier is a CALL (args = aggregate/
-            // function position) — but a paren after a KEYWORD (ON, IN,
-            // OVER, …) is a grouping paren that inherits its context
-            var j = i - 1
-            while (j >= 0 && s.charAt(j).isWhitespace) j -= 1
-            var k = j
-            while (k >= 0 && (s.charAt(k).isLetterOrDigit || s.charAt(k) == '_')) k -= 1
-            val wordBefore = if (j >= 0 && k < j) s.substring(k + 1, j + 1).toLowerCase else ""
-            val isCall = j >= 0 &&
-              (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_') &&
-              !Set("on", "in", "by", "over", "and", "or", "not", "when", "then",
-                "else", "where", "select", "from", "values", "using", "as",
-                "exists", "between", "all", "any", "some", "distinct")(wordBefore)
-            depth += 1
-            kw(depth) = if (isCall) "func" else kw.getOrElse(depth - 1, "select")
-            i += 1
-          } else if (c == ')') {
-            kw.remove(depth); depth -= 1; i += 1
-          } else if (c.isLetter && (i == 0 || {
-            val p = s.charAt(i - 1); !p.isLetterOrDigit && p != '_' && p != '.'
-          })) {
-            var j = i
-            while (j < pos && (s.charAt(j).isLetterOrDigit || s.charAt(j) == '_')) j += 1
-            val word = s.substring(i, j).toLowerCase
-            val rest = s.substring(j, math.min(pos, j + 12))
-            val byFollows = rest.matches("(?is)\\s+by\\b[\\s\\S]*")
-            word match {
-              case "order" | "partition" if byFollows => kw(depth) = "sort"
-              case "group" if byFollows               => kw(depth) = "group"
-              case "select" | "values" | "returning"  => kw(depth) = "select"
-              case "where" | "having" | "qualify" | "when" => kw(depth) = "pred"
-              // THEN/ELSE open a value position, END closes the CASE —
-              // without these a CASE WHEN anywhere earlier would pin
-              // "pred" on every later projected item (self-review r10)
-              case "then" | "else" | "end" => kw(depth) = "select"
-              // DISTINCT ON (keys) is a comparison-key position — fold
-              // like a sort key; join/filter ON stays a predicate
-              case "on" if prevWord == "distinct" => kw(depth) = "sort"
-              case "on" if !rest.matches("(?is)\\s+conflict\\b[\\s\\S]*") =>
-                kw(depth) = "pred"
-              case _ => ()
-            }
-            prevWord = word
-            i = j
-          } else i += 1
-        }
-        kw.getOrElse(depth, "select")
-      }
+      // explicit fold. The classifier is the shared lexer's clause
+      // machine (r11 — [[SqlLex.clauseAt]]): nested CASE restores the
+      // enclosing clause on END, quoted identifiers never masquerade as
+      // keywords.
       val single = (s"(?is)($opnd)\\s+COLLATE\\s+(NOCASE|NOACCENT)\\b").r
       changed = true
       while (changed) {
         changed = false
         single.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
-          val repl = clauseAt(q, m.start) match {
+          val repl = SqlLex.clauseAt(q, m.start) match {
             case "sort"   => fold(m.group(2), m.group(1))
             case "select" => m.group(1)
             case ctx => throw new IllegalArgumentException(
@@ -1055,39 +1005,12 @@ object SqlDialect {
   /** Split a leading `WITH name [(cols)] AS (…) [, …]` chain off a
     * level's text, so a rewrite can wrap ONLY the main SELECT in a
     * subquery (CTE names stay visible — Spark resolves outer CTEs
-    * inside derived tables) instead of nesting the WITH illegally. */
-  private def splitWithPrefix(q: String): (String, String) = {
-    val t = q.trim
-    if (!t.toUpperCase.startsWith("WITH") ||
-        (t.length > 4 && (t.charAt(4).isLetterOrDigit || t.charAt(4) == '_')))
-      return ("", q)
-    var i = 4
-    var done = false
-    while (!done) {
-      val open = t.indexOf('(', i)
-      require(open > 0, "WITH: malformed CTE (expected parenthesized body)")
-      // the first paren after the name may be a column list — the CTE
-      // body is the paren group that follows `AS`
-      val beforeParen = t.substring(i, open).trim.toUpperCase
-      val close = matchParen(t, open)
-      require(close > open, "WITH: unbalanced CTE body")
-      i = close + 1
-      // AS must be its own token — an identifier ending in "as"
-      // (`WITH atlas (a, b) AS (…)`) is a name, not the AS keyword
-      val asToken = beforeParen == "AS" || (beforeParen.endsWith("AS") && {
-        val c = beforeParen.charAt(beforeParen.length - 3)
-        !c.isLetterOrDigit && c != '_'
-      })
-      if (asToken) {
-        // consumed one full CTE; a comma continues the chain
-        val rest = t.substring(i)
-        val next = rest.takeWhile(_.isWhitespace).length
-        if (i + next < t.length && t.charAt(i + next) == ',') i = i + next + 1
-        else done = true
-      } // else: column list — loop again for the AS (…) body
-    }
-    (t.substring(0, i), t.substring(i))
-  }
+    * inside derived tables) instead of nesting the WITH illegally.
+    * Token-structural since r11 ([[SqlLex.splitWithPrefix]]) — the
+    * round-9 `WITH atlas (…)` AS-token bug class is impossible on a
+    * token stream. */
+  private def splitWithPrefix(q: String): (String, String) =
+    SqlLex.splitWithPrefix(q)
 
   /** Level-local rewrites (operate on depth-0 text only; nested parens
     * were already handled by [[rewriteNested]]). */

@@ -84,6 +84,40 @@ object DialectFuzzGen {
       s"SELECT n_nationkey AS k, n_name AS nm FROM nation " +
         s"WHERE lower(n_name) = lower('$lit') ORDER BY lower(n_name)"))
 
+  /** Nested CASE in the projection, then projected + sort-key COLLATE:
+    * the classifier must restore the enclosing clause after each END
+    * (a real stack — r11 lexer), so the trailing COLLATEs still
+    * classify as select (drop) / sort (fold). */
+  private def collateNestedCase(k: Int): (Seq[String], Pair) = {
+    val cse = s"CASE WHEN n_nationkey > $k THEN " +
+      s"CASE WHEN n_regionkey > 2 THEN 'hi' ELSE 'mid' END ELSE 'lo' END"
+    (Nil, (s"SELECT $cse AS band, n_name COLLATE NOCASE AS nm, n_nationkey AS key " +
+      "FROM nation ORDER BY n_name COLLATE NOCASE, n_nationkey",
+      s"SELECT $cse AS band, n_name AS nm, n_nationkey AS key " +
+        "FROM nation ORDER BY lower(n_name), n_nationkey"))
+  }
+
+  /** Double-quoted identifiers (the reference's standard form; Spark
+    * would read them as string literals) — the shim rewrites them to
+    * backticks, and names that ARE clause keywords ("order", "group")
+    * must not confuse the clause classifier. */
+  private def quotedIdent(desc: Boolean): (Seq[String], Pair) = {
+    val ord = if (desc) "DESC" else "ASC"
+    (Nil, ("SELECT n_nationkey AS \"order\", n_name AS \"group by\" FROM nation " +
+      s"WHERE n_regionkey >= 1 ORDER BY n_name COLLATE NOCASE $ord, n_nationkey",
+      "SELECT n_nationkey AS `order`, n_name AS `group by` FROM nation " +
+        s"WHERE n_regionkey >= 1 ORDER BY lower(n_name) $ord, n_nationkey"))
+  }
+
+  /** Quoted CTE name exercising the token-structural WITH splitter
+    * (a name ending in "as"/containing spaces must parse as a NAME). */
+  private def quotedCte(m: Int): (Seq[String], Pair) =
+    (Nil, (s"""WITH "c 1" AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey <= $m) """ +
+      s"""SELECT * FROM "c 1" QUALIFY row_number() OVER (ORDER BY k) <= $m""",
+      s"WITH `c 1` AS (SELECT n_nationkey AS k, n_name FROM nation WHERE n_nationkey <= $m) " +
+        s"SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) AS __w FROM `c 1`) __x " +
+        s"WHERE __w <= $m"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -149,7 +183,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(11) match {
+      val (setup, base) = rnd.nextInt(14) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -161,6 +195,9 @@ object DialectFuzzGen {
         case 8 => collate(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
         case 9 => collateProjected(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
         case 10 => collateParen(Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
+        case 11 => collateNestedCase(1 + rnd.nextInt(20))
+        case 12 => quotedIdent(rnd.nextBoolean())
+        case 13 => quotedCte(2 + rnd.nextInt(15))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base
