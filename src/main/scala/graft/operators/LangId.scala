@@ -8,17 +8,19 @@ package graft.operators
   * Two tiers:
   *   1. SCRIPT detection for languages whose writing system is
   *      decisive: Han → zh, Kana → ja (checked before Han — Japanese
-  *      text mixes both), Hangul → ko, Cyrillic → ru, Arabic → ar,
-  *      Greek → el. Codepoint-range counting, no model needed.
-  *   2. LATIN-script classification by trigram rank profiles: each
-  *      language's profile is the frequency-ranked top trigram list of
-  *      an embedded seed text (public-domain prose — Universal
-  *      Declaration of Human Rights Article 1 plus common-usage
-  *      sentences); a document is scored by the out-of-place distance
-  *      between its own trigram ranks and each profile, smallest
-  *      distance wins. Profiles build once at class init (~profileDepth
-  *      entries per language) and classification is a per-row map
-  *      lookup — no network, no external model file, deterministic.
+  *      text mixes both), Hangul → ko, Greek → el. Codepoint-range
+  *      counting, no model needed.
+  *   2. WITHIN-SCRIPT classification by trigram rank profiles (r11
+  *      extends the recipe beyond Latin): each language's profile is
+  *      the frequency-ranked top trigram list of an embedded seed text
+  *      (public-domain prose — Universal Declaration of Human Rights
+  *      Article 1 plus common-usage sentences); a document is scored
+  *      by the out-of-place distance between its own trigram ranks and
+  *      each profile of ITS script group, smallest distance wins.
+  *      Groups: Latin (en es fr de it pt nl sv pl ro id), Cyrillic
+  *      (ru uk bg), Arabic script (ar fa). Profiles build once at
+  *      class init and classification is a per-row map lookup — no
+  *      network, no external model file, deterministic.
   *
   * Accuracy contract (spec-pinned): ≥95% on clean single-language
   * sentences across the supported set. Not a fastText replacement —
@@ -131,9 +133,74 @@ object LangId {
       "pagi hari dan rumah itu mempunyai kebun yang sangat indah " +
       "wanita itu telah membaca banyak buku dan meletakkannya di atas meja dapur ketika kami tiba dia tidak dapat menemukan barang barangnya dan meminta kami untuk segera membantunya karena dia harus segera berangkat"))
 
+  // Cyrillic-script seed prose (UDHR Article 1 + the same common-usage
+  // sentences as the Latin seeds, natively written). NFD mark-stripping
+  // folds й→и and ё→е identically on seeds and documents, so the
+  // trigram spaces still meet.
+  private val cyrillicSeeds: Map[String, String] = Map(
+    "ru" -> ("все люди рождаются свободными и равными в своем достоинстве и " +
+      "правах они наделены разумом и совестью и должны поступать в отношении " +
+      "друг друга в духе братства " +
+      "собака и кошка живут в доме который находится недалеко от города нет " +
+      "ничего нового под солнцем это история семьи которая жила в маленькой " +
+      "деревне дети идут утром в школу а у дома очень красивый сад " +
+      "женщина прочитала много книг и положила их на стол в кухне когда мы " +
+      "приехали он не мог найти свои вещи и попросил нас помочь ему потому " +
+      "что он должен был скоро уехать " +
+      "в городе есть большая библиотека где можно читать книги об истории " +
+      "и науке каждый вечер после работы люди гуляют в парке возле реки " +
+      "сегодня утром шел дождь поэтому мы остались дома и пили чай"),
+    "uk" -> ("всі люди народжуються вільними і рівними у своїй гідності та " +
+      "правах вони наділені розумом і совістю і повинні діяти у відношенні " +
+      "один до одного в дусі братерства " +
+      "собака і кіт живуть у будинку який знаходиться недалеко від міста " +
+      "немає нічого нового під сонцем це історія родини яка жила в " +
+      "маленькому селі діти йдуть вранці до школи а будинок має дуже гарний " +
+      "сад жінка прочитала багато книжок і поклала їх на стіл у кухні коли " +
+      "ми приїхали він не міг знайти свої речі і попросив нас допомогти " +
+      "йому бо він мусив скоро поїхати " +
+      "у місті є велика бібліотека де можна читати книжки про історію та " +
+      "науку щовечора після роботи люди гуляють у парку біля річки " +
+      "сьогодні вранці йшов дощ тому ми залишилися вдома і пили чай"),
+    "bg" -> ("всички хора се раждат свободни и равни по достойнство и права " +
+      "те са надарени с разум и съвест и следва да се отнасят помежду си в " +
+      "дух на братство " +
+      "кучето и котката живеят в къщата която се намира близо до града няма " +
+      "нищо ново под слънцето това е историята на едно семейство което " +
+      "живееше в малко село децата отиват сутрин на училище а къщата има " +
+      "много красива градина жената беше прочела много книги и ги беше " +
+      "сложила на масата в кухнята когато пристигнахме той не можеше да " +
+      "намери нещата си и ни помоли да му помогнем защото трябваше скоро да " +
+      "замине " +
+      "в града има голяма библиотека където можем да четем книги за " +
+      "историята и науката всяка вечер след работа хората се разхождат в " +
+      "парка край реката тази сутрин валеше дъжд затова останахме вкъщи и " +
+      "пихме чай"))
+
+  // Arabic-script seed prose (ar Arabic, fa Persian — Persian's
+  // distinctive letters پ چ ژ گ ک ی keep the trigram spaces apart).
+  private val arabicSeeds: Map[String, String] = Map(
+    "ar" -> ("يولد جميع الناس أحرارا متساوين في الكرامة والحقوق وقد وهبوا " +
+      "عقلا وضميرا وعليهم أن يعامل بعضهم بعضا بروح الإخاء " +
+      "يعيش الكلب والقط في البيت الذي يقع قرب المدينة لا جديد تحت الشمس " +
+      "هذه قصة عائلة كانت تعيش في قرية صغيرة يمشي الأطفال إلى المدرسة في " +
+      "الصباح وللبيت حديقة جميلة جدا قرأت المرأة كتبا كثيرة ووضعتها على " +
+      "طاولة المطبخ عندما وصلنا لم يستطع أن يجد أشياءه وطلب منا أن نساعده " +
+      "فورا لأنه كان يجب أن يغادر قريبا"),
+    "fa" -> ("تمام افراد بشر آزاد به دنیا می آیند و از لحاظ حیثیت و حقوق با " +
+      "هم برابرند همه دارای عقل و وجدان می باشند و باید نسبت به یکدیگر با " +
+      "روح برادری رفتار کنند " +
+      "سگ و گربه در خانه ای زندگی می کنند که نزدیک شهر است هیچ چیز تازه ای " +
+      "زیر آفتاب نیست این داستان خانواده ای است که در یک روستای کوچک زندگی " +
+      "می کرد بچه ها صبح به مدرسه می روند و خانه باغ بسیار زیبایی دارد زن " +
+      "کتاب های زیادی خوانده بود و آنها را روی میز آشپزخانه گذاشته بود " +
+      "وقتی رسیدیم او نمی توانست وسایل خود را پیدا کند و از ما خواست فورا " +
+      "به او کمک کنیم چون باید به زودی می رفت"))
+
   /** Supported output codes (incl. script-detected and 'und'). */
   val knownCodes: Seq[String] =
-    (seeds.keys.toSeq ++ Seq("zh", "ja", "ko", "ru", "ar", "el", "und")).distinct.sorted
+    (seeds.keys.toSeq ++ cyrillicSeeds.keys.toSeq ++ arabicSeeds.keys.toSeq ++
+      Seq("zh", "ja", "ko", "el", "und")).distinct.sorted
 
   /** Letters-and-single-spaces normalization; diacritics folded so the
     * seed texts (written unaccented) and accented real text meet in the
@@ -168,26 +235,34 @@ object LangId {
       .sortBy { case (g, c) => (-c, g) }.take(depth)
       .zipWithIndex.map { case ((g, _), r) => g -> r }.toMap
 
-  private val profiles: Map[String, Map[String, Int]] =
-    seeds.map { case (lang, seed) => lang -> rankProfile(seed, ProfileDepth) }
-
-  // scoring structures, built once: langsArr is sorted so taking the
-  // FIRST minimum preserves the (distance, lang) lexicographic
-  // tie-break; gramRanks inverts the per-language profiles into one
-  // gram → rank-per-language array, turning the per-document cost from
-  // |langs| map probes per gram into ONE probe + |langs| array adds
-  private val langsArr: Array[String] = profiles.keys.toArray.sorted
-  private val gramRanks: java.util.HashMap[String, Array[Int]] = {
-    val m = new java.util.HashMap[String, Array[Int]]()
-    langsArr.zipWithIndex.foreach { case (lang, li) =>
-      profiles(lang).foreach { case (g, r) =>
-        var arr = m.get(g)
-        if (arr == null) { arr = Array.fill(langsArr.length)(ProfileDepth); m.put(g, arr) }
-        arr(li) = r
+  // scoring structures per SCRIPT GROUP, built once: langsArr is sorted
+  // so taking the FIRST minimum preserves the (distance, lang)
+  // lexicographic tie-break; gramRanks inverts the per-language
+  // profiles into one gram → rank-per-language array, turning the
+  // per-document cost from |langs| map probes per gram into ONE probe +
+  // |langs| array adds
+  private final class Group(seedMap: Map[String, String]) {
+    val langsArr: Array[String] = seedMap.keys.toArray.sorted
+    val gramRanks: java.util.HashMap[String, Array[Int]] = {
+      val m = new java.util.HashMap[String, Array[Int]]()
+      langsArr.zipWithIndex.foreach { case (lang, li) =>
+        rankProfile(seedMap(lang), ProfileDepth).foreach { case (g, r) =>
+          var arr = m.get(g)
+          if (arr == null) { arr = Array.fill(langsArr.length)(ProfileDepth); m.put(g, arr) }
+          arr(li) = r
+        }
       }
+      m
     }
-    m
   }
+
+  private val latinGroup = new Group(seeds)
+  private val cyrillicGroup = new Group(cyrillicSeeds)
+  // uk's everyday text almost always carries its distinctive letters
+  // (і is the word "and"); when NONE appear, restricting the candidates
+  // to {ru, bg} removes the main short-sentence confusion
+  private val cyrillicRuBg = new Group(cyrillicSeeds - "uk")
+  private val arabicGroup = new Group(arabicSeeds)
 
   private def inRange(cp: Int, lo: Int, hi: Int): Boolean = cp >= lo && cp <= hi
 
@@ -212,18 +287,37 @@ object LangId {
     if (kana / l > 0.05) return "ja" // kana decides BEFORE han (ja mixes both)
     if (han / l > 0.20) return "zh"
     if (hangul / l > 0.20) return "ko"
-    if (cyr / l > 0.50) return "ru"
-    if (arab / l > 0.50) return "ar"
     if (greek / l > 0.50) return "el"
-    // latin-script tier: out-of-place distance against each profile
+    // within-script tier: the script picks the profile GROUP, the
+    // out-of-place trigram distance picks the language inside it
+    val group =
+      if (cyr / l > 0.50) {
+        // alphabet discrimination first (standard Cyrillic orthography:
+        // ы/э occur only in Russian of {ru, uk, bg}; і/ї/є/ґ only in
+        // Ukrainian) — decisive when one-sided, else trigram tier
+        var ruOnly = false; var ukOnly = false
+        text.foreach { c =>
+          if (c == 'ы' || c == 'э' || c == 'Ы' || c == 'Э') ruOnly = true
+          else if ("іїєґІЇЄҐ".indexOf(c) >= 0) ukOnly = true
+        }
+        if (ruOnly && !ukOnly) return "ru"
+        if (ukOnly && !ruOnly) return "uk"
+        if (ruOnly) cyrillicGroup else cyrillicRuBg
+      }
+      else if (arab / l > 0.50) arabicGroup
+      else latinGroup
+    classifyInGroup(text, group)
+  }
+
+  private def classifyInGroup(text: String, g: Group): String = {
     val docRanks = trigramCounts(normalize(text)).toSeq
-      .sortBy { case (g, c) => (-c, g) }.take(DocDepth).map(_._1).toArray
+      .sortBy { case (gr, c) => (-c, gr) }.take(DocDepth).map(_._1).toArray
     if (docRanks.isEmpty) return "und"
-    val n = langsArr.length
+    val n = g.langsArr.length
     val d = new Array[Long](n)
     var i = 0
     while (i < docRanks.length) {
-      val arr = gramRanks.get(docRanks(i))
+      val arr = g.gramRanks.get(docRanks(i))
       if (arr == null) {
         val miss = (ProfileDepth - i).toLong // |i - ProfileDepth|, i < depth
         var j = 0; while (j < n) { d(j) += miss; j += 1 }
@@ -235,6 +329,6 @@ object LangId {
     var bi = 0
     var j = 1
     while (j < n) { if (d(j) < d(bi)) bi = j; j += 1 }
-    langsArr(bi)
+    g.langsArr(bi)
   }
 }

@@ -608,7 +608,34 @@ class TextAnalysisSpec extends SparkSpec {
       "id" -> "tetangga kami membeli mobil baru minggu lalu dan mereka menyukainya",
       "id" -> "museum itu tutup lebih awal pada hari minggu selama musim dingin",
       "id" -> "dia tidak ingat di mana dia meninggalkan kuncinya",
-      "id" -> "banyak pelajar lebih suka belajar bersama sebelum ujian yang sulit")
+      "id" -> "banyak pelajar lebih suka belajar bersama sebelum ujian yang sulit",
+      // r11: Cyrillic-script (ru/uk/bg) and Arabic-script (ar/fa)
+      // separation via the same trigram recipe
+      "ru" -> "она открыла окно потому что в комнате было слишком жарко",
+      "ru" -> "наши соседи купили новую машину на прошлой неделе",
+      "ru" -> "музей закрывается рано по воскресеньям в зимние месяцы",
+      "ru" -> "он не мог вспомнить где оставил свои ключи",
+      "ru" -> "многие студенты предпочитают заниматься вместе перед трудными экзаменами",
+      "uk" -> "вона відчинила вікно бо в кімнаті було надто спекотно",
+      "uk" -> "наші сусіди купили нову машину минулого тижня",
+      "uk" -> "музей зачиняється рано в неділю взимку",
+      "uk" -> "він не міг згадати де залишив свої ключі",
+      "uk" -> "багато студентів воліють навчатися разом перед важкими іспитами",
+      "bg" -> "тя отвори прозореца защото в стаята беше твърде горещо",
+      "bg" -> "нашите съседи купиха нова кола миналата седмица",
+      "bg" -> "музеят затваря рано в неделя през зимните месеци",
+      "bg" -> "той не можеше да си спомни къде е оставил ключовете си",
+      "bg" -> "много студенти предпочитат да учат заедно преди трудните изпити",
+      "ar" -> "فتحت النافذة لأن الغرفة كانت حارة جدا",
+      "ar" -> "اشترى جيراننا سيارة جديدة الأسبوع الماضي",
+      "ar" -> "يغلق المتحف مبكرا أيام الأحد في أشهر الشتاء",
+      "ar" -> "لم يستطع أن يتذكر أين ترك مفاتيحه",
+      "ar" -> "يفضل كثير من الطلاب الدراسة معا قبل الامتحانات الصعبة",
+      "fa" -> "او پنجره را باز کرد چون اتاق خیلی گرم بود",
+      "fa" -> "همسایه های ما هفته گذشته یک ماشین نو خریدند",
+      "fa" -> "موزه در روزهای یکشنبه در ماه های زمستان زود بسته می شود",
+      "fa" -> "او نمی توانست به یاد بیاورد کلیدهایش را کجا گذاشته است",
+      "fa" -> "بسیاری از دانشجویان ترجیح می دهند قبل از امتحان های سخت با هم درس بخوانند")
     val wrong = fixture.filter { case (lang, s) =>
       graft.operators.LangId.classify(s) != lang }
     val acc = 1.0 - wrong.size.toDouble / fixture.size
