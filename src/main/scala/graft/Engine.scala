@@ -381,8 +381,16 @@ object Engine {
     cons.foreignKeys.foreach { case (cols, ref, refCols) =>
       val keyed = rows.filter(cols.map(col(_).isNotNull).reduce(_ && _))
         .select(cols.map(col): _*)
-      val parent = spark.table(ref)
+      val stored = spark.table(ref)
         .select(refCols.zip(cols).map { case (rc, c) => col(rc).as(c) }: _*)
+      // self-referential FK (r11): a batch may reference keys it itself
+      // introduces — the parent key set is stored ∪ batch (statement-
+      // level validation, like the reference's end-of-statement check)
+      val parent =
+        if (ref.toLowerCase == name.toLowerCase)
+          stored.union(rows.select(
+            refCols.zip(cols).map { case (rc, c) => col(rc).as(c) }: _*))
+        else stored
       if (keyed.join(parent, cols, "left_anti").limit(1).count() > 0)
         throw new ConstraintViolation(
           s"Constraint Error: Violates foreign key constraint because the key " +

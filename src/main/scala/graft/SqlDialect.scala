@@ -112,6 +112,21 @@ object SqlDialect {
     constraints.computeIfAbsent(spark,
       _ => new scala.collection.concurrent.TrieMap[String, Engine.TableConstraints])
 
+  /** Catalog dependency check (reference dependency manager): dropping
+    * OR replacing a table other tables reference by FOREIGN KEY raises
+    * the reference's "Cannot drop entry … depend on it" — replace
+    * included (r11, ADVICE): a silently replaced parent would leave
+    * children holding stale resolved FKs against a vanished schema. */
+  private def assertNoFkDependents(spark: SparkSession, name: String): Unit = {
+    val target = name.toLowerCase
+    constraintsFor(spark).foreach { case (child, ccons) =>
+      if (child != target && ccons.foreignKeys.exists(_._2.toLowerCase == target))
+        throw new IllegalArgumentException(
+          s"""Cannot drop entry "$name" because there are entries that """ +
+            s"""depend on it. table "$child" depends on table "$name".""")
+    }
+  }
+
   private def validationEnabled(spark: SparkSession): Boolean =
     spark.conf.getOption("spark.graft.validateConstraints").forall(_.toBoolean)
 
@@ -294,6 +309,7 @@ object SqlDialect {
       """(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+AS\s+(.+)$""".r
     ctasRe.findFirstMatchIn(q) match {
       case Some(m) =>
+        assertNoFkDependents(spark, m.group(1))
         val df = sql(spark, m.group(2)).localCheckpoint()
         df.createOrReplaceTempView(m.group(1))
         // the replaced table's declared constraints/PK do not carry over
@@ -325,6 +341,7 @@ object SqlDialect {
     createDefRe.findFirstMatchIn(q) match {
       case Some(m) =>
         val name = m.group(1)
+        assertNoFkDependents(spark, name)
         var keys = Vector.empty[String]
         var notNull = Vector.empty[String]
         var uniques = Vector.empty[(String, Seq[String])]
@@ -359,8 +376,12 @@ object SqlDialect {
               // REFERENCES extracts FIRST: colCheck is greedy to the
               // def's FINAL ')', so `CHECK (x > 0) REFERENCES p(id)`
               // would otherwise swallow the FK into the check text
-              // (self-review r10)
-              colFk.findFirstMatchIn(tpe).foreach { fm =>
+              // (self-review r10). Quote- and paren-guarded (r11,
+              // ADVICE): the word inside a DEFAULT string literal or a
+              // CHECK expression is not a constraint
+              colFk.findAllMatchIn(tpe).find(fm =>
+                  !insideQuotes(tpe, fm.start) &&
+                    parenDepth(tpe, fm.start) == 0).foreach { fm =>
                 fks :+= ((Seq(parts(0)), fm.group(1),
                   Option(fm.group(2)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
                 tpe = tpe.substring(0, fm.start) + tpe.substring(fm.end)
@@ -523,7 +544,13 @@ object SqlDialect {
             ccons.foreignKeys.filter(_._2.toLowerCase == pname).foreach {
               case (cols, _, refCols) =>
                 if (spark.catalog.tableExists(child)) {
-                  val childKeys = spark.table(child)
+                  // self-referential FK (r11, ADVICE): probe the POST-
+                  // delete child rows — deleting a key together with
+                  // every row that referenced it is consistent
+                  val childRows =
+                    if (child == pname) spark.table(child).filter(!cond)
+                    else spark.table(child)
+                  val childKeys = childRows
                     .filter(cols.map(fn.col(_).isNotNull).reduce(_ && _))
                     .select(cols.zip(refCols).map { case (c, rc) => fn.col(c).as(rc) }: _*)
                   val stillRef = deleted.select(refCols.map(fn.col): _*)
@@ -561,14 +588,35 @@ object SqlDialect {
         }.localCheckpoint()
         // declared-constraint validation on the POST-assignment rows,
         // BEFORE the view is replaced (the reference verifies updates
-        // the same way it verifies inserts). NOT NULL + CHECK only: a
-        // key-modifying UPDATE's uniqueness is the documented residual
-        // (checking it needs the old/new key delta, not just changed
-        // rows).
+        // the same way it verifies inserts): NOT NULL + CHECK on the
+        // changed rows, then (r11 — the round-8 residual closed)
+        // UNIQUE/PK on the POST-update whole-table key multiset when an
+        // assignment touches a declared key — the old/new delta a
+        // changed-rows-only check cannot see.
+        val fn = org.apache.spark.sql.functions
+        val assignedCols = assignments.map(_._1.toLowerCase).toSet
+        lazy val newTable = assignments.foldLeft(spark.table(m.group(1))) {
+          case (acc, (c, v)) =>
+            acc.withColumn(c, fn.when(cond, v).otherwise(fn.col(c)))
+        }
         constraintsFor(spark).get(m.group(1).toLowerCase)
           .filter(_ => validationEnabled(spark))
-          .foreach(cons => Engine.validateConstraints(spark, m.group(1), post,
-            cons.copy(unique = Nil), checkUnique = false))
+          .foreach { cons =>
+            Engine.validateConstraints(spark, m.group(1), post,
+              cons.copy(unique = Nil), checkUnique = false)
+            cons.unique
+              .filter(_._2.exists(k => assignedCols(k.toLowerCase)))
+              .foreach { case (label, keys) =>
+                // SQL UNIQUE ignores rows with any NULL key part
+                val keyed = newTable
+                  .filter(keys.map(fn.col(_).isNotNull).reduce(_ && _))
+                val dup = keyed.groupBy(keys.map(fn.col): _*)
+                  .count().filter(fn.col("count") > 1).limit(1).count() > 0
+                if (dup) throw new Engine.ConstraintViolation(
+                  s"Constraint Error: Duplicate key violates $label constraint: " +
+                    s"${m.group(1)}(${keys.mkString(", ")})")
+              }
+          }
         // parent-side FK check (self-review r10): an UPDATE that
         // rewrites a REFERENCED column can remove keys children still
         // point at. Removed keys = old key set EXCEPT the post-update
@@ -576,13 +624,7 @@ object SqlDialect {
         // same-key rewrite removes nothing); probe each dependent FK
         // like the DELETE path does.
         if (validationEnabled(spark)) {
-          val fn = org.apache.spark.sql.functions
           val pname = m.group(1).toLowerCase
-          val assignedCols = assignments.map(_._1.toLowerCase).toSet
-          lazy val newTable = assignments.foldLeft(spark.table(m.group(1))) {
-            case (acc, (c, v)) =>
-              acc.withColumn(c, fn.when(cond, v).otherwise(fn.col(c)))
-          }
           constraintsFor(spark).foreach { case (child, ccons) =>
             ccons.foreignKeys.filter(_._2.toLowerCase == pname).foreach {
               case (cols, _, refCols) =>
@@ -591,7 +633,11 @@ object SqlDialect {
                   val removed = spark.table(m.group(1))
                     .select(refCols.map(fn.col): _*)
                     .except(newTable.select(refCols.map(fn.col): _*))
-                  val childKeys = spark.table(child)
+                  // self-referential FK (r11, ADVICE): the child side is
+                  // the POST-update row set when child == parent
+                  val childRows =
+                    if (child == pname) newTable else spark.table(child)
+                  val childKeys = childRows
                     .filter(cols.map(fn.col(_).isNotNull).reduce(_ && _))
                     .select(cols.zip(refCols).map { case (c, rc) => fn.col(c).as(rc) }: _*)
                   if (removed.join(childKeys, refCols, "left_semi").limit(1).count() > 0)
@@ -614,16 +660,8 @@ object SqlDialect {
       """(?is)^\s*DROP\s+(?:TABLE|VIEW)\s+(IF\s+EXISTS\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*$""".r
     dropTableRe.findFirstMatchIn(q) match {
       case Some(m) =>
-        // dependency check (reference catalog dependency manager):
-        // dropping a table other tables reference by FK raises, like
-        // the reference's "Cannot drop entry … depend on it"
+        assertNoFkDependents(spark, m.group(2))
         val dropped = m.group(2).toLowerCase
-        constraintsFor(spark).foreach { case (child, ccons) =>
-          if (child != dropped && ccons.foreignKeys.exists(_._2.toLowerCase == dropped))
-            throw new IllegalArgumentException(
-              s"""Cannot drop entry "${m.group(2)}" because there are entries that """ +
-                s"""depend on it. table "$child" depends on table "${m.group(2)}".""")
-        }
         val existed = spark.catalog.dropTempView(m.group(2))
         require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
         primaryKeysFor(spark).remove(dropped)

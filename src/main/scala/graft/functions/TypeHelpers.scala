@@ -160,7 +160,17 @@ object TypeHelpers {
       "[+-]\\d{1,2}:(\\d{2})(?::\\d{2})?$", 1), lit("")).cast("long"), lit(0L))
     val os = coalesce(nullif(regexp_extract(s,
       "[+-]\\d{1,2}:\\d{2}:(\\d{2})$", 1), lit("")).cast("long"), lit(0L))
-    makeTimeTz(micros, sign * (oh * 3600L + om * 60L + os))
+    // malformed literal → NULL, not a silent +00 read (r11, ADVICE —
+    // the reference's TIMETZ cast raises a conversion error; a null is
+    // the non-throwing analog TRY_CAST-style callers expect). A MISSING
+    // offset is legal and reads +00, matching the reference (probed:
+    // '12:30:00'::TIMETZ → 12:30:00+00:00, '12:30:00junk' → error,
+    // '25:99:00+02' → error, '12:30:00+99' → error).
+    val wellFormed = s.rlike(
+      "^\\d{1,2}:\\d{2}:\\d{2}(\\.\\d+)?([+-]\\d{1,2}(:\\d{2}(:\\d{2})?)?)?$") &&
+      h < 24L && m < 60L && sec < lit(60.0) && oh <= 15L && om < 60L && os < 60L
+    when(wellFormed, makeTimeTz(micros, sign * (oh * 3600L + om * 60L + os)))
+      .otherwise(lit(null).cast("long"))
   }
 
   /** CAST(TIMETZ AS VARCHAR): 'HH:MM:SS[.f]±HH[:MM[:SS]]' with offset

@@ -24,14 +24,17 @@ object Multimodal {
                            thumbnail: Array[Byte])
 
   /** STUB decoder: a real implementation would decode the codec; this one
-    * derives a deterministic 8×8 "thumbnail" from the payload bytes so
-    * the pipeline is testable end-to-end.
+    * derives a deterministic w×h pixel grid from the payload bytes so
+    * the pipeline is testable end-to-end. Decodes to the DECLARED
+    * dimensions (r11 — a fixed 64-byte buffer made any record with
+    * width·height > 64 throw ArrayIndexOutOfBounds inside [[resize]]'s
+    * executors).
     */
   def fakeDecode(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val out = new Array[Byte](64)
-    if (payload.isEmpty) return out
+    val out = new Array[Byte](math.max(w * h, 0))
+    if (payload.isEmpty || out.isEmpty) return out
     var i = 0
-    while (i < 64) { out(i) = payload(i % payload.length); i += 1 }
+    while (i < out.length) { out(i) = payload(i % payload.length); i += 1 }
     out
   }
 
@@ -42,7 +45,7 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val px = fakeDecode(r.payload, r.width, r.height)
+        val px = fakeDecode(r.payload, 8, 8) // fixed 8×8 thumbnail
         val n = r.payload.length.toLong
         val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xff).toDouble).sum / n
         val counts = new Array[Long](256)

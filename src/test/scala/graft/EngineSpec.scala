@@ -217,4 +217,25 @@ class CsvSpec extends SparkSpec {
       rows(1).getAs[Any]("x") == null)
     assert(rows.forall(_.getString(3).endsWith(".csv")))
   }
+
+  test("pinnedSession memoizes one configured child per (parent, key)") {
+    var configured = 0
+    val c1 = Engine.pinnedSession(spark, "spec-key") { c =>
+      configured += 1
+      c.conf.set("spark.sql.shuffle.partitions", "7")
+    }
+    val c2 = Engine.pinnedSession(spark, "spec-key")(_ => configured += 1)
+    // same key → the SAME installed child; the loser's configure never
+    // re-runs on the installed instance
+    assert(c1 eq c2)
+    assert(configured == 1)
+    assert(c1.conf.get("spark.sql.shuffle.partitions") == "7")
+    // the parent's conf is untouched by the child's pin
+    assert(spark.conf.get("spark.sql.shuffle.partitions") != "7")
+    // a different key gets its own child
+    val c3 = Engine.pinnedSession(spark, "spec-key-2")(_ => ())
+    assert(!(c3 eq c1))
+    // same SparkContext underneath — a child is a session, not a cluster
+    assert(c1.sparkContext eq spark.sparkContext)
+  }
 }

@@ -277,6 +277,56 @@ class MacroSpec extends SparkSpec {
     SqlDialect.sql(spark, "DROP TABLE fko_parent") // now unreferenced
   }
 
+  test("r11 constraint hardening: replace-dependency, FK-in-literal, self-FK delete, UPDATE key uniqueness") {
+    Engine.registerAll(spark, dir)
+    Seq("fkr_child", "fkr_parent", "fkr_self", "fkr_lit", "fkr_uni").foreach(t =>
+      SqlDialect.sql(spark, s"DROP TABLE IF EXISTS $t"))
+    // CREATE OR REPLACE TABLE of an FK-referenced parent raises the same
+    // dependency error as DROP (ADVICE r11 — children would keep stale
+    // resolved FKs against a vanished schema)
+    SqlDialect.sql(spark, "CREATE TABLE fkr_parent (id INT PRIMARY KEY)")
+    SqlDialect.sql(spark, "INSERT INTO fkr_parent VALUES (1)")
+    SqlDialect.sql(spark,
+      "CREATE TABLE fkr_child (cid INT, pid INT REFERENCES fkr_parent(id))")
+    val er = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "CREATE OR REPLACE TABLE fkr_parent AS SELECT 9 AS id"))
+    assert(er.getMessage.contains("depend"))
+    val er2 = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "CREATE OR REPLACE TABLE fkr_parent (id INT PRIMARY KEY, extra INT)"))
+    assert(er2.getMessage.contains("depend"))
+    SqlDialect.sql(spark, "DROP TABLE fkr_child")
+    SqlDialect.sql(spark, "DROP TABLE fkr_parent")
+    // the word REFERENCES inside a CHECK expression's string literal is
+    // NOT an FK (quote- and paren-guarded extraction)
+    SqlDialect.sql(spark,
+      "CREATE TABLE fkr_lit (id INT PRIMARY KEY, v VARCHAR CHECK (v <> 'references x'))")
+    SqlDialect.sql(spark, "INSERT INTO fkr_lit VALUES (1, 'anything')") // no FK probe
+    SqlDialect.sql(spark, "DROP TABLE fkr_lit")
+    // self-referential FK: deleting a key together with every row that
+    // references it is consistent (post-delete probe, ADVICE r11)
+    SqlDialect.sql(spark,
+      "CREATE TABLE fkr_self (id INT PRIMARY KEY, mgr INT REFERENCES fkr_self(id))")
+    SqlDialect.sql(spark, "INSERT INTO fkr_self VALUES (1, NULL), (2, 1), (3, NULL)")
+    val es = intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "DELETE FROM fkr_self WHERE id = 1")) // 2 still points at 1
+    assert(es.getMessage.contains("still referenced"))
+    SqlDialect.sql(spark, "DELETE FROM fkr_self WHERE id <= 2") // 1 and its referencer
+    assert(SqlDialect.sql(spark, "SELECT count(*) AS n FROM fkr_self")
+      .head().getLong(0) == 1L)
+    SqlDialect.sql(spark, "DROP TABLE fkr_self")
+    // key-modifying UPDATE uniqueness (round-8 residual): rewriting a
+    // key onto an existing value raises; onto a fresh value passes
+    SqlDialect.sql(spark, "CREATE TABLE fkr_uni (id INT PRIMARY KEY, v INT)")
+    SqlDialect.sql(spark, "INSERT INTO fkr_uni VALUES (1, 10), (2, 20)")
+    val ek = intercept[Engine.ConstraintViolation](
+      SqlDialect.sql(spark, "UPDATE fkr_uni SET id = 2 WHERE id = 1"))
+    assert(ek.getMessage.contains("Duplicate key"))
+    SqlDialect.sql(spark, "UPDATE fkr_uni SET id = 3 WHERE id = 1")
+    assert(SqlDialect.sql(spark, "SELECT sum(id) AS s FROM fkr_uni")
+      .head().getLong(0) == 5L)
+    SqlDialect.sql(spark, "DROP TABLE fkr_uni")
+  }
+
   test("COLLATE after CASE WHEN / in DISTINCT ON keys is not poisoned context") {
     Engine.registerAll(spark, dir)
     // a CASE earlier in the projection must not pin 'pred' on later items

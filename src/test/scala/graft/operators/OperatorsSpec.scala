@@ -687,6 +687,23 @@ class MultimodalSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(ds, frameBytes = 10, stride = 2).collect()
     assert(frames.length == 5) // chunks 0,2,4,6,8
   }
+
+  test("resize handles metadata larger than the old fixed decode buffer (r11 OOB fix)") {
+    // 16×16 declared dims: the pre-r11 fakeDecode returned 64 bytes and
+    // resize indexed src(sy*16+sx) up to 255 — executor AIOOBE
+    val ds = Seq(
+      Multimodal.MediaRecord(1L, "some payload bytes".getBytes("UTF-8"), "image/fake", 16, 16),
+      Multimodal.MediaRecord(2L, "x".getBytes("UTF-8"), "image/fake", 64, 32))
+      .toDS().repartition(2)
+    val out = Multimodal.resize(ds, 4, 4).collect().sortBy(_.id)
+    assert(out.length == 2)
+    out.foreach { r =>
+      assert(r.outW == 4 && r.outH == 4 && r.pixels.length == 16 && r.nBytes == 16L)
+    }
+    // deterministic
+    val again = Multimodal.resize(ds, 4, 4).collect().sortBy(_.id)
+    assert(out.map(_.checksum).toSeq == again.map(_.checksum).toSeq)
+  }
 }
 
 class RecursionSpec extends SparkSpec {
