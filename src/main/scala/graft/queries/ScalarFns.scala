@@ -463,6 +463,10 @@ object ScalarFns {
         substring(b, 1, 1).cast("int").as("first_bit"),
         overlay(b, lit("1"), lit(1), lit(1)).as("set0"),
         instr(b, "101").cast("long").as("pos101"),
+        // bit_position carries the reference's no-backtrack streaming
+        // semantics (r11 — was the one named scalar-function hole)
+        call_udf("bit_position", lit("101"), b).as("bp101"),
+        call_udf("bit_position", lit("0110"), b).as("bp0110"),
         lpad(bin(col("id").bitwiseAND(col("id") + 1)), 8, "0").as("band"),
         lpad(bin(col("id").bitwiseXOR(lit(255))), 8, "0").as("bnot"),
         lpad(bin(col("id").bitwiseXOR(col("id") + 1)), 8, "0").as("bxor"))
@@ -929,6 +933,8 @@ object ScalarFns {
         |  CAST(get_bit(CAST(bin(i) AS BIT), 0) AS INTEGER) AS first_bit,
         |  CAST(set_bit(CAST(bin(i) AS BIT), 0, 1) AS VARCHAR) AS set0,
         |  CAST(strpos(bin(i), '101') AS BIGINT) AS pos101,
+        |  CAST(bit_position('101'::BIT, CAST(bin(i) AS BIT)) AS BIGINT) AS bp101,
+        |  CAST(bit_position('0110'::BIT, CAST(bin(i) AS BIT)) AS BIGINT) AS bp0110,
         |  CAST(CAST(lpad(bin(i), 8, '0') AS BIT)
         |    & CAST(lpad(bin(i + 1), 8, '0') AS BIT) AS VARCHAR) AS band,
         |  CAST(~CAST(lpad(bin(i), 8, '0') AS BIT) AS VARCHAR) AS bnot,
