@@ -4,10 +4,35 @@ given Bench dump files) joined with per-query DuckDB time
 (bench_duck.py output), plus protocol metadata and aggregate ratio.
 
 Usage: assemble_bench.py duck.json out.json spark_dump1.json [spark_dump2.json ...]
+
+Protocol rule (round-10 "what's wrong #5"): the artifact must measure
+the code that is in the tree. If any src/main source file's mtime
+postdates the SESSION START (the first duck pass's start stamp), the
+assembled artifact would describe code the session never ran — refuse
+loudly. Override only with --force (and say why in the round notes).
 """
-import json, sys
+import calendar, glob, json, os, sys, time
+
+force = "--force" in sys.argv
+argv = [a for a in sys.argv if a != "--force"]
+sys.argv = argv
 
 duck_raw = json.load(open(sys.argv[1]))
+
+stamps = duck_raw.get("stamps", {})
+if stamps and not force:
+    session_start = min(
+        calendar.timegm(time.strptime(v[0], "%Y-%m-%dT%H:%M:%SZ"))
+        for v in stamps.values())
+    newer = [p for p in glob.glob("src/main/**/*.scala", recursive=True) +
+             ["build.sbt"]
+             if os.path.getmtime(p) > session_start]
+    if newer:
+        sys.exit(
+            "assemble_bench: REFUSING to assemble — these sources were modified "
+            "AFTER the bench session started (the artifact would describe code "
+            "the session never ran):\n  " + "\n  ".join(sorted(newer)) +
+            "\nRe-run tools/bench_session.py, or pass --force if you know better.")
 duck = duck_raw["queries"] if "queries" in duck_raw else duck_raw
 dumps = [json.load(open(p)) for p in sys.argv[3:]]
 
