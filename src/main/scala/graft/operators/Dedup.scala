@@ -563,18 +563,22 @@ object Dedup {
                            planes: Array[Array[Double]], numBands: Int,
                            bitsPerBand: Int, maxBucket: Int,
                            carry: Seq[String] = Nil): DataFrame = {
+    // norms precompute ONCE PER VECTOR below the banded exchange (r11):
+    // computing them at the join output paid 2 extra dim-length dot
+    // products per CANDIDATE PAIR (a vector in k pairs re-normed k
+    // times) — per-pair math drops 3x to just the cross dot
     val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
-      bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+ ("__v" -> col(vecCol)))
+      bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+
+        ("__v" -> col(vecCol)) :+ ("__n" -> Similarity.norm(col(vecCol))))
     def side(sfx: String) =
       capped.select(col("band") +: col("bucket") +: col("id").as(s"id$sfx") +:
-        col("__v").as(s"__v$sfx") +:
+        col("__v").as(s"__v$sfx") +: col("__n").as(s"__n$sfx") +:
         carry.map(c => col(c).as(s"$c$sfx")): _*)
     side("_a").join(side("_b"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a") +: col("id_b") +:
         (Similarity.dot(col("__v_a"), col("__v_b")) /
-          (Similarity.norm(col("__v_a")) * Similarity.norm(col("__v_b"))))
-          .as("cos") +:
+          (col("__n_a") * col("__n_b"))).as("cos") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .dropDuplicates("id_a", "id_b")
   }
@@ -618,12 +622,16 @@ object Dedup {
                                    bitsPerBand: Int, maxBucket: Int,
                                    carry: Seq[String] = Nil,
                                    verifyCollisions: Boolean = false): DataFrame = {
+    // norms once per vector below the exchange (r11) — same 3x per-pair
+    // math cut as [[cosineLshScoredPairs]]
     val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
-      bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+ ("__v" -> col(vecCol)),
+      bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+
+        ("__v" -> col(vecCol)) :+ ("__n" -> Similarity.norm(col(vecCol))),
       keepBks = true)
     def side(sfx: String) =
       capped.select(col("band") +: col("bucket") +: col("id").as(s"id$sfx") +:
-        col("__v").as(s"__v$sfx") +: col("bks").as(s"__bks$sfx") +:
+        col("__v").as(s"__v$sfx") +: col("__n").as(s"__n$sfx") +:
+        col("bks").as(s"__bks$sfx") +:
         carry.map(c => col(c).as(s"$c$sfx")): _*)
     // SHUFFLE_MERGE pin: a broadcast self-join would COMPUTE the
     // banded/capped subtree twice (each side scans + re-kernels + its
@@ -637,13 +645,15 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a") +: col("id_b") +:
         (Similarity.dot(col("__v_a"), col("__v_b")) /
-          (Similarity.norm(col("__v_a")) * Similarity.norm(col("__v_b"))))
-          .as("cos") +:
-        // 8-element lambda per JOINED row — negligible next to the
-        // dim-length dot product above, and ≥1 by construction (the row
+          (col("__n_a") * col("__n_b"))).as("cos") +:
+        // UNROLLED equal-band count (r11): numBands is a plan-time
+        // constant, so numBands codegen comparisons replace the
+        // interpreted zip_with/filter lambda this paid per joined row
+        // (HOFs are CodegenFallback); ≥1 by construction (the row
         // exists because the arrays agree at its own band)
-        size(filter(zip_with(col("__bks_a"), col("__bks_b"), (x, y) => x === y),
-          b => b)).as("band_collisions") +:
+        (0 until numBands).map(i =>
+          when(col("__bks_a").getItem(i) === col("__bks_b").getItem(i), 1)
+            .otherwise(0)).reduce(_ + _).as("band_collisions") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
     if (!verifyCollisions) scored
     else {
