@@ -886,28 +886,25 @@ object SqlDialect {
   private[graft] def rewriteCore(spark: SparkSession, query: String): String = {
     var q = query
 
-    // Double-quoted / bracketed identifiers → backticks (reference
-    // identifiers are "quoted" per the SQL standard — Postgres grammar
-    // ident rules, duckdb-libpg_query region; Spark's default parser
-    // reads "…" as a string literal, so a migrated script's "order key"
-    // column would silently become a constant). Token-driven: only
-    // QIdent tokens rewrite, a double quote INSIDE a string literal is
-    // untouchable by construction.
+    // Double-quoted identifiers → backticks (reference identifiers are
+    // "quoted" per the SQL standard — Postgres grammar ident rules,
+    // duckdb-libpg_query region; Spark's default parser reads "…" as a
+    // string literal, so a migrated script's "order key" column would
+    // silently become a constant). Token-driven: only QIdent tokens
+    // rewrite, a double quote INSIDE a string literal is untouchable by
+    // construction; `[…]` is list syntax in the reference, never an
+    // identifier (SqlLex scaladoc).
     locally {
       val toks = SqlLex.tokenize(q)
-      if (toks.exists(t => t.kind == SqlLex.QIdent && t.lower.length > 0 &&
-          (t.lower.charAt(0) == '"' || t.lower.charAt(0) == '['))) {
+      if (toks.exists(t => t.kind == SqlLex.QIdent && t.start < q.length &&
+          q.charAt(t.start) == '"')) {
         val sb = new StringBuilder
         var last = 0
         toks.foreach { t =>
-          if (t.kind == SqlLex.QIdent &&
-              (q.charAt(t.start) == '"' || q.charAt(t.start) == '[')) {
+          if (t.kind == SqlLex.QIdent && q.charAt(t.start) == '"') {
             sb.append(q.substring(last, t.start))
-            val raw = q.substring(t.start, t.end)
-            val inner =
-              if (raw.startsWith("\""))
-                raw.stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
-              else raw.stripPrefix("[").stripSuffix("]")
+            val inner = q.substring(t.start, t.end)
+              .stripPrefix("\"").stripSuffix("\"").replace("\"\"", "\"")
             sb.append('`').append(inner.replace("`", "``")).append('`')
             last = t.end
           }

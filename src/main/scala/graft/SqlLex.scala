@@ -12,8 +12,8 @@ package graft
   *    nested CASE restores the ENCLOSING clause on END via a real
   *    stack (the old machine reset to `select`, silently DROPPING a
   *    COLLATE in `WHERE CASE … END … COLLATE` instead of raising), and
-  *    quoted/bracketed identifiers (`"order"`, `[group]`) can no
-  *    longer masquerade as clause keywords.
+  *    quoted identifiers (`"order"`, `"group by"`) can no longer
+  *    masquerade as clause keywords.
   *  - [[keywordIndex]] — depth-0 keyword lookup (QUALIFY / ORDER /
   *    LIMIT / FROM boundaries), replacing the char-walking
   *    topLevelIndex; a keyword is a BARE identifier token, so `t."from"`
@@ -30,7 +30,12 @@ private[graft] object SqlLex {
   sealed abstract class Kind
   /** Bare identifier / keyword candidate. */
   case object Ident extends Kind
-  /** Quoted identifier: "x" (SQL), `x` (Spark), [x] (bracket form). */
+  /** Quoted identifier: "x" (the SQL standard / reference form) or
+    * `x` (Spark). Square brackets are deliberately NOT identifiers:
+    * the reference has no bracket idents but plenty of bracket LIST
+    * syntax (`[1,2,3]` literals, `w[i]` indexing, `names=['a','b']`
+    * read_csv args) that a bracket-ident rule would mangle
+    * (self-review r11 #1) — `[`/`]` stay plain punctuation. */
   case object QIdent extends Kind
   case object Str extends Kind
   case object Num extends Kind
@@ -72,11 +77,6 @@ private[graft] object SqlLex {
             else { open = false; i += 1 }
           } else i += 1
         }
-        out += Tok(QIdent, s.substring(st, i), st, i)
-      } else if (c == '[') {
-        val st = i
-        val close = s.indexOf(']', i + 1)
-        i = if (close < 0) n else close + 1
         out += Tok(QIdent, s.substring(st, i), st, i)
       } else if (c == '(') { out += Tok(LParen, "(", i, i + 1); i += 1 }
       else if (c == ')') { out += Tok(RParen, ")", i, i + 1); i += 1 }

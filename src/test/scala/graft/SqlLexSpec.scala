@@ -76,11 +76,16 @@ class SqlLexSpec extends AnyFunSuite {
     assert(p4.contains("RECURSIVE"))
   }
 
-  test("tokenize survives traps: doubled quotes, operators, brackets") {
-    val toks = SqlLex.tokenize("SELECT 'it''s', \"a\"\"b\", [col 1], x||y, a<=b FROM t")
+  test("tokenize survives traps: doubled quotes, operators; brackets stay LIST syntax") {
+    val toks = SqlLex.tokenize("SELECT 'it''s', \"a\"\"b\", w[i], x||y, a<=b FROM t")
     assert(toks.count(_.kind == SqlLex.Str) == 1)
-    assert(toks.count(_.kind == SqlLex.QIdent) == 2)
+    assert(toks.count(_.kind == SqlLex.QIdent) == 1)
     assert(toks.exists(t => t.kind == SqlLex.Punct && t.lower == "||"))
     assert(toks.exists(t => t.kind == SqlLex.Punct && t.lower == "<="))
+    // brackets are punctuation (duck list literals / indexing), never
+    // identifiers — a bracket-ident rule would mangle [1,2,3] and w[i]
+    val lst = SqlLex.tokenize("SELECT [1,2,3] AS l, names=['a','b'] FROM t")
+    assert(lst.count(_.kind == SqlLex.QIdent) == 0)
+    assert(lst.count(_.kind == SqlLex.Str) == 2)
   }
 }
