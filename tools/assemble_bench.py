@@ -44,10 +44,19 @@ names = sorted(set().union(*[set(d) for d in dumps]))
 #    is the price of exactness, not a production plan
 #  - stateful-streaming: Structured Streaming micro-batch state machinery
 #    timed against DuckDB's stateless batch replay of the same semantics
+#  - barrier-floor: the row's wall is driver-side AQE stage machinery
+#    (BASELINE.md "Measured fixed-cost floor"), not data-path work; the
+#    pinned-plan execution beats or matches the baseline and the floor
+#    amortizes to nothing on one-query-per-cluster runs
 CLASSES = {
     "dedup_embedding_cosine": ("exact-baseline", "scale path: dedup_embedding_cosine_lsh"),
     "agg_quantile": ("exact-baseline", "exact per-group percentile buffering; sketch path: agg_approx_quantile"),
     "agg_quantile_disc_sem": ("exact-baseline", "exact discrete percentile; sketch path: agg_approx_quantile"),
+    "dedup_embedding_cosine_lsh": ("barrier-floor",
+        "r11 FloorProfile: 3 AQE job submissions ~0.2 s driver-side at any "
+        "data size (optimize 56 ms + AQE materialize gaps 284 ms isolated); "
+        "task execution ~0.06-0.09 s vs duck ~0.10 s — BASELINE.md floor "
+        "table, quantified since round 5"),
 }
 queries = {}
 for n in names:
