@@ -354,6 +354,10 @@ object DuckFunctions {
         .createOrReplaceTempFunction("array_dot", graft.plans.ArrayDot.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
+        .createOrReplaceTempFunction("array_dot_float",
+          graft.plans.ArrayDotFloat.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
         .createOrReplaceTempFunction("levenshtein_within",
           graft.plans.LevenshteinWithin.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -510,17 +510,53 @@ object Dedup {
     *    sides. The groupBy form computes a second full scan+kernel pass
     *    for the count.
     */
+  /** True when `vecCol` on `df` is `array<float>` — the LSH paths then
+    * keep the un-widened floats through the banded exchange (half the
+    * bytes per vector copy) and use the float dot kernel; the banding
+    * kernel input alone is cast (below the exchange, integer-exact
+    * quantization either way). Measured r12 (LshLab): the double-array
+    * carry was ~70 ms of the banded write stage on 2000x64 vectors. */
+  private[graft] def vecIsFloat(df: DataFrame, vecCol: String): Boolean =
+    df.select(col(vecCol)).schema.head.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  /** All band buckets packed into ONE long (band i's `bitsPerBand`-bit
+    * bucket at bits [i·b, (i+1)·b)) — carried through the banded exchange
+    * in place of the 8-long bucket ARRAY when they fit (numBands·b ≤ 64):
+    * 8 bytes instead of ~80 (array header + null bitmap + elements) on
+    * every exchanged row, read back on BOTH join sides. Bit 63 may be a
+    * bucket's top bit, so extraction masks after the shift. */
+  private def packedBks(bks: Column, numBands: Int, bitsPerBand: Int): Column =
+    (0 until numBands).map(i =>
+      shiftleft(bks.getItem(i), i * bitsPerBand)).reduce(_ bitwiseOR _)
+
+  private[graft] def packedBandEq(a: Column, b: Column, band: Int,
+                                  bitsPerBand: Int): Column = {
+    val mask = lit((1L << bitsPerBand) - 1L)
+    (shiftright(a, band * bitsPerBand).bitwiseAND(mask)) ===
+      (shiftright(b, band * bitsPerBand).bitwiseAND(mask))
+  }
+
   private def lshCappedBands(df: DataFrame, idCol: String, vecCol: String,
                              planes: Array[Array[Double]], numBands: Int,
                              bitsPerBand: Int, maxBucket: Int,
                              keep: Seq[(String, Column)],
-                             keepBks: Boolean = false): DataFrame = {
+                             keepBks: Boolean = false,
+                             packBks: Boolean = false): DataFrame = {
+    val bandIn =
+      if (vecIsFloat(df, vecCol)) col(vecCol).cast("array<double>")
+      else col(vecCol)
     val banded = df
       .select(col(idCol).as("id") +: keep.map { case (n, c) => c.as(n) } :+
-        signLshBucketsCol(df, col(vecCol), planes, numBands, bitsPerBand)
+        signLshBucketsCol(df, bandIn, planes, numBands, bitsPerBand)
           .as("bks"): _*)
       .select((col("id") +: keep.map { case (n, _) => col(n) }) ++
         (if (keepBks) Seq(col("bks")) else Nil) ++
+        (if (packBks) Seq(packedBks(col("bks"), numBands, bitsPerBand)
+          .as("__bksp")) else Nil) ++
         Seq(posexplode_outer(col("bks")).as(Seq("band", "bucket"))): _*)
       .filter(col("band").isNotNull)
     banded
@@ -567,9 +603,13 @@ object Dedup {
     // computing them at the join output paid 2 extra dim-length dot
     // products per CANDIDATE PAIR (a vector in k pairs re-normed k
     // times) — per-pair math drops 3x to just the cross dot
+    val isF = vecIsFloat(df, vecCol)
+    val dotFn = if (isF) Similarity.dotF _ else Similarity.dot _
+    val normC = if (isF) Similarity.normF(col(vecCol))
+                else Similarity.norm(col(vecCol))
     val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
       bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+
-        ("__v" -> col(vecCol)) :+ ("__n" -> Similarity.norm(col(vecCol))))
+        ("__v" -> col(vecCol)) :+ ("__n" -> normC))
     def side(sfx: String) =
       capped.select(col("band") +: col("bucket") +: col("id").as(s"id$sfx") +:
         col("__v").as(s"__v$sfx") +: col("__n").as(s"__n$sfx") +:
@@ -577,7 +617,7 @@ object Dedup {
     side("_a").join(side("_b"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a") +: col("id_b") +:
-        (Similarity.dot(col("__v_a"), col("__v_b")) /
+        (dotFn(col("__v_a"), col("__v_b")) /
           (col("__n_a") * col("__n_b"))).as("cos") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
       .dropDuplicates("id_a", "id_b")
@@ -624,14 +664,23 @@ object Dedup {
                                    verifyCollisions: Boolean = false): DataFrame = {
     // norms once per vector below the exchange (r11) — same 3x per-pair
     // math cut as [[cosineLshScoredPairs]]
+    val isF = vecIsFloat(df, vecCol)
+    val dotFn = if (isF) Similarity.dotF _ else Similarity.dot _
+    val normC = if (isF) Similarity.normF(col(vecCol))
+                else Similarity.norm(col(vecCol))
+    // bucket arrays ride the exchange only for the per-pair collision
+    // count — pack them into one long when they fit (r12: ~72 fewer bytes
+    // per exchanged row, written once, read + sorted on both join sides)
+    val packed = numBands * bitsPerBand <= 64
     val capped = lshCappedBands(df, idCol, vecCol, planes, numBands,
       bitsPerBand, maxBucket, carry.map(c => c -> col(c)) :+
-        ("__v" -> col(vecCol)) :+ ("__n" -> Similarity.norm(col(vecCol))),
-      keepBks = true)
+        ("__v" -> col(vecCol)) :+ ("__n" -> normC),
+      keepBks = !packed, packBks = packed)
+    val bksCol = if (packed) "__bksp" else "bks"
     def side(sfx: String) =
       capped.select(col("band") +: col("bucket") +: col("id").as(s"id$sfx") +:
         col("__v").as(s"__v$sfx") +: col("__n").as(s"__n$sfx") +:
-        col("bks").as(s"__bks$sfx") +:
+        col(bksCol).as(s"__bks$sfx") +:
         carry.map(c => col(c).as(s"$c$sfx")): _*)
     // SHUFFLE_MERGE pin: a broadcast self-join would COMPUTE the
     // banded/capped subtree twice (each side scans + re-kernels + its
@@ -644,15 +693,19 @@ object Dedup {
     val scored = side("_a").hint("SHUFFLE_MERGE").join(side("_b"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a") +: col("id_b") +:
-        (Similarity.dot(col("__v_a"), col("__v_b")) /
+        (dotFn(col("__v_a"), col("__v_b")) /
           (col("__n_a") * col("__n_b"))).as("cos") +:
         // UNROLLED equal-band count (r11): numBands is a plan-time
         // constant, so numBands codegen comparisons replace the
         // interpreted zip_with/filter lambda this paid per joined row
         // (HOFs are CodegenFallback); ≥1 by construction (the row
-        // exists because the arrays agree at its own band)
+        // exists because the arrays agree at its own band). Packed form
+        // compares masked bit fields of the two longs instead of array
+        // elements — same count, no per-element array access.
         (0 until numBands).map(i =>
-          when(col("__bks_a").getItem(i) === col("__bks_b").getItem(i), 1)
+          when(if (packed) packedBandEq(col("__bks_a"), col("__bks_b"),
+                 i, bitsPerBand)
+               else col("__bks_a").getItem(i) === col("__bks_b").getItem(i), 1)
             .otherwise(0)).reduce(_ + _).as("band_collisions") +:
         carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
     if (!verifyCollisions) scored

@@ -18,6 +18,15 @@ object Similarity {
     * DuckFunctions.register / GraftExtensions). */
   def dot(a: Column, b: Column): Column = call_function("array_dot", a, b)
 
+  /** [[dot]] over `array<float>` columns, accumulated in double with each
+    * element widened first — bit-identical to dot-after-cast-to-double at
+    * half the bytes (see [[graft.plans.ArrayDotFloat]]). Use when the
+    * vectors ride a shuffle: un-widened float arrays halve the exchange. */
+  def dotF(a: Column, b: Column): Column = call_function("array_dot_float", a, b)
+
+  /** L2 norm of an array<float> column (double result, exact widening). */
+  def normF(v: Column): Column = sqrt(dotF(v, v))
+
   /** L2 norm of an array<double> column. */
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Native dot product over two array<double> columns.
@@ -64,6 +64,65 @@ object ArrayDot {
   val builder: Seq[Expression] => Expression = args => ArrayDot(args(0), args(1))
 }
 
+/** [[ArrayDot]] over `array<float>` inputs, accumulating in double with
+  * each element widened before the multiply — bit-identical to casting
+  * the arrays to `array<double>` first (float→double widening is exact,
+  * the product/sum rounding is the same), at HALF the bytes per vector.
+  * Exists so float-sourced embeddings can ride a shuffle un-widened: the
+  * banded LSH exchange carries one vector copy per (row, band), and the
+  * r12 measurement put the double-array carry at ~70 ms of the banded
+  * write stage alone (LshLab v0 vs v4).
+  */
+case class ArrayDotFloat(left: Expression, right: Expression)
+  extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot_float"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i))
+        s += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$x.isNullAt($i) && !$y.isNullAt($i)) {
+         |    $s += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): ArrayDotFloat =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDotFloat {
+  val info = new ExpressionInfo(classOf[ArrayDotFloat].getName, "array_dot_float")
+  val builder: Seq[Expression] => Expression =
+    args => ArrayDotFloat(args(0), args(1))
+}
+
 /** Optimizer rule: `pow(x, 2)` → `x * x` (a multiplication beats a
   * transcendental pow call; the reference's ExpressionRewriter plays the
   * same role with ArithmeticSimplification, duckdb-7.cpp:13908).
@@ -97,6 +156,8 @@ object SquarePowRule
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("array_dot"), ArrayDot.info, ArrayDot.builder))
+    ext.injectFunction((FunctionIdentifier("array_dot_float"),
+      ArrayDotFloat.info, ArrayDotFloat.builder))
     ext.injectFunction((FunctionIdentifier("levenshtein_within"),
       LevenshteinWithin.info, LevenshteinWithin.builder))
     ext.injectFunction((FunctionIdentifier("word_gram_hashes"),

@@ -671,9 +671,13 @@ object Pipeline {
       // by L — the hot-bucket-overlap case where the weighted form
       // under-counts (see cosineLshScoredPairsWeighted scaladoc) —
       // so degenerate data fails loudly instead of silently drifting.
+      // v stays array<float>: the banded exchange carries one vector copy
+      // per (row, band), and un-widened floats HALVE those bytes; the
+      // float dot kernel widens per element, so cos is bit-identical to
+      // the cast-to-double form (r12, LshLab measurement)
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label").cast("long").as("label"),
-          col("embedding").cast("array<double>").as("v"))
+          col("embedding").as("v"))
       val L = 720720L // lcm(1..16) >= lcm(1..LshBands)
       Dedup.cosineLshScoredPairsWeighted(e, "vec_id", "v", lshPlanes,
         numBands = LshBands, bitsPerBand = LshBits, maxBucket = LshMaxBucket,

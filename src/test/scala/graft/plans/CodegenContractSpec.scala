@@ -26,6 +26,23 @@ class CodegenContractSpec extends SparkSpec {
     assert(out.zipWithIndex.forall { case (d, i) => d == 3.0 * i + 2.0 * i })
   }}
 
+  test("array_dot_float compiles and equals dot-after-cast bit-for-bit") {
+    withCodegenOnly {
+      // float→double widening is exact, so the float kernel must produce
+      // the IDENTICAL double as casting the arrays first — the contract
+      // that lets LSH vectors ride the banded exchange un-widened (r12)
+      val df = spark.range(50).select(
+        array((0 until 7).map(i =>
+          (sin(col("id") * (i + 1)) * 1.37f).cast("float")): _*).as("v"))
+      val out = df.select(
+        call_function("array_dot_float", col("v"), col("v")).as("f"),
+        call_function("array_dot", col("v").cast("array<double>"),
+          col("v").cast("array<double>")).as("d"))
+        .collect()
+      assert(out.forall(r => r.getDouble(0) == r.getDouble(1)))
+    }
+  }
+
   test("levenshtein_within compiles and evaluates") { withCodegenOnly {
     val out = spark.range(20)
       .select(call_function("levenshtein_within",
