@@ -332,9 +332,10 @@ object Pipeline {
       // same literal planes, same skew cap, same top-3 refine — in SQL,
       // so the bucketed plan is verified end to end cross-engine
       val e = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(col("vec_id"), col("embedding").as("v"))
       // refine fused into the band join (vectors ride the one banded
-      // exchange; no post-candidate id-joins — see cosineLshScoredPairs).
+      // exchange un-widened as array<float> — half the bytes, bit-identical
+      // cosine; see cosineLshScoredPairs / ArrayDotFloat).
       // Weighted variant: with numBands = 1 a pair can collide at most
       // once, so the dropDuplicates exchange of the default form is pure
       // overhead — band_collisions is constantly 1 and is dropped.
