@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * with typed metadata.
   *
   * The Spark-side plumbing (schema, partition-parallel decode via
-  * mapPartitions over a typed Dataset, batch shape) is real; the codec
-  * itself is a DETERMINISTIC STUB (`fakeDecode`) because no image/audio
-  * libraries ship in this environment — swap `fakeDecode` for a real
-  * decoder (JavaCV/TwelveMonkeys) without touching the dataflow.
+  * mapPartitions over a typed Dataset, batch shape) is real. Image decode
+  * is REAL for the formats the JDK ships decoders for — PNG/JPEG/BMP/GIF
+  * via `javax.imageio`, zero new dependencies ([[decodeImage]], r12) —
+  * with the deterministic [[fakeDecode]] stub as the fallback for
+  * unknown codecs (audio/video and the `image/fake` test payloads), so
+  * the dataflow stays testable end-to-end either way. Swap in
+  * JavaCV/TwelveMonkeys for the wider codec matrix without touching the
+  * dataflow.
   */
 object Multimodal {
 
@@ -38,6 +42,85 @@ object Multimodal {
     out
   }
 
+  /** REAL image decode via `javax.imageio` (PNG/JPEG/BMP/GIF decoders
+    * ship with the JDK): grayscale luminance grid + the image's ACTUAL
+    * dimensions. None when the payload is not a decodable image (ImageIO
+    * sniffs the container and returns null) — callers fall back to the
+    * deterministic stub.
+    *
+    * Grayscale rasters are read as raw SAMPLES, not through getRGB:
+    * `TYPE_BYTE_GRAY`'s getRGB applies a linear-gray→sRGB color-space
+    * conversion (v=128 comes back ~186), which would break exact
+    * round-trips of gray PNGs. Color images use integer luminance
+    * (299r + 587g + 114b + 500) / 1000 — deterministic across JVMs, and
+    * the identity on r=g=b=v pixels.
+    */
+  def decodeImage(payload: Array[Byte]): Option[(Array[Byte], Int, Int)] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val out = new Array[Byte](w * h)
+        val raster = img.getRaster
+        if (raster.getNumBands == 1 &&
+            raster.getSampleModel.getSampleSize(0) <= 8) {
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              out(y * w + x) = raster.getSample(x, y, 0).toByte
+              x += 1
+            }
+            y += 1
+          }
+        } else {
+          val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+          var i = 0
+          while (i < rgb.length) {
+            val p = rgb(i)
+            val lum = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) +
+              114 * (p & 0xff) + 500) / 1000
+            out(i) = lum.toByte
+            i += 1
+          }
+        }
+        Some((out, w, h))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Pixel grid + dimensions of a record: the REAL decoder for real image
+    * media types, the deterministic stub (declared dims) otherwise. */
+  def decode(r: MediaRecord): (Array[Byte], Int, Int) = {
+    val real =
+      if (r.mediaType.startsWith("image/") && r.mediaType != "image/fake")
+        decodeImage(r.payload)
+      else None
+    real.getOrElse((fakeDecode(r.payload, r.width, r.height),
+      r.width, r.height))
+  }
+
+  /** Nearest-neighbor resample of a `sw`×`sh` grid to `tw`×`th` — the
+    * shared kernel of [[resize]] and [[extractFeatures]]'s thumbnail.
+    * Degenerate sources (zero-area) produce a zero grid. */
+  private def resample(src: Array[Byte], sw: Int, sh: Int,
+                       tw: Int, th: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(tw * th, 0))
+    if (sw <= 0 || sh <= 0 || src.isEmpty) return out
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        out(y * tw + x) = src((y * sh / th) * sw + (x * sw / tw))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
   /** Per-partition feature extraction — the decode runs inside executors,
     * one partition at a time (the Scala analog of mapInPandas batches).
     */
@@ -45,7 +128,11 @@ object Multimodal {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val px = fakeDecode(r.payload, 8, 8) // fixed 8×8 thumbnail
+        // 8×8 thumbnail from the decoded pixels (real decoder for real
+        // image types; the fake 8×8-declared path resamples 8×8→8×8 =
+        // identity with the pre-r12 behavior)
+        val (grid, gw, gh) = decode(r)
+        val px = resample(grid, gw, gh, 8, 8)
         val n = r.payload.length.toLong
         val mean = if (n == 0) 0.0 else r.payload.map(b => (b & 0xff).toDouble).sum / n
         val counts = new Array[Long](256)
@@ -64,25 +151,16 @@ object Multimodal {
 
   /** Nearest-neighbor resize over the decoded pixel grid — the
     * image-resize step of a preprocessing pipeline. Runs per partition
-    * inside executors (same dataflow as [[extractFeatures]]); only the
-    * decode is the documented stub, the resampling math is real. */
+    * inside executors (same dataflow as [[extractFeatures]]); the decode
+    * is REAL for JDK-supported image formats and the deterministic stub
+    * otherwise ([[decode]]); source dimensions come from the decoded
+    * image, not the declared metadata, on the real path. */
   def resize(ds: Dataset[MediaRecord], tw: Int, th: Int): Dataset[ResizedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.map { r =>
-        val src = fakeDecode(r.payload, r.width, r.height)
-        val out = new Array[Byte](tw * th)
-        var y = 0
-        while (y < th) {
-          var x = 0
-          while (x < tw) {
-            val sy = y * r.height / th
-            val sx = x * r.width / tw
-            out(y * tw + x) = src(sy * r.width + sx)
-            x += 1
-          }
-          y += 1
-        }
+        val (src, sw, sh) = decode(r)
+        val out = resample(src, sw, sh, tw, th)
         var sum = 0L
         out.foreach(b => sum += (b & 0xff))
         ResizedMedia(r.id, tw, th, out.length.toLong, sum, out)

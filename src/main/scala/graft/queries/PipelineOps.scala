@@ -145,6 +145,41 @@ object PipelineOps {
         .orderBy(col("doc_id"))
     }),
 
+    "mm_decode_png" -> ((s, dir) => {
+      // REAL image decode through the driver gate: executors ENCODE a
+      // deterministic 16×16 grayscale PNG per document (pixel k of doc d
+      // is (d·31 + k·7) mod 256), then the resize pipeline DECODES it
+      // with javax.imageio (actual dims from the image — the record
+      // declares -1×-1 to prove the metadata isn't consulted) and
+      // resamples 4×4. PNG is lossless and gray samples are read raw
+      // (no sRGB conversion), so the decoded grid equals the generator
+      // arithmetic and DuckDB replays checksum = Σ pixels[resample idx]
+      // without any image library.
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val w = 16; val h = 16
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            var k = 0
+            while (k < w * h) {
+              img.getRaster.setSample(k % w, k / w, 0,
+                ((id * 31 + k * 7) % 256).toInt)
+              k += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            graft.operators.Multimodal.MediaRecord(
+              id, bos.toByteArray, "image/png", -1, -1)
+          }
+        }
+      graft.operators.Multimodal.resize(media, 4, 4).toDF()
+        .select(col("id").as("doc_id"),
+          col("outW").cast("long").as("w"), col("outH").cast("long").as("h"),
+          col("nBytes").as("n_bytes"), col("checksum"))
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       // BM25 corpus search: query-term filter BEFORE the shuffle, |Q|-row
       // broadcast idf table, TakeOrderedAndProject top-k (no global sort)
@@ -274,6 +309,18 @@ object PipelineOps {
         |    k -> ascii(substr(text, ((2*(k//4))*8 + 2*(k%4)) % len(text) + 1, 1))))
         |    AS BIGINT) AS checksum
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the Spark side ROUND-TRIPS a real PNG (ImageIO encode in one
+    // executor stage, ImageIO decode inside resize); duck replays the
+    // generator + resample-index arithmetic directly — PNG grayscale is
+    // lossless, so the decoded grid IS the generator function
+    "mm_decode_png" ->
+      """SELECT doc_id, CAST(4 AS BIGINT) AS w, CAST(4 AS BIGINT) AS h,
+        |  CAST(16 AS BIGINT) AS n_bytes,
+        |  CAST(list_sum(list_transform(generate_series(0, 15),
+        |    k -> (doc_id*31 + ((k//4)*64 + (k%4)*4)*7) % 256))
+        |    AS BIGINT) AS checksum
+        |FROM documents""".stripMargin,
 
     "text_bm25_topk" ->
       """WITH base AS (

@@ -688,6 +688,57 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 5) // chunks 0,2,4,6,8
   }
 
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("decodeImage round-trips a grayscale PNG exactly (raw samples, no sRGB)") {
+    val img = new java.awt.image.BufferedImage(
+      6, 4, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 4; x <- 0 until 6)
+      img.getRaster.setSample(x, y, 0, (y * 6 + x) * 11 % 256)
+    val Some((px, w, h)) = Multimodal.decodeImage(pngBytes(img))
+    assert(w == 6 && h == 4)
+    // TYPE_BYTE_GRAY via getRGB would corrupt these (128 -> ~186); the
+    // raw-sample path must return the written values verbatim
+    assert(px.zipWithIndex.forall { case (b, i) => (b & 0xff) == i * 11 % 256 })
+  }
+
+  test("decodeImage converts RGB PNG by integer luminance; junk returns None") {
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000) // pure red
+    img.setRGB(1, 0, 0x4080c0) // mixed
+    val Some((px, w, h)) = Multimodal.decodeImage(pngBytes(img))
+    assert(w == 2 && h == 1)
+    assert((px(0) & 0xff) == (299 * 255 + 500) / 1000)
+    assert((px(1) & 0xff) ==
+      (299 * 0x40 + 587 * 0x80 + 114 * 0xc0 + 500) / 1000)
+    assert(Multimodal.decodeImage("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("resize decodes real PNG payloads with dims from the image, not metadata") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 8)
+      img.getRaster.setSample(x, y, 0, (y * 8 + x) * 3 % 256)
+    // declared -1×-1: the real path must take 8×8 from the decode
+    val ds = Seq(Multimodal.MediaRecord(
+      1L, pngBytes(img), "image/png", -1, -1)).toDS()
+    val out = Multimodal.resize(ds, 4, 4).collect().head
+    // nearest-neighbor picks src(2y*8 + 2x) = ((16y + 2x)*3) % 256
+    val expect = (for (y <- 0 until 4; x <- 0 until 4)
+      yield ((16 * y + 2 * x) * 3 % 256).toLong).sum
+    assert(out.checksum == expect && out.pixels.length == 16)
+    // a JPEG payload decodes too (lossy values, but real dims)
+    val jbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbos)
+    val Some((_, jw, jh)) = Multimodal.decodeImage(jbos.toByteArray)
+    assert(jw == 8 && jh == 8)
+  }
+
   test("resize handles metadata larger than the old fixed decode buffer (r11 OOB fix)") {
     // 16×16 declared dims: the pre-r11 fakeDecode returned 64 bytes and
     // resize indexed src(sy*16+sx) up to 255 — executor AIOOBE
