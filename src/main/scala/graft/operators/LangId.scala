@@ -8,8 +8,10 @@ package graft.operators
   * Two tiers:
   *   1. SCRIPT detection for languages whose writing system is
   *      decisive: Han → zh, Kana → ja (checked before Han — Japanese
-  *      text mixes both), Hangul → ko, Greek → el. Codepoint-range
-  *      counting, no model needed.
+  *      text mixes both), Hangul → ko, Greek → el, Devanagari → hi,
+  *      Thai → th (r12 — single-script decisions like el; as with
+  *      Han → zh, the dominant language of the script is the call).
+  *      Codepoint-range counting, no model needed.
   *   2. WITHIN-SCRIPT classification by trigram rank profiles (r11
   *      extends the recipe beyond Latin): each language's profile is
   *      the frequency-ranked top trigram list of an embedded seed text
@@ -17,10 +19,11 @@ package graft.operators
   *      Article 1 plus common-usage sentences); a document is scored
   *      by the out-of-place distance between its own trigram ranks and
   *      each profile of ITS script group, smallest distance wins.
-  *      Groups: Latin (en es fr de it pt nl sv pl ro id), Cyrillic
-  *      (ru uk bg), Arabic script (ar fa). Profiles build once at
-  *      class init and classification is a per-row map lookup — no
-  *      network, no external model file, deterministic.
+  *      Groups: Latin (en es fr de it pt nl sv pl ro id + r12
+  *      tr vi cs da fi), Cyrillic (ru uk bg), Arabic script (ar fa).
+  *      Profiles build once at class init and classification is a
+  *      per-row map lookup — no network, no external model file,
+  *      deterministic.
   *
   * Accuracy contract (spec-pinned): ≥95% on clean single-language
   * sentences across the supported set. Not a fastText replacement —
@@ -131,7 +134,60 @@ object LangId {
       "ada yang baru di bawah matahari ini adalah kisah sebuah keluarga " +
       "yang tinggal di sebuah desa kecil anak anak berjalan ke sekolah pada " +
       "pagi hari dan rumah itu mempunyai kebun yang sangat indah " +
-      "wanita itu telah membaca banyak buku dan meletakkannya di atas meja dapur ketika kami tiba dia tidak dapat menemukan barang barangnya dan meminta kami untuk segera membantunya karena dia harus segera berangkat"))
+      "wanita itu telah membaca banyak buku dan meletakkannya di atas meja dapur ketika kami tiba dia tidak dapat menemukan barang barangnya dan meminta kami untuk segera membantunya karena dia harus segera berangkat"),
+    // r12 additions: the same UDHR-Article-1 + common-usage recipe.
+    // Diacritics are written natively; the NFD mark-strip folds them on
+    // seeds and documents alike (Turkish dotless ı, Danish æ/ø and
+    // Vietnamese đ have no decomposition and survive as distinctive
+    // letters).
+    "tr" -> ("bütün insanlar hür haysiyet ve haklar bakımından eşit " +
+      "doğarlar akıl ve vicdana sahiptirler ve birbirlerine karşı kardeşlik " +
+      "zihniyeti ile hareket etmelidirler " +
+      "köpek ve kedi şehrin yakınındaki evde yaşıyor güneşin altında yeni " +
+      "bir şey yok bu küçük bir köyde yaşayan bir ailenin hikayesidir " +
+      "çocuklar sabah okula yürür ve evin çok güzel bir bahçesi var " +
+      "kadın birçok kitap okumuştu ve onları mutfaktaki masanın üzerine " +
+      "koymuştu biz geldiğimizde eşyalarını bulamıyordu ve yakında gitmesi " +
+      "gerektiği için hemen ona yardım etmemizi istedi"),
+    "vi" -> ("tất cả mọi người sinh ra đều được tự do và bình đẳng về nhân " +
+      "phẩm và quyền lợi con người được tạo hóa ban cho lý trí và lương " +
+      "tâm và cần phải đối xử với nhau trong tình anh em " +
+      "con chó và con mèo sống trong ngôi nhà gần thành phố không có gì " +
+      "mới dưới ánh mặt trời đây là câu chuyện về một gia đình sống trong " +
+      "một ngôi làng nhỏ buổi sáng trẻ em đi bộ đến trường và ngôi nhà có " +
+      "một khu vườn rất đẹp " +
+      "người phụ nữ đã đọc nhiều sách và đặt chúng trên bàn bếp khi chúng " +
+      "tôi đến anh ấy không tìm thấy đồ đạc của mình và nhờ chúng tôi giúp " +
+      "ngay vì anh ấy phải đi sớm"),
+    "cs" -> ("všichni lidé rodí se svobodní a sobě rovní co do důstojnosti " +
+      "a práv jsou nadáni rozumem a svědomím a mají spolu jednat v duchu " +
+      "bratrství " +
+      "pes a kočka bydlí v domě který se nachází blízko města není nic " +
+      "nového pod sluncem toto je příběh rodiny která žila v malé vesnici " +
+      "děti chodí ráno do školy a dům má velmi krásnou zahradu " +
+      "žena přečetla mnoho knih a položila je na stůl v kuchyni když jsme " +
+      "přijeli nemohl najít své věci a požádal nás abychom mu hned pomohli " +
+      "protože musel brzy odjet"),
+    "da" -> ("alle mennesker er født frie og lige i værdighed og " +
+      "rettigheder de er udstyret med fornuft og samvittighed og de bør " +
+      "handle mod hverandre i en broderskabets ånd " +
+      "hunden og katten bor i huset som ligger tæt på byen der er intet " +
+      "nyt under solen dette er historien om en familie der boede i en " +
+      "lille landsby børnene går i skole om morgenen og huset har en meget " +
+      "smuk have " +
+      "kvinden havde læst mange bøger og hun havde lagt dem på bordet i " +
+      "køkkenet da vi kom frem kunne han ikke finde sine ting og bad os om " +
+      "at hjælpe ham med det samme fordi han snart skulle rejse"),
+    "fi" -> ("kaikki ihmiset syntyvät vapaina ja tasavertaisina arvoltaan " +
+      "ja oikeuksiltaan heille on annettu järki ja omatunto ja heidän on " +
+      "toimittava toisiaan kohtaan veljeyden hengessä " +
+      "koira ja kissa asuvat talossa joka on lähellä kaupunkia ei mitään " +
+      "uutta auringon alla tämä on tarina perheestä joka asui pienessä " +
+      "kylässä lapset kävelevät aamulla kouluun ja talolla on hyvin kaunis " +
+      "puutarha " +
+      "nainen oli lukenut monta kirjaa ja pannut ne keittiön pöydälle kun " +
+      "saavuimme hän ei löytänyt tavaroitaan ja pyysi meitä auttamaan " +
+      "häntä heti koska hänen piti lähteä pian"))
 
   // Cyrillic-script seed prose (UDHR Article 1 + the same common-usage
   // sentences as the Latin seeds, natively written). NFD mark-stripping
@@ -200,7 +256,7 @@ object LangId {
   /** Supported output codes (incl. script-detected and 'und'). */
   val knownCodes: Seq[String] =
     (seeds.keys.toSeq ++ cyrillicSeeds.keys.toSeq ++ arabicSeeds.keys.toSeq ++
-      Seq("zh", "ja", "ko", "el", "und")).distinct.sorted
+      Seq("zh", "ja", "ko", "el", "hi", "th", "und")).distinct.sorted
 
   /** Letters-and-single-spaces normalization; diacritics folded so the
     * seed texts (written unaccented) and accented real text meet in the
@@ -270,7 +326,7 @@ object LangId {
   def classify(text: String): String = {
     if (text == null || text.trim.isEmpty) return "und"
     var han = 0; var kana = 0; var hangul = 0; var cyr = 0
-    var arab = 0; var greek = 0; var letters = 0
+    var arab = 0; var greek = 0; var deva = 0; var thai = 0; var letters = 0
     text.codePoints().forEach { cp =>
       if (Character.isLetter(cp)) {
         letters += 1
@@ -280,6 +336,8 @@ object LangId {
         else if (inRange(cp, 0x0400, 0x04FF)) cyr += 1
         else if (inRange(cp, 0x0600, 0x06FF) || inRange(cp, 0x0750, 0x077F)) arab += 1
         else if (inRange(cp, 0x0370, 0x03FF)) greek += 1
+        else if (inRange(cp, 0x0900, 0x097F)) deva += 1
+        else if (inRange(cp, 0x0E00, 0x0E7F)) thai += 1
       }
     }
     if (letters == 0) return "und"
@@ -288,6 +346,10 @@ object LangId {
     if (han / l > 0.20) return "zh"
     if (hangul / l > 0.20) return "ko"
     if (greek / l > 0.50) return "el"
+    // single-script decisions (r12): Devanagari → hi, Thai → th — the
+    // script's dominant language is the call, same envelope as Han → zh
+    if (deva / l > 0.50) return "hi"
+    if (thai / l > 0.50) return "th"
     // within-script tier: the script picks the profile GROUP, the
     // out-of-place trigram distance picks the language inside it
     val group =

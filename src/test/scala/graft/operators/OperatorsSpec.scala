@@ -635,7 +635,44 @@ class TextAnalysisSpec extends SparkSpec {
       "fa" -> "همسایه های ما هفته گذشته یک ماشین نو خریدند",
       "fa" -> "موزه در روزهای یکشنبه در ماه های زمستان زود بسته می شود",
       "fa" -> "او نمی توانست به یاد بیاورد کلیدهایش را کجا گذاشته است",
-      "fa" -> "بسیاری از دانشجویان ترجیح می دهند قبل از امتحان های سخت با هم درس بخوانند")
+      "fa" -> "بسیاری از دانشجویان ترجیح می دهند قبل از امتحان های سخت با هم درس بخوانند",
+      // r12: Devanagari (hi) and Thai (th) script decisions; tr/vi/cs/da/fi
+      // join the Latin trigram group
+      "hi" -> "उसने खिड़की खोली क्योंकि कमरा बहुत गरम था",
+      "hi" -> "हमारे पड़ोसियों ने पिछले हफ्ते एक नई कार खरीदी",
+      "hi" -> "संग्रहालय सर्दियों में रविवार को जल्दी बंद हो जाता है",
+      "hi" -> "उसे याद नहीं आ रहा था कि उसने अपनी चाबियां कहां छोड़ी थीं",
+      "hi" -> "कई छात्र कठिन परीक्षाओं से पहले साथ पढ़ना पसंद करते हैं",
+      "th" -> "เธอเปิดหน้าต่างเพราะห้องร้อนเกินไป",
+      "th" -> "เพื่อนบ้านของเราซื้อรถใหม่เมื่อสัปดาห์ที่แล้ว",
+      "th" -> "พิพิธภัณฑ์ปิดเร็วในวันอาทิตย์ช่วงฤดูหนาว",
+      "th" -> "เขาจำไม่ได้ว่าวางกุญแจไว้ที่ไหน",
+      "th" -> "นักเรียนหลายคนชอบอ่านหนังสือด้วยกันก่อนสอบยาก",
+      "tr" -> "kadın oda çok sıcak olduğu için pencereyi açtı",
+      "tr" -> "komşularımız geçen hafta yeni bir araba satın aldılar",
+      "tr" -> "müze kış aylarında pazar günleri erken kapanır",
+      "tr" -> "anahtarlarını nerede bıraktığını hatırlayamıyordu",
+      "tr" -> "birçok öğrenci zor sınavlardan önce birlikte çalışmayı tercih eder",
+      "vi" -> "cô ấy mở cửa sổ vì căn phòng quá nóng",
+      "vi" -> "hàng xóm của chúng tôi đã mua một chiếc xe mới vào tuần trước",
+      "vi" -> "bảo tàng đóng cửa sớm vào chủ nhật trong những tháng mùa đông",
+      "vi" -> "anh ấy không thể nhớ mình đã để chìa khóa ở đâu",
+      "vi" -> "nhiều sinh viên thích học cùng nhau trước những kỳ thi khó",
+      "cs" -> "otevřela okno protože v pokoji bylo příliš horko",
+      "cs" -> "naši sousedé si minulý týden koupili nové auto",
+      "cs" -> "muzeum zavírá v neděli během zimních měsíců brzy",
+      "cs" -> "nemohl si vzpomenout kde nechal své klíče",
+      "cs" -> "mnoho studentů se raději učí společně před těžkými zkouškami",
+      "da" -> "hun åbnede vinduet fordi værelset var alt for varmt",
+      "da" -> "vores naboer købte en ny bil i sidste uge",
+      "da" -> "museet lukker tidligt om søndagen i vintermånederne",
+      "da" -> "han kunne ikke huske hvor han havde lagt sine nøgler",
+      "da" -> "mange studerende foretrækker at læse sammen før svære eksamener",
+      "fi" -> "hän avasi ikkunan koska huone oli aivan liian kuuma",
+      "fi" -> "naapurimme ostivat uuden auton viime viikolla",
+      "fi" -> "museo sulkeutuu aikaisin sunnuntaisin talvikuukausina",
+      "fi" -> "hän ei muistanut minne oli jättänyt avaimensa",
+      "fi" -> "monet opiskelijat opiskelevat mieluummin yhdessä ennen vaikeita kokeita")
     val wrong = fixture.filter { case (lang, s) =>
       graft.operators.LangId.classify(s) != lang }
     val acc = 1.0 - wrong.size.toDouble / fixture.size
