@@ -913,6 +913,50 @@ object SqlDialect {
       }
     }
 
+    // A CTE literally NAMED `recursive` (r12): the reference accepts
+    // `WITH recursive AS (…)` as a plain CTE (probed — RECURSIVE needs a
+    // following name), but Spark's parser greedily reads RECURSIVE as
+    // the keyword and names the CTE `as` → TABLE_OR_VIEW_NOT_FOUND.
+    // Backtick-quote the name at its DEFINITION site (unquoted uses
+    // resolve case-insensitively to the same identifier). Pattern is
+    // token-structural: (WITH | ,) recursive [(cols)] AS ( — an ident
+    // followed by AS( cannot occur elsewhere in valid SQL.
+    locally {
+      val toks = SqlLex.tokenize(q)
+      val quoteAt = scala.collection.mutable.ArrayBuffer.empty[SqlLex.Tok]
+      var i = 1
+      while (i < toks.length) {
+        val t = toks(i)
+        if (t.kind == SqlLex.Ident && t.lower == "recursive" &&
+            ((toks(i - 1).kind == SqlLex.Ident && toks(i - 1).lower == "with") ||
+             (toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == ","))) {
+          var j = i + 1
+          if (j < toks.length && toks(j).kind == SqlLex.LParen) {
+            var depth = 0
+            while (j < toks.length && (depth > 0 || toks(j).kind != SqlLex.RParen)) {
+              if (toks(j).kind == SqlLex.LParen) depth += 1
+              else if (toks(j).kind == SqlLex.RParen) depth -= 1
+              j += 1
+            }
+            j += 1 // past the column list's RParen
+          }
+          if (j + 1 < toks.length && toks(j).kind == SqlLex.Ident &&
+              toks(j).lower == "as" && toks(j + 1).kind == SqlLex.LParen)
+            quoteAt += t
+        }
+        i += 1
+      }
+      if (quoteAt.nonEmpty) {
+        val sb = new StringBuilder
+        var last = 0
+        quoteAt.foreach { t =>
+          sb.append(q.substring(last, t.start)).append("`recursive`")
+          last = t.end
+        }
+        q = sb.append(q.substring(last)).toString
+      }
+    }
+
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
     // regex matched against the WHOLE string, duckdb-6.cpp:5993-6041 —

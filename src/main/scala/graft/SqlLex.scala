@@ -225,9 +225,18 @@ private[graft] object SqlLex {
         (toks(k).kind != Ident && toks(k).kind != QIdent)) done = true
       else {
         k += 1
-        // RECURSIVE prefix: `WITH RECURSIVE name …`
-        if (k < toks.length && toks(k - 1).lower == "recursive" &&
-          (toks(k).kind == Ident || toks(k).kind == QIdent)) k += 1
+        // RECURSIVE prefix: `WITH RECURSIVE name …`. A bare identifier
+        // `recursive` that is itself the CTE NAME (`WITH recursive AS
+        // (…)`) is disambiguated by lookahead: the keyword reading needs
+        // a name after it, and a name cannot be the reserved word `as` —
+        // so `recursive as (` means the name was `recursive` (r12,
+        // closes the r11 self-review degraded parse). Only BARE idents
+        // take the keyword reading; `"recursive"` is always a name.
+        if (k < toks.length && toks(k - 1).kind == Ident &&
+          toks(k - 1).lower == "recursive" &&
+          (toks(k).kind == Ident || toks(k).kind == QIdent) &&
+          !(toks(k).kind == Ident && toks(k).lower == "as" &&
+            k + 1 < toks.length && toks(k + 1).kind == LParen)) k += 1
         // optional column list
         if (k < toks.length && toks(k).kind == LParen) {
           if (!skipGroup()) done = true

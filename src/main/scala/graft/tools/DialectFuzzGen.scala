@@ -118,6 +118,17 @@ object DialectFuzzGen {
         s"SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) AS __w FROM `c 1`) __x " +
         s"WHERE __w <= $m"))
 
+  /** A CTE literally NAMED `recursive` — the bare-keyword/name ambiguity
+    * the WITH splitter disambiguates by `as (` lookahead (r12). */
+  private def cteNamedRecursive(m: Int): (Seq[String], Pair) =
+    (Nil, (s"WITH recursive AS (SELECT n_nationkey AS k, n_name FROM nation " +
+      s"WHERE n_nationkey <= $m) " +
+      "SELECT * FROM recursive QUALIFY row_number() OVER (ORDER BY k) <= 3",
+      s"WITH `recursive` AS (SELECT n_nationkey AS k, n_name FROM nation " +
+        s"WHERE n_nationkey <= $m) " +
+        "SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) " +
+        "AS __w FROM recursive) __x WHERE __w <= 3"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -183,7 +194,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(14) match {
+      val (setup, base) = rnd.nextInt(15) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -198,6 +209,7 @@ object DialectFuzzGen {
         case 11 => collateNestedCase(1 + rnd.nextInt(20))
         case 12 => quotedIdent(rnd.nextBoolean())
         case 13 => quotedCte(2 + rnd.nextInt(15))
+        case 14 => cteNamedRecursive(2 + rnd.nextInt(15))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

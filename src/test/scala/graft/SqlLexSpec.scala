@@ -74,6 +74,19 @@ class SqlLexSpec extends AnyFunSuite {
     val (p4, _) = SqlLex.splitWithPrefix(
       "WITH RECURSIVE r AS (SELECT 1 UNION ALL SELECT 2) SELECT * FROM r")
     assert(p4.contains("RECURSIVE"))
+    // a CTE literally NAMED recursive: `recursive as (` means the name
+    // was recursive, not the keyword (r12 — was the nested-WITH fallback)
+    val (p5, r5) = SqlLex.splitWithPrefix(
+      "WITH recursive AS (SELECT 1 AS x) SELECT * FROM recursive")
+    assert(p5.trim == "WITH recursive AS (SELECT 1 AS x)")
+    assert(r5.trim == "SELECT * FROM recursive")
+    // quoted form, and keyword+name both present still split
+    val (p6, r6) = SqlLex.splitWithPrefix(
+      "WITH \"recursive\" AS (SELECT 1) SELECT * FROM \"recursive\"")
+    assert(p6.contains("\"recursive\"") && r6.trim.startsWith("SELECT"))
+    val (p7, _) = SqlLex.splitWithPrefix(
+      "WITH RECURSIVE recursive AS (SELECT 1 UNION ALL SELECT 2) SELECT 1")
+    assert(p7.toLowerCase.contains("recursive recursive"))
   }
 
   test("tokenize survives traps: doubled quotes, operators; brackets stay LIST syntax") {
