@@ -506,6 +506,68 @@ object Engine {
       }.toDF("table_name", "column_name", "column_index", "data_type")
   }
 
+  /** duckdb_schemas() analog (duckdb-6.cpp:14150-14176): one row per
+    * schema; Spark's `default` database surfaces under the reference's
+    * default schema name `main`, so probe queries written against the
+    * reference resolve identically. */
+  def schemasTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listDatabases().collect().toSeq
+      .map(d => (if (d.name == "default") "main" else d.name, false))
+      .toDF("schema_name", "internal")
+  }
+
+  /** duckdb_views() analog: one row per resolvable view. Graft registers
+    * its parquet tables as temp views — the same catalog shape the
+    * oracle harness gives DuckDB (CREATE VIEW over read_parquet), so the
+    * two engines' view listings probe identically. */
+  def viewsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect().toSeq
+      .filterNot(_.name.startsWith("__graft_"))
+      .filter(t => t.isTemporary || t.tableType == "VIEW")
+      .map(t => ("main", t.name, t.isTemporary))
+      .toDF("schema_name", "view_name", "temporary")
+  }
+
+  /** duckdb_settings() analog: (name, value) over the session's SQL
+    * conf, plus the reference's resource-setting names mapped to their
+    * Spark-side equivalents (`threads` → default parallelism,
+    * `memory_limit` → executor/driver heap) so reference probe queries
+    * find the names they expect. */
+  def settingsTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val mapped = Seq(
+      ("threads", spark.sparkContext.defaultParallelism.toString),
+      ("memory_limit", Runtime.getRuntime.maxMemory().toString))
+    (mapped ++ spark.conf.getAll.toSeq.sortBy(_._1))
+      .toDF("name", "value")
+  }
+
+  /** PRAGMA database_size analog (reference shape: one row of storage
+    * accounting). Graft's "database" is the set of registered parquet
+    * views — database_size sums their file bytes; the block/WAL columns
+    * report the parquet analog (row-group count) and zeros (no WAL by
+    * design, SURVEY §2.11 non-goal). */
+  def databaseSize(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dirs = Option(registeredDirs.get(spark))
+      .map(s => { val b = Seq.newBuilder[String]; s.forEach(b += _); b.result() })
+      .getOrElse(Seq.empty)
+    val bytes = (for (d <- dirs; n <- TableNames) yield {
+      val f = new java.io.File(s"$d/$n.parquet")
+      if (f.isFile) f.length else 0L
+    }).sum
+    val groups = (for (d <- dirs; n <- TableNames) yield
+      scala.util.Try(parquetRowGroups(spark, d, n)).getOrElse(0)).sum
+    Seq(("graft", s"$bytes bytes", 0L, groups.toLong, groups.toLong, 0L,
+      "0 bytes", s"${Runtime.getRuntime.totalMemory()} bytes",
+      s"${Runtime.getRuntime.maxMemory()} bytes"))
+      .toDF("database_name", "database_size", "block_size", "total_blocks",
+        "used_blocks", "free_blocks", "wal_size", "memory_usage",
+        "memory_limit")
+  }
+
   /** duckdb_functions() analog (duckdb-6.cpp:14150-14176): every function
     * name resolvable in this session — Spark/graft built-ins plus the
     * DuckDB-name registry — one row per distinct name. */

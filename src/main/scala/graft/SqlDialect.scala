@@ -300,6 +300,11 @@ object SqlDialect {
       case Some(m) => return Engine.tableInfo(spark, m.group(1))
       case None =>
     }
+    // PRAGMA database_size statement form (the table fn
+    // pragma_database_size() routes through the catalog-fn view rewrites
+    // below, next to duckdb_tables()/duckdb_columns())
+    if (q.trim.toUpperCase.matches("PRAGMA\\s+DATABASE_SIZE"))
+      return Engine.databaseSize(spark)
     if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.tables(spark)
 
     // CREATE [OR REPLACE] TABLE <name> AS <select> — CTAS into the
@@ -827,6 +832,28 @@ object SqlDialect {
     if (duckdbColumnsFn.findFirstIn(q).isDefined) {
       Engine.columnsTable(spark).createOrReplaceTempView("__graft_columns")
       q = duckdbColumnsFn.replaceAllIn(q, "__graft_columns")
+    }
+    // r12 long tail (ref duckdb-6.cpp:14150-14176): schemas / views /
+    // settings catalog fns + the pragma_database_size table form
+    val duckdbSchemasFn = """(?i)\bduckdb_schemas\s*\(\s*\)""".r
+    if (duckdbSchemasFn.findFirstIn(q).isDefined) {
+      Engine.schemasTable(spark).createOrReplaceTempView("__graft_schemas")
+      q = duckdbSchemasFn.replaceAllIn(q, "__graft_schemas")
+    }
+    val duckdbViewsFn = """(?i)\bduckdb_views\s*\(\s*\)""".r
+    if (duckdbViewsFn.findFirstIn(q).isDefined) {
+      Engine.viewsTable(spark).createOrReplaceTempView("__graft_views")
+      q = duckdbViewsFn.replaceAllIn(q, "__graft_views")
+    }
+    val duckdbSettingsFn = """(?i)\bduckdb_settings\s*\(\s*\)""".r
+    if (duckdbSettingsFn.findFirstIn(q).isDefined) {
+      Engine.settingsTable(spark).createOrReplaceTempView("__graft_settings")
+      q = duckdbSettingsFn.replaceAllIn(q, "__graft_settings")
+    }
+    val pragmaDbSizeFn = """(?i)\bpragma_database_size\s*\(\s*\)""".r
+    if (pragmaDbSizeFn.findFirstIn(q).isDefined) {
+      Engine.databaseSize(spark).createOrReplaceTempView("__graft_db_size")
+      q = pragmaDbSizeFn.replaceAllIn(q, "__graft_db_size")
     }
 
     // replacement scans: read_csv('p' [, opt=v…]) / read_parquet('p') /

@@ -532,8 +532,34 @@ object Catalog {
       // fails the hash compare, so this catches registry drift both ways
       Engine.registerAll(s, dir)
       SqlDialect.sql(s, functionsSql)
+    }),
+
+    "catalog_schemas_views" -> ((s, dir) => {
+      // r12 introspection long tail (ref duckdb-6.cpp:14150-14176):
+      // duckdb_schemas() (Spark's default database surfaces as the
+      // reference's `main`), duckdb_views() (both engines' tables are
+      // views over the parquet files — graft temp views vs the oracle
+      // harness's CREATE VIEW), duckdb_settings() (the reference's
+      // resource-setting NAMES resolve — values are machine state in
+      // both engines, so only names probe), and pragma_database_size()
+      // (a well-formed one-row accounting table; sizes are engine
+      // storage state, so the contract is shape + positivity)
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, introspectionSql)
     })
   )
+
+  private[queries] val introspectionSql =
+    """SELECT
+      |  (SELECT count(DISTINCT schema_name) FROM duckdb_schemas()
+      |   WHERE schema_name = 'main') AS has_main_schema,
+      |  (SELECT count(DISTINCT view_name) FROM duckdb_views()
+      |   WHERE view_name IN ('nation', 'region', 'customer', 'orders',
+      |                       'lineitem')) AS n_table_views,
+      |  (SELECT count(DISTINCT name) FROM duckdb_settings()
+      |   WHERE name IN ('threads', 'memory_limit')) AS n_setting_names,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM pragma_database_size())
+      |    AS db_size_rows""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -729,6 +755,11 @@ object Catalog {
       """SELECT CAST(count(*) AS BIGINT) AS top_rows
         |FROM (SELECT o_orderpriority FROM orders GROUP BY o_orderpriority)""".stripMargin,
 
-    "catalog_functions" -> functionsSql
+    "catalog_functions" -> functionsSql,
+
+    // identical text runs natively in DuckDB: the harness registers the
+    // parquet tables as views, `main` is the default schema, and
+    // threads/memory_limit are native setting names
+    "catalog_schemas_views" -> introspectionSql
   )
 }

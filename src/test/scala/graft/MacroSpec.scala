@@ -93,6 +93,29 @@ class MacroSpec extends SparkSpec {
       .exists(_.getString(0) == "stmt_demo"))
   }
 
+  test("duckdb_schemas/views/settings + PRAGMA database_size (r12 long tail)") {
+    spark.range(3).toDF("x").createOrReplaceTempView("intro_demo")
+    // schemas: Spark's default database surfaces as the reference's main
+    assert(SqlDialect.sql(spark,
+      "SELECT schema_name FROM duckdb_schemas()").collect()
+      .exists(_.getString(0) == "main"))
+    // views: temp views list under their names
+    assert(SqlDialect.sql(spark,
+      "SELECT view_name FROM duckdb_views() WHERE view_name = 'intro_demo'")
+      .count() == 1)
+    // settings: the reference's resource-setting names resolve, and the
+    // session's SQL conf rides along
+    val st = SqlDialect.sql(spark,
+      "SELECT name FROM duckdb_settings() WHERE name IN ('threads', 'memory_limit')")
+      .collect().map(_.getString(0)).sorted
+    assert(st.toSeq == Seq("memory_limit", "threads"))
+    // database_size: statement + table-fn forms, one well-formed row
+    val ds = SqlDialect.sql(spark, "PRAGMA database_size").collect()
+    assert(ds.length == 1 && ds.head.getString(0) == "graft")
+    assert(SqlDialect.sql(spark,
+      "SELECT database_name FROM pragma_database_size()").count() == 1)
+  }
+
   test("EXPLAIN ANALYZE reports executed-plan operators with row counts") {
     spark.range(100).selectExpr("id % 7 AS g", "id AS v")
       .createOrReplaceTempView("ea_demo")
