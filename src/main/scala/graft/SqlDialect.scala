@@ -1019,6 +1019,16 @@ object SqlDialect {
     // maps to the registered strip_accents UDF (same fold
     // `TypeHelpers.collateNoaccent` uses).
     locally {
+      // aggregates whose RESULT is decided by comparisons of the
+      // annotated argument (reference-probed r12: min/arg_min DO bind
+      // the argument's collation — `min(x COLLATE NOCASE)` over
+      // ('B','a') returns 'a' — while scalar calls and order-insensitive
+      // aggregates ignore it: `greatest('B' COLLATE NOCASE,'a')`,
+      // `string_agg`, `first`, and anything past one expression
+      // boundary, `min(concat(x COLLATE NOCASE,''))`, are byte-ordered)
+      val collationAggregates = Set("min", "max", "arg_min", "arg_max",
+        "min_by", "max_by", "mode", "median", "quantile", "quantile_disc",
+        "quantile_cont", "first_value", "last_value")
       val atom = """(?:'(?:[^']|'')*'|[A-Za-z_][\w.]*(?:\((?:[^()]|\([^()]*\))*\))?|\((?:[^()]|\([^()]*\))*\))"""
       val opnd = s"$atom(?:\\s*(?:\\|\\||[+*/-])\\s*$atom)*"
       def fold(c: String, e: String): String =
@@ -1039,13 +1049,19 @@ object SqlDialect {
       // position (ORDER BY / PARTITION BY) the key folds; in a
       // PROJECTED position the annotation is dropped — a collation
       // changes comparisons, never the returned value (reference
-      // duckdb-5.cpp:5156) — and in grouping / aggregate-argument /
+      // duckdb-5.cpp:5156) — and in a FUNCTION-ARGUMENT position it is
+      // dropped too (r12, reference-probed: `lower(x COLLATE NOCASE)`
+      // returns lower(x), and even comparison-flavored functions ignore
+      // it — `greatest('B' COLLATE NOCASE, 'a')` = 'a', byte order,
+      // identical with and without the annotation; collation binds only
+      // at comparison/sort sites). In grouping / aggregate-argument /
       // predicate positions (where dropping it would silently change
       // which rows group or match) we raise a named error asking for an
       // explicit fold. The classifier is the shared lexer's clause
       // machine (r11 — [[SqlLex.clauseAt]]): nested CASE restores the
       // enclosing clause on END, quoted identifiers never masquerade as
-      // keywords.
+      // keywords; an ORDER BY inside a function argument (sorted
+      // aggregate) still classifies as a sort key and folds.
       val single = (s"(?is)($opnd)\\s+COLLATE\\s+(NOCASE|NOACCENT)\\b").r
       changed = true
       while (changed) {
@@ -1054,6 +1070,12 @@ object SqlDialect {
           val repl = SqlLex.clauseAt(q, m.start) match {
             case "sort"   => fold(m.group(2), m.group(1))
             case "select" => m.group(1)
+            // scalar-call arguments drop the annotation (probed); the
+            // comparison-binding aggregates would need the ORIGINAL
+            // value under the folded order — inexpressible as a text
+            // fold — so they keep the named error
+            case "func" if !collationAggregates(SqlLex.callNameAt(q, m.start)) =>
+              m.group(1)
             case ctx => throw new IllegalArgumentException(
               s"graft: COLLATE ${m.group(2).toUpperCase} on a single operand in a " +
                 s"$ctx position would change ${if (ctx == "group") "grouping" else "matching"} " +

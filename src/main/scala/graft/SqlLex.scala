@@ -165,6 +165,39 @@ private[graft] object SqlLex {
     ctx.head
   }
 
+  /** Lowercased name of the INNERMOST function call whose argument list
+    * encloses `pos`, or "" when pos is inside no call. Plain parens are
+    * transparent — reference-probed: `min((x COLLATE NOCASE))` still
+    * binds the collation — while any intervening CALL bounds the search
+    * (`min(concat(x COLLATE NOCASE,''))` is byte-ordered: an annotation
+    * does not survive a function result). Used by the dialect's COLLATE
+    * classifier to distinguish comparison-binding aggregates
+    * (min/max/arg_min…) from scalar calls, whose arguments ignore the
+    * annotation. */
+  def callNameAt(s: String, pos: Int): String = callNameAt(tokenize(s), pos)
+
+  def callNameAt(toks: Vector[Tok], pos: Int): String = {
+    var stack = List.empty[String]
+    var prevKind: Kind = Punct
+    var prevLower = ""
+    var k = 0
+    while (k < toks.length && toks(k).start < pos) {
+      val t = toks(k)
+      t.kind match {
+        case LParen =>
+          val isCall = prevKind == Ident && !nonCallWords(prevLower)
+          stack = (if (isCall) prevLower else "") :: stack
+        case RParen => if (stack.nonEmpty) stack = stack.tail
+        case _ => ()
+      }
+      if (t.kind == Ident) prevLower = t.lower
+      else if (t.kind != LParen && t.kind != RParen) prevLower = ""
+      prevKind = t.kind
+      k += 1
+    }
+    stack.find(_.nonEmpty).getOrElse("")
+  }
+
   /** First depth-0 occurrence of bare keyword `kw` (case-insensitive),
     * or -1. Quoted identifiers, string literals, and dotted references
     * (`t.from`) never match. */

@@ -118,6 +118,17 @@ object DialectFuzzGen {
         s"SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) AS __w FROM `c 1`) __x " +
         s"WHERE __w <= $m"))
 
+  /** COLLATE in a FUNCTION-ARGUMENT position (r12): the annotation is
+    * dropped — reference-probed pass-through (`lower(x COLLATE NOCASE)`
+    * = lower(x); `greatest('B' COLLATE NOCASE,'a')` = 'a', byte order —
+    * collation binds only at comparison/sort sites). */
+  private def collateFuncArg(lit: String): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, upper(n_name COLLATE NOCASE) AS u, " +
+      s"greatest(n_name COLLATE NOCASE, '$lit') AS g FROM nation " +
+      "WHERE n_regionkey >= 1",
+      s"SELECT n_nationkey AS k, upper(n_name) AS u, " +
+        s"greatest(n_name, '$lit') AS g FROM nation WHERE n_regionkey >= 1"))
+
   /** A CTE literally NAMED `recursive` — the bare-keyword/name ambiguity
     * the WITH splitter disambiguates by `as (` lookahead (r12). */
   private def cteNamedRecursive(m: Int): (Seq[String], Pair) =
@@ -194,7 +205,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(15) match {
+      val (setup, base) = rnd.nextInt(16) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -210,6 +221,7 @@ object DialectFuzzGen {
         case 12 => quotedIdent(rnd.nextBoolean())
         case 13 => quotedCte(2 + rnd.nextInt(15))
         case 14 => cteNamedRecursive(2 + rnd.nextInt(15))
+        case 15 => collateFuncArg(Seq("MOROCCO", "India", "peru").apply(rnd.nextInt(3)))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

@@ -448,6 +448,31 @@ class MacroSpec extends SparkSpec {
     assert(ea.getMessage.contains("COLLATE"))
   }
 
+  test("COLLATE in scalar-function arguments is a pass-through (r12, probed)") {
+    Engine.registerAll(spark, dir)
+    // reference-probed: scalar calls ignore the annotation entirely —
+    // upper(x COLLATE NOCASE) = upper(x), greatest is byte-ordered
+    val r = SqlDialect.sql(spark,
+      "SELECT upper(n_name COLLATE NOCASE) AS u, " +
+        "greatest(n_name COLLATE NOCASE, 'ZZZ') AS g " +
+        "FROM nation WHERE n_nationkey = 1").head()
+    assert(r.getString(0) == r.getString(0).toUpperCase)
+    assert(r.getString(1) == "ZZZ")
+    // one expression boundary strips it even under a binding aggregate
+    val m = SqlDialect.sql(spark,
+      "SELECT min(concat(n_name COLLATE NOCASE, '')) AS m FROM nation").head()
+    assert(m.getString(0) != null)
+    // plain parens are transparent (probed: min((x COLLATE NOCASE))
+    // still binds), an intervening call bounds the search
+    assert(graft.SqlLex.callNameAt("SELECT min((x ), y) FROM t",
+      "SELECT min((x ".length) == "min")
+    assert(graft.SqlLex.callNameAt("SELECT min(concat(x , '')) FROM t",
+      "SELECT min(concat(x ".length) == "concat")
+    val ep = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "SELECT min((n_name COLLATE NOCASE)) AS m FROM nation"))
+    assert(ep.getMessage.contains("COLLATE"))
+  }
+
   test("COPY FROM ingests a COPY TO file through the table's schema") {
     Engine.registerAll(spark, dir)
     val tmp = java.nio.file.Files.createTempDirectory("copyfrom").toString
