@@ -168,6 +168,73 @@ object Multimodal {
     }
   }
 
+  /** Extracted audio features: duration + integer-exact signal stats
+    * (sum of squares instead of RMS so a SQL oracle replays them without
+    * float drift; zero crossings = sign flips between adjacent samples). */
+  case class AudioFeatures(id: Long, nSamples: Long, sampleRate: Int,
+                           channels: Int, peakAbs: Long, sumSquares: Long,
+                           zeroCrossings: Long)
+
+  /** REAL audio decode via `javax.sound.sampled` (the WAV/AIFF/AU readers
+    * ship with the JDK — same zero-dependency move as [[decodeImage]],
+    * r12). Scope: 16-bit signed PCM (the dominant raw-audio interchange
+    * format); other encodings return None and callers fall back to the
+    * deterministic stub. PCM in a WAV container is lossless, so a decoded
+    * sample equals the written sample exactly — the property the
+    * cross-engine oracle row builds on. */
+  def decodeWavPcm16(payload: Array[Byte]): Option[(Array[Short], Int, Int)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 ||
+          fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+        None
+      else {
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val out = new Array[Short](n)
+        val be = fmt.isBigEndian
+        var i = 0
+        while (i < n) {
+          val a = bytes(2 * i) & 0xff
+          val b = bytes(2 * i + 1) & 0xff
+          out(i) = (if (be) (a << 8) | b else (b << 8) | a).toShort
+          i += 1
+        }
+        Some((out, fmt.getSampleRate.toInt, fmt.getChannels))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Partition-parallel audio feature extraction (the audio twin of
+    * [[extractFeatures]]): real decode for PCM16 payloads; other
+    * payloads fall back to reading the raw bytes as signed 8-bit
+    * samples — deterministic, so the non-audio path stays testable. */
+  def extractAudioFeatures(ds: Dataset[MediaRecord]): Dataset[AudioFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.map { r =>
+        val (samples, rate, ch) = decodeWavPcm16(r.payload) match {
+          case Some((s, sr, c)) => (s, sr, c)
+          case None => (r.payload.map(_.toShort), 0, 0)
+        }
+        var peak = 0L
+        var sumSq = 0L
+        var zc = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toLong
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          sumSq += v * v
+          if (i > 0 && ((samples(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        AudioFeatures(r.id, samples.length.toLong, rate, ch, peak, sumSq, zc)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th chunk of
     * `frameBytes` — demonstrates the explode-to-frames dataflow shape. */
   def sampleFrames(ds: Dataset[MediaRecord], frameBytes: Int, stride: Int): DataFrame = {

@@ -180,6 +180,44 @@ object PipelineOps {
           col("nBytes").as("n_bytes"), col("checksum"))
     }),
 
+    "mm_decode_wav" -> ((s, dir) => {
+      // REAL audio decode through the driver gate (the audio twin of
+      // mm_decode_png): executors ENCODE a deterministic 256-sample
+      // 16-bit PCM mono WAV per document (sample k of doc d is
+      // (d·7 + k·13) mod 2003 − 1001), then javax.sound.sampled DECODES
+      // it and the features are integer-exact signal stats — PCM is
+      // lossless, so DuckDB replays the generator arithmetic directly.
+      import s.implicits._
+      val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
+        .mapPartitions { it =>
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1,
+            true, false) // PCM signed, mono, little-endian
+          it.map { id =>
+            val n = 256
+            val bytes = new Array[Byte](n * 2)
+            var k = 0
+            while (k < n) {
+              val v = ((id * 7 + k * 13) % 2003 - 1001).toInt
+              bytes(2 * k) = (v & 0xff).toByte
+              bytes(2 * k + 1) = ((v >> 8) & 0xff).toByte
+              k += 1
+            }
+            val ais = new javax.sound.sampled.AudioInputStream(
+              new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.sound.sampled.AudioSystem.write(ais,
+              javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+            graft.operators.Multimodal.MediaRecord(
+              id, bos.toByteArray, "audio/wav", -1, -1)
+          }
+        }
+      graft.operators.Multimodal.extractAudioFeatures(media).toDF()
+        .select(col("id").as("doc_id"), col("nSamples").as("n_samples"),
+          col("sampleRate").cast("long").as("sample_rate"),
+          col("peakAbs").as("peak_abs"), col("sumSquares").as("sum_sq"),
+          col("zeroCrossings").as("zero_cross"))
+    }),
+
     "text_bm25_topk" -> ((s, dir) => {
       // BM25 corpus search: query-term filter BEFORE the shuffle, |Q|-row
       // broadcast idf table, TakeOrderedAndProject top-k (no global sort)
@@ -321,6 +359,22 @@ object PipelineOps {
         |    k -> (doc_id*31 + ((k//4)*64 + (k%4)*4)*7) % 256))
         |    AS BIGINT) AS checksum
         |FROM documents""".stripMargin,
+
+    // PCM-in-WAV is lossless: the decoded sample IS the generator value,
+    // so duck computes the stats from the formula (the prev-sample term
+    // for zero crossings is the same closed form at k-1 — no window)
+    "mm_decode_wav" ->
+      """WITH s AS (
+        |  SELECT doc_id, k, (doc_id*7 + k*13) % 2003 - 1001 AS v,
+        |    (doc_id*7 + (k-1)*13) % 2003 - 1001 AS pv
+        |  FROM documents, generate_series(0, 255) t(k))
+        |SELECT doc_id, CAST(256 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+        |  CAST(count(*) FILTER (WHERE k > 0 AND (v < 0) <> (pv < 0))
+        |    AS BIGINT) AS zero_cross
+        |FROM s GROUP BY doc_id""".stripMargin,
 
     "text_bm25_topk" ->
       """WITH base AS (

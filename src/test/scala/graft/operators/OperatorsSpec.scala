@@ -776,6 +776,35 @@ class MultimodalSpec extends SparkSpec {
     assert(jw == 8 && jh == 8)
   }
 
+  test("decodeWavPcm16 round-trips PCM samples exactly; features match by hand") {
+    val samples = Array[Short](0, 1000, -1000, 32767, -32768, 5, -5, 0)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      bytes(2 * i) = (v & 0xff).toByte
+      bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val Some((dec, rate, ch)) = Multimodal.decodeWavPcm16(bos.toByteArray)
+    assert(rate == 8000 && ch == 1 && dec.toSeq == samples.toSeq)
+    val ds = Seq(Multimodal.MediaRecord(
+      7L, bos.toByteArray, "audio/wav", -1, -1)).toDS()
+    val f = Multimodal.extractAudioFeatures(ds).collect().head
+    assert(f.nSamples == 8 && f.peakAbs == 32768L)
+    assert(f.sumSquares == samples.map(v => v.toLong * v).sum)
+    // sign flips: 1000->-1000, -1000->32767, 32767->-32768, -32768->5,
+    // 5->-5, -5->0  (0 counts as non-negative)
+    assert(f.zeroCrossings == 6)
+    // junk payload falls back to signed-8-bit-byte samples, never throws
+    val junk = Multimodal.extractAudioFeatures(Seq(Multimodal.MediaRecord(
+      8L, Array[Byte](1, -1), "audio/raw", 0, 0)).toDS()).collect().head
+    assert(junk.nSamples == 2 && junk.sampleRate == 0 && junk.zeroCrossings == 1)
+  }
+
   test("resize handles metadata larger than the old fixed decode buffer (r11 OOB fix)") {
     // 16×16 declared dims: the pre-r11 fakeDecode returned 64 bytes and
     // resize indexed src(sy*16+sx) up to 255 — executor AIOOBE
