@@ -9,9 +9,9 @@ package graft.operators
   *   1. SCRIPT detection for languages whose writing system is
   *      decisive: Han → zh, Kana → ja (checked before Han — Japanese
   *      text mixes both), Hangul → ko, Greek → el, Devanagari → hi,
-  *      Thai → th (r12 — single-script decisions like el; as with
-  *      Han → zh, the dominant language of the script is the call).
-  *      Codepoint-range counting, no model needed.
+  *      Bengali → bn, Thai → th (r12 — single-script decisions like el;
+  *      as with Han → zh, the dominant language of the script is the
+  *      call). Codepoint-range counting, no model needed.
   *   2. WITHIN-SCRIPT classification by trigram rank profiles (r11
   *      extends the recipe beyond Latin): each language's profile is
   *      the frequency-ranked top trigram list of an embedded seed text
@@ -256,7 +256,7 @@ object LangId {
   /** Supported output codes (incl. script-detected and 'und'). */
   val knownCodes: Seq[String] =
     (seeds.keys.toSeq ++ cyrillicSeeds.keys.toSeq ++ arabicSeeds.keys.toSeq ++
-      Seq("zh", "ja", "ko", "el", "hi", "th", "und")).distinct.sorted
+      Seq("zh", "ja", "ko", "el", "hi", "bn", "th", "und")).distinct.sorted
 
   /** Letters-and-single-spaces normalization; diacritics folded so the
     * seed texts (written unaccented) and accented real text meet in the
@@ -326,7 +326,8 @@ object LangId {
   def classify(text: String): String = {
     if (text == null || text.trim.isEmpty) return "und"
     var han = 0; var kana = 0; var hangul = 0; var cyr = 0
-    var arab = 0; var greek = 0; var deva = 0; var thai = 0; var letters = 0
+    var arab = 0; var greek = 0; var deva = 0; var beng = 0; var thai = 0
+    var letters = 0
     text.codePoints().forEach { cp =>
       if (Character.isLetter(cp)) {
         letters += 1
@@ -337,6 +338,7 @@ object LangId {
         else if (inRange(cp, 0x0600, 0x06FF) || inRange(cp, 0x0750, 0x077F)) arab += 1
         else if (inRange(cp, 0x0370, 0x03FF)) greek += 1
         else if (inRange(cp, 0x0900, 0x097F)) deva += 1
+        else if (inRange(cp, 0x0980, 0x09FF)) beng += 1
         else if (inRange(cp, 0x0E00, 0x0E7F)) thai += 1
       }
     }
@@ -346,9 +348,11 @@ object LangId {
     if (han / l > 0.20) return "zh"
     if (hangul / l > 0.20) return "ko"
     if (greek / l > 0.50) return "el"
-    // single-script decisions (r12): Devanagari → hi, Thai → th — the
-    // script's dominant language is the call, same envelope as Han → zh
+    // single-script decisions (r12): Devanagari → hi, Bengali → bn,
+    // Thai → th — the script's dominant language is the call, same
+    // envelope as Han → zh
     if (deva / l > 0.50) return "hi"
+    if (beng / l > 0.50) return "bn"
     if (thai / l > 0.50) return "th"
     // within-script tier: the script picks the profile GROUP, the
     // out-of-place trigram distance picks the language inside it

@@ -643,6 +643,11 @@ class TextAnalysisSpec extends SparkSpec {
       "hi" -> "संग्रहालय सर्दियों में रविवार को जल्दी बंद हो जाता है",
       "hi" -> "उसे याद नहीं आ रहा था कि उसने अपनी चाबियां कहां छोड़ी थीं",
       "hi" -> "कई छात्र कठिन परीक्षाओं से पहले साथ पढ़ना पसंद करते हैं",
+      "bn" -> "সে জানালা খুলে দিল কারণ ঘরটা খুব গরম ছিল",
+      "bn" -> "আমাদের প্রতিবেশীরা গত সপ্তাহে একটি নতুন গাড়ি কিনেছে",
+      "bn" -> "জাদুঘরটি শীতকালে রবিবারে তাড়াতাড়ি বন্ধ হয়ে যায়",
+      "bn" -> "সে মনে করতে পারছিল না চাবিগুলো কোথায় রেখেছে",
+      "bn" -> "অনেক ছাত্র কঠিন পরীক্ষার আগে একসাথে পড়তে পছন্দ করে",
       "th" -> "เธอเปิดหน้าต่างเพราะห้องร้อนเกินไป",
       "th" -> "เพื่อนบ้านของเราซื้อรถใหม่เมื่อสัปดาห์ที่แล้ว",
       "th" -> "พิพิธภัณฑ์ปิดเร็วในวันอาทิตย์ช่วงฤดูหนาว",
