@@ -1068,7 +1068,15 @@ object SqlDialect {
         changed = false
         single.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
           val repl = SqlLex.clauseAt(q, m.start) match {
-            case "sort"   => fold(m.group(2), m.group(1))
+            // a sort key INSIDE a call's argument list is a sorted
+            // aggregate's internal ORDER BY — reference-probed (r12):
+            // `string_agg(x, ',' ORDER BY x COLLATE NOCASE)` is
+            // byte-ordered (annotation ignored), while a window
+            // `OVER (ORDER BY x COLLATE NOCASE)` binds it — so fold only
+            // when no call encloses (OVER frames bound the call search)
+            case "sort" if SqlLex.callNameAt(q, m.start).isEmpty =>
+              fold(m.group(2), m.group(1))
+            case "sort"   => m.group(1)
             case "select" => m.group(1)
             // scalar-call arguments drop the annotation (probed); the
             // comparison-binding aggregates would need the ORIGINAL

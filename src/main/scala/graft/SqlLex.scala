@@ -186,7 +186,14 @@ private[graft] object SqlLex {
       t.kind match {
         case LParen =>
           val isCall = prevKind == Ident && !nonCallWords(prevLower)
-          stack = (if (isCall) prevLower else "") :: stack
+          // an OVER (...) frame is not a call, but it BOUNDS the search:
+          // a window's ORDER BY key is not an argument of whatever call
+          // the window expression sits inside
+          val marker =
+            if (isCall) prevLower
+            else if (prevKind == Ident && prevLower == "over") "over"
+            else ""
+          stack = marker :: stack
         case RParen => if (stack.nonEmpty) stack = stack.tail
         case _ => ()
       }
@@ -195,7 +202,10 @@ private[graft] object SqlLex {
       prevKind = t.kind
       k += 1
     }
-    stack.find(_.nonEmpty).getOrElse("")
+    stack.find(_.nonEmpty) match {
+      case Some("over") | None => ""
+      case Some(n) => n
+    }
   }
 
   /** First depth-0 occurrence of bare keyword `kw` (case-insensitive),

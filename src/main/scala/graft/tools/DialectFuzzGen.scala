@@ -192,7 +192,7 @@ object DialectFuzzGen {
     (s"(${p._1}) UNION ALL (${p._1})", s"(${p._2}) UNION ALL (${p._2})")
 
   /** The deterministic case list: `n` cases from the given seed. */
-  def cases(n: Int, seed: Long = 20260814L): Seq[Case] = {
+  def cases(n: Int, seed: Long = 20260815L): Seq[Case] = {
     val rnd = new scala.util.Random(seed)
     (0 until n).map { i =>
       // trap-string aliases are unique PER APPLICATION: two stacked

@@ -471,6 +471,25 @@ class MacroSpec extends SparkSpec {
     val ep = intercept[IllegalArgumentException](SqlDialect.sql(spark,
       "SELECT min((n_name COLLATE NOCASE)) AS m FROM nation"))
     assert(ep.getMessage.contains("COLLATE"))
+    // sorted-aggregate internal ORDER BY drops the annotation (probed:
+    // string_agg byte-ordered either way in the reference) — rewrite
+    // asserted textually, since Spark cannot parse duck's agg-internal
+    // ORDER BY either way; a WINDOW's ORDER BY binds it (probed:
+    // row_number OVER folds); OVER frames bound the call search
+    val sa = SqlDialect.rewriteCore(spark,
+      "SELECT string_agg(n_name, ',' ORDER BY n_name COLLATE NOCASE) AS s FROM nation")
+    assert(!sa.toLowerCase.contains("collate") && !sa.toLowerCase.contains("lower("),
+      s"sorted-agg COLLATE should drop, not fold: $sa")
+    assert(graft.SqlLex.callNameAt(
+      "SELECT coalesce(sum(x) OVER (ORDER BY y ), 0) FROM t",
+      "SELECT coalesce(sum(x) OVER (ORDER BY y ".length) == "")
+    val w = SqlDialect.sql(spark,
+      "SELECT n_name, row_number() OVER (ORDER BY n_name COLLATE NOCASE, " +
+        "n_nationkey) AS rn FROM nation WHERE n_nationkey IN (1, 2)")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toMap
+    // folded window order = lower(n_name): ARGENTINA before BRAZIL holds
+    // in either collation here, but the statement must PARSE and fold
+    assert(w.size == 2)
   }
 
   test("COPY FROM ingests a COPY TO file through the table's schema") {
