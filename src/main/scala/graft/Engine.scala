@@ -540,8 +540,9 @@ object Engine {
     val mapped = Seq(
       ("threads", spark.sparkContext.defaultParallelism.toString),
       ("memory_limit", Runtime.getRuntime.maxMemory().toString))
-    (mapped ++ spark.conf.getAll.toSeq.sortBy(_._1))
-      .toDF("name", "value")
+    val names = mapped.map(_._1).toSet
+    (mapped ++ spark.conf.getAll.toSeq.filterNot(kv => names(kv._1))
+      .sortBy(_._1)).toDF("name", "value")
   }
 
   /** PRAGMA database_size analog (reference shape: one row of storage

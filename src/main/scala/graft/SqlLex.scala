@@ -186,11 +186,16 @@ private[graft] object SqlLex {
       t.kind match {
         case LParen =>
           val isCall = prevKind == Ident && !nonCallWords(prevLower)
-          // an OVER (...) frame is not a call, but it BOUNDS the search:
-          // a window's ORDER BY key is not an argument of whatever call
-          // the window expression sits inside
+          // an OVER (...) frame or a subquery frame (next token SELECT /
+          // WITH / VALUES) is not a call, but BOUNDS the search: a
+          // window's ORDER BY key — or a subquery's own ORDER BY — is
+          // not an argument of whatever call the expression sits inside
+          val nxt = if (k + 1 < toks.length) toks(k + 1) else null
+          val isSubquery = nxt != null && nxt.kind == Ident &&
+            (nxt.lower == "select" || nxt.lower == "with" || nxt.lower == "values")
           val marker =
-            if (isCall) prevLower
+            if (isSubquery) "over" // same boundary semantics
+            else if (isCall) prevLower
             else if (prevKind == Ident && prevLower == "over") "over"
             else ""
           stack = marker :: stack

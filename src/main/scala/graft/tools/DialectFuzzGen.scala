@@ -265,6 +265,16 @@ object FuzzDump {
         case e: Throwable =>
           failed += 1
           System.err.println(s"[fuzzdump] ${c.name} failed: ${e.getMessage}")
+          // delete any PREVIOUS run's dump for this case: a stale parquet
+          // under the same name makes fuzz_compare report a misleading
+          // cross-case mismatch instead of this failure (r12: the
+          // recursive-CTE shape's 16 failures first surfaced as stale
+          // column diffs from the prior seed's cases)
+          val dir = new java.io.File(s"$outDir/${c.name}")
+          if (dir.isDirectory) {
+            dir.listFiles().foreach(_.delete())
+            dir.delete()
+          }
       }
       def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
         .replace("\n", "\\n") + "\""

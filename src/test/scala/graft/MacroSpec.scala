@@ -483,6 +483,11 @@ class MacroSpec extends SparkSpec {
     assert(graft.SqlLex.callNameAt(
       "SELECT coalesce(sum(x) OVER (ORDER BY y ), 0) FROM t",
       "SELECT coalesce(sum(x) OVER (ORDER BY y ".length) == "")
+    // a subquery frame bounds the search too: its ORDER BY is a real
+    // sort (duck binds collation there), not a call argument
+    assert(graft.SqlLex.callNameAt(
+      "SELECT coalesce((SELECT x FROM t ORDER BY y LIMIT 1), '') FROM u",
+      "SELECT coalesce((SELECT x FROM t ORDER BY y ".length) == "")
     val w = SqlDialect.sql(spark,
       "SELECT n_name, row_number() OVER (ORDER BY n_name COLLATE NOCASE, " +
         "n_nationkey) AS rn FROM nation WHERE n_nationkey IN (1, 2)")
