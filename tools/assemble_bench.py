@@ -53,10 +53,11 @@ CLASSES = {
     "agg_quantile": ("exact-baseline", "exact per-group percentile buffering; sketch path: agg_approx_quantile"),
     "agg_quantile_disc_sem": ("exact-baseline", "exact discrete percentile; sketch path: agg_approx_quantile"),
     "dedup_embedding_cosine_lsh": ("barrier-floor",
-        "r11 FloorProfile: 3 AQE job submissions ~0.2 s driver-side at any "
-        "data size (optimize 56 ms + AQE materialize gaps 284 ms isolated); "
-        "task execution ~0.06-0.09 s vs duck ~0.10 s — BASELINE.md floor "
-        "table, quantified since round 5"),
+        "r12 FloorProfile (after the float-carry + packed-bks exchange "
+        "cut): job EXECUTION spans 123 ms vs duck ~0.10 s; the remaining "
+        "~227 ms is per-action driver machinery (the same session floors "
+        "at 91 ms for a ZERO-barrier query, 123 ms at 2 barriers) — "
+        "BASELINE.md round-12 decomposition"),
 }
 queries = {}
 for n in names:
