@@ -334,6 +334,50 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
     assert(run(verify = true) == run(verify = false))
   }
+
+  test("weighted LSH float carry: bit-identical to the double-cast form, verify-mode clean") {
+    // r12: the banded exchange carries array<float> un-widened with the
+    // ArrayDotFloat kernel at the join output, and the bucket array
+    // packed into one long. The double-cast form of the SAME data must
+    // produce identical rows (float->double widening is exact), and
+    // verify mode must hold (packedBandEq counting masked bit fields ==
+    // actual per-pair surviving rows — a wrong byte extraction would
+    // fire the in-plan assert_true).
+    val rng = new scala.util.Random(13)
+    val rows = (0 until 150).map { i =>
+      val v = Array.fill(64)(rng.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    } ++ (0 until 10).map { i => // exact duplicates force multi-band collisions
+      (200L + i, (0 until 64).map(j => ((i * 64 + j) % 7 - 3).toFloat))
+    } ++ (0 until 10).map { i =>
+      (300L + i, (0 until 64).map(j => ((i * 64 + j) % 7 - 3).toFloat))
+    }
+    val fdf = rows.toDF("id", "v")
+    val ddf = fdf.select(col("id"), col("v").cast("array<double>").as("v"))
+    val planes = graft.queries.Pipeline.lshPlanes
+    def run(df: org.apache.spark.sql.DataFrame, verify: Boolean) =
+      Dedup.cosineLshScoredPairsWeighted(df, "id", "v", planes,
+        numBands = 8, bitsPerBand = 8, maxBucket = 250,
+        verifyCollisions = verify)
+        .select(col("id_a"), col("id_b"), col("band_collisions"), col("cos"))
+        .collect().map(_.toString).sorted.toSeq
+    val f = run(fdf, verify = true)
+    assert(f.nonEmpty && f == run(ddf, verify = false),
+      "float carry must be bit-identical to the double-cast form")
+    // the duplicate blocks collide in ALL 8 bands — the full packed long
+    // (including band 7's top bits at 56..63) must compare equal
+    val full = Dedup.cosineLshScoredPairsWeighted(fdf, "id", "v", planes,
+      numBands = 8, bitsPerBand = 8, maxBucket = 250)
+      .filter(col("id_a") >= 200 && col("id_b") >= 300 &&
+        col("id_b") - col("id_a") === 100)
+      .select("band_collisions").collect().map(_.getInt(0))
+    // the weighted form emits k rows per pair (one per surviving band):
+    // 10 identical pairs x 8 bands = 80 rows, every one counting 8 —
+    // band 7's bucket rides bits 56..63 of the packed long, so this
+    // pins the top-byte extraction too
+    assert(full.length == 80 && full.forall(_ == 8),
+      s"identical vectors must collide in all 8 bands: ${full.length} rows, ${full.distinct.toSeq}")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {

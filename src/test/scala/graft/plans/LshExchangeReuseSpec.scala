@@ -31,6 +31,16 @@ class LshExchangeReuseSpec extends SparkSpec {
     // to boxed per-row interpretation (round-4 verdict finding #1)
     assert(!plan.contains("UDF") && plan.contains("sign_lsh_buckets"),
       s"banding stage is not the codegen kernel:\n$plan")
+    // r12 exchange-diet pins: vectors ride the banded exchange UN-WIDENED
+    // (the float dot kernel at the join output — a plain array_dot here
+    // means a cast-to-double array is being carried at twice the bytes),
+    // and the 8-long bucket array is packed into ONE long below the
+    // exchange (shiftleft compose) with masked bit-field compares
+    // (shiftright) at the join output instead of array getItems
+    assert(plan.contains("array_dot_float"),
+      s"join-output cosine is not the float kernel (double carry?):\n$plan")
+    assert(plan.contains("shiftleft") && plan.contains("shiftright"),
+      s"bucket array is not packed through the exchange:\n$plan")
   }
 
   test("minhash band join reuses the banded exchange at runtime") {
