@@ -328,18 +328,45 @@ object LangId {
     var han = 0; var kana = 0; var hangul = 0; var cyr = 0
     var arab = 0; var greek = 0; var deva = 0; var beng = 0; var thai = 0
     var letters = 0
+    // Script units = letters PLUS combining marks inside a tracked script
+    // range (r12 fix): abugidas write most vowels as dependent signs that
+    // Unicode classes as marks, not letters — a Hindi sentence with a few
+    // embedded Latin tokens would otherwise undercount its own script and
+    // fall below the dominance threshold. Marks OUTSIDE tracked ranges
+    // (e.g. decomposed Latin accents) stay uncounted, so Latin-script
+    // ratios are unchanged.
     text.codePoints().forEach { cp =>
-      if (Character.isLetter(cp)) {
-        letters += 1
-        if (inRange(cp, 0x4E00, 0x9FFF) || inRange(cp, 0x3400, 0x4DBF)) han += 1
-        else if (inRange(cp, 0x3040, 0x30FF)) kana += 1
-        else if (inRange(cp, 0xAC00, 0xD7AF) || inRange(cp, 0x1100, 0x11FF)) hangul += 1
-        else if (inRange(cp, 0x0400, 0x04FF)) cyr += 1
-        else if (inRange(cp, 0x0600, 0x06FF) || inRange(cp, 0x0750, 0x077F)) arab += 1
-        else if (inRange(cp, 0x0370, 0x03FF)) greek += 1
-        else if (inRange(cp, 0x0900, 0x097F)) deva += 1
-        else if (inRange(cp, 0x0980, 0x09FF)) beng += 1
-        else if (inRange(cp, 0x0E00, 0x0E7F)) thai += 1
+      val isLetter = Character.isLetter(cp)
+      val typ = Character.getType(cp)
+      val isMark = typ == Character.NON_SPACING_MARK ||
+        typ == Character.COMBINING_SPACING_MARK
+      if (isLetter || isMark) {
+        val bucket =
+          if (inRange(cp, 0x4E00, 0x9FFF) || inRange(cp, 0x3400, 0x4DBF)) 'h'
+          else if (inRange(cp, 0x3040, 0x30FF)) 'k'
+          else if (inRange(cp, 0xAC00, 0xD7AF) || inRange(cp, 0x1100, 0x11FF)) 'g'
+          else if (inRange(cp, 0x0400, 0x04FF)) 'c'
+          else if (inRange(cp, 0x0600, 0x06FF) || inRange(cp, 0x0750, 0x077F)) 'a'
+          else if (inRange(cp, 0x0370, 0x03FF)) 'e'
+          else if (inRange(cp, 0x0900, 0x097F)) 'd'
+          else if (inRange(cp, 0x0980, 0x09FF)) 'b'
+          else if (inRange(cp, 0x0E00, 0x0E7F)) 't'
+          else ' '
+        if (isLetter || bucket != ' ') {
+          letters += 1
+          bucket match {
+            case 'h' => han += 1
+            case 'k' => kana += 1
+            case 'g' => hangul += 1
+            case 'c' => cyr += 1
+            case 'a' => arab += 1
+            case 'e' => greek += 1
+            case 'd' => deva += 1
+            case 'b' => beng += 1
+            case 't' => thai += 1
+            case _ => ()
+          }
+        }
       }
     }
     if (letters == 0) return "und"

@@ -722,6 +722,16 @@ class TextAnalysisSpec extends SparkSpec {
       "fi" -> "museo sulkeutuu aikaisin sunnuntaisin talvikuukausina",
       "fi" -> "hän ei muistanut minne oli jättänyt avaimensa",
       "fi" -> "monet opiskelijat opiskelevat mieluummin yhdessä ennen vaikeita kokeita")
+    // script-dominance thresholds: a Devanagari/Thai/Bengali sentence
+    // with a few embedded Latin tokens (brand names, numbers-as-words)
+    // must still take the script decision — letters of the script stay
+    // the majority
+    assert(graft.operators.LangId.classify(
+      "उसने spark नाम का software कल download किया और उसे अच्छा लगा") == "hi")
+    assert(graft.operators.LangId.classify(
+      "เขาใช้ spark ทำงานข้อมูลทุกวันและมันเร็วมาก") == "th")
+    assert(graft.operators.LangId.classify(
+      "সে প্রতিদিন spark দিয়ে কাজ করে এবং এটি খুব দ্রুত") == "bn")
     val wrong = fixture.filter { case (lang, s) =>
       graft.operators.LangId.classify(s) != lang }
     val acc = 1.0 - wrong.size.toDouble / fixture.size
@@ -823,6 +833,21 @@ class MultimodalSpec extends SparkSpec {
     javax.imageio.ImageIO.write(img, "jpg", jbos)
     val Some((_, jw, jh)) = Multimodal.decodeImage(jbos.toByteArray)
     assert(jw == 8 && jh == 8)
+  }
+
+  test("decodeImage round-trips BMP exactly too (second lossless JDK codec)") {
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 3; x <- 0 until 5) {
+      val v = (y * 5 + x) * 17 % 256
+      img.setRGB(x, y, (v << 16) | (v << 8) | v) // gray via RGB: lum == v
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val Some((px, w, h)) = Multimodal.decodeImage(bos.toByteArray)
+    assert(w == 5 && h == 3)
+    // integer luminance of r=g=b=v is exactly v
+    assert(px.zipWithIndex.forall { case (b, i) => (b & 0xff) == i * 17 % 256 })
   }
 
   test("decodeWavPcm16 round-trips PCM samples exactly; features match by hand") {

@@ -43,6 +43,26 @@ class CodegenContractSpec extends SparkSpec {
     }
   }
 
+  test("array_dot_float null elements and ragged lengths match the double kernel") {
+    withCodegenOnly {
+      // contract parity with ArrayDot: null elements contribute 0, ragged
+      // lengths dot the common prefix — the float kernel must not diverge
+      // first element rides the id column so the arrays cannot
+      // constant-fold away from the codegen stage
+      val df = spark.range(1).select(
+        call_function("array_dot_float",
+          array((col("id") + 2).cast("float"), lit(null).cast("float"),
+            lit(3.0f)),
+          array(lit(4.0f), lit(5.0f), lit(6.0f), lit(7.0f))).as("f"),
+        call_function("array_dot",
+          array((col("id") + 2).cast("double"), lit(null).cast("double"),
+            lit(3.0)),
+          array(lit(4.0), lit(5.0), lit(6.0), lit(7.0))).as("d"))
+      val r = df.collect().head
+      assert(r.getDouble(0) == 26.0 && r.getDouble(1) == 26.0)
+    }
+  }
+
   test("levenshtein_within compiles and evaluates") { withCodegenOnly {
     val out = spark.range(20)
       .select(call_function("levenshtein_within",
