@@ -959,13 +959,16 @@ object SqlDialect {
              (toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == ","))) {
           var j = i + 1
           if (j < toks.length && toks(j).kind == SqlLex.LParen) {
-            var depth = 0
-            while (j < toks.length && (depth > 0 || toks(j).kind != SqlLex.RParen)) {
+            // Consume the opening LParen first, then balance to depth 0
+            // (mirrors SqlLex.skipGroup); exiting the loop leaves j one
+            // past the column list's matching RParen.
+            var depth = 1
+            j += 1
+            while (j < toks.length && depth > 0) {
               if (toks(j).kind == SqlLex.LParen) depth += 1
               else if (toks(j).kind == SqlLex.RParen) depth -= 1
               j += 1
             }
-            j += 1 // past the column list's RParen
           }
           if (j + 1 < toks.length && toks(j).kind == SqlLex.Ident &&
               toks(j).lower == "as" && toks(j + 1).kind == SqlLex.LParen)
@@ -1067,14 +1070,18 @@ object SqlDialect {
       while (changed) {
         changed = false
         single.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
-          val repl = SqlLex.clauseAt(q, m.start) match {
+          // one tokenize per rewrite iteration — clauseAt + both
+          // callNameAt probes share the vector (q is stable until the
+          // splice below)
+          val toks = SqlLex.tokenize(q)
+          val repl = SqlLex.clauseAt(toks, m.start) match {
             // a sort key INSIDE a call's argument list is a sorted
             // aggregate's internal ORDER BY — reference-probed (r12):
             // `string_agg(x, ',' ORDER BY x COLLATE NOCASE)` is
             // byte-ordered (annotation ignored), while a window
             // `OVER (ORDER BY x COLLATE NOCASE)` binds it — so fold only
             // when no call encloses (OVER frames bound the call search)
-            case "sort" if SqlLex.callNameAt(q, m.start).isEmpty =>
+            case "sort" if SqlLex.callNameAt(toks, m.start).isEmpty =>
               fold(m.group(2), m.group(1))
             case "sort"   => m.group(1)
             case "select" => m.group(1)
@@ -1082,7 +1089,7 @@ object SqlDialect {
             // comparison-binding aggregates would need the ORIGINAL
             // value under the folded order — inexpressible as a text
             // fold — so they keep the named error
-            case "func" if !collationAggregates(SqlLex.callNameAt(q, m.start)) =>
+            case "func" if !collationAggregates(SqlLex.callNameAt(toks, m.start)) =>
               m.group(1)
             case ctx => throw new IllegalArgumentException(
               s"graft: COLLATE ${m.group(2).toUpperCase} on a single operand in a " +

@@ -130,15 +130,26 @@ object DialectFuzzGen {
         s"greatest(n_name, '$lit') AS g FROM nation WHERE n_regionkey >= 1"))
 
   /** A CTE literally NAMED `recursive` — the bare-keyword/name ambiguity
-    * the WITH splitter disambiguates by `as (` lookahead (r12). */
+    * the WITH splitter disambiguates by `as (` lookahead (r12); half the
+    * instances carry a column list `(k, nm)` (r13 — the skip loop used
+    * to overshoot it and never quote the definition site). */
   private def cteNamedRecursive(m: Int): (Seq[String], Pair) =
-    (Nil, (s"WITH recursive AS (SELECT n_nationkey AS k, n_name FROM nation " +
-      s"WHERE n_nationkey <= $m) " +
-      "SELECT * FROM recursive QUALIFY row_number() OVER (ORDER BY k) <= 3",
-      s"WITH `recursive` AS (SELECT n_nationkey AS k, n_name FROM nation " +
+    if (m % 2 == 0)
+      (Nil, (s"WITH recursive (k, nm) AS (SELECT n_nationkey, n_name " +
+        s"FROM nation WHERE n_nationkey <= $m) " +
+        "SELECT * FROM recursive QUALIFY row_number() OVER (ORDER BY k) <= 3",
+        s"WITH `recursive` (k, nm) AS (SELECT n_nationkey, n_name " +
+          s"FROM nation WHERE n_nationkey <= $m) " +
+          "SELECT k, nm FROM (SELECT *, row_number() OVER (ORDER BY k) " +
+          "AS __w FROM recursive) __x WHERE __w <= 3"))
+    else
+      (Nil, (s"WITH recursive AS (SELECT n_nationkey AS k, n_name FROM nation " +
         s"WHERE n_nationkey <= $m) " +
-        "SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) " +
-        "AS __w FROM recursive) __x WHERE __w <= 3"))
+        "SELECT * FROM recursive QUALIFY row_number() OVER (ORDER BY k) <= 3",
+        s"WITH `recursive` AS (SELECT n_nationkey AS k, n_name FROM nation " +
+          s"WHERE n_nationkey <= $m) " +
+          "SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) " +
+          "AS __w FROM recursive) __x WHERE __w <= 3"))
 
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),

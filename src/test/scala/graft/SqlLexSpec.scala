@@ -87,6 +87,12 @@ class SqlLexSpec extends AnyFunSuite {
     val (p7, _) = SqlLex.splitWithPrefix(
       "WITH RECURSIVE recursive AS (SELECT 1 UNION ALL SELECT 2) SELECT 1")
     assert(p7.toLowerCase.contains("recursive recursive"))
+    // name `recursive` WITH a column list (r13 — the dialect's quoting
+    // skip loop used to overshoot the list and never quote the name)
+    val (p8, r8) = SqlLex.splitWithPrefix(
+      "WITH recursive (k) AS (SELECT 1) SELECT k FROM recursive")
+    assert(p8.trim == "WITH recursive (k) AS (SELECT 1)")
+    assert(r8.trim == "SELECT k FROM recursive")
   }
 
   test("tokenize survives traps: doubled quotes, operators; brackets stay LIST syntax") {
