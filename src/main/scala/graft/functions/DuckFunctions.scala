@@ -382,6 +382,10 @@ object DuckFunctions {
           graft.plans.GramRollHashes.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
+        .createOrReplaceTempFunction("space_term_counts",
+          graft.plans.SpaceTermCounts.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
         .createOrReplaceTempFunction("sign_lsh_buckets",
           graft.plans.SignLshBuckets.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -364,15 +364,24 @@ object Curation {
     require(n > 0, s"duplicateSpans: n must be > 0 (got $n)")
     require(saltBuckets >= 1, s"duplicateSpans: saltBuckets >= 1 (got $saltBuckets)")
     val marks = dupSpanMarks(docs, idCol, textCol, n, saltBuckets)
+    // Fused island fold (r13 lab): the two-level form (running-sum
+    // island ids → per-island agg → per-doc agg) spends a second window
+    // pass and an extra aggregate level on quantities ONE lag already
+    // determines — n_spans counts island STARTS (lag gap null or > n)
+    // and dup_tokens = Σ island (max − min + n) decomposes as
+    // Σ within-island consecutive diffs + n · n_spans, so a single
+    // groupBy over the lag-diff stream computes both. Same exchange
+    // shape (one shuffle on the doc id), measurably fewer stages
+    // (DupSpansLab: 366 → 302 ms at sf0.1).
     val wDoc = Window.partitionBy(col(idCol)).orderBy(col("__p"))
+    val isStart = col("__d").isNull || col("__d") > n
     marks
-      .withColumn("__new",
-        when(col("__p") - lag(col("__p"), 1).over(wDoc) <= n, 0L).otherwise(1L))
-      .withColumn("__isl", sum(col("__new")).over(wDoc))
-      .groupBy(col(idCol), col("n_tokens"), col("__isl"))
-      .agg((max(col("__p")) - min(col("__p")) + n).as("__span_tok"))
+      .withColumn("__d", col("__p") - lag(col("__p"), 1).over(wDoc))
       .groupBy(col(idCol), col("n_tokens"))
-      .agg(count(lit(1)).as("n_spans"), sum(col("__span_tok")).as("dup_tokens"))
+      .agg(
+        sum(when(isStart, 1L).otherwise(0L)).as("n_spans"),
+        (sum(when(col("__d") <= n, col("__d")).otherwise(0L)) +
+          lit(n.toLong) * sum(when(isStart, 1L).otherwise(0L))).as("dup_tokens"))
       .withColumn("dup_frac", round(col("dup_tokens") / col("n_tokens"), 6))
       .select(col(idCol), col("n_spans"), col("dup_tokens"), col("n_tokens"),
         col("dup_frac"))

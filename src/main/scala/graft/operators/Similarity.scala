@@ -560,14 +560,19 @@ object Similarity {
       .withColumn("lex_rank",
         row_number().over(Window.orderBy(col("score").desc, col(docIdCol).asc)))
       .select(col(docIdCol).as("__id"), col("lex_rank"))
+    // float-carry cosine (the r12 LSH exchange-diet lesson): the
+    // embeddings stay array<float> end-to-end — ArrayDotFloat widens
+    // per element, bit-identical to dot-after-cast at half the bytes.
+    // (A double-array caller gets float precision here; every shipped
+    // corpus carries float32 embeddings.)
     val qv = embeddings.filter(col(vecIdCol) === queryId)
-      .select(col(vecCol).cast("array<double>").as("__qv"))
+      .select(col(vecCol).cast("array<float>").as("__qv"))
     val scored = embeddings.filter(col(vecIdCol) =!= queryId)
-      .select(col(vecIdCol).as("__id"), col(vecCol).cast("array<double>").as("__cv"))
+      .select(col(vecIdCol).as("__id"), col(vecCol).cast("array<float>").as("__cv"))
       .crossJoin(broadcast(qv))
       .select(col("__id"),
-        round(dot(col("__qv"), col("__cv")) /
-          (norm(col("__qv")) * norm(col("__cv"))), 6).as("__sim"))
+        round(dotF(col("__qv"), col("__cv")) /
+          (normF(col("__qv")) * normF(col("__cv"))), 6).as("__sim"))
     val w1 = Window.partitionBy(pmod(col("__id"), lit(numShards.toLong)))
       .orderBy(col("__sim").desc, col("__id").asc)
     val survivors = scored.withColumn("__rn1", row_number().over(w1))

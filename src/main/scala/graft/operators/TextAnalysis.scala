@@ -96,20 +96,31 @@ object TextAnalysis {
   /** BM25 top-k corpus search (Okapi BM25, the Lucene/Robertson idf
     * variant: idf = ln((N - df + 0.5)/(df + 0.5) + 1), always positive).
     *
-    * Scale shape — the whole point of the design:
-    *   - tokens are filtered to the QUERY TERM SET *before* any shuffle
-    *     (`array_contains` on a literal array of |Q| terms), so the two
-    *     aggregations shuffle at most |docs|·|Q| narrow rows, never the
-    *     full token stream;
-    *   - corpus stats (N, avgdl) are one ungrouped aggregate, broadcast;
-    *   - per-term document frequencies are |Q| rows, broadcast into the
-    *     scoring join — the corpus-side tf aggregate never reshuffles;
-    *   - the final top-k is TakeOrderedAndProject (per-partition heaps +
-    *     driver merge of k·parts rows), not a global sort.
+    * Scale shape — the whole point of the design (rebuilt r13 around the
+    * [[graft.plans.SpaceTermCounts]] codegen kernel; the old
+    * filter-HOF + explode + two-aggregate pipeline tokenized the corpus
+    * TWICE — stats branch re-split every document — and paid ~µs/token
+    * interpreted lambda cost, CodegenFallback):
+    *   - ONE pass over the text: `space_term_counts(text, Q)` emits
+    *     [dl, tf_0 … tf_{Q-1}] per document inside the codegen'd scan
+    *     stage — the per-term tf vector IS the scan output; nothing
+    *     token-shaped ever shuffles;
+    *   - the corpus collapses to (id, dl, tfs[|Q|]) behind one explicit
+    *     doc-id exchange that BOTH consumers read (ReuseExchange; the
+    *     stats branch is pruning-proofed by referencing every column);
+    *   - N, avgdl, and all |Q| document frequencies are ONE ungrouped
+    *     aggregate (df_i = Σ[tf_i ≥ 1], plan-time unrolled — |Q| is a
+    *     query's term list, not a vocabulary), broadcast into the
+    *     scoring projection;
+    *   - scoring is a pure per-row expression (no grouping — the tf
+    *     vector already holds the per-term counts), and the final top-k
+    *     is TakeOrderedAndProject (per-partition heaps + driver merge),
+    *     not a global sort.
     *
-    * Cross-engine determinism: the score is rounded before ORDER BY, and
-    * ties break on doc id, so Spark and a replaying SQL engine select
-    * the identical k rows in the identical order.
+    * Cross-engine determinism: the score is rounded before ORDER BY (the
+    * unrolled fixed-order term sum is within the 4-dp float-sum
+    * contract), and ties break on doc id, so Spark and a replaying SQL
+    * engine select the identical k rows in the identical order.
     *
     * Returns (idCol, n_terms_hit, score) — docs matching no query term
     * are absent (they all score 0 and cannot enter a top-k with k < N).
@@ -119,37 +130,47 @@ object TextAnalysis {
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
     require(k > 0, "bm25TopK: k must be > 0")
-    val qArr = array(queryTerms.distinct.map(lit): _*)
-    val base = docs.select(
-      col(idCol), tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), col("__toks"),
-        size(col("__toks")).cast("double").as("__dl"))
-    // corpus stats: one ungrouped aggregate, broadcast everywhere
-    val stats = base.agg(
-      count(lit(1)).as("__n_docs"), avg(col("__dl")).as("__avgdl"))
-    // query-term hits only — the pre-shuffle filter that keeps this
-    // linear in |docs|·|Q| instead of the token count
-    val hits = base.select(col(idCol), col("__dl"),
-      explode(filter(col("__toks"), t => array_contains(qArr, t))).as("__term"))
-    val tf = hits.groupBy(col(idCol), col("__dl"), col("__term"))
-      .agg(count(lit(1)).cast("double").as("__tf"))
-    // df falls out of tf (one row per (doc, term)) — no second corpus
-    // pass. Counting `__tf >= 1` rows (always true) instead of count(*)
-    // keeps __tf referenced, so Catalyst cannot prune the tf aggregate
-    // down to a keys-only distinct on this branch — the two subtrees
-    // stay canonically identical and the tf exchange is REUSED
-    // (ReuseExchange), not recomputed from the scan.
-    val df = tf.groupBy(col("__term"))
-      .agg(sum((col("__tf") >= lit(1.0)).cast("double")).as("__df"))
-    val idf = log((col("__n_docs") - col("__df") + lit(0.5)) /
-      (col("__df") + lit(0.5)) + lit(1.0))
-    val contrib = idf * col("__tf") * (lit(k1) + 1.0) /
-      (col("__tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl")))
-    tf.join(broadcast(df), "__term")
-      .crossJoin(broadcast(stats))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_terms_hit"),
-        round(sum(contrib), 4).as("score"))
+    val qTerms = queryTerms.distinct
+    val nq = qTerms.length
+    val qArr = array(qTerms.map(lit): _*)
+    val base = docs.select(col(idCol),
+        call_function("space_term_counts", col(textCol), qArr).as("__c"))
+      .select(col(idCol), col("__c").getItem(0).cast("double").as("__dl"),
+        slice(col("__c"), 2, nq).as("__tfs"))
+      .repartition(col(idCol))
+    // N + avgdl + all per-term dfs in ONE ungrouped aggregate.
+    // Pruning-proofing (the semDedup lesson — ReuseExchange needs
+    // canonically identical subtrees): the doc count uses the
+    // non-foldable tautology xxhash64(id) >= Long.MinValue so this
+    // branch references id too and column pruning cannot specialize its
+    // copy of the exchange subtree.
+    val aggs =
+      sum((xxhash64(col(idCol)) >= lit(Long.MinValue)).cast("long")).as("__n_docs") +:
+      avg(col("__dl")).as("__avgdl") +:
+      (0 until nq).map(i =>
+        sum((col("__tfs").getItem(i) >= lit(1L)).cast("double")).as(s"__df_$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    def tfI(i: Int) = col("__tfs").getItem(i).cast("double")
+    def idfI(i: Int) = log((col("__n_docs") - col(s"__df_$i") + lit(0.5)) /
+      (col(s"__df_$i") + lit(0.5)) + lit(1.0))
+    def contribI(i: Int) = when(tfI(i) > 0.0,
+      idfI(i) * tfI(i) * (lit(k1) + 1.0) /
+        (tfI(i) + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__dl") / col("__avgdl"))))
+      .otherwise(lit(0.0))
+    def hitI(i: Int) = when(tfI(i) > 0.0, 1L).otherwise(0L)
+    // The no-hit filter deliberately references the broadcast side
+    // (`__n_docs < 0` is never true — N ≥ 0 by construction): a
+    // left-side-only predicate gets pushed below the base exchange into
+    // the scan, where it re-evaluates the kernel inside the predicate
+    // AND de-symmetrizes the two exchange subtrees (killing the reuse
+    // the stats branch depends on). A both-sides disjunction stays on
+    // the join.
+    base.crossJoin(broadcast(stats))
+      .filter(((0 until nq).map(hitI).reduce(_ + _) > 0L) ||
+        (col("__n_docs") < 0L))
+      .select(col(idCol),
+        (0 until nq).map(hitI).reduce(_ + _).as("n_terms_hit"),
+        round((0 until nq).map(contribI).reduce(_ + _), 4).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

@@ -736,9 +736,10 @@ object Pipeline {
       // (operators.Curation.duplicateSpans): per doc, the maximal
       // 10-token-gram spans shared with at least one OTHER document,
       // merged into islands; one skew-free min/max pass decides
-      // duplication, the probe join reuses the same gram exchange.
+      // duplication. No presentation sort — the compare is row-order-
+      // insensitive and a range sort costs a sample job + an exchange
+      // (r13 lab: dropping it alone was 532 → 366 ms).
       Curation.duplicateSpans(t(s, dir, "documents"), "doc_id", "text", n = 10)
-        .orderBy(col("doc_id"))
     }),
 
     "text_boilerplate_topk" -> ((s, dir) => {

@@ -48,6 +48,15 @@ object SqlScripts {
       perDir.getOrElseUpdate(dir, {
         val child = s.newSession()
         child.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        // AQE sizes post-shuffle partitions by shuffle INPUT bytes — for
+        // an output-quadratic range join the pair blowup happens AFTER
+        // the exchange, so input-byte coalescing collapses the refine +
+        // aggregate onto one task. Target small input partitions so the
+        // pair work spreads (r13 PwLab: pair stage 123 ms/1 task →
+        // 74 ms/20 tasks, wall 248 → 190 ms); on a cluster the same
+        // mis-sizing argument holds wherever the join's selectivity ≫ 1.
+        child.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "48kb")
+        child.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
         Engine.registerAll(child, dir)
         child
       })

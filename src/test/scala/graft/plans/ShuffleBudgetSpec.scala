@@ -53,9 +53,10 @@ class ShuffleBudgetSpec extends SparkSpec {
   // scoring agg; prefix filter = prefix-token exchange + pair agg;
   // brute cosine top-k = ONE per-query-id aggregation exchange, the
   // corpus itself never shuffles; exact dedup = the one groupBy(text).
-  // bm25 = tf exchange (reused for the |Q|-row df aggregate) + final
-  // per-doc score agg + the 1-row corpus-stats agg; top-k itself is
-  // TakeOrderedAndProject, not a shuffle.
+  // bm25 (r13 SpaceTermCounts rebuild) = the one (id, dl, tfs) base
+  // repartition (reused by the stats branch) + the 1-row stats+df agg;
+  // scoring is a pure projection and top-k is TakeOrderedAndProject,
+  // not a shuffle.
   // incremental = one banded exchange per side (each side's hot-bucket
   // cap rides its OWN exchange) + the emitted-pair dropDuplicates; the
   // shingle-refine joins ride broadcast/reuse, never a new shuffle.
@@ -68,13 +69,14 @@ class ShuffleBudgetSpec extends SparkSpec {
     "dedup_prefix_filter" -> 2,
     "sim_cosine_topk" -> 1,
     "dedup_exact" -> 1,
-    "text_bm25_topk" -> 4,
+    "text_bm25_topk" -> 2,
     "dedup_incremental" -> 3,
     "pipeline_epoch_shuffle" -> 4,
     "sim_hybrid_rrf" -> 5,
     // dup spans = one gram exchange (in-partition min/max window) +
-    // the doc-id island window + the presentation orderBy
-    "text_dup_spans" -> 3,
+    // the doc-id island window; the island fold is ONE groupBy riding
+    // the window's exchange and there is no presentation sort (r13)
+    "text_dup_spans" -> 2,
     // semdedup = one cid exchange (the pair join's other side reuses
     // it) + the pruned-id distinct agg + the presentation orderBy;
     // the anti-join's pruned side broadcasts at this scale
