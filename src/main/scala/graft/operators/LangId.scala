@@ -177,7 +177,11 @@ object LangId {
       "smuk have " +
       "kvinden havde læst mange bøger og hun havde lagt dem på bordet i " +
       "køkkenet da vi kom frem kunne han ikke finde sine ting og bad os om " +
-      "at hjælpe ham med det samme fordi han snart skulle rejse"),
+      "at hjælpe ham med det samme fordi han snart skulle rejse " +
+      // af/hvad/efter sentence mirroring no's av/hva/etter one (r13 —
+      // the da↔no pair is the closest in the Latin group)
+      "hvad sagde han efter mødet en stor del af byens børn spiller " +
+      "fodbold om eftermiddagen"),
     "fi" -> ("kaikki ihmiset syntyvät vapaina ja tasavertaisina arvoltaan " +
       "ja oikeuksiltaan heille on annettu järki ja omatunto ja heidän on " +
       "toimittava toisiaan kohtaan veljeyden hengessä " +
@@ -187,7 +191,123 @@ object LangId {
       "puutarha " +
       "nainen oli lukenut monta kirjaa ja pannut ne keittiön pöydälle kun " +
       "saavuimme hän ei löytänyt tavaroitaan ja pyysi meitä auttamaan " +
-      "häntä heti koska hänen piti lähteä pian"))
+      "häntä heti koska hänen piti lähteä pian"),
+    // r13 additions, same UDHR-Article-1 + common-usage recipe. sk sits
+    // adversarially close to cs (NFD strips the ľ/ô/ä distinctions —
+    // sa/se, keď/když, pretože/protože carry the split) and no to da
+    // (æ-vs-e and av-vs-af are the load-bearing trigrams, so both
+    // seeds carry an af/av sentence).
+    "sk" -> ("všetci ľudia sa rodia slobodní a sebe rovní čo sa týka ich " +
+      "dôstojnosti a práv sú obdarení rozumom a majú navzájom jednať v " +
+      "bratskom duchu " +
+      "pes a mačka bývajú v dome ktorý sa nachádza blízko mesta nie je nič " +
+      "nové pod slnkom toto je príbeh rodiny ktorá žila v malej dedine deti " +
+      "idú ráno do školy a dom má veľmi peknú záhradu " +
+      "žena prečítala veľa kníh a položila ich na stôl v kuchyni keď sme " +
+      "prišli nemohol nájsť svoje veci a poprosil nás aby sme mu hneď " +
+      "pomohli pretože musel čoskoro odísť"),
+    "no" -> ("alle mennesker er født frie og med samme menneskeverd og " +
+      "menneskerettigheter de er utstyrt med fornuft og samvittighet og bør " +
+      "handle mot hverandre i brorskapets ånd " +
+      "hunden og katten bor i huset som ligger nær byen det er ikke noe " +
+      "nytt under solen dette er historien om en familie som bodde i en " +
+      "liten landsby barna går til skolen om morgenen og huset har en " +
+      "veldig vakker hage " +
+      "kvinnen hadde lest mange bøker og hun hadde lagt dem på bordet på " +
+      "kjøkkenet da vi kom fram kunne han ikke finne tingene sine og ba " +
+      "oss om å hjelpe ham med en gang fordi han snart måtte dra " +
+      "hva sa han etter møtet en stor del av byens barn spiller fotball om " +
+      "ettermiddagen"),
+    "hu" -> ("minden emberi lény szabadon születik és egyenlő méltósága és " +
+      "joga van az emberek ésszel és lelkiismerettel bírván egymással " +
+      "szemben testvéri szellemben kell hogy viseltessenek " +
+      "a kutya és a macska abban a házban él amely a város közelében van " +
+      "nincs semmi új a nap alatt ez egy család története amely egy kis " +
+      "faluban élt a gyerekek reggel gyalog mennek az iskolába és a háznak " +
+      "nagyon szép kertje van " +
+      "az asszony sok könyvet olvasott és az asztalra tette őket a " +
+      "konyhában amikor megérkeztünk nem találta a holmiját és megkért " +
+      "minket hogy azonnal segítsünk neki mert hamarosan el kellett " +
+      "utaznia"))
+
+  // Daily-life register block (r13): the r13 fixture extension showed
+  // the UDHR + family-prose seeds leave a register hole — shop hours,
+  // students-learning-together, neighbors-buying sentences drifted to
+  // whichever language happened to share surface trigrams (nl→no,
+  // cs→ro, no→sv…). One paraphrased block per Latin language closes the
+  // domain for the whole group symmetrically (every language gets it,
+  // so no profile gains a register the others lack).
+  private val dailyLife: Map[String, String] = Map(
+    "en" -> ("the shop opens early in the morning and closes late in the " +
+      "evening many students learn together at the university because the " +
+      "lessons are difficult our neighbors bought bread and milk at the " +
+      "market last month"),
+    "es" -> ("la tienda abre temprano por la manana y cierra tarde por la " +
+      "noche muchos estudiantes aprenden juntos en la universidad porque " +
+      "las lecciones son dificiles nuestros vecinos compraron pan y leche " +
+      "en el mercado el mes pasado"),
+    "fr" -> ("le magasin ouvre tot le matin et ferme tard le soir beaucoup " +
+      "d etudiants apprennent ensemble a l universite parce que les lecons " +
+      "sont difficiles nos voisins ont achete du pain et du lait au marche " +
+      "le mois dernier"),
+    "de" -> ("der laden offnet fruh am morgen und schliesst spat am abend " +
+      "viele studenten lernen zusammen an der universitat weil die " +
+      "aufgaben schwer sind unsere nachbarn kauften letzten monat brot und " +
+      "milch auf dem markt"),
+    "it" -> ("il negozio apre presto la mattina e chiude tardi la sera " +
+      "molti studenti imparano insieme all universita perche le lezioni " +
+      "sono difficili i nostri vicini hanno comprato pane e latte al " +
+      "mercato il mese scorso"),
+    "pt" -> ("a loja abre cedo de manha e fecha tarde a noite muitos " +
+      "estudantes aprendem juntos na universidade porque as licoes sao " +
+      "dificeis os nossos vizinhos compraram pao e leite no mercado no " +
+      "mes passado"),
+    "nl" -> ("de winkel gaat s ochtends vroeg open en sluit s avonds laat " +
+      "veel studenten leren samen aan de universiteit omdat de lessen " +
+      "moeilijk zijn onze buren kochten vorige maand brood en melk op de " +
+      "markt"),
+    "sv" -> ("affaren oppnar tidigt pa morgonen och stanger sent pa " +
+      "kvallen manga studenter lar sig tillsammans pa universitetet " +
+      "eftersom lektionerna ar svara vara grannar kopte brod och mjolk pa " +
+      "marknaden forra manaden"),
+    "pl" -> ("sklep otwiera sie wczesnie rano i zamyka pozno wieczorem " +
+      "wielu studentow uczy sie razem na uniwersytecie poniewaz lekcje sa " +
+      "trudne nasi sasiedzi kupili w zeszlym miesiacu chleb i mleko na " +
+      "targu"),
+    "ro" -> ("magazinul se deschide devreme dimineata si se inchide tarziu " +
+      "seara multi studenti invata impreuna la universitate pentru ca " +
+      "lectiile sunt grele vecinii nostri au cumparat paine si lapte la " +
+      "piata luna trecuta"),
+    "id" -> ("toko itu buka pagi pagi sekali dan tutup larut malam banyak " +
+      "pelajar belajar bersama di universitas karena pelajarannya sulit " +
+      "tetangga kami membeli roti dan susu di pasar bulan lalu"),
+    "tr" -> ("dükkan sabah erken açılır ve akşam geç kapanır birçok " +
+      "öğrenci dersler zor olduğu için üniversitede birlikte öğrenir " +
+      "komşularımız geçen ay pazardan ekmek ve süt aldılar"),
+    "vi" -> ("cửa hàng mở cửa sớm vào buổi sáng và đóng cửa muộn vào buổi " +
+      "tối nhiều sinh viên học cùng nhau ở trường đại học vì bài học khó " +
+      "hàng xóm của chúng tôi đã mua bánh mì và sữa ở chợ tháng trước"),
+    "cs" -> ("obchod otevírá brzy ráno a zavírá pozdě večer mnoho studentů " +
+      "se učí společně na univerzitě protože jsou lekce těžké naši " +
+      "sousedé koupili minulý měsíc chléb a mléko na trhu"),
+    "da" -> ("butikken åbner tidligt om morgenen og lukker sent om aftenen " +
+      "mange studerende lærer sammen på universitetet fordi lektionerne " +
+      "er svære vores naboer købte brød og mælk på markedet i sidste " +
+      "måned"),
+    "fi" -> ("kauppa aukeaa aikaisin aamulla ja sulkeutuu myohaan illalla " +
+      "monet opiskelijat oppivat yhdessa yliopistossa koska oppitunnit " +
+      "ovat vaikeita naapurimme ostivat viime kuussa leipaa ja maitoa " +
+      "torilta"),
+    "sk" -> ("obchod otvára skoro ráno a zatvára neskoro večer mnohí " +
+      "študenti sa učia spolu na univerzite pretože sú lekcie ťažké naši " +
+      "susedia kúpili minulý mesiac chlieb a mlieko na trhu"),
+    "no" -> ("butikken åpner tidlig om morgenen og stenger sent om kvelden " +
+      "mange studenter lærer sammen på universitetet fordi leksjonene er " +
+      "vanskelige naboene våre kjøpte brød og melk på markedet i forrige " +
+      "måned"),
+    "hu" -> ("az üzlet reggel korán nyit és este későn zár be sok diák " +
+      "együtt tanul az egyetemen mert a leckék nehezek a szomszédaink " +
+      "múlt hónapban kenyeret és tejet vettek a piacon"))
 
   // Cyrillic-script seed prose (UDHR Article 1 + the same common-usage
   // sentences as the Latin seeds, natively written). NFD mark-stripping
@@ -251,12 +371,25 @@ object LangId {
       "می کرد بچه ها صبح به مدرسه می روند و خانه باغ بسیار زیبایی دارد زن " +
       "کتاب های زیادی خوانده بود و آنها را روی میز آشپزخانه گذاشته بود " +
       "وقتی رسیدیم او نمی توانست وسایل خود را پیدا کند و از ما خواست فورا " +
-      "به او کمک کنیم چون باید به زودی می رفت"))
+      "به او کمک کنیم چون باید به زودی می رفت"),
+    // r13: Urdu — same Arabic script block; its heh-goal ہ, yeh-barree
+    // ے, retroflex ٹ ڈ ڑ and noon-ghunna ں plus the ergative کے/نے
+    // postposition trigrams keep the space apart from ar and fa
+    "ur" -> ("تمام انسان آزاد اور حقوق و عزت کے اعتبار سے برابر پیدا ہوئے " +
+      "ہیں انہیں ضمیر اور عقل ودیعت ہوئی ہے اس لیے انہیں ایک دوسرے کے ساتھ " +
+      "بھائی چارے کا سلوک کرنا چاہیے " +
+      "کتا اور بلی اس گھر میں رہتے ہیں جو شہر کے قریب ہے سورج کے نیچے کوئی " +
+      "نئی بات نہیں یہ ایک خاندان کی کہانی ہے جو ایک چھوٹے سے گاؤں میں " +
+      "رہتا تھا بچے صبح پیدل اسکول جاتے ہیں اور گھر کا باغ بہت خوبصورت ہے " +
+      "عورت نے بہت سی کتابیں پڑھی تھیں اور انہیں باورچی خانے کی میز پر " +
+      "رکھ دیا تھا جب ہم پہنچے تو وہ اپنی چیزیں نہیں پا سکا اور اس نے ہم " +
+      "سے کہا کہ فوراً اس کی مدد کریں کیونکہ اسے جلد جانا تھا"))
 
   /** Supported output codes (incl. script-detected and 'und'). */
   val knownCodes: Seq[String] =
     (seeds.keys.toSeq ++ cyrillicSeeds.keys.toSeq ++ arabicSeeds.keys.toSeq ++
-      Seq("zh", "ja", "ko", "el", "hi", "bn", "th", "und")).distinct.sorted
+      Seq("zh", "ja", "ko", "el", "hi", "bn", "th",
+        "ta", "te", "kn", "ml", "und")).distinct.sorted
 
   /** Letters-and-single-spaces normalization; diacritics folded so the
     * seed texts (written unaccented) and accented real text meet in the
@@ -312,7 +445,8 @@ object LangId {
     }
   }
 
-  private val latinGroup = new Group(seeds)
+  private val latinGroup = new Group(seeds.map { case (lang, s) =>
+    lang -> (s + " " + dailyLife.getOrElse(lang, "")) })
   private val cyrillicGroup = new Group(cyrillicSeeds)
   // uk's everyday text almost always carries its distinctive letters
   // (і is the word "and"); when NONE appear, restricting the candidates
@@ -327,6 +461,7 @@ object LangId {
     if (text == null || text.trim.isEmpty) return "und"
     var han = 0; var kana = 0; var hangul = 0; var cyr = 0
     var arab = 0; var greek = 0; var deva = 0; var beng = 0; var thai = 0
+    var tam = 0; var tel = 0; var kan = 0; var mal = 0
     var letters = 0
     // Script units = letters PLUS combining marks inside a tracked script
     // range (r12 fix): abugidas write most vowels as dependent signs that
@@ -351,6 +486,13 @@ object LangId {
           else if (inRange(cp, 0x0900, 0x097F)) 'd'
           else if (inRange(cp, 0x0980, 0x09FF)) 'b'
           else if (inRange(cp, 0x0E00, 0x0E7F)) 't'
+          // r13 Indic tier: Tamil / Telugu / Kannada / Malayalam blocks
+          // (abugidas — the mark-as-script-unit rule covers their
+          // dependent vowel signs, which sit inside the same blocks)
+          else if (inRange(cp, 0x0B80, 0x0BFF)) '1'
+          else if (inRange(cp, 0x0C00, 0x0C7F)) '2'
+          else if (inRange(cp, 0x0C80, 0x0CFF)) '3'
+          else if (inRange(cp, 0x0D00, 0x0D7F)) '4'
           else ' '
         if (isLetter || bucket != ' ') {
           letters += 1
@@ -364,6 +506,10 @@ object LangId {
             case 'd' => deva += 1
             case 'b' => beng += 1
             case 't' => thai += 1
+            case '1' => tam += 1
+            case '2' => tel += 1
+            case '3' => kan += 1
+            case '4' => mal += 1
             case _ => ()
           }
         }
@@ -381,6 +527,12 @@ object LangId {
     if (deva / l > 0.50) return "hi"
     if (beng / l > 0.50) return "bn"
     if (thai / l > 0.50) return "th"
+    // r13: the four Dravidian-script blocks are language-decisive the
+    // same way (one dominant language per script)
+    if (tam / l > 0.50) return "ta"
+    if (tel / l > 0.50) return "te"
+    if (kan / l > 0.50) return "kn"
+    if (mal / l > 0.50) return "ml"
     // within-script tier: the script picks the profile GROUP, the
     // out-of-place trigram distance picks the language inside it
     val group =

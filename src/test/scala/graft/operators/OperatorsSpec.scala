@@ -721,7 +721,51 @@ class TextAnalysisSpec extends SparkSpec {
       "fi" -> "naapurimme ostivat uuden auton viime viikolla",
       "fi" -> "museo sulkeutuu aikaisin sunnuntaisin talvikuukausina",
       "fi" -> "hän ei muistanut minne oli jättänyt avaimensa",
-      "fi" -> "monet opiskelijat opiskelevat mieluummin yhdessä ennen vaikeita kokeita")
+      "fi" -> "monet opiskelijat opiskelevat mieluummin yhdessä ennen vaikeita kokeita",
+      // r13: four more Indic scripts (ta/te/kn/ml — single-script
+      // decisions like bn), Urdu in the Arabic-script trigram group,
+      // and sk/no/hu in the Latin group (adversarially close to the
+      // already-supported cs and da)
+      "ta" -> "அறை மிகவும் சூடாக இருந்ததால் அவள் ஜன்னலைத் திறந்தாள்",
+      "ta" -> "எங்கள் அண்டை வீட்டார் போன வாரம் ஒரு புதிய கார் வாங்கினார்கள்",
+      "ta" -> "குளிர்கால மாதங்களில் ஞாயிற்றுக்கிழமைகளில் அருங்காட்சியகம் சீக்கிரம் மூடப்படும்",
+      "ta" -> "தன் சாவிகளை எங்கே வைத்தான் என்று அவனுக்கு நினைவில்லை",
+      "ta" -> "பல மாணவர்கள் கடினமான தேர்வுகளுக்கு முன் ஒன்றாகப் படிக்க விரும்புகிறார்கள்",
+      "te" -> "గది చాలా వేడిగా ఉన్నందున ఆమె కిటికీ తెరిచింది",
+      "te" -> "మా పొరుగువారు గత వారం కొత్త కారు కొన్నారు",
+      "te" -> "శీతాకాలంలో ఆదివారాల్లో మ్యూజియం త్వరగా మూసివేస్తారు",
+      "te" -> "తన తాళాలు ఎక్కడ పెట్టాడో అతనికి గుర్తు రాలేదు",
+      "te" -> "చాలా మంది విద్యార్థులు కష్టమైన పరీక్షల ముందు కలిసి చదవడానికి ఇష్టపడతారు",
+      "kn" -> "ಕೋಣೆ ತುಂಬಾ ಬಿಸಿಯಾಗಿದ್ದರಿಂದ ಅವಳು ಕಿಟಕಿ ತೆರೆದಳು",
+      "kn" -> "ನಮ್ಮ ನೆರೆಹೊರೆಯವರು ಕಳೆದ ವಾರ ಹೊಸ ಕಾರು ಖರೀದಿಸಿದರು",
+      "kn" -> "ಚಳಿಗಾಲದಲ್ಲಿ ಭಾನುವಾರಗಳಂದು ವಸ್ತುಸಂಗ್ರಹಾಲಯ ಬೇಗ ಮುಚ್ಚುತ್ತದೆ",
+      "kn" -> "ತನ್ನ ಕೀಲಿಗಳನ್ನು ಎಲ್ಲಿ ಇಟ್ಟಿದ್ದೇನೆಂದು ಅವನಿಗೆ ನೆನಪಾಗಲಿಲ್ಲ",
+      "kn" -> "ಅನೇಕ ವಿದ್ಯಾರ್ಥಿಗಳು ಕಠಿಣ ಪರೀಕ್ಷೆಗಳ ಮೊದಲು ಒಟ್ಟಿಗೆ ಓದಲು ಇಷ್ಟಪಡುತ್ತಾರೆ",
+      "ml" -> "മുറി വളരെ ചൂടായിരുന്നതിനാൽ അവൾ ജനൽ തുറന്നു",
+      "ml" -> "ഞങ്ങളുടെ അയൽക്കാർ കഴിഞ്ഞ ആഴ്ച ഒരു പുതിയ കാർ വാങ്ങി",
+      "ml" -> "തണുപ്പുകാലത്ത് ഞായറാഴ്ചകളിൽ മ്യൂസിയം നേരത്തെ അടയ്ക്കും",
+      "ml" -> "താക്കോലുകൾ എവിടെ വെച്ചെന്ന് അവന് ഓർമ്മ വന്നില്ല",
+      "ml" -> "പല വിദ്യാർത്ഥികളും കഠിനമായ പരീക്ഷകൾക്ക് മുമ്പ് ഒരുമിച്ച് പഠിക്കാൻ ഇഷ്ടപ്പെടുന്നു",
+      "ur" -> "کمرہ بہت گرم تھا اس لیے اس نے کھڑکی کھول دی",
+      "ur" -> "ہمارے پڑوسیوں نے پچھلے ہفتے ایک نئی گاڑی خریدی",
+      "ur" -> "سردیوں کے مہینوں میں عجائب گھر اتوار کو جلدی بند ہو جاتا ہے",
+      "ur" -> "اسے یاد نہیں آ رہا تھا کہ اس نے اپنی چابیاں کہاں چھوڑی تھیں",
+      "ur" -> "بہت سے طالب علم مشکل امتحانوں سے پہلے مل کر پڑھنا پسند کرتے ہیں",
+      "sk" -> "otvorila okno pretože v izbe bolo príliš horúco",
+      "sk" -> "naši susedia si minulý týždeň kúpili nové auto",
+      "sk" -> "múzeum sa v zime v nedeľu zatvára veľmi skoro",
+      "sk" -> "nevedel si spomenúť kde nechal svoje kľúče",
+      "sk" -> "mnohí študenti sa radšej učia spolu pred ťažkými skúškami",
+      "no" -> "hun åpnet vinduet fordi rommet var altfor varmt",
+      "no" -> "naboene våre kjøpte en ny bil i forrige uke",
+      "no" -> "museet stenger tidlig om søndagene i vintermånedene",
+      "no" -> "han kunne ikke huske hvor han hadde lagt nøklene sine",
+      "no" -> "mange studenter foretrekker å lese sammen før vanskelige eksamener",
+      "hu" -> "kinyitotta az ablakot mert a szoba túl meleg volt",
+      "hu" -> "a szomszédaink múlt héten új autót vettek",
+      "hu" -> "a múzeum télen vasárnaponként korán zár be",
+      "hu" -> "nem emlékezett rá hogy hol hagyta a kulcsait",
+      "hu" -> "sok diák szívesebben tanul együtt a nehéz vizsgák előtt")
     // script-dominance thresholds: a Devanagari/Thai/Bengali sentence
     // with a few embedded Latin tokens (brand names, numbers-as-words)
     // must still take the script decision — letters of the script stay
@@ -732,6 +776,18 @@ class TextAnalysisSpec extends SparkSpec {
       "เขาใช้ spark ทำงานข้อมูลทุกวันและมันเร็วมาก") == "th")
     assert(graft.operators.LangId.classify(
       "সে প্রতিদিন spark দিয়ে কাজ করে এবং এটি খুব দ্রুত") == "bn")
+    // r13 abugidas: the mixed-script dominance rule must hold for the
+    // four new Indic scripts too (their vowel signs are combining
+    // marks — the r12 script-unit counting is what keeps the script
+    // dominant over embedded Latin tokens)
+    assert(graft.operators.LangId.classify(
+      "அவன் spark மூலம் data வேலை செய்கிறான் அது மிக வேகமாக உள்ளது") == "ta")
+    assert(graft.operators.LangId.classify(
+      "అతను ప్రతి రోజు spark తో data పని చేస్తాడు అది చాలా వేగంగా ఉంది") == "te")
+    assert(graft.operators.LangId.classify(
+      "ಅವನು ಪ್ರತಿದಿನ spark ಬಳಸಿ data ಕೆಲಸ ಮಾಡುತ್ತಾನೆ ಅದು ತುಂಬಾ ವೇಗವಾಗಿದೆ") == "kn")
+    assert(graft.operators.LangId.classify(
+      "അവൻ എല്ലാ ദിവസവും spark ഉപയോഗിച്ച് data ജോലി ചെയ്യുന്നു അത് വളരെ വേഗമാണ്") == "ml")
     val wrong = fixture.filter { case (lang, s) =>
       graft.operators.LangId.classify(s) != lang }
     val acc = 1.0 - wrong.size.toDouble / fixture.size
