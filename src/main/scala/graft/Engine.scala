@@ -517,15 +517,52 @@ object Engine {
       .toDF("schema_name", "internal")
   }
 
+  // ---- table-provenance registry (r13, closes r12 self-review #5):
+  // graft's storage model backs CTAS snapshots and CREATE TABLE
+  // definitions with temp views, but the reference catalog lists them
+  // only in duckdb_tables() — duckdb_views() must not show them
+  // (probed). The dialect marks names at their creation sites; DROP /
+  // CREATE VIEW over the same name unmarks.
+  private val snapshotTables = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Set[String]]())
+
+  /** Record `name` as TABLE-provenance (CTAS / CREATE TABLE). */
+  def markAsTable(spark: SparkSession, name: String): Unit =
+    snapshotTables.computeIfAbsent(spark,
+      _ => java.util.concurrent.ConcurrentHashMap.newKeySet[String]())
+      .add(name.toLowerCase)
+
+  /** Forget `name`'s TABLE provenance (DROP, or a VIEW took the name). */
+  def unmarkTable(spark: SparkSession, name: String): Unit = {
+    val s = snapshotTables.get(spark)
+    if (s != null) s.remove(name.toLowerCase)
+  }
+
+  /** Provenance follows ALTER TABLE … RENAME TO (no-op for a name that
+    * was never marked — renaming a view must not invent a table). */
+  def renameTableMark(spark: SparkSession, from: String, to: String): Unit = {
+    val s = snapshotTables.get(spark)
+    if (s != null && s.remove(from.toLowerCase)) s.add(to.toLowerCase)
+  }
+
+  private def isTableProvenance(spark: SparkSession, name: String): Boolean = {
+    val s = snapshotTables.get(spark)
+    s != null && s.contains(name.toLowerCase)
+  }
+
   /** duckdb_views() analog: one row per resolvable view. Graft registers
     * its parquet tables as temp views — the same catalog shape the
     * oracle harness gives DuckDB (CREATE VIEW over read_parquet), so the
-    * two engines' view listings probe identically. */
+    * two engines' view listings probe identically. Names created as
+    * TABLES (CTAS snapshots, CREATE TABLE) are excluded via the
+    * provenance registry — the reference lists those only in
+    * duckdb_tables(). */
   def viewsTable(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listTables().collect().toSeq
       .filterNot(_.name.startsWith("__graft_"))
       .filter(t => t.isTemporary || t.tableType == "VIEW")
+      .filterNot(t => isTableProvenance(spark, t.name))
       .map(t => ("main", t.name, t.isTemporary))
       .toDF("schema_name", "view_name", "temporary")
   }

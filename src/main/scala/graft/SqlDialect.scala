@@ -321,6 +321,7 @@ object SqlDialect {
         // (a CTAS result has no declared constraints in the reference)
         primaryKeysFor(spark).remove(m.group(1).toLowerCase)
         constraintsFor(spark).remove(m.group(1).toLowerCase)
+        Engine.markAsTable(spark, m.group(1)) // TABLE in the catalog, not a view
         return df
       case None =>
     }
@@ -334,6 +335,7 @@ object SqlDialect {
       case Some(m) =>
         val df = sql(spark, m.group(2))
         df.createOrReplaceTempView(m.group(1))
+        Engine.unmarkTable(spark, m.group(1)) // a VIEW took the name
         return df
       case None =>
     }
@@ -411,6 +413,7 @@ object SqlDialect {
         val schema = org.apache.spark.sql.types.StructType.fromDDL(fields.mkString(", "))
         spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
           schema).createOrReplaceTempView(name)
+        Engine.markAsTable(spark, name) // TABLE in the catalog, not a view
         if (keys.nonEmpty) primaryKeysFor(spark)(name.toLowerCase) = keys
         else primaryKeysFor(spark).remove(name.toLowerCase)
         // PRIMARY KEY implies NOT NULL on its columns + a unique key
@@ -671,6 +674,7 @@ object SqlDialect {
         require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
         primaryKeysFor(spark).remove(dropped)
         constraintsFor(spark).remove(dropped)
+        Engine.unmarkTable(spark, dropped)
         return spark.emptyDataFrame
       case None =>
     }
@@ -691,6 +695,7 @@ object SqlDialect {
           case renameTo(nn) =>
             t.localCheckpoint().createOrReplaceTempView(nn)
             spark.catalog.dropTempView(name)
+            Engine.renameTableMark(spark, name, nn) // provenance follows
           case renameCol(a, b) =>
             t.withColumnRenamed(a, b).localCheckpoint().createOrReplaceTempView(name)
           case addCol(c, tpe) =>

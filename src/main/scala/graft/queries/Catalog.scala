@@ -543,11 +543,22 @@ object Catalog {
       // resource-setting NAMES resolve — values are machine state in
       // both engines, so only names probe), and pragma_database_size()
       // (a well-formed one-row accounting table; sizes are engine
-      // storage state, so the contract is shape + positivity)
+      // storage state, so the contract is shape + positivity).
+      // r13: plus the TABLE-vs-VIEW provenance split — a CTAS snapshot
+      // must surface in duckdb_tables() and NOT in duckdb_views(), a
+      // true view the other way (graft backs both with temp views; the
+      // provenance registry restores the reference catalog's split)
       Engine.registerAll(s, dir)
+      provenanceSetup.foreach(SqlDialect.sql(s, _))
       SqlDialect.sql(s, introspectionSql)
     })
   )
+
+  private[queries] val provenanceSetup = Seq(
+    """CREATE OR REPLACE TABLE prov_snap AS
+      |SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation""".stripMargin,
+    """CREATE OR REPLACE VIEW prov_view AS
+      |SELECT CAST(n_regionkey AS BIGINT) AS r FROM nation""".stripMargin)
 
   private[queries] val introspectionSql =
     """SELECT
@@ -559,7 +570,13 @@ object Catalog {
       |  (SELECT count(DISTINCT name) FROM duckdb_settings()
       |   WHERE name IN ('threads', 'memory_limit')) AS n_setting_names,
       |  (SELECT CAST(count(*) AS BIGINT) FROM pragma_database_size())
-      |    AS db_size_rows""".stripMargin
+      |    AS db_size_rows,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_views()
+      |   WHERE view_name = 'prov_snap') AS ctas_in_views,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_views()
+      |   WHERE view_name = 'prov_view') AS view_in_views,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_tables()
+      |   WHERE table_name = 'prov_snap') AS ctas_in_tables""".stripMargin
 
   val oracle: Map[String, String] = Map(
 
@@ -760,6 +777,7 @@ object Catalog {
     // identical text runs natively in DuckDB: the harness registers the
     // parquet tables as views, `main` is the default schema, and
     // threads/memory_limit are native setting names
-    "catalog_schemas_views" -> introspectionSql
+    "catalog_schemas_views" ->
+      (provenanceSetup :+ introspectionSql).mkString(";\n")
   )
 }

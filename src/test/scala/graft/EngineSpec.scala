@@ -238,4 +238,27 @@ class CsvSpec extends SparkSpec {
     // same SparkContext underneath — a child is a session, not a cluster
     assert(c1.sparkContext eq spark.sparkContext)
   }
+
+  test("table-provenance registry: CTAS is a table not a view; rename and view-takes-name follow (r13)") {
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    def views() = Engine.viewsTable(spark).collect().map(_.getString(1)).toSet
+    def tables() = Engine.tables(spark).collect().map(_.getString(0)).toSet
+    SqlDialect.sql(spark, "CREATE OR REPLACE TABLE prov_a AS SELECT 1 AS x")
+    assert(!views().contains("prov_a") && tables().contains("prov_a"))
+    // base parquet registrations stay views (the oracle harness's shape)
+    assert(views().contains("nation"))
+    // rename carries the provenance
+    SqlDialect.sql(spark, "ALTER TABLE prov_a RENAME TO prov_b")
+    assert(!views().contains("prov_b") && tables().contains("prov_b"))
+    // a CREATE VIEW over the same name flips it back to a view
+    SqlDialect.sql(spark, "CREATE OR REPLACE VIEW prov_b AS SELECT 2 AS y")
+    assert(views().contains("prov_b"))
+    // DROP clears the mark, so a later VIEW of the same name lists
+    SqlDialect.sql(spark, "CREATE OR REPLACE TABLE prov_c (z BIGINT)")
+    assert(!views().contains("prov_c"))
+    SqlDialect.sql(spark, "DROP TABLE prov_c")
+    SqlDialect.sql(spark, "CREATE OR REPLACE VIEW prov_c AS SELECT 3 AS z")
+    assert(views().contains("prov_c"))
+    Seq("prov_b", "prov_c").foreach(n => SqlDialect.sql(spark, s"DROP VIEW $n"))
+  }
 }
