@@ -39,7 +39,6 @@ object SqlDialect {
   private val readJsonFn =
     """(?is)\bread_(?:nd)?json(?:_auto)?\s*\(\s*'([^']+)'\s*\)""".r
   private val bareJson = """(?is)\bFROM\s+'([^']+\.(?:json|ndjson|jsonl))'""".r
-  private val distinctOn = """(?is)^\s*SELECT\s+DISTINCT\s+ON\s*\(""".r
   // COPY (query)|table TO 'path' [(options)] — reference PhysicalCopyToFile,
   // duckdb-4.cpp:4689
   private val copyToRe =
@@ -1115,121 +1114,10 @@ object SqlDialect {
     //     (replaced columns move to the end of the projection; the
     //     harness compare is column-order-insensitive)
     // combined form `* EXCLUDE (…) REPLACE (…)` folds into one EXCEPT.
-    q = rewriteStarModifiers(q)
-
-    // QUALIFY / DISTINCT ON at EVERY nesting depth (a CTE body or a
-    // derived table is where a migrated DuckDB script uses them first)
-    q = rewriteNested(q)
-
-    q
-  }
-
-  /** Bottom-up structural recursion: rewrite each parenthesized
-    * interior first (so a QUALIFY inside a CTE body or derived table is
-    * handled at ITS level), then apply the level-local rewrites to this
-    * level's text. Recursing into every paren group — function calls
-    * included — is harmless: the level rewrites anchor on SELECT-clause
-    * keywords that cannot appear there. */
-  private def rewriteNested(query: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    var inStr = false
-    val n = query.length
-    while (i < n) {
-      val c = query.charAt(i)
-      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
-      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
-      else if (c == '(') {
-        val close = matchParen(query, i)
-        if (close > i) {
-          sb.append('(').append(rewriteNested(query.substring(i + 1, close))).append(')')
-          i = close + 1
-        } else { sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    rewriteLevel(sb.toString)
-  }
-
-  /** Split a leading `WITH name [(cols)] AS (…) [, …]` chain off a
-    * level's text, so a rewrite can wrap ONLY the main SELECT in a
-    * subquery (CTE names stay visible — Spark resolves outer CTEs
-    * inside derived tables) instead of nesting the WITH illegally.
-    * Token-structural since r11 ([[SqlLex.splitWithPrefix]]) — the
-    * round-9 `WITH atlas (…)` AS-token bug class is impossible on a
-    * token stream. */
-  private def splitWithPrefix(q: String): (String, String) =
-    SqlLex.splitWithPrefix(q)
-
-  /** Level-local rewrites (operate on depth-0 text only; nested parens
-    * were already handled by [[rewriteNested]]). */
-  private def rewriteLevel(query: String): String = {
-    var q = query
-
-    // QUALIFY pred [ORDER BY … | LIMIT …] → subquery + WHERE. Window
-    // expressions used directly in the predicate
-    // (QUALIFY row_number() OVER (…) <= 3) are auto-aliased into the
-    // select list first.
-    val qi = topLevelIndex(q, "QUALIFY")
-    if (qi >= 0) {
-      val (withPrefix, level) = splitWithPrefix(q.substring(0, qi))
-      var inner = level
-      val rest = q.substring(qi + "QUALIFY".length)
-      val boundary = Seq(topLevelIndex(rest, "ORDER"), topLevelIndex(rest, "LIMIT"))
-        .filter(_ >= 0).sorted.headOption
-      var (pred, tail) = boundary match {
-        case Some(b) => (rest.substring(0, b), rest.substring(b))
-        case None => (rest, "")
-      }
-      val winExprs = extractWindowExprs(pred)
-      winExprs.zipWithIndex.foreach { case (we, i) =>
-        val alias = s"__q$i"
-        pred = pred.replace(we, alias)
-        val fi = topLevelIndex(inner, "FROM")
-        require(fi >= 0, "QUALIFY rewrite needs a FROM clause")
-        inner = inner.substring(0, fi) + s", $we AS $alias " + inner.substring(fi)
-      }
-      val drop = if (winExprs.isEmpty) "*"
-      else s"* EXCEPT (${winExprs.indices.map(i => s"__q$i").mkString(", ")})"
-      q = s"$withPrefix SELECT $drop FROM ($inner) __qualify WHERE ($pred) $tail"
-    }
-
-    // SELECT DISTINCT ON (keys) cols FROM … [ORDER BY s] →
-    //   row_number() OVER (PARTITION BY keys ORDER BY s) = 1
-    // (any leading WITH chain stays outside the wrapping subquery)
-    val di = {
-      val m = """(?is)\bSELECT\s+DISTINCT\s+ON\s*\(""".r.findAllMatchIn(q)
-        .find(mm => !insideQuotes(q, mm.start) && parenDepth(q, mm.start) == 0)
-      m
-    }
-    if (di.isDefined) {
-      val m = di.get
-      val withPrefix = q.substring(0, m.start)
-      require(withPrefix.trim.isEmpty || splitWithPrefix(q)._1.nonEmpty,
-        "DISTINCT ON: unsupported statement shape (text before SELECT)")
-      val sub = q.substring(m.start)
-      val open = sub.indexOf('(', sub.toUpperCase.indexOf("ON"))
-      var depth = 1; var i = open + 1
-      while (depth > 0 && i < sub.length) {
-        if (sub.charAt(i) == '(') depth += 1
-        else if (sub.charAt(i) == ')') depth -= 1
-        i += 1
-      }
-      val keys = sub.substring(open + 1, i - 1)
-      val afterKeys = sub.substring(i) // "cols FROM … [WHERE …] [ORDER BY …]"
-      val oi = topLevelIndex(afterKeys, "ORDER")
-      val (body, order) =
-        if (oi >= 0) (afterKeys.substring(0, oi),
-          afterKeys.substring(oi + "ORDER".length).trim.stripPrefix("BY").trim)
-        else (afterKeys, keys)
-      val fi = topLevelIndex(body, "FROM")
-      require(fi >= 0, "DISTINCT ON rewrite needs a FROM clause")
-      val proj = body.substring(0, fi).trim
-      val fromRest = body.substring(fi)
-      q = s"""$withPrefix SELECT * EXCEPT (__rn) FROM (
-             |  SELECT $proj, row_number() OVER (PARTITION BY $keys ORDER BY $order) AS __rn
-             |  $fromRest
-             |) WHERE __rn = 1""".stripMargin
-    }
+    // Structural rewrites — star modifiers, QUALIFY, DISTINCT ON — as
+    // tree transforms on the parsed statement spine, at every nesting
+    // depth (r13, [[SqlSelect]]; retired the regex splicers)
+    q = SqlSelect.rewrite(q)
 
     q
   }
@@ -1315,12 +1203,6 @@ object SqlDialect {
     sb.toString
   }
 
-  private val starMod = """(?is)\*\s+(EXCLUDE|REPLACE)\s*\(""".r
-
-  /** `* EXCLUDE (…) [REPLACE (…)]` → Spark `* EXCEPT (…)` + re-projected
-    * replacement expressions. Paren-balanced; applied repeatedly so
-    * multiple stars / subqueries all rewrite; clauses may chain in either
-    * order after the same `*`. */
   /** Is position `idx` inside a single-quoted string literal? */
   private def insideQuotes(s: String, idx: Int): Boolean = {
     var inStr = false
@@ -1330,51 +1212,6 @@ object SqlDialect {
       i += 1
     }
     inStr
-  }
-
-  private[graft] def rewriteStarModifiers(query: String): String = {
-    val modHead = """(?is)^\s+(EXCLUDE|REPLACE)\s*\(""".r
-    var q = query
-    var from = 0 // skip-ahead cursor: quoted / malformed matches are left alone
-    var m = starMod.findFirstMatchIn(q.substring(from)).map(x => (from + x.start, x))
-    while (m.isDefined) {
-      val star = m.get._1 // position of '*'
-      if (insideQuotes(q, star)) {
-        from = star + 1 // a literal like '* EXCLUDE (' — don't mangle it
-      } else {
-        var pos = star + 1
-        var excluded = Vector.empty[String]
-        var replaced = Vector.empty[(String, String)] // (expr, alias)
-        var malformed = false
-        var h = modHead.findFirstMatchIn(q.substring(pos))
-        while (h.isDefined && !malformed) {
-          val open = pos + h.get.end - 1
-          val close = matchParen(q, open)
-          if (close < 0) malformed = true // leave for the SQL parser to report
-          else {
-            val args = splitTopLevel(q.substring(open + 1, close))
-            if (h.get.group(1).equalsIgnoreCase("EXCLUDE")) excluded ++= args.map(_.trim)
-            else args.foreach { item =>
-              val ai = item.toUpperCase.lastIndexOf(" AS ")
-              if (ai <= 0) malformed = true
-              else replaced :+= (item.substring(0, ai).trim, item.substring(ai + 4).trim)
-            }
-            pos = close + 1
-            h = modHead.findFirstMatchIn(q.substring(pos))
-          }
-        }
-        if (malformed) from = star + 1
-        else {
-          val names = excluded ++ replaced.map(_._2)
-          val repl = "* EXCEPT (" + names.mkString(", ") + ")" +
-            replaced.map { case (e, a) => s", $e AS $a" }.mkString
-          q = q.substring(0, star) + repl + q.substring(pos)
-          from = star + repl.length
-        }
-      }
-      m = starMod.findFirstMatchIn(q.substring(from)).map(x => (from + x.start, x))
-    }
-    q
   }
 
   /** Split on top-level commas (outside parens/brackets/braces and
@@ -1438,7 +1275,7 @@ object SqlDialect {
 
   /** Index of the ')' matching the '(' at `open`, or -1 (quote-aware:
     * parens inside string literals don't count). */
-  private def matchParen(s: String, open: Int): Int = {
+  private[graft] def matchParen(s: String, open: Int): Int = {
     var depth = 0; var i = open; var inStr = false
     while (i < s.length) {
       val c = s.charAt(i)

@@ -1,0 +1,420 @@
+package graft
+
+/** Recursive-descent SELECT-statement SPINE parser over [[SqlLex]]
+  * tokens (r13 — retires the QUALIFY / DISTINCT ON / star-modifier
+  * regex splicers; the structural debt two verdicts flagged).
+  *
+  * Deliberately NOT a full grammar: clause bodies (expressions, join
+  * trees, window specs) stay raw text slices — the reference vendors an
+  * entire Postgres grammar for those (duckdb-libpg_query.cpp,
+  * Parser::ParseQuery duckdb-8.cpp:7252); graft needs exactly the
+  * statement spine (WITH chain, set-op terms, clause boundaries,
+  * projection items), because that is where the dialect's structural
+  * rewrites live. Subqueries inside any raw slice are located by a
+  * quote-aware paren scan and recursively parsed, so the transforms
+  * apply at every nesting depth — the tree-shaped replacement for the
+  * old bottom-up `rewriteNested` text recursion.
+  *
+  * What the tree buys over the splicers (each was a live bug class):
+  *   - `a * exclude(x)` is multiplication by a function call, not a
+  *     star modifier — the old `\*\s+EXCLUDE\(` regex mangled it;
+  *     here EXCLUDE/REPLACE bind only when the projection ITEM is a
+  *     (qualified) star.
+  *   - QUALIFY binds to the select CORE that carries it (the
+  *     reference's SelectNode shape), not to "everything left of the
+  *     keyword" — a set-op member with QUALIFY now wraps only itself.
+  *   - DISTINCT ON + trailing LIMIT: the limit applies AFTER the
+  *     distinct (outer query), instead of being swallowed into the
+  *     window's ORDER BY text.
+  */
+private[graft] object SqlSelect {
+
+  import SqlLex._
+
+  // ---- model -----------------------------------------------------------
+
+  private sealed trait Item
+  /** A (qualified) star projection with optional duck modifiers.
+    * `prefixText` is the verbatim original text up to and including the
+    * `*` ("`*`", "`t.*`", …). EXCLUDE and Spark-native EXCEPT both land
+    * in `exclude` (identical semantics; rendered as EXCEPT). */
+  private final case class Star(prefixText: String, exclude: Seq[String],
+                                replace: Seq[(String, String)]) extends Item
+  private final case class RawItem(text: String) extends Item
+
+  /** One SELECT core; clause strings hold the content AFTER the clause
+    * keyword, already recursively rewritten. */
+  private final case class Core(
+    distinct: Boolean, distinctOnKeys: Option[String], items: Seq[Item],
+    from: Option[String], where: Option[String], groupBy: Option[String],
+    having: Option[String], window: Option[String], qualify: Option[String],
+    orderBy: Option[String], limit: Option[String], offset: Option[String])
+
+  private sealed trait Term
+  private final case class CoreTerm(c: Core) extends Term
+  /** A parenthesized body — interior already rewritten. */
+  private final case class ParenTerm(inner: String) extends Term
+  /** VALUES …, TABLE …, or anything else body-shaped we keep verbatim
+    * (interior subqueries rewritten). */
+  private final case class RawTerm(text: String) extends Term
+
+  /** terms.length == ops.length + 1; `tail` is a trailing raw region
+    * (set-op-level ORDER BY / LIMIT, or anything unparsed). */
+  private final case class Body(terms: Seq[Term], ops: Seq[String],
+                                tail: Option[String])
+
+  // ---- entry -----------------------------------------------------------
+
+  /** Rewrite a statement: parse the select spine wherever one starts,
+    * apply the tree transforms, render. Non-select prefixes (INSERT
+    * INTO …, EXPLAIN …) pass through verbatim with their first
+    * depth-0 SELECT/WITH suffix parsed as a statement. */
+  def rewrite(q: String): String = {
+    val toks = tokenize(q)
+    if (toks.isEmpty) return q
+    val head = toks.head
+    val selectHead = head.kind == LParen ||
+      (head.kind == Ident && Set("select", "with", "values")(head.lower))
+    if (selectHead) parseRender(q)
+    else {
+      val si = keywordIndex(toks, "select")
+      val wi = keywordIndex(toks, "with")
+      val idx = Seq(si, wi).filter(_ >= 0).sorted.headOption.getOrElse(-1)
+      if (idx < 0) rewriteRawRegion(q)
+      else rewriteRawRegion(q.substring(0, idx)) + parseRender(q.substring(idx))
+    }
+  }
+
+  /** Recursively rewrite select statements INSIDE a raw region: every
+    * depth-0 paren group whose interior starts with SELECT / WITH /
+    * VALUES is a subquery (parse + transform + render); other groups
+    * recurse for deeper subqueries. Text outside parens is untouched. */
+  private def rewriteRawRegion(text: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    val n = text.length
+    while (i < n) {
+      val c = text.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '(') {
+        val close = SqlDialect.matchParen(text, i)
+        if (close > i) {
+          val interior = text.substring(i + 1, close)
+          val ht = tokenize(interior).headOption
+          val isSub = ht.exists(t => t.kind == Ident &&
+            Set("select", "with", "values")(t.lower))
+          sb.append('(')
+            .append(if (isSub) parseRender(interior) else rewriteRawRegion(interior))
+            .append(')')
+          i = close + 1
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  // ---- parser ----------------------------------------------------------
+
+  private def parseRender(q: String): String = {
+    val (wp, rest) = splitWithPrefix(q)
+    val prefix = if (wp.isEmpty) "" else rewriteRawRegion(wp) + " "
+    prefix + renderBody(parseBody(rest))
+  }
+
+  private final class P(val q: String, val toks: Vector[Tok]) {
+    var k = 0
+    def peek: Tok = if (k < toks.length) toks(k) else null
+    def peekAt(j: Int): Tok = if (j < toks.length) toks(j) else null
+    def atEnd: Boolean = k >= toks.length
+    def isIdent(t: Tok, w: String): Boolean =
+      t != null && t.kind == Ident && t.lower == w
+    /** Depth-0 scan is the caller's job — the parser only ever looks at
+      * depth-0 tokens by skipping balanced groups whole. */
+    def skipGroup(): Unit = { // toks(k) is LParen
+      var depth = 0
+      while (k < toks.length) {
+        toks(k).kind match {
+          case LParen => depth += 1
+          case RParen => depth -= 1; if (depth == 0) { k += 1; return }
+          case _ => ()
+        }
+        k += 1
+      }
+    }
+  }
+
+  private val setOps = Set("union", "intersect", "except")
+  // clause keywords that end the previous clause at depth 0
+  private val coreStops = Set("from", "where", "group", "having", "window",
+    "qualify", "order", "limit", "offset") ++ setOps
+
+  /** Is the CURRENT token a depth-0 clause stop? (GROUP/ORDER require a
+    * following BY to count — protects identifiers that merely spell a
+    * keyword; a dot-qualified name like `t.from` never counts.) */
+  private def isStop(p: P, stops: Set[String]): Boolean = {
+    val t = p.peek
+    if (t == null || t.kind != Ident || !stops(t.lower)) return false
+    if (p.k > 0 && p.toks(p.k - 1).kind == Punct && p.toks(p.k - 1).lower == ".")
+      return false
+    t.lower match {
+      case "group" | "order" => p.isIdent(p.peekAt(p.k + 1), "by")
+      case _ => true
+    }
+  }
+
+  private def parseBody(text: String): Body = {
+    val p = new P(text, tokenize(text))
+    val terms = Vector.newBuilder[Term]
+    val ops = Vector.newBuilder[String]
+    var done = false
+    terms += parseTerm(p)
+    while (!done) {
+      val t = p.peek
+      if (t != null && t.kind == Ident && setOps(t.lower)) {
+        val opStart = t.start
+        p.k += 1
+        // optional ALL | DISTINCT, optional BY NAME — kept verbatim
+        if (p.isIdent(p.peek, "all") || p.isIdent(p.peek, "distinct")) p.k += 1
+        if (p.isIdent(p.peek, "by") && p.isIdent(p.peekAt(p.k + 1), "name"))
+          p.k += 2
+        val opEnd = p.toks(p.k - 1).end
+        ops += text.substring(opStart, opEnd)
+        terms += parseTerm(p)
+      } else done = true
+    }
+    val tail =
+      if (p.atEnd) None
+      else Some(rewriteRawRegion(text.substring(p.peek.start)))
+    Body(terms.result(), ops.result(), tail)
+  }
+
+  private def parseTerm(p: P): Term = {
+    val t = p.peek
+    if (t == null) return RawTerm("")
+    if (t.kind == LParen) {
+      val open = t.start
+      p.skipGroup()
+      val close = p.toks(p.k - 1).start // the matching RParen's offset
+      val interior = p.q.substring(open + 1, close)
+      val ht = tokenize(interior).headOption
+      val inner = if (ht.exists(h => h.kind == Ident &&
+        Set("select", "with", "values")(h.lower))) parseRender(interior)
+      else rewriteRawRegion(interior)
+      ParenTerm(inner)
+    } else if (p.isIdent(t, "select")) {
+      CoreTerm(parseCore(p))
+    } else {
+      // VALUES (…), TABLE t, … — scan to the next depth-0 set op;
+      // trailing ORDER/LIMIT stay inside (rendered verbatim in place)
+      val start = t.start
+      while (!p.atEnd && !(p.peek.kind == Ident && setOps(p.peek.lower) &&
+        !(p.k > 0 && p.toks(p.k - 1).kind == Punct && p.toks(p.k - 1).lower == "."))) {
+        if (p.peek.kind == LParen) p.skipGroup() else p.k += 1
+      }
+      val end = if (p.atEnd) p.q.length else p.peek.start
+      RawTerm(rewriteRawRegion(p.q.substring(start, end)))
+    }
+  }
+
+  /** Slice the clause content from the current position to the next
+    * depth-0 stop (or end); recursively rewrite its subqueries. */
+  private def clauseSlice(p: P, stops: Set[String]): String = {
+    val start = if (p.atEnd) p.q.length else p.peek.start
+    while (!p.atEnd && !isStop(p, stops)) {
+      if (p.peek.kind == LParen) p.skipGroup() else p.k += 1
+    }
+    val end = if (p.atEnd) p.q.length else p.peek.start
+    rewriteRawRegion(p.q.substring(start, end))
+  }
+
+  private def parseCore(p: P): Core = {
+    p.k += 1 // past SELECT
+    var distinct = false
+    var donKeys: Option[String] = None
+    if (p.isIdent(p.peek, "all")) p.k += 1
+    else if (p.isIdent(p.peek, "distinct")) {
+      distinct = true
+      p.k += 1
+      if (p.isIdent(p.peek, "on") && p.peekAt(p.k + 1) != null &&
+        p.peekAt(p.k + 1).kind == LParen) {
+        p.k += 1
+        val open = p.peek.start
+        p.skipGroup()
+        donKeys = Some(p.q.substring(open + 1, p.toks(p.k - 1).start))
+        distinct = false // DISTINCT ON is its own construct, not DISTINCT
+      }
+    }
+    val items = parseItems(p)
+    var from, where, groupBy, having, window, qualify = Option.empty[String]
+    var orderBy, limit, offset = Option.empty[String]
+    var done = false
+    while (!done && !p.atEnd) {
+      val t = p.peek
+      if (t.kind == Ident && setOps(t.lower)) done = true
+      else if (isStop(p, coreStops)) t.lower match {
+        case "from" => p.k += 1; from = Some(clauseSlice(p, coreStops))
+        case "where" => p.k += 1; where = Some(clauseSlice(p, coreStops))
+        case "group" => p.k += 2; groupBy = Some(clauseSlice(p, coreStops))
+        case "having" => p.k += 1; having = Some(clauseSlice(p, coreStops))
+        case "window" => p.k += 1; window = Some(clauseSlice(p, coreStops))
+        case "qualify" => p.k += 1; qualify = Some(clauseSlice(p, coreStops))
+        case "order" => p.k += 2; orderBy = Some(clauseSlice(p, coreStops))
+        case "limit" => p.k += 1; limit = Some(clauseSlice(p, coreStops))
+        case "offset" => p.k += 1; offset = Some(clauseSlice(p, coreStops))
+        case _ => done = true
+      } else done = true // unexpected depth-0 token after clauses — stop
+    }
+    Core(distinct, donKeys, items, from, where, groupBy, having, window,
+      qualify, orderBy, limit, offset)
+  }
+
+  /** Projection list: items split on depth-0 commas, each item either a
+    * (qualified) star with optional EXCLUDE/EXCEPT/REPLACE modifier
+    * groups, or a raw expression slice. `except` ends the clause (set
+    * op) ONLY when it is not a star modifier — the item-shape decides,
+    * which is exactly what the old regex could not see. */
+  private def parseItems(p: P): Seq[Item] = {
+    val items = Vector.newBuilder[Item]
+    var done = false
+    while (!done) {
+      items += parseItem(p)
+      if (p.peek != null && p.peek.kind == Punct && p.peek.lower == ",") p.k += 1
+      else done = true
+    }
+    items.result()
+  }
+
+  private def parseItem(p: P): Item = {
+    val startK = p.k
+    // try the star shape: (ident '.')* '*' [modifier groups]
+    var j = p.k
+    while (p.peekAt(j) != null &&
+      (p.peekAt(j).kind == Ident || p.peekAt(j).kind == QIdent) &&
+      p.peekAt(j + 1) != null && p.peekAt(j + 1).kind == Punct &&
+      p.peekAt(j + 1).lower == ".") j += 2
+    val starTok = p.peekAt(j)
+    if (starTok != null && starTok.kind == Punct && starTok.lower == "*") {
+      val prefixText = p.q.substring(p.toks(startK).start, starTok.end)
+      p.k = j + 1
+      var exclude = Vector.empty[String]
+      var replace = Vector.empty[(String, String)]
+      var malformed = false
+      var more = true
+      while (more && !malformed) {
+        val t = p.peek
+        val isMod = t != null && t.kind == Ident &&
+          Set("exclude", "except", "replace")(t.lower) &&
+          p.peekAt(p.k + 1) != null && p.peekAt(p.k + 1).kind == LParen
+        if (isMod) {
+          val kw = t.lower
+          p.k += 1
+          val open = p.peek.start
+          p.skipGroup()
+          val args = SqlDialect.splitTopLevel(
+            p.q.substring(open + 1, p.toks(p.k - 1).start))
+          if (kw == "replace") args.foreach { item =>
+            val ai = item.toUpperCase.lastIndexOf(" AS ")
+            if (ai <= 0) malformed = true
+            else replace :+= (item.substring(0, ai).trim, item.substring(ai + 4).trim)
+          } else exclude ++= args.map(_.trim)
+        } else more = false
+      }
+      if (!malformed) return Star(prefixText, exclude, replace)
+      p.k = startK // malformed modifier — fall through to a raw slice
+    } else p.k = startK
+    // raw item: to the next depth-0 comma or clause stop
+    val start = if (p.atEnd) p.q.length else p.peek.start
+    while (!p.atEnd && !isStop(p, coreStops) &&
+      !(p.peek.kind == Punct && p.peek.lower == ",")) {
+      if (p.peek.kind == LParen) p.skipGroup() else p.k += 1
+    }
+    val end = if (p.atEnd) p.q.length else p.peek.start
+    RawItem(rewriteRawRegion(p.q.substring(start, end)))
+  }
+
+  // ---- transforms + render --------------------------------------------
+
+  private def renderItem(it: Item): String = it match {
+    case RawItem(t) => t.trim
+    case Star(prefix, excl, repl) =>
+      if (excl.isEmpty && repl.isEmpty) prefix
+      else {
+        val names = excl ++ repl.map(_._2)
+        s"$prefix EXCEPT (${names.mkString(", ")})" +
+          repl.map { case (e, a) => s", $e AS $a" }.mkString
+      }
+  }
+
+  private def renderBody(b: Body): String = {
+    val parts = new StringBuilder
+    parts.append(renderTerm(b.terms.head))
+    b.ops.zip(b.terms.tail).foreach { case (op, t) =>
+      parts.append(' ').append(op).append(' ').append(renderTerm(t))
+    }
+    b.tail.foreach(t => parts.append(' ').append(t.trim))
+    parts.toString
+  }
+
+  private def renderTerm(t: Term): String = t match {
+    case ParenTerm(inner) => s"($inner)"
+    case RawTerm(text) => text.trim
+    case CoreTerm(c) => renderCore(c)
+  }
+
+  private def renderCore(c: Core): String = {
+    val itemTexts = c.items.map(renderItem)
+    val distinctKw = if (c.distinct) "DISTINCT " else ""
+    def tail(parts: Option[String]*): String =
+      parts.flatten.map(" " + _).mkString
+    val fromTail = tail(
+      c.from.map("FROM " + _.trim), c.where.map("WHERE " + _.trim),
+      c.groupBy.map("GROUP BY " + _.trim), c.having.map("HAVING " + _.trim),
+      c.window.map("WINDOW " + _.trim))
+
+    // stage 1: the core without QUALIFY / DISTINCT ON / ORDER / LIMIT,
+    // possibly qualify-wrapped (reference clause order: WHERE → GROUP →
+    // HAVING → WINDOW → QUALIFY → DISTINCT → ORDER → LIMIT)
+    var sql: String = null
+    if (c.qualify.isDefined) {
+      var pred = c.qualify.get.trim
+      val winExprs = SqlDialect.extractWindowExprs(pred)
+      require(c.from.isDefined, "QUALIFY rewrite needs a FROM clause")
+      val aliased = winExprs.zipWithIndex.map { case (we, i) =>
+        pred = pred.replace(we, s"__q$i")
+        s"$we AS __q$i"
+      }
+      val drop = if (winExprs.isEmpty) "*"
+      else s"* EXCEPT (${winExprs.indices.map(i => s"__q$i").mkString(", ")})"
+      val inner =
+        s"SELECT $distinctKw${(itemTexts ++ aliased).mkString(", ")}$fromTail"
+      sql = s"SELECT $drop FROM ($inner) __qualify WHERE ($pred)"
+    } else {
+      sql = s"SELECT $distinctKw${itemTexts.mkString(", ")}$fromTail"
+    }
+
+    // stage 2: DISTINCT ON — row_number over the keys, outer keeps the
+    // first row per key group; the core's ORDER BY feeds the window
+    // (that is what "first" means in the reference), LIMIT/OFFSET stay
+    // OUTSIDE so they apply after the distinct
+    if (c.distinctOnKeys.isDefined) {
+      val keys = c.distinctOnKeys.get.trim
+      val ord = c.orderBy.map(_.trim).getOrElse(keys)
+      val rn = s"row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn"
+      val inner =
+        if (c.qualify.isDefined)
+          // qualify already wrapped: the window rides the wrapped output
+          s"SELECT *, $rn FROM ($sql) __don"
+        else
+          s"SELECT ${itemTexts.mkString(", ")}, $rn$fromTail"
+      sql = s"SELECT * EXCEPT (__rn) FROM ( $inner ) WHERE __rn = 1" +
+        tail(c.limit.map("LIMIT " + _.trim), c.offset.map("OFFSET " + _.trim))
+    } else {
+      sql = sql + tail(
+        c.orderBy.map("ORDER BY " + _.trim), c.limit.map("LIMIT " + _.trim),
+        c.offset.map("OFFSET " + _.trim))
+    }
+    sql
+  }
+}
