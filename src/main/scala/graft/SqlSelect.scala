@@ -336,6 +336,20 @@ private[graft] object SqlSelect {
 
   // ---- transforms + render --------------------------------------------
 
+  /** Split one ORDER BY element into (expression, " modifiers") where
+    * modifiers are the trailing ASC/DESC/NULLS FIRST/LAST words (with a
+    * leading space), "" when absent. */
+  private def splitOrderElem(e: String): (String, String) = {
+    val toks = tokenize(e)
+    if (toks.isEmpty) return (e, "")
+    var end = toks.length
+    while (end > 1 && toks(end - 1).kind == Ident &&
+      Set("asc", "desc", "nulls", "first", "last")(toks(end - 1).lower)) end -= 1
+    if (end == toks.length) (e, "")
+    else (e.substring(toks.head.start, toks(end - 1).end),
+      " " + e.substring(toks(end).start))
+  }
+
   private def renderItem(it: Item): String = it match {
     case RawItem(t) => t.trim
     case Star(prefix, excl, repl) =>
@@ -402,14 +416,34 @@ private[graft] object SqlSelect {
       val keys = c.distinctOnKeys.get.trim
       val ord = c.orderBy.map(_.trim).getOrElse(keys)
       val rn = s"row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn"
+      // with a LIMIT/OFFSET the output order is load-bearing (it decides
+      // WHICH rows survive) — the reference's ORDER BY does double duty,
+      // picking the per-key representative AND ordering the result. The
+      // outer query cannot see pre-projection columns, so each sort key
+      // is computed as a hidden __oN column INSIDE the select (where the
+      // source scope still exists) and the outer ORDER BY references the
+      // aliases with the original ASC/DESC/NULLS modifiers. Without a
+      // limit the order is presentation-only and stays off (cheaper
+      // plan; the compare is order-insensitive).
+      val limited = c.limit.isDefined || c.offset.isDefined
+      val ordKeys: Seq[(String, String)] =
+        if (limited) SqlDialect.splitTopLevel(ord).map(e => splitOrderElem(e.trim))
+        else Nil
+      val ordItems = ordKeys.zipWithIndex.map { case ((e, _), i) => s"$e AS __o$i" }
       val inner =
         if (c.qualify.isDefined)
           // qualify already wrapped: the window rides the wrapped output
-          s"SELECT *, $rn FROM ($sql) __don"
+          s"SELECT *${(ordItems :+ rn).map(", " + _).mkString} FROM ($sql) __don"
         else
-          s"SELECT ${itemTexts.mkString(", ")}, $rn$fromTail"
-      sql = s"SELECT * EXCEPT (__rn) FROM ( $inner ) WHERE __rn = 1" +
-        tail(c.limit.map("LIMIT " + _.trim), c.offset.map("OFFSET " + _.trim))
+          s"SELECT ${(itemTexts ++ ordItems :+ rn).mkString(", ")}$fromTail"
+      val dropCols = (ordKeys.indices.map(i => s"__o$i") :+ "__rn").mkString(", ")
+      val outerOrd =
+        if (limited) Some(ordKeys.zipWithIndex.map { case ((_, sfx), i) =>
+          s"__o$i$sfx" }.mkString(", "))
+        else None
+      sql = s"SELECT * EXCEPT ($dropCols) FROM ( $inner ) WHERE __rn = 1" +
+        tail(outerOrd.map("ORDER BY " + _), c.limit.map("LIMIT " + _.trim),
+          c.offset.map("OFFSET " + _.trim))
     } else {
       sql = sql + tail(
         c.orderBy.map("ORDER BY " + _.trim), c.limit.map("LIMIT " + _.trim),

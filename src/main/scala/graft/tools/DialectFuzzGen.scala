@@ -118,6 +118,38 @@ object DialectFuzzGen {
         s"SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) AS __w FROM `c 1`) __x " +
         s"WHERE __w <= $m"))
 
+  /** QUALIFY inside a set-operation member binds to ITS select core
+    * (r13 parser — duck-probed; the old splicer wrapped everything left
+    * of the keyword). */
+  private def qualifyInUnion(m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k FROM nation WHERE n_nationkey < $m " +
+      "UNION ALL SELECT n_nationkey FROM nation " +
+      s"QUALIFY row_number() OVER (ORDER BY n_nationkey) <= $m",
+      s"SELECT n_nationkey AS k FROM nation WHERE n_nationkey < $m " +
+        "UNION ALL SELECT k FROM (SELECT n_nationkey AS k, " +
+        "row_number() OVER (ORDER BY n_nationkey) AS __w FROM nation) __x " +
+        s"WHERE __w <= $m"))
+
+  /** `expr * replace(…)` is multiplication by a function call, never a
+    * star modifier (r13 parser — the old `\\*\\s+REPLACE\\(` regex
+    * mangled it). */
+  private def mulReplace(m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, n_nationkey * " +
+      s"replace('${m}0','0','1')::BIGINT AS v FROM nation WHERE n_regionkey >= 1",
+      s"SELECT n_nationkey AS k, n_nationkey * " +
+        s"CAST(replace('${m}0','0','1') AS BIGINT) AS v FROM nation " +
+        "WHERE n_regionkey >= 1"))
+
+  /** DISTINCT ON with a trailing LIMIT: the limit applies AFTER the
+    * distinct (r13 parser — duck-probed; the old splicer swallowed it
+    * into the window's ORDER BY text). */
+  private def distinctOnLimit(m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT DISTINCT ON (n_regionkey) n_regionkey AS r, n_name AS nm " +
+      s"FROM nation ORDER BY n_regionkey, n_name LIMIT $m",
+      s"SELECT r, nm FROM (SELECT n_regionkey AS r, n_name AS nm, " +
+        "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_regionkey, n_name) " +
+        "AS __w FROM nation) __x WHERE __w = 1 ORDER BY r LIMIT " + m))
+
   /** COLLATE in a FUNCTION-ARGUMENT position (r12): the annotation is
     * dropped — reference-probed pass-through (`lower(x COLLATE NOCASE)`
     * = lower(x); `greatest('B' COLLATE NOCASE,'a')` = 'a', byte order —
@@ -216,7 +248,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(16) match {
+      val (setup, base) = rnd.nextInt(19) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -233,6 +265,9 @@ object DialectFuzzGen {
         case 13 => quotedCte(2 + rnd.nextInt(15))
         case 14 => cteNamedRecursive(2 + rnd.nextInt(15))
         case 15 => collateFuncArg(Seq("MOROCCO", "India", "peru").apply(rnd.nextInt(3)))
+        case 16 => qualifyInUnion(1 + rnd.nextInt(4))
+        case 17 => mulReplace(1 + rnd.nextInt(9))
+        case 18 => distinctOnLimit(1 + rnd.nextInt(5))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base
