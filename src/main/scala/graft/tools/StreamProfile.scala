@@ -91,6 +91,10 @@ object StreamProfile {
           s"prof_${System.nanoTime()}", graft.streaming.EventStreams.tumbling(_, "5 minutes"))
         case "tumbA" => graft.streaming.EventStreams.runToBatchAppend(spark, dir,
           s"prof_${System.nanoTime()}", graft.streaming.EventStreams.tumbling(_, "5 minutes"))
+        // the stream_sliding bench shape (r13 carve-out refresh)
+        case "slideA" => graft.streaming.EventStreams.runToBatchAppend(spark, dir,
+          s"prof_${System.nanoTime()}",
+          graft.streaming.EventStreams.sliding(_, "10 minutes", "5 minutes"))
         case other => sys.error(s"unknown transform $other")
       }
       out.count()
