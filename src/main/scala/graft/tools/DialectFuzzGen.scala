@@ -295,11 +295,13 @@ object FuzzDump {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val outDir = if (args.length > 1) args(1) else "target/fuzz_out"
     val n = if (args.length > 2) args(2).toInt else 250
+    // fresh seed per round (protocol): args(3), default the spec's seed
+    val seed = if (args.length > 3) args(3).toLong else 20260815L
     val spark = graft.Engine.session(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
     spark.sparkContext.setLogLevel("WARN")
     graft.Engine.registerAll(spark, sfDir)
-    val cs = DialectFuzzGen.cases(n)
+    val cs = DialectFuzzGen.cases(n, seed)
     val manifest = new StringBuilder("{\n")
     var failed = 0
     cs.zipWithIndex.foreach { case (c, i) =>

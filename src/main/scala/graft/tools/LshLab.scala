@@ -106,8 +106,10 @@ object LshLab {
       }
     })
     variants.foreach { case (n, f) =>
-      val times = (1 to 5).map { i =>
-        if (i == 5) { Thread.sleep(300); stages.clear() }
+      // 12 reps, late-rep stage capture: a 2-5-rep min samples an
+      // unconverged JIT curve (BASELINE.md round-13 WarmLab note)
+      val times = (1 to 12).map { i =>
+        if (i == 12) { Thread.sleep(300); stages.clear() }
         val t0 = System.nanoTime()
         f().write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e6
