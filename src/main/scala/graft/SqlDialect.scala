@@ -1219,12 +1219,14 @@ object SqlDialect {
     * `names=['a','b']`). */
   private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; var start = 0; var i = 0
+    var depth = 0; var inStr = false; var inBt = false; var start = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inBt) { if (c == '`') inBt = false }
       else c match {
         case '\'' => inStr = true
+        case '`' => inBt = true
         case '(' | '[' | '{' => depth += 1
         case ')' | ']' | '}' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
@@ -1246,24 +1248,42 @@ object SqlDialect {
       if (argsEnd > 0) {
         val after = pred.substring(argsEnd + 1)
         val overRe = """(?is)^\s*OVER\s*\(""".r
-        overRe.findFirstMatchIn(after).foreach { om =>
-          val winEnd = matchParen(after, om.end - 1)
-          if (winEnd > 0)
-            out += pred.substring(m.start, argsEnd + 1) + after.substring(0, winEnd + 1)
+        val overNamed = """(?i)^\s*OVER\s+([a-z_][a-z0-9_]*)""".r
+        overRe.findFirstMatchIn(after) match {
+          case Some(om) =>
+            val winEnd = matchParen(after, om.end - 1)
+            if (winEnd > 0)
+              out += pred.substring(m.start, argsEnd + 1) + after.substring(0, winEnd + 1)
+          case None =>
+            // named-window reference `fn(args) OVER w` (reference window
+            // binder; QUALIFY may cite a WINDOW-clause name) — the
+            // aliased __qN column rides the inner select, where the
+            // WINDOW clause still lives and Spark resolves the name.
+            overNamed.findFirstMatchIn(after).foreach { om =>
+              out += pred.substring(m.start, argsEnd + 1) + after.substring(0, om.end)
+            }
         }
       }
     }
-    out.toSeq
+    // distinct: a repeated expression must alias ONCE (the second
+    // text-replace would no-op and leave a dangling unused column).
+    // longest-first: a named reference can be a PREFIX of another
+    // (`… OVER w` vs `… OVER w2`) and replacing the shorter one first
+    // would corrupt the longer — inline `OVER (…)` forms end with a
+    // paren and never prefix each other.
+    out.distinct.sortBy(-_.length).toSeq
   }
 
   /** Paren nesting depth at index `idx` (quote-aware). */
   private def parenDepth(s: String, idx: Int): Int = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var inStr = false; var inBt = false; var i = 0
     while (i < idx) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inBt) { if (c == '`') inBt = false }
       else c match {
         case '\'' => inStr = true
+        case '`' => inBt = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -1276,11 +1296,13 @@ object SqlDialect {
   /** Index of the ')' matching the '(' at `open`, or -1 (quote-aware:
     * parens inside string literals don't count). */
   private[graft] def matchParen(s: String, open: Int): Int = {
-    var depth = 0; var i = open; var inStr = false
+    var depth = 0; var i = open; var inStr = false; var inBt = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
+      else if (inBt) { if (c == '`') inBt = false }
       else if (c == '\'') inStr = true
+      else if (c == '`') inBt = true
       else if (c == '(') depth += 1
       else if (c == ')') { depth -= 1; if (depth == 0) return i }
       i += 1

@@ -93,11 +93,14 @@ private[graft] object SqlSelect {
     val sb = new StringBuilder
     var i = 0
     var inStr = false
+    var inBt = false
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
       if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (inBt) { sb.append(c); if (c == '`') inBt = false; i += 1 }
       else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '`') { sb.append(c); inBt = true; i += 1 }
       else if (c == '(') {
         val close = SqlDialect.matchParen(text, i)
         if (close > i) {
@@ -336,6 +339,83 @@ private[graft] object SqlSelect {
 
   // ---- transforms + render --------------------------------------------
 
+  /** Output-alias map of a projection: items shaped `expr AS name`
+    * (last depth-0 AS, alias is the item's final token). The reference
+    * binds OUTPUT aliases inside DISTINCT ON keys and ORDER BY — probed:
+    * `SELECT -k AS k … ORDER BY k` orders by the ALIAS value, and
+    * `ORDER BY kk + 1` resolves an alias inside an expression — but the
+    * spliced row_number window and `__oN` sort keys live INSIDE the
+    * select, where Spark does not resolve same-select aliases in window
+    * specs. Bare alias tokens are therefore substituted with the
+    * parenthesized defining expression before splicing. */
+  private def aliasMap(itemTexts: Seq[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    itemTexts.foreach { it =>
+      val toks = tokenize(it)
+      if (toks.length >= 3) {
+        var depth = 0
+        var asIdx = -1
+        var i = 0
+        while (i < toks.length) {
+          toks(i).kind match {
+            case LParen => depth += 1
+            case RParen => depth -= 1
+            case Ident if depth == 0 && toks(i).lower == "as" => asIdx = i
+            case _ => ()
+          }
+          i += 1
+        }
+        if (asIdx > 0 && asIdx == toks.length - 2) {
+          val a = toks.last
+          val name = barename(it, a)
+          if (name != null) {
+            val expr = it.substring(toks.head.start, toks(asIdx - 1).end)
+            if (expr.trim.toLowerCase != name) out += name -> expr
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Normalized identifier text of an Ident/QIdent token, null for
+    * other kinds (the reference matches identifiers case-insensitively
+    * whether quoted or not). */
+  private def barename(text: String, t: Tok): String = t.kind match {
+    case Ident => t.lower
+    case QIdent => text.substring(t.start + 1, math.max(t.start + 1, t.end - 1))
+      .toLowerCase
+    case _ => null
+  }
+
+  /** Replace bare output-alias tokens in `text` with the parenthesized
+    * defining expression. Dot-qualified names (`t.kk`), qualifier
+    * positions (`kk.x`), and call names (`kk(…)`) are not alias
+    * references and stay untouched. */
+  private def substAliases(text: String, am: Map[String, String]): String = {
+    if (am.isEmpty) return text
+    val toks = tokenize(text)
+    val sb = new StringBuilder
+    var last = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val name = barename(text, t)
+      val hit = name != null && am.contains(name) &&
+        !(i > 0 && toks(i - 1).kind == Punct && toks(i - 1).lower == ".") &&
+        !(i + 1 < toks.length && (toks(i + 1).kind == LParen ||
+          (toks(i + 1).kind == Punct && toks(i + 1).lower == ".")))
+      if (hit) {
+        sb.append(text.substring(last, t.start))
+          .append('(').append(am(name)).append(')')
+        last = t.end
+      }
+      i += 1
+    }
+    sb.append(text.substring(last))
+    sb.toString
+  }
+
   /** Split one ORDER BY element into (expression, " modifiers") where
     * modifiers are the trailing ASC/DESC/NULLS FIRST/LAST words (with a
     * leading space), "" when absent. */
@@ -413,8 +493,16 @@ private[graft] object SqlSelect {
     // (that is what "first" means in the reference), LIMIT/OFFSET stay
     // OUTSIDE so they apply after the distinct
     if (c.distinctOnKeys.isDefined) {
-      val keys = c.distinctOnKeys.get.trim
-      val ord = c.orderBy.map(_.trim).getOrElse(keys)
+      // In the plain path the spliced window/__oN columns sit INSIDE the
+      // select, so output aliases in the keys/order text are substituted
+      // with their defining expressions (see aliasMap). In the
+      // qualify-wrapped path the window rides the WRAPPED output, where
+      // the aliases are real columns — substitution would dangle.
+      val am = if (c.qualify.isDefined) Map.empty[String, String]
+               else aliasMap(c.items.collect { case RawItem(t) => t.trim })
+      val keysRaw = c.distinctOnKeys.get.trim
+      val keys = substAliases(keysRaw, am)
+      val ord = substAliases(c.orderBy.map(_.trim).getOrElse(keysRaw), am)
       val rn = s"row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn"
       // with a LIMIT/OFFSET the output order is load-bearing (it decides
       // WHICH rows survive) — the reference's ORDER BY does double duty,

@@ -150,6 +150,37 @@ object DialectFuzzGen {
         "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_regionkey, n_name) " +
         "AS __w FROM nation) __x WHERE __w = 1 ORDER BY r LIMIT " + m))
 
+  /** QUALIFY referencing a NAMED window (r13 self-review #1,
+    * duck-probed): the aliased __qN column rides the inner select,
+    * where the WINDOW clause still lives and both engines resolve the
+    * name. */
+  private def qualifyNamedWindow(m: Int): (Seq[String], Pair) =
+    (Nil, ("SELECT n_regionkey AS r, n_name FROM nation " +
+      "WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name) " +
+      s"QUALIFY row_number() OVER w <= $m",
+      "SELECT r, n_name FROM (SELECT n_regionkey AS r, n_name, " +
+        "row_number() OVER (PARTITION BY n_regionkey ORDER BY n_name) AS __w " +
+        s"FROM nation) __x WHERE __w <= $m"))
+
+  /** DISTINCT ON binding OUTPUT aliases (r13 self-review #2,
+    * duck-probed: `SELECT -k AS k … ORDER BY k` orders by the ALIAS
+    * value): the splice substitutes the defining expression into the
+    * window. Half the instances put the alias INSIDE an order
+    * expression. */
+  private def distinctOnAliasOrder(m: Int): (Seq[String], Pair) =
+    if (m % 2 == 0)
+      (Nil, ("SELECT DISTINCT ON (rk) n_regionkey AS rk, -n_nationkey AS nk " +
+        s"FROM nation ORDER BY nk LIMIT $m",
+        "SELECT rk, nk FROM (SELECT n_regionkey AS rk, -n_nationkey AS nk, " +
+          "row_number() OVER (PARTITION BY n_regionkey ORDER BY -n_nationkey) AS __w " +
+          s"FROM nation) __x WHERE __w = 1 ORDER BY nk LIMIT $m"))
+    else
+      (Nil, ("SELECT DISTINCT ON (n_regionkey) n_nationkey AS nk, n_regionkey " +
+        s"FROM nation ORDER BY -nk LIMIT $m",
+        "SELECT nk, n_regionkey FROM (SELECT n_nationkey AS nk, n_regionkey, " +
+          "row_number() OVER (PARTITION BY n_regionkey ORDER BY -n_nationkey) AS __w " +
+          s"FROM nation) __x WHERE __w = 1 ORDER BY -nk LIMIT $m"))
+
   /** COLLATE in a FUNCTION-ARGUMENT position (r12): the annotation is
     * dropped — reference-probed pass-through (`lower(x COLLATE NOCASE)`
     * = lower(x); `greatest('B' COLLATE NOCASE,'a')` = 'a', byte order —
@@ -248,7 +279,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, ctxUnion)
-      val (setup, base) = rnd.nextInt(19) match {
+      val (setup, base) = rnd.nextInt(21) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -268,6 +299,8 @@ object DialectFuzzGen {
         case 16 => qualifyInUnion(1 + rnd.nextInt(4))
         case 17 => mulReplace(1 + rnd.nextInt(9))
         case 18 => distinctOnLimit(1 + rnd.nextInt(5))
+        case 19 => qualifyNamedWindow(1 + rnd.nextInt(3))
+        case 20 => distinctOnAliasOrder(1 + rnd.nextInt(5))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

@@ -65,4 +65,48 @@ class SqlSelectSpec extends SparkSpec {
       .collect().map(_.getAs[Number](0).longValue).toSeq
     assert(got == Seq(24L))
   }
+
+  test("QUALIFY referencing a NAMED window binds it (duck-probed; r13 self-review #1)") {
+    Engine.registerAll(spark, dir)
+    // duck: WINDOW w AS (...) QUALIFY row_number() OVER w = 1 — the
+    // aliased __qN column must ride the inner select, where the WINDOW
+    // clause still lives and Spark resolves the name
+    val got = SqlDialect.sql(spark,
+      """SELECT n_regionkey, n_name FROM nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name)
+        |QUALIFY row_number() OVER w = 1""".stripMargin)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1))).sortBy(_._1).toSeq
+    assert(got.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(got.head == ((0L, "NATION_0")))
+    // two named references where one window name PREFIXES the other —
+    // the longest-first replacement order must keep them distinct
+    val two = SqlDialect.sql(spark,
+      """SELECT n_regionkey, n_name FROM nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_name),
+        |       w2 AS (PARTITION BY n_regionkey ORDER BY n_name DESC)
+        |QUALIFY row_number() OVER w = 1 OR row_number() OVER w2 = 1""".stripMargin)
+      .collect()
+    assert(two.length == 10) // first and last per region, 5 regions
+  }
+
+  test("DISTINCT ON binds OUTPUT aliases in keys and ORDER BY (duck-probed; r13 self-review #2)") {
+    Engine.registerAll(spark, dir)
+    // duck: `SELECT -k AS k … ORDER BY k` orders by the ALIAS value; the
+    // spliced window must see the defining expression, not the bare name
+    val got = SqlDialect.sql(spark,
+      """SELECT DISTINCT ON (rk) n_regionkey AS rk, -n_nationkey AS nk
+        |FROM nation ORDER BY nk LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toSeq
+    // per region the min of -n_nationkey = -(max nationkey); limit keeps
+    // the 3 smallest (duck-replayed): regions of nations 24, 23, 22
+    assert(got.map(_._2) == got.map(_._2).sorted, s"output order: $got")
+    assert(got.length == 3)
+    assert(got.map(_._2).head == -24L)
+    // alias INSIDE an order expression substitutes too
+    val expr = SqlDialect.sql(spark,
+      """SELECT DISTINCT ON (n_regionkey) n_nationkey AS nk, n_regionkey
+        |FROM nation ORDER BY -nk LIMIT 2""".stripMargin)
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(expr == Seq(24L, 23L), s"got $expr")
+  }
 }
