@@ -265,6 +265,16 @@ object DialectFuzzGen {
   private def ctxUnion(p: Pair): Pair =
     (s"(${p._1}) UNION ALL (${p._1})", s"(${p._2}) UNION ALL (${p._2})")
 
+  /** duck scopes WINDOW names across SIBLING set-op members (probed:
+    * the same name defined in two members is "already defined", while
+    * a subquery-nested duplicate is fine) — union-duplicating a
+    * statement with a DEPTH-0 WINDOW clause would collide the name in
+    * the oracle engine, so those derive-wrap instead. */
+  private def safeUnion(p: Pair): Pair =
+    if (graft.SqlLex.keywordIndex(graft.SqlLex.tokenize(p._1), "window") >= 0)
+      ctxDerived(p)
+    else ctxUnion(p)
+
   /** The deterministic case list: `n` cases from the given seed. */
   def cases(n: Int, seed: Long = 20260815L): Seq[Case] = {
     val rnd = new scala.util.Random(seed)
@@ -278,7 +288,7 @@ object DialectFuzzGen {
         ctxTrapString(s"__trap${trapN}")(p)
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
-        freshTrap, ctxComments, ctxUnion)
+        freshTrap, ctxComments, safeUnion)
       val (setup, base) = rnd.nextInt(21) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
