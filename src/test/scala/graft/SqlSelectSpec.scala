@@ -89,6 +89,42 @@ class SqlSelectSpec extends SparkSpec {
     assert(two.length == 10) // first and last per region, 5 regions
   }
 
+  test("alias substitution skips QUALIFIER positions (duck-probed)") {
+    Engine.registerAll(spark, dir)
+    // output alias `n` collides with the TABLE alias `n`: the
+    // substitution must not rewrite `n.n_nationkey`'s qualifier
+    val got = SqlDialect.sql(spark,
+      """SELECT DISTINCT ON (n_regionkey) n.n_nationkey AS n FROM nation n
+        |ORDER BY n.n_nationkey DESC LIMIT 2""".stripMargin)
+      .collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(got == Seq(23L, 24L))
+  }
+
+  test("QUALIFY on the middle member of a three-way set-op chain (duck-probed)") {
+    Engine.registerAll(spark, dir)
+    val got = SqlDialect.sql(spark,
+      """SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 2
+        |UNION ALL
+        |SELECT n_nationkey FROM nation
+        |QUALIFY row_number() OVER (ORDER BY n_nationkey DESC) <= 2
+        |UNION ALL
+        |SELECT n_nationkey FROM nation WHERE n_nationkey = 10""".stripMargin)
+      .collect().map(_.getAs[Number](0).longValue).sorted.toSeq
+    assert(got == Seq(0L, 1L, 10L, 23L, 24L))
+  }
+
+  test("DISTINCT ON composes with a NAMED-window QUALIFY in one core (duck-probed)") {
+    Engine.registerAll(spark, dir)
+    // qualify applies BEFORE the distinct (reference clause order); the
+    // distinct window rides the QUALIFY-wrapped output
+    val got = SqlDialect.sql(spark,
+      """SELECT DISTINCT ON (n_regionkey) n_regionkey, n_name FROM nation
+        |WINDOW w AS (PARTITION BY n_regionkey ORDER BY n_nationkey)
+        |QUALIFY row_number() OVER w <= 3 ORDER BY n_name LIMIT 3""".stripMargin)
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1))).sortBy(_._1).toSeq
+    assert(got == Seq((0L, "NATION_0"), (1L, "NATION_1"), (2L, "NATION_12")))
+  }
+
   test("DISTINCT ON binds OUTPUT aliases in keys and ORDER BY (duck-probed; r13 self-review #2)") {
     Engine.registerAll(spark, dir)
     // duck: `SELECT -k AS k … ORDER BY k` orders by the ALIAS value; the
