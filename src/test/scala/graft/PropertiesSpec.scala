@@ -60,6 +60,36 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("space_term_counts ≡ split/count reference over random texts (r13 BM25 kernel)") {
+    // the fused one-byte-pass kernel must equal the naive semantics —
+    // split(text, " ", -1) length in slot 0, per-term byte-equality
+    // counts in slots 1..n — including empty tokens from consecutive
+    // spaces, leading/trailing spaces, empty text, duplicated terms in
+    // the query list, terms absent from the text, and multi-byte UTF-8
+    graft.functions.DuckFunctions.register(spark)
+    val word = Gen.oneOf(Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString),
+      Gen.const(""), Gen.const("naïve"), Gen.const("東京"))
+    val text = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, word).map(_.mkString(" ")))
+    val terms = Gen.chooseNum(1, 5).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("a", "ab", "naïve", "東京", "", "zzz")))
+    forAll2(Gen.listOfN(10, text), terms, n = 4) { (texts, q) =>
+      if (texts.nonEmpty) {
+        val rows = texts.toDF("t")
+          .select(col("t"), call_function("space_term_counts", col("t"),
+            array(q.map(lit): _*)).as("c"))
+          .collect()
+        rows.foreach { r =>
+          val t = r.getString(0)
+          val got = r.getSeq[Long](1)
+          val toks = t.split(" ", -1).toSeq
+          val want = toks.length.toLong +: q.map(term => toks.count(_ == term).toLong)
+          assert(got == want, s"text=<$t> terms=$q got=$got want=$want")
+        }
+      }
+    }
+  }
+
   test("codegen delete_neighborhood_hashes ≡ UDF over random short ASCII strings") {
     graft.functions.DuckFunctions.register(spark)
     val s = Gen.chooseNum(0, 8).flatMap(n =>
