@@ -386,6 +386,10 @@ object DuckFunctions {
           graft.plans.SpaceTermCounts.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
+        .createOrReplaceTempFunction("fast_round",
+          graft.plans.FastRound.builder, "built-in")
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
         .createOrReplaceTempFunction("sign_lsh_buckets",
           graft.plans.SignLshBuckets.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -166,6 +166,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       WsTokenHashes.info, WsTokenHashes.builder))
     ext.injectFunction((FunctionIdentifier("gram_roll_hashes"),
       GramRollHashes.info, GramRollHashes.builder))
+    ext.injectFunction((FunctionIdentifier("fast_round"),
+      FastRound.info, FastRound.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
     ext.injectPostHocResolutionRule(_ => ResolveReservoirHint)

@@ -21,6 +21,12 @@ object Relational {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
+  // Bit-identical to functions.round on doubles (FastRoundSpec), minus the
+  // per-row BigDecimal trip — the four/five rounds of the wide window rows
+  // were ~55 ms of win_ignore_nulls' 248 ms (tools/WinIgnLab.scala)
+  private def fround(c: org.apache.spark.sql.Column, s: Int) =
+    call_function("fast_round", c, lit(s))
+
     // run_avg accumulates EXACT integer cents, then ONE shared division —
   // bit-identical doubles on both engines, so no final round() is needed
   // (and none would be safe: the engines' round() pipelines disagree on
@@ -513,11 +519,11 @@ object Relational {
       val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
-        round(lead(col("o_totalprice"), 2, 0.0).over(w), 2).as("next2_price"),
-        round(first(col("o_totalprice")).over(w), 2).as("first_price"),
-        round(last(col("o_totalprice")).over(wFull), 2).as("last_price"),
-        round(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
+        fround(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+        fround(lead(col("o_totalprice"), 2, 0.0).over(w), 2).as("next2_price"),
+        fround(first(col("o_totalprice")).over(w), 2).as("first_price"),
+        fround(last(col("o_totalprice")).over(wFull), 2).as("last_price"),
+        fround(nth_value(col("o_totalprice"), 2).over(wFull), 2).as("second_price"))
     }),
 
     "win_frames_rows" -> ((s, dir) => {
@@ -525,9 +531,9 @@ object Relational {
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       t(s, dir, "orders").select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(
+        fround(sum(col("o_totalprice")).over(
           base.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_sum"),
-        round(avg(col("o_totalprice")).over(
+        fround(avg(col("o_totalprice")).over(
           base.rowsBetween(-2, Window.currentRow)), 4).as("moving_avg3"),
         count(lit(1)).over(
           base.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("running_n"))
@@ -606,13 +612,18 @@ object Relational {
       val v = when(col("o_orderkey") % 3 === 0, null).otherwise(col("o_totalprice"))
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      // lag(v,1 IGNORE NULLS) ≡ last(v ignoreNulls) over ROWS[-∞,-1]: the
+      // running-accumulate frame beats the offset frame's per-row skip-scan
+      // (WinIgnLab v1). The mirror for lead does NOT exist — first over
+      // ROWS[1,+∞] is an O(n²) recompute frame — so lead stays an offset.
+      val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
       val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       t(s, dir, "orders").withColumn("v", v).select(
         col("o_custkey"), col("o_orderkey"),
-        round(lag(col("v"), 1, null, ignoreNulls = true).over(w), 2).as("prev_nn"),
-        round(lead(col("v"), 1, null, ignoreNulls = true).over(w), 2).as("next_nn"),
-        round(first(col("v"), ignoreNulls = true).over(wf), 2).as("first_nn"),
-        round(last(col("v"), ignoreNulls = true).over(wf), 2).as("last_nn"))
+        fround(last(col("v"), ignoreNulls = true).over(wPrev), 2).as("prev_nn"),
+        fround(lead(col("v"), 1, null, ignoreNulls = true).over(w), 2).as("next_nn"),
+        fround(first(col("v"), ignoreNulls = true).over(wf), 2).as("first_nn"),
+        fround(last(col("v"), ignoreNulls = true).over(wf), 2).as("last_nn"))
     }),
 
     "sample_fixed_count" -> ((s, dir) => {
