@@ -802,9 +802,20 @@ object Pipeline {
       // SemDeDup (Similarity.semDedup): semantic clustering + greedy
       // within-cluster ε-ball prune at cosine 0.35 on the quantized
       // vectors — cluster-bounded pairs, bit-replayable end to end.
-      // no presentation sort (same rationale as the clustering row)
+      // no presentation sort (same rationale as the clustering row).
+      // AQE pinned OFF (same class as join_piecewise_merge's pinned
+      // session): the shuffle topology here is statically known — one
+      // exchange on 8 cluster ids feeding a self-join — so AQE has
+      // nothing to re-plan, and its per-exchange materialization job
+      // waves were the row's dominant cost (tools/SemLab.scala: 235 ms
+      // AQE-on vs 161 ms off, stage work identical). A real 100 TB run
+      // with k≈50k clusters would keep AQE for skew handling — the pin
+      // encodes "tiny known topology", not a general policy.
+      val child = Engine.pinnedSession(s, "semdedup-aqe-off") { c =>
+        c.conf.set("spark.sql.adaptive.enabled", "false")
+      }
       graft.operators.Similarity.semDedup(
-          t(s, dir, "embeddings"), "vec_id", "embedding",
+          t(child, dir, "embeddings"), "vec_id", "embedding",
           k = 8, iterations = 2, tau = 0.35)
         .select(col("id").as("vec_id"), col("cid"))
     })
