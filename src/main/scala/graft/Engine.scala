@@ -291,8 +291,12 @@ object Engine {
   // a transactional store, SURVEY.md §2.11) ----
 
   /** CREATE TABLE name AS df. */
-  def createTable(spark: SparkSession, name: String, df: DataFrame): Unit =
+  def createTable(spark: SparkSession, name: String, df: DataFrame): Unit = {
     df.createOrReplaceTempView(name)
+    // the programmatic CREATE TABLE path carries TABLE provenance just
+    // like the SQL path — duckdb_tables() lists it, duckdb_views() not
+    markAsTable(spark, name)
+  }
 
   /** INSERT INTO name (append rows; lineage truncated so repeated inserts
     * don't stack plans). */
@@ -472,8 +476,28 @@ object Engine {
   // duckdb-6.cpp:14150-14176) ----
 
   /** duckdb_tables() analog. Dialect-internal `__graft_*` helper views
-    * are excluded — the native function would not list them either. */
+    * are excluded — the native function would not list them either.
+    * The provenance split is two-sided (ADVICE r13 #6): only names
+    * CREATED as tables (CTAS / CREATE TABLE, via the registry below)
+    * plus genuinely managed non-view catalog tables list here; true
+    * views and the base parquet view registrations belong to
+    * duckdb_views() — the same split the reference catalog keeps and
+    * the oracle harness's DuckDB side shows (base tables are CREATE
+    * VIEW over read_parquet there). */
   def tables(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    spark.catalog.listTables().collect()
+      .filterNot(_.name.startsWith("__graft_"))
+      .filter(t => isTableProvenance(spark, t.name) ||
+        (!t.isTemporary && t.tableType != "VIEW"))
+      .map(t => (t.name, t.tableType, t.isTemporary)).toSeq
+      .toDF("table_name", "table_type", "temporary")
+  }
+
+  /** SHOW TABLES analog: every catalog relation, tables AND views —
+    * duck-probed: SHOW TABLES lists both, duckdb_tables() only
+    * table-provenance names. */
+  def allRelations(spark: SparkSession): DataFrame = {
     import spark.implicits._
     spark.catalog.listTables().collect()
       .filterNot(_.name.startsWith("__graft_"))

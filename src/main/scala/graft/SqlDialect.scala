@@ -304,7 +304,10 @@ object SqlDialect {
     // below, next to duckdb_tables()/duckdb_columns())
     if (q.trim.toUpperCase.matches("PRAGMA\\s+DATABASE_SIZE"))
       return Engine.databaseSize(spark)
-    if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.tables(spark)
+    // SHOW TABLES lists tables AND views (duck-probed r14 — unlike
+    // duckdb_tables(), which the r14 provenance split narrowed to
+    // table-provenance names only)
+    if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.allRelations(spark)
 
     // CREATE [OR REPLACE] TABLE <name> AS <select> — CTAS into the
     // temp-view catalog (reference CreateTableAs, duckdb-9.cpp binder);
@@ -1025,87 +1028,7 @@ object SqlDialect {
     // `a || lower(b)` and silently change the comparison). NOACCENT
     // maps to the registered strip_accents UDF (same fold
     // `TypeHelpers.collateNoaccent` uses).
-    locally {
-      // aggregates whose RESULT is decided by comparisons of the
-      // annotated argument (reference-probed r12: min/arg_min DO bind
-      // the argument's collation — `min(x COLLATE NOCASE)` over
-      // ('B','a') returns 'a' — while scalar calls and order-insensitive
-      // aggregates ignore it: `greatest('B' COLLATE NOCASE,'a')`,
-      // `string_agg`, `first`, and anything past one expression
-      // boundary, `min(concat(x COLLATE NOCASE,''))`, are byte-ordered)
-      val collationAggregates = Set("min", "max", "arg_min", "arg_max",
-        "min_by", "max_by", "mode", "median", "quantile", "quantile_disc",
-        "quantile_cont", "first_value", "last_value")
-      val atom = """(?:'(?:[^']|'')*'|[A-Za-z_][\w.]*(?:\((?:[^()]|\([^()]*\))*\))?|\((?:[^()]|\([^()]*\))*\))"""
-      val opnd = s"$atom(?:\\s*(?:\\|\\||[+*/-])\\s*$atom)*"
-      def fold(c: String, e: String): String =
-        if (c.equalsIgnoreCase("NOCASE")) s"lower($e)" else s"strip_accents($e)"
-      val cmp = (s"(?is)($opnd)\\s*(=|<>|!=|<=|>=|<|>)\\s*($opnd)" +
-        """\s+COLLATE\s+(NOCASE|NOACCENT)\b""").r
-      var changed = true
-      while (changed) {
-        changed = false
-        cmp.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
-          q = q.substring(0, m.start) +
-            s"${fold(m.group(4), m.group(1))} ${m.group(2)} ${fold(m.group(4), m.group(3))}" +
-            q.substring(m.end)
-          changed = true
-        }
-      }
-      // Single-operand COLLATE is position-sensitive: in a SORT-KEY
-      // position (ORDER BY / PARTITION BY) the key folds; in a
-      // PROJECTED position the annotation is dropped — a collation
-      // changes comparisons, never the returned value (reference
-      // duckdb-5.cpp:5156) — and in a FUNCTION-ARGUMENT position it is
-      // dropped too (r12, reference-probed: `lower(x COLLATE NOCASE)`
-      // returns lower(x), and even comparison-flavored functions ignore
-      // it — `greatest('B' COLLATE NOCASE, 'a')` = 'a', byte order,
-      // identical with and without the annotation; collation binds only
-      // at comparison/sort sites). In grouping / aggregate-argument /
-      // predicate positions (where dropping it would silently change
-      // which rows group or match) we raise a named error asking for an
-      // explicit fold. The classifier is the shared lexer's clause
-      // machine (r11 — [[SqlLex.clauseAt]]): nested CASE restores the
-      // enclosing clause on END, quoted identifiers never masquerade as
-      // keywords; an ORDER BY inside a function argument (sorted
-      // aggregate) still classifies as a sort key and folds.
-      val single = (s"(?is)($opnd)\\s+COLLATE\\s+(NOCASE|NOACCENT)\\b").r
-      changed = true
-      while (changed) {
-        changed = false
-        single.findAllMatchIn(q).find(m => !insideQuotes(q, m.start)).foreach { m =>
-          // one tokenize per rewrite iteration — clauseAt + both
-          // callNameAt probes share the vector (q is stable until the
-          // splice below)
-          val toks = SqlLex.tokenize(q)
-          val repl = SqlLex.clauseAt(toks, m.start) match {
-            // a sort key INSIDE a call's argument list is a sorted
-            // aggregate's internal ORDER BY — reference-probed (r12):
-            // `string_agg(x, ',' ORDER BY x COLLATE NOCASE)` is
-            // byte-ordered (annotation ignored), while a window
-            // `OVER (ORDER BY x COLLATE NOCASE)` binds it — so fold only
-            // when no call encloses (OVER frames bound the call search)
-            case "sort" if SqlLex.callNameAt(toks, m.start).isEmpty =>
-              fold(m.group(2), m.group(1))
-            case "sort"   => m.group(1)
-            case "select" => m.group(1)
-            // scalar-call arguments drop the annotation (probed); the
-            // comparison-binding aggregates would need the ORIGINAL
-            // value under the folded order — inexpressible as a text
-            // fold — so they keep the named error
-            case "func" if !collationAggregates(SqlLex.callNameAt(toks, m.start)) =>
-              m.group(1)
-            case ctx => throw new IllegalArgumentException(
-              s"graft: COLLATE ${m.group(2).toUpperCase} on a single operand in a " +
-                s"$ctx position would change ${if (ctx == "group") "grouping" else "matching"} " +
-                "semantics silently — fold explicitly with lower()/strip_accents() " +
-                "(reference collation registry, duckdb-5.cpp:5156)")
-          }
-          q = q.substring(0, m.start) + repl + q.substring(m.end)
-          changed = true
-        }
-      }
-    }
+    q = rewriteCollate(q)
 
     // star modifiers (reference: star expression EXCLUDE / REPLACE,
     // duckdb-internal.hpp star expr):
@@ -1122,6 +1045,104 @@ object SqlDialect {
     q
   }
 
+  // aggregates whose RESULT is decided by comparisons of the annotated
+  // argument (reference-probed r12: min/arg_min DO bind the argument's
+  // collation — `min(x COLLATE NOCASE)` over ('B','a') returns 'a' —
+  // while scalar calls and order-insensitive aggregates ignore it:
+  // `greatest('B' COLLATE NOCASE,'a')`, `string_agg`, `first`, and
+  // anything past one expression boundary, `min(concat(x COLLATE
+  // NOCASE,''))`, are byte-ordered)
+  private val collationAggregates = Set("min", "max", "arg_min", "arg_max",
+    "min_by", "max_by", "mode", "median", "quantile", "quantile_disc",
+    "quantile_cont", "first_value", "last_value")
+
+  private val cmpOps = Set("=", "<>", "!=", "<=", ">=", "<", ">")
+
+  /** COLLATE NOCASE / NOACCENT (reference collation registry,
+    * duckdb-5.cpp:5156-5158) as comparison-key folding, token-span
+    * structural since r14 (retires the textual `opnd` regex, whose atom
+    * shapes capped paren nesting, missed bracket indexing, and could
+    * desync on quoted identifiers — the last splicer-class scanner).
+    *
+    * Per COLLATE site, [[SqlLex.operandStart]] walks the full operand
+    * chain the annotation binds to; then:
+    *  - a comparison operator on EITHER side folds BOTH full sides
+    *    (`a = b COLLATE NOCASE` and `a COLLATE NOCASE = b` are the same
+    *    collated comparison — duck-probed r14; the left-side form used
+    *    to raise the named error);
+    *  - otherwise the single-operand position decides, via the shared
+    *    clause machine ([[SqlLex.clauseAt]]): SORT keys fold (but a
+    *    sorted aggregate's internal ORDER BY is byte-ordered —
+    *    reference-probed r12 — so an enclosing CALL suppresses the
+    *    fold; OVER frames bound that search), PROJECTED positions and
+    *    scalar-call arguments drop the annotation (a collation changes
+    *    comparisons, never the returned value), and grouping /
+    *    predicate / comparison-aggregate-argument positions raise a
+    *    named error (the fold would change semantics silently, or —
+    *    for min/arg_min — need the ORIGINAL value under the folded
+    *    order, inexpressible as a text rewrite). */
+  private[graft] def rewriteCollate(query: String): String = {
+    var q = query
+    def fold(c: String, e: String): String =
+      if (c == "nocase") s"lower($e)" else s"strip_accents($e)"
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Ident && t.lower == "collate" &&
+          toks(k + 1).kind == SqlLex.Ident &&
+          Set("nocase", "noaccent")(toks(k + 1).lower)) {
+          val coll = toks(k + 1).lower
+          val s1 = SqlLex.operandStart(toks, k - 1)
+          if (s1 >= 0) {
+            val rhs = q.substring(toks(s1).start, toks(k - 1).end)
+            val leftCmp = s1 - 1 >= 0 && toks(s1 - 1).kind == SqlLex.Punct &&
+              cmpOps(toks(s1 - 1).lower)
+            val rightCmp = k + 2 < toks.length &&
+              toks(k + 2).kind == SqlLex.Punct && cmpOps(toks(k + 2).lower)
+            if (leftCmp && SqlLex.operandStart(toks, s1 - 2) >= 0) {
+              val s0 = SqlLex.operandStart(toks, s1 - 2)
+              val lhs = q.substring(toks(s0).start, toks(s1 - 2).end)
+              q = q.substring(0, toks(s0).start) +
+                s"${fold(coll, lhs)} ${toks(s1 - 1).lower} ${fold(coll, rhs)}" +
+                q.substring(toks(k + 1).end)
+              changed = true
+            } else if (rightCmp && SqlLex.operandEnd(toks, k + 3) >= 0) {
+              val e2 = SqlLex.operandEnd(toks, k + 3)
+              val rhs2 = q.substring(toks(k + 3).start, toks(e2).end)
+              q = q.substring(0, toks(s1).start) +
+                s"${fold(coll, rhs)} ${toks(k + 2).lower} ${fold(coll, rhs2)}" +
+                q.substring(toks(e2).end)
+              changed = true
+            } else {
+              val pos = toks(s1).start
+              val repl = SqlLex.clauseAt(toks, pos) match {
+                case "sort" if SqlLex.callNameAt(toks, pos).isEmpty =>
+                  fold(coll, rhs)
+                case "sort" => rhs
+                case "select" => rhs
+                case "func" if !collationAggregates(SqlLex.callNameAt(toks, pos)) =>
+                  rhs
+                case ctx => throw new IllegalArgumentException(
+                  s"graft: COLLATE ${coll.toUpperCase} on a single operand in a " +
+                    s"$ctx position would change ${if (ctx == "group") "grouping" else "matching"} " +
+                    "semantics silently — fold explicitly with lower()/strip_accents() " +
+                    "(reference collation registry, duckdb-5.cpp:5156)")
+              }
+              q = q.substring(0, toks(s1).start) + repl + q.substring(toks(k + 1).end)
+              changed = true
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
   /** Inline every registered-macro call site. Iterative passes handle
     * macros whose bodies call other macros; the pass cap stops a
     * self-recursive macro from spinning (the leftover call then fails in
@@ -1129,33 +1150,58 @@ object SqlDialect {
     * reference's bind-time recursion error).
     */
   private[graft] def expandMacros(spark: SparkSession, query: String): String = {
+    val reg = macrosFor(spark)
+    if (reg.isEmpty) return query
     var q = query
     var pass = 0
     var changed = true
-    val call = """(?i)\b([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
     while (changed && pass < 10) {
       changed = false
-      var from = 0
+      var searchFrom = 0
       var done = false
       while (!done) {
-        call.findFirstMatchIn(q.substring(from)) match {
-          case None => done = true
-          case Some(m) =>
-            val start = from + m.start
-            val open = from + m.end - 1
-            macrosFor(spark).get(m.group(1).toLowerCase) match {
-              case Some(mac) if !insideQuotes(q, start) && matchParen(q, open) > 0 =>
-                val close = matchParen(q, open)
-                val args = splitTopLevel(q.substring(open + 1, close))
-                  .map(_.trim).filter(_.nonEmpty)
-                val expansion = "(" + substituteParams(mac, args) + ")"
-                q = q.substring(0, start) + expansion + q.substring(close + 1)
-                // nested macro calls inside the expansion are picked up
-                // by the next pass
-                from = start + expansion.length
-                changed = true
-              case _ => from = open + 1
+        // token-structural call-site scan (r14, retires the \b…\( regex
+        // + insideQuotes walk): a macro call is a BARE identifier token
+        // followed by '(' — string literals and quoted identifiers are
+        // excluded by tokenization, and a dotted reference `t.m(…)` is a
+        // qualified function, never the session macro
+        val toks = SqlLex.tokenize(q)
+        var k = 0
+        var found = -1
+        while (found < 0 && k + 1 < toks.length) {
+          val t = toks(k)
+          if (t.start >= searchFrom && t.kind == SqlLex.Ident &&
+            reg.contains(t.lower) && toks(k + 1).kind == SqlLex.LParen &&
+            !(k > 0 && toks(k - 1).kind == SqlLex.Punct && toks(k - 1).lower == "."))
+            found = k
+          else k += 1
+        }
+        if (found < 0) done = true
+        else {
+          var depth = 0
+          var j = found + 1
+          var close = -1
+          while (close < 0 && j < toks.length) {
+            toks(j).kind match {
+              case SqlLex.LParen => depth += 1
+              case SqlLex.RParen => depth -= 1; if (depth == 0) close = j
+              case _ => ()
             }
+            j += 1
+          }
+          if (close < 0) searchFrom = toks(found + 1).end // unbalanced — skip
+          else {
+            val args = splitTopLevel(
+              q.substring(toks(found + 1).end, toks(close).start))
+              .map(_.trim).filter(_.nonEmpty)
+            val expansion = "(" + substituteParams(reg(toks(found).lower), args) + ")"
+            q = q.substring(0, toks(found).start) + expansion +
+              q.substring(toks(close).end)
+            // nested macro calls inside the expansion are picked up by
+            // the next pass
+            searchFrom = toks(found).start + expansion.length
+            changed = true
+          }
         }
       }
       pass += 1
@@ -1181,26 +1227,27 @@ object SqlDialect {
           throw new IllegalArgumentException(s"macro parameter '$name' not bound")))
       name.toLowerCase -> v
     }.toMap
+    // token-driven body substitution (r14): only BARE identifier tokens
+    // substitute — a parameter name inside a string literal or a quoted
+    // identifier never rewrites (the old char-walker tracked ' but not
+    // " or `), and a dotted reference `t.p` is a column, not the
+    // parameter
     val body = mac.body
+    val toks = SqlLex.tokenize(body)
     val sb = new StringBuilder
+    var last = 0
     var i = 0
-    var inStr = false
-    while (i < body.length) {
-      val c = body.charAt(i)
-      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
-      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
-      else if (c.isLetter || c == '_') {
-        var j = i
-        while (j < body.length && (body.charAt(j).isLetterOrDigit || body.charAt(j) == '_')) j += 1
-        val tok = body.substring(i, j)
-        bind.get(tok.toLowerCase) match {
-          case Some(v) => sb.append("(").append(v).append(")")
-          case None => sb.append(tok)
-        }
-        i = j
-      } else { sb.append(c); i += 1 }
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == SqlLex.Ident && bind.contains(t.lower) &&
+        !(i > 0 && toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == ".")) {
+        sb.append(body.substring(last, t.start))
+          .append('(').append(bind(t.lower)).append(')')
+        last = t.end
+      }
+      i += 1
     }
-    sb.toString
+    sb.append(body.substring(last)).toString
   }
 
   /** Is position `idx` inside a single-quoted string literal? */
@@ -1219,14 +1266,17 @@ object SqlDialect {
     * `names=['a','b']`). */
   private[graft] def splitTopLevel(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var inStr = false; var inBt = false; var start = 0; var i = 0
+    var depth = 0; var inStr = false; var inBt = false; var inDq = false
+    var start = 0; var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inBt) { if (c == '`') inBt = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
         case '`' => inBt = true
+        case '"' => inDq = true
         case '(' | '[' | '{' => depth += 1
         case ')' | ']' | '}' => depth -= 1
         case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
@@ -1276,14 +1326,17 @@ object SqlDialect {
 
   /** Paren nesting depth at index `idx` (quote-aware). */
   private def parenDepth(s: String, idx: Int): Int = {
-    var depth = 0; var inStr = false; var inBt = false; var i = 0
+    var depth = 0; var inStr = false; var inBt = false; var inDq = false
+    var i = 0
     while (i < idx) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inBt) { if (c == '`') inBt = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else c match {
         case '\'' => inStr = true
         case '`' => inBt = true
+        case '"' => inDq = true
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ =>
@@ -1296,13 +1349,16 @@ object SqlDialect {
   /** Index of the ')' matching the '(' at `open`, or -1 (quote-aware:
     * parens inside string literals don't count). */
   private[graft] def matchParen(s: String, open: Int): Int = {
-    var depth = 0; var i = open; var inStr = false; var inBt = false
+    var depth = 0; var i = open
+    var inStr = false; var inBt = false; var inDq = false
     while (i < s.length) {
       val c = s.charAt(i)
       if (inStr) { if (c == '\'') inStr = false }
       else if (inBt) { if (c == '`') inBt = false }
+      else if (inDq) { if (c == '"') inDq = false }
       else if (c == '\'') inStr = true
       else if (c == '`') inBt = true
+      else if (c == '"') inDq = true
       else if (c == '(') depth += 1
       else if (c == ')') { depth -= 1; if (depth == 0) return i }
       i += 1

@@ -213,6 +213,190 @@ private[graft] object SqlLex {
     }
   }
 
+  // ---- expression operand spans (r14 — the token-structural
+  // replacement for the COLLATE pass's textual `opnd` regex, whose
+  // atom shapes capped paren nesting at two levels and could not see
+  // bracket indexing or quoted identifiers containing quotes) ----
+
+  /** Chain operators that extend an operand across atoms: `a || b`,
+    * `a + b * c`, `x::VARCHAR` are each ONE operand for collation
+    * binding (the annotation attaches to the whole chain's result —
+    * reference-probed r12/r14). Comparison operators deliberately NOT
+    * here: they SEPARATE the two operands a comparison-site COLLATE
+    * folds. */
+  private val chainOps = Set("||", "+", "-", "*", "/", "::")
+
+  private def isAtomIdent(t: Tok): Boolean =
+    t.kind == Ident || t.kind == QIdent
+
+  /** Bare identifiers that terminate an expression rather than name a
+    * value — a chain walk that lands on one of these has walked out of
+    * the expression (`CASE … END = x COLLATE NOCASE` must not take
+    * `end` for the left operand; quoted or dotted forms are real
+    * column references and stay atoms). */
+  private val nonAtomWords = Set(
+    "and", "or", "not", "in", "is", "like", "ilike", "glob", "similar",
+    "between", "escape", "case", "when", "then", "else", "end", "over",
+    "partition", "order", "group", "by", "from", "where", "select",
+    "distinct", "as", "on", "using", "join", "union", "all", "intersect",
+    "except", "limit", "offset", "having", "window", "qualify", "asc",
+    "desc", "nulls", "collate", "interval", "exists", "any", "some",
+    "values", "with", "filter", "within")
+
+  /** Start index (inclusive) of the widest operand chain whose LAST
+    * token is `j`, or -1 when toks(j) cannot end an operand. Atoms:
+    * string/number literal, dotted identifier chain, call with balanced
+    * args (dotted name allowed), parenthesized group, bracket-index
+    * suffix on any of those. */
+  def operandStart(toks: Vector[Tok], j: Int): Int = {
+    def matchLeft(close: Int, isBracket: Boolean): Int = {
+      var depth = 0
+      var i = close
+      while (i >= 0) {
+        val t = toks(i)
+        val shuts = if (isBracket) t.kind == Punct && t.lower == "]"
+                    else t.kind == RParen
+        val opens = if (isBracket) t.kind == Punct && t.lower == "["
+                    else t.kind == LParen
+        if (shuts) depth += 1
+        if (opens) { depth -= 1; if (depth == 0) return i }
+        i -= 1
+      }
+      -1
+    }
+    def dotChainStart(i: Int): Int = {
+      var s = i
+      while (s - 2 >= 0 && toks(s - 1).kind == Punct && toks(s - 1).lower == "." &&
+        isAtomIdent(toks(s - 2))) s -= 2
+      s
+    }
+    def atomStart(i: Int): Int = {
+      if (i < 0) return -1
+      toks(i).kind match {
+        case Str | Num => i
+        case Ident if toks(i).lower == "end" && dotChainStart(i) == i =>
+          // CASE … END is one atom (duck-probed r14: `ORDER BY CASE …
+          // END COLLATE NOCASE` folds the whole case result; the old
+          // regex dropped the annotation silently). Nested CASEs tracked
+          // by depth; paren groups skipped whole so a parenthesized
+          // `(end)` alias inside can't miscount.
+          var depth = 1
+          var m = i - 1
+          while (m >= 0 && depth > 0) {
+            val w = toks(m)
+            if (w.kind == RParen) m = matchLeft(m, isBracket = false) - 1
+            else {
+              if (w.kind == Ident && w.lower == "end") depth += 1
+              else if (w.kind == Ident && w.lower == "case") depth -= 1
+              if (depth > 0) m -= 1
+            }
+          }
+          if (m < 0 || depth > 0) -1 else m
+        case Ident if dotChainStart(i) == i && nonAtomWords(toks(i).lower) => -1
+        case Ident | QIdent => dotChainStart(i)
+        case RParen =>
+          val m = matchLeft(i, isBracket = false)
+          if (m < 0) -1
+          else if (m - 1 >= 0 && ((toks(m - 1).kind == Ident &&
+            !nonCallWords(toks(m - 1).lower)) || toks(m - 1).kind == QIdent))
+            dotChainStart(m - 1) // call: name(…)
+          else m // plain paren group
+        case Punct if toks(i).lower == "]" =>
+          val m = matchLeft(i, isBracket = true)
+          if (m <= 0) -1 else atomStart(m - 1) // base[idx]
+        case _ => -1
+      }
+    }
+    var s = atomStart(j)
+    if (s < 0) return -1
+    var more = true
+    while (more) {
+      more = false
+      if (s - 2 >= 0 && toks(s - 1).kind == Punct && chainOps(toks(s - 1).lower)) {
+        val s2 = atomStart(s - 2)
+        if (s2 >= 0) { s = s2; more = true }
+      }
+    }
+    s
+  }
+
+  /** End index (inclusive) of the widest operand chain whose FIRST
+    * token is `j`, or -1. Mirror of [[operandStart]], for the
+    * right-hand side of `x COLLATE NOCASE = y`. */
+  def operandEnd(toks: Vector[Tok], j: Int): Int = {
+    def matchRight(open: Int, isBracket: Boolean): Int = {
+      var depth = 0
+      var i = open
+      while (i < toks.length) {
+        val t = toks(i)
+        val opens = if (isBracket) t.kind == Punct && t.lower == "[" else t.kind == LParen
+        val shuts = if (isBracket) t.kind == Punct && t.lower == "]" else t.kind == RParen
+        if (opens) depth += 1
+        if (shuts) { depth -= 1; if (depth == 0) return i }
+        i += 1
+      }
+      -1
+    }
+    def brackets(i: Int): Int = {
+      var e = i
+      while (e + 1 < toks.length && toks(e + 1).kind == Punct &&
+        toks(e + 1).lower == "[") {
+        val m = matchRight(e + 1, isBracket = true)
+        if (m < 0) return e
+        e = m
+      }
+      e
+    }
+    def atomEnd(i: Int): Int = {
+      if (i >= toks.length) return -1
+      toks(i).kind match {
+        case Str | Num => brackets(i)
+        case Ident if toks(i).lower == "case" =>
+          var depth = 1
+          var m = i + 1
+          while (m < toks.length && depth > 0) {
+            val w = toks(m)
+            if (w.kind == LParen) {
+              val r = matchRight(m, isBracket = false)
+              if (r < 0) return -1
+              m = r + 1
+            } else {
+              if (w.kind == Ident && w.lower == "case") depth += 1
+              else if (w.kind == Ident && w.lower == "end") depth -= 1
+              if (depth > 0) m += 1
+            }
+          }
+          if (m >= toks.length || depth > 0) -1 else brackets(m)
+        case Ident if nonAtomWords(toks(i).lower) => -1
+        case Ident | QIdent =>
+          var e = i
+          while (e + 2 < toks.length && toks(e + 1).kind == Punct &&
+            toks(e + 1).lower == "." && isAtomIdent(toks(e + 2))) e += 2
+          if (e + 1 < toks.length && toks(e + 1).kind == LParen &&
+            !(toks(e).kind == Ident && nonCallWords(toks(e).lower))) {
+            val m = matchRight(e + 1, isBracket = false)
+            if (m < 0) e else brackets(m)
+          } else brackets(e)
+        case LParen =>
+          val m = matchRight(i, isBracket = false)
+          if (m < 0) -1 else brackets(m)
+        case _ => -1
+      }
+    }
+    var e = atomEnd(j)
+    if (e < 0) return -1
+    var more = true
+    while (more) {
+      more = false
+      if (e + 2 < toks.length && toks(e + 1).kind == Punct &&
+        chainOps(toks(e + 1).lower)) {
+        val e2 = atomEnd(e + 2)
+        if (e2 >= 0) { e = e2; more = true }
+      }
+    }
+    e
+  }
+
   /** First depth-0 occurrence of bare keyword `kw` (case-insensitive),
     * or -1. Quoted identifiers, string literals, and dotted references
     * (`t.from`) never match. */

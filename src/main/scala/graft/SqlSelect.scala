@@ -52,8 +52,13 @@ private[graft] object SqlSelect {
 
   private sealed trait Term
   private final case class CoreTerm(c: Core) extends Term
-  /** A parenthesized body — interior already rewritten. */
-  private final case class ParenTerm(inner: String) extends Term
+  /** A parenthesized body — interior already rewritten. `winNames`
+    * bubbles the interior's STATEMENT-scope window names up to the
+    * enclosing set-op scope (duck-probed: a parenthesized member's
+    * WINDOW name collides with a sibling member's; a FROM subquery's
+    * or CTE body's does not). */
+  private final case class ParenTerm(inner: String,
+                                     winNames: Seq[String] = Nil) extends Term
   /** VALUES …, TABLE …, or anything else body-shaped we keep verbatim
     * (interior subqueries rewritten). */
   private final case class RawTerm(text: String) extends Term
@@ -94,13 +99,18 @@ private[graft] object SqlSelect {
     var i = 0
     var inStr = false
     var inBt = false
+    var inDq = false // "-quoted identifiers may contain ' or unbalanced
+                     // parens ("o'brien") — the tokenizer handles them,
+                     // so the char-walker must too (ADVICE r13 #1)
     val n = text.length
     while (i < n) {
       val c = text.charAt(i)
       if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
       else if (inBt) { sb.append(c); if (c == '`') inBt = false; i += 1 }
+      else if (inDq) { sb.append(c); if (c == '"') inDq = false; i += 1 }
       else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
       else if (c == '`') { sb.append(c); inBt = true; i += 1 }
+      else if (c == '"') { sb.append(c); inDq = true; i += 1 }
       else if (c == '(') {
         val close = SqlDialect.matchParen(text, i)
         if (close > i) {
@@ -120,11 +130,48 @@ private[graft] object SqlSelect {
 
   // ---- parser ----------------------------------------------------------
 
-  private def parseRender(q: String): String = {
+  private def parseRender(q: String): String =
+    parseRenderNames(q, null)
+
+  /** Like [[parseRender]], additionally appending the statement's
+    * window names to `names` (non-null only when called for a set-op
+    * member, whose names share the enclosing statement scope). */
+  private def parseRenderNames(
+      q: String, names: scala.collection.mutable.Buffer[String]): String = {
     val (wp, rest) = splitWithPrefix(q)
     val prefix = if (wp.isEmpty) "" else rewriteRawRegion(wp) + " "
-    prefix + renderBody(parseBody(rest))
+    val body = parseBody(rest)
+    if (names != null) names ++= statementWindowNames(body)
+    prefix + renderBody(body)
   }
+
+  /** Window names declared at this statement's set-op scope: each
+    * core's WINDOW clause plus parenthesized members' bubbled names
+    * (FROM subqueries and CTE bodies are separate scopes and do not
+    * contribute — duck-probed). */
+  private def statementWindowNames(b: Body): Seq[String] = b.terms.flatMap {
+    case CoreTerm(c) => coreWindowNames(c)
+    case ParenTerm(_, ns) => ns
+    case _ => Nil
+  }
+
+  /** Names in one WINDOW clause (`name AS (spec), …`). */
+  private def coreWindowNames(c: Core): Seq[String] =
+    c.window.toSeq.flatMap(w => SqlDialect.splitTopLevel(w).flatMap { el =>
+      tokenize(el).headOption.map(t => barename(el, t)).filter(_ != null)
+    })
+
+  /** The reference scopes WINDOW names per STATEMENT: the same name
+    * defined by two sibling set-op members (or twice in one clause) is
+    * a parse error — `window "w" is already defined`
+    * (duck-probed r14; Spark scopes per member, a benign superset the
+    * fuzz generator had to derive-wrap around). Default ON for oracle
+    * parity; `SET spark.graft.strictWindowScope=false` restores the
+    * Spark-native per-member scope. */
+  private def strictWindowScope: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(s => java.lang.Boolean.parseBoolean(
+        s.conf.get("spark.graft.strictWindowScope", "true")))
 
   private final class P(val q: String, val toks: Vector[Tok]) {
     var k = 0
@@ -190,7 +237,18 @@ private[graft] object SqlSelect {
     val tail =
       if (p.atEnd) None
       else Some(rewriteRawRegion(text.substring(p.peek.start)))
-    Body(terms.result(), ops.result(), tail)
+    val body = Body(terms.result(), ops.result(), tail)
+    if (strictWindowScope) {
+      val names = statementWindowNames(body)
+      names.diff(names.distinct).distinct.headOption.foreach { n =>
+        throw new IllegalArgumentException(
+          s"""graft: window "$n" is already defined — the reference scopes""" +
+            " WINDOW names per statement, not per set-op member" +
+            " (duckdb-libpg_query window clause binding); SET" +
+            " spark.graft.strictWindowScope=false for per-member scope")
+      }
+    }
+    body
   }
 
   private def parseTerm(p: P): Term = {
@@ -202,10 +260,11 @@ private[graft] object SqlSelect {
       val close = p.toks(p.k - 1).start // the matching RParen's offset
       val interior = p.q.substring(open + 1, close)
       val ht = tokenize(interior).headOption
-      val inner = if (ht.exists(h => h.kind == Ident &&
-        Set("select", "with", "values")(h.lower))) parseRender(interior)
-      else rewriteRawRegion(interior)
-      ParenTerm(inner)
+      if (ht.exists(h => h.kind == Ident &&
+        Set("select", "with", "values")(h.lower))) {
+        val names = scala.collection.mutable.Buffer.empty[String]
+        ParenTerm(parseRenderNames(interior, names), names.toSeq)
+      } else ParenTerm(rewriteRawRegion(interior))
     } else if (p.isIdent(t, "select")) {
       CoreTerm(parseCore(p))
     } else {
@@ -307,8 +366,17 @@ private[graft] object SqlSelect {
       var more = true
       while (more && !malformed) {
         val t = p.peek
+        // EXCEPT followed by '(' is a star MODIFIER only when the paren
+        // interior is not itself a query — `SELECT * EXCEPT (SELECT …)`
+        // is the set operation (duck-probed: binder sees the left member
+        // as `SELECT *`), the same head test parseTerm applies
+        val exceptAsSetOp = t != null && t.lower == "except" && {
+          val h = p.peekAt(p.k + 2)
+          h != null && h.kind == Ident &&
+            Set("select", "with", "values")(h.lower)
+        }
         val isMod = t != null && t.kind == Ident &&
-          Set("exclude", "except", "replace")(t.lower) &&
+          Set("exclude", "except", "replace")(t.lower) && !exceptAsSetOp &&
           p.peekAt(p.k + 1) != null && p.peekAt(p.k + 1).kind == LParen
         if (isMod) {
           val kw = t.lower
@@ -452,7 +520,7 @@ private[graft] object SqlSelect {
   }
 
   private def renderTerm(t: Term): String = t match {
-    case ParenTerm(inner) => s"($inner)"
+    case ParenTerm(inner, _) => s"($inner)"
     case RawTerm(text) => text.trim
     case CoreTerm(c) => renderCore(c)
   }
@@ -467,10 +535,42 @@ private[graft] object SqlSelect {
       c.groupBy.map("GROUP BY " + _.trim), c.having.map("HAVING " + _.trim),
       c.window.map("WINDOW " + _.trim))
 
+    // DISTINCT ON keys / order elements, alias-substituted (the spliced
+    // columns live INSIDE the select, where Spark does not resolve
+    // same-select output aliases — see aliasMap)
+    val am = if (c.distinctOnKeys.isDefined)
+      aliasMap(c.items.collect { case RawItem(t) => t.trim })
+    else Map.empty[String, String]
+    val keysRaw = c.distinctOnKeys.map(_.trim)
+    val ordText = keysRaw.map(kr =>
+      substAliases(c.orderBy.map(_.trim).getOrElse(kr), am))
+    val ordKeysAll: Seq[(String, String)] = ordText.toSeq.flatMap(o =>
+      SqlDialect.splitTopLevel(o).map(e => splitOrderElem(e.trim)))
+    val limited = c.limit.isDefined || c.offset.isDefined
+
     // stage 1: the core without QUALIFY / DISTINCT ON / ORDER / LIMIT,
     // possibly qualify-wrapped (reference clause order: WHERE → GROUP →
-    // HAVING → WINDOW → QUALIFY → DISTINCT → ORDER → LIMIT)
+    // HAVING → WINDOW → QUALIFY → DISTINCT → ORDER → LIMIT). QUALIFY
+    // filters BEFORE the dedup (duck-probed: SELECT DISTINCT s … QUALIFY
+    // keeps every projection value whose row survives the filter), so
+    // DISTINCT moves OUTSIDE the qualify wrap, over the original
+    // projection only — never over the spliced __qN window columns.
     var sql: String = null
+    // qualify + DISTINCT ON: the row_number window rides the WRAPPED
+    // output, where pre-projection source columns no longer resolve —
+    // so every partition key and sort key is computed as a hidden
+    // __kN/__oN column in the INNERMOST select (where the source scope
+    // still exists) and flows through the wrap (duck-probed:
+    // SELECT DISTINCT ON (s) k FROM t QUALIFY … ORDER BY n LIMIT 3
+    // resolves s and n against the source)
+    val qualifyDon = c.qualify.isDefined && c.distinctOnKeys.isDefined
+    val keyItems = if (qualifyDon)
+      SqlDialect.splitTopLevel(keysRaw.get).map(_.trim).zipWithIndex
+        .map { case (kx, i) => s"${substAliases(kx, am)} AS __k$i" }
+    else Nil
+    val donHidden = if (qualifyDon)
+      keyItems ++ ordKeysAll.zipWithIndex.map { case ((e, _), i) => s"$e AS __o$i" }
+    else Nil
     if (c.qualify.isDefined) {
       var pred = c.qualify.get.trim
       val winExprs = SqlDialect.extractWindowExprs(pred)
@@ -482,8 +582,8 @@ private[graft] object SqlSelect {
       val drop = if (winExprs.isEmpty) "*"
       else s"* EXCEPT (${winExprs.indices.map(i => s"__q$i").mkString(", ")})"
       val inner =
-        s"SELECT $distinctKw${(itemTexts ++ aliased).mkString(", ")}$fromTail"
-      sql = s"SELECT $drop FROM ($inner) __qualify WHERE ($pred)"
+        s"SELECT ${(itemTexts ++ donHidden ++ aliased).mkString(", ")}$fromTail"
+      sql = s"SELECT $distinctKw$drop FROM ($inner) __qualify WHERE ($pred)"
     } else {
       sql = s"SELECT $distinctKw${itemTexts.mkString(", ")}$fromTail"
     }
@@ -493,17 +593,14 @@ private[graft] object SqlSelect {
     // (that is what "first" means in the reference), LIMIT/OFFSET stay
     // OUTSIDE so they apply after the distinct
     if (c.distinctOnKeys.isDefined) {
-      // In the plain path the spliced window/__oN columns sit INSIDE the
-      // select, so output aliases in the keys/order text are substituted
-      // with their defining expressions (see aliasMap). In the
-      // qualify-wrapped path the window rides the WRAPPED output, where
-      // the aliases are real columns — substitution would dangle.
-      val am = if (c.qualify.isDefined) Map.empty[String, String]
-               else aliasMap(c.items.collect { case RawItem(t) => t.trim })
-      val keysRaw = c.distinctOnKeys.get.trim
-      val keys = substAliases(keysRaw, am)
-      val ord = substAliases(c.orderBy.map(_.trim).getOrElse(keysRaw), am)
-      val rn = s"row_number() OVER (PARTITION BY $keys ORDER BY $ord) AS __rn"
+      val keys =
+        if (qualifyDon) keyItems.indices.map(i => s"__k$i").mkString(", ")
+        else substAliases(keysRaw.get, am)
+      val ordSpec =
+        if (qualifyDon) ordKeysAll.zipWithIndex
+          .map { case ((_, sfx), i) => s"__o$i$sfx" }.mkString(", ")
+        else ordText.get
+      val rn = s"row_number() OVER (PARTITION BY $keys ORDER BY $ordSpec) AS __rn"
       // with a LIMIT/OFFSET the output order is load-bearing (it decides
       // WHICH rows survive) — the reference's ORDER BY does double duty,
       // picking the per-key representative AND ordering the result. The
@@ -512,19 +609,20 @@ private[graft] object SqlSelect {
       // source scope still exists) and the outer ORDER BY references the
       // aliases with the original ASC/DESC/NULLS modifiers. Without a
       // limit the order is presentation-only and stays off (cheaper
-      // plan; the compare is order-insensitive).
-      val limited = c.limit.isDefined || c.offset.isDefined
+      // plan; the compare is order-insensitive). In the qualify path the
+      // __oN columns are always spliced (the window itself needs them).
       val ordKeys: Seq[(String, String)] =
-        if (limited) SqlDialect.splitTopLevel(ord).map(e => splitOrderElem(e.trim))
-        else Nil
-      val ordItems = ordKeys.zipWithIndex.map { case ((e, _), i) => s"$e AS __o$i" }
+        if (limited || qualifyDon) ordKeysAll else Nil
+      val ordItems =
+        if (qualifyDon) Nil // already spliced into the innermost select
+        else ordKeys.zipWithIndex.map { case ((e, _), i) => s"$e AS __o$i" }
       val inner =
         if (c.qualify.isDefined)
-          // qualify already wrapped: the window rides the wrapped output
           s"SELECT *${(ordItems :+ rn).map(", " + _).mkString} FROM ($sql) __don"
         else
           s"SELECT ${(itemTexts ++ ordItems :+ rn).mkString(", ")}$fromTail"
-      val dropCols = (ordKeys.indices.map(i => s"__o$i") :+ "__rn").mkString(", ")
+      val dropCols = (keyItems.indices.map(i => s"__k$i") ++
+        ordKeys.indices.map(i => s"__o$i") :+ "__rn").mkString(", ")
       val outerOrd =
         if (limited) Some(ordKeys.zipWithIndex.map { case ((_, sfx), i) =>
           s"__o$i$sfx" }.mkString(", "))

@@ -576,7 +576,12 @@ object Catalog {
       |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_views()
       |   WHERE view_name = 'prov_view') AS view_in_views,
       |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_tables()
-      |   WHERE table_name = 'prov_snap') AS ctas_in_tables""".stripMargin
+      |   WHERE table_name = 'prov_snap') AS ctas_in_tables,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_tables()
+      |   WHERE table_name = 'prov_view') AS view_in_tables,
+      |  (SELECT CAST(count(*) AS BIGINT) FROM duckdb_tables()
+      |   WHERE table_name IN ('nation', 'region', 'customer'))
+      |    AS base_views_in_tables""".stripMargin
 
   val oracle: Map[String, String] = Map(
 

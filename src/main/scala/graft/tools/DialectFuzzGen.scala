@@ -266,14 +266,20 @@ object DialectFuzzGen {
     (s"(${p._1}) UNION ALL (${p._1})", s"(${p._2}) UNION ALL (${p._2})")
 
   /** duck scopes WINDOW names across SIBLING set-op members (probed:
-    * the same name defined in two members is "already defined", while
-    * a subquery-nested duplicate is fine) — union-duplicating a
-    * statement with a DEPTH-0 WINDOW clause would collide the name in
-    * the oracle engine, so those derive-wrap instead. */
-  private def safeUnion(p: Pair): Pair =
-    if (graft.SqlLex.keywordIndex(graft.SqlLex.tokenize(p._1), "window") >= 0)
-      ctxDerived(p)
-    else ctxUnion(p)
+    * the same name defined in two members is "already defined") — and
+    * since r14 graft enforces the same rule (strictWindowScope, the
+    * collision error is spec-pinned in SqlSelectSpec), so the union
+    * context no longer derive-wraps WINDOW statements. Instead the
+    * duplicated member's window names get a FRESH per-application
+    * prefix (injective under context stacking: every name in the copy
+    * moves to a namespace no other member uses), which makes the union
+    * a REAL cross-member named-window exercise on both engines. */
+  private def renameWindows(s: String, n: Int): String =
+    s.replaceAll("(?i)\\b(OVER|WINDOW)(\\s+)([A-Za-z_]\\w*)", s"$$1$$2q${n}_$$3")
+
+  private def unionRenamed(n: Int)(p: Pair): Pair =
+    (s"(${p._1}) UNION ALL (${renameWindows(p._1, n)})",
+      s"(${p._2}) UNION ALL (${renameWindows(p._2, n)})")
 
   /** The deterministic case list: `n` cases from the given seed. */
   def cases(n: Int, seed: Long = 20260815L): Seq[Case] = {
@@ -287,8 +293,21 @@ object DialectFuzzGen {
         trapN += 1
         ctxTrapString(s"__trap${trapN}")(p)
       }
+      var unionN = 0
+      def freshUnion(p: Pair): Pair = {
+        unionN += 1
+        // ANY-depth check (not keywordIndex's depth-0): a prior union
+        // application leaves its members' WINDOW names at paren depth 1,
+        // where they still bubble to the statement scope (duck-probed:
+        // parenthesized members collide) — renaming a scope-hidden name
+        // (FROM subquery / CTE) is harmless, missing a bubbling one is a
+        // cross-engine parse error
+        val hasWin = graft.SqlLex.tokenize(p._1)
+          .exists(t => t.kind == graft.SqlLex.Ident && t.lower == "window")
+        if (hasWin) unionRenamed(unionN)(p) else ctxUnion(p)
+      }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
-        freshTrap, ctxComments, safeUnion)
+        freshTrap, ctxComments, freshUnion)
       val (setup, base) = rnd.nextInt(21) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))

@@ -448,6 +448,71 @@ class MacroSpec extends SparkSpec {
     assert(ea.getMessage.contains("COLLATE"))
   }
 
+  test("COLLATE operand spans are token-structural (r14: left-side fold, deep nesting, brackets, CASE)") {
+    Engine.registerAll(spark, dir)
+    // LEFT-side comparison folds both sides (duck-probed r14: the old
+    // regex only saw `lhs op rhs COLLATE` and raised on this form)
+    val l = SqlDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE n_name COLLATE NOCASE = 'nation_1'")
+      .head().getLong(0)
+    assert(l == 1L)
+    // operand nesting beyond the old regex's two paren levels
+    // (duck-replayed: 1)
+    val d = SqlDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE " +
+        "concat(substr(n_name, 1, length(n_name)), '') = 'nation_1' COLLATE NOCASE")
+      .head().getLong(0)
+    assert(d == 1L)
+    // bracket indexing is part of the operand (the old atom shapes had
+    // no bracket form at all)
+    val b = SqlDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE " +
+        "split(n_name, '_')[0] COLLATE NOCASE = 'NATION'").head().getLong(0)
+    assert(b == 25L)
+    // CASE … END is one atom: comparison fold (duck-replayed: 1) and
+    // sort fold (duck-replayed: A,a,B,b — the old scanner classified
+    // inside the ELSE branch and silently DROPPED the annotation)
+    val c = SqlDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE " +
+        "CASE WHEN n_nationkey >= 0 THEN n_name ELSE '' END = 'nation_2' COLLATE NOCASE")
+      .head().getLong(0)
+    assert(c == 1L)
+    val s = SqlDialect.sql(spark,
+      """SELECT s FROM (VALUES ('b'),('A'),('a'),('B')) v(s)
+        |ORDER BY CASE WHEN 1 < 0 THEN '' ELSE s END COLLATE NOCASE, s""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(s == Seq("A", "a", "B", "b"), s"got $s")
+    // a chain across :: binds the whole cast result
+    val cast = SqlDialect.rewriteCore(spark,
+      "SELECT * FROM t ORDER BY x::VARCHAR COLLATE NOCASE")
+    assert(cast.contains("lower(x::VARCHAR)"), cast)
+  }
+
+  test("macro substitution is token-scoped (r14): strings, quoted idents, dotted refs untouched") {
+    Engine.registerAll(spark, dir)
+    SqlDialect.sql(spark, "CREATE OR REPLACE MACRO mtok(v) AS v + 1")
+    // a parameter name inside a string literal or behind a dot is not
+    // the parameter; the call site expands normally
+    val r = SqlDialect.sql(spark,
+      "SELECT mtok(n_nationkey) AS a, 'v stays' AS s, n.n_nationkey AS v " +
+        "FROM nation n WHERE n_nationkey = 1").head()
+    assert(r.getAs[Number](0).longValue == 2L)
+    assert(r.getString(1) == "v stays")
+    assert(r.getAs[Number](2).longValue == 1L)
+    // a macro NAME inside a string literal is not a call site
+    val txt = SqlDialect.sql(spark,
+      "SELECT 'mtok(9)' AS s FROM nation WHERE n_nationkey = 1").head().getString(0)
+    assert(txt == "mtok(9)")
+    // body references behind a dot stay columns: the macro can safely
+    // use a param name that collides with a table column
+    SqlDialect.sql(spark, "CREATE OR REPLACE MACRO mcol(n_name) AS length(n_name)")
+    val c = SqlDialect.sql(spark,
+      "SELECT mcol('ab') AS l FROM nation WHERE n_nationkey = 1").head()
+    assert(c.getAs[Number](0).longValue == 2L)
+    SqlDialect.sql(spark, "DROP MACRO mtok")
+    SqlDialect.sql(spark, "DROP MACRO mcol")
+  }
+
   test("COLLATE in scalar-function arguments is a pass-through (r12, probed)") {
     Engine.registerAll(spark, dir)
     // reference-probed: scalar calls ignore the annotation entirely —

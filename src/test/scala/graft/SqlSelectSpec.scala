@@ -145,4 +145,93 @@ class SqlSelectSpec extends SparkSpec {
       .collect().map(_.getAs[Number](0).longValue).toSeq
     assert(expr == Seq(24L, 23L), s"got $expr")
   }
+
+  test("QUALIFY filters BEFORE DISTINCT dedups the projection (duck-probed; ADVICE r13 #3)") {
+    Engine.registerAll(spark, dir)
+    // two rows share the projection value but differ in window value;
+    // the old splicer dedup'd (item + __qN) before the filter, letting
+    // the duplicate survive. duck: filter keeps both rows, DISTINCT
+    // collapses them → exactly one 'a' and one 'b'.
+    val got = SqlDialect.sql(spark,
+      """SELECT DISTINCT s FROM (VALUES (1,'a'),(2,'a'),(3,'b')) v(k,s)
+        |QUALIFY row_number() OVER (ORDER BY k) <= 3""".stripMargin)
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(got == Seq("a", "b"), s"got $got")
+    // and the filter still runs first: rank the duplicate away and the
+    // value must vanish entirely
+    val got2 = SqlDialect.sql(spark,
+      """SELECT DISTINCT s FROM (VALUES (1,'a'),(2,'b'),(3,'b')) v(k,s)
+        |QUALIFY row_number() OVER (PARTITION BY s ORDER BY k) = 2""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    assert(got2 == Seq("b"), s"got $got2")
+  }
+
+  test("DISTINCT ON + QUALIFY resolves source-only key/order columns (duck-probed; ADVICE r13 #4)") {
+    Engine.registerAll(spark, dir)
+    // s (the key) and n (the order) are NOT projected; the row_number
+    // window rides the qualify-wrapped output where they no longer
+    // exist — they must splice as hidden columns into the innermost
+    // select. duck-replayed: representatives per s picked by n asc are
+    // k=1(a,10), k=2(A,20), k=3(b,30), k=4(B,5); output ordered by n,
+    // LIMIT 3 → k = 4, 1, 2.
+    val got = SqlDialect.sql(spark,
+      """SELECT DISTINCT ON (s) k
+        |FROM (VALUES (1,'a',10),(2,'A',20),(3,'b',30),(4,'B',5),(5,'a',20)) v(k,s,n)
+        |QUALIFY row_number() OVER (PARTITION BY s ORDER BY k) >= 1
+        |ORDER BY n LIMIT 3""".stripMargin)
+      .collect().map(_.getAs[Number](0).longValue).toSeq
+    assert(got == Seq(4L, 1L, 2L), s"got $got")
+  }
+
+  test("star EXCLUDE then EXCEPT(SELECT …) keeps the set operation (ADVICE r13 #2)") {
+    // EXCEPT( whose interior is query-headed is the set op, not a second
+    // modifier group — duck parses SELECT * EXCEPT (SELECT …) as EXCEPT
+    val out = SqlSelect.rewrite("SELECT * EXCLUDE (a) EXCEPT (SELECT 1)")
+    assert(out.replaceAll("\\s+", " ").contains("* EXCEPT (a) EXCEPT (SELECT 1)"), out)
+    // plain-name interiors stay modifiers
+    val mod = SqlSelect.rewrite("SELECT * EXCEPT (a, b) FROM t")
+    assert(mod.replaceAll("\\s+", " ").contains("* EXCEPT (a, b) FROM t"), mod)
+  }
+
+  test("double-quoted identifier containing a quote cannot desync the raw-region scan (ADVICE r13 #1)") {
+    // the "o'brien" alias precedes a QUALIFY subquery in the same FROM
+    // slice; an un-tracked " would leave the walker inside a bogus
+    // string and the subquery unrewritten
+    val out = SqlSelect.rewrite(
+      """SELECT 1 FROM t "o'brien", (SELECT a FROM u QUALIFY row_number() OVER (ORDER BY a) = 1) x""")
+    assert(!out.contains("QUALIFY"), out) // the keyword (uppercase in the
+    // input) must be rewritten away; only the lowercase __qualify alias
+    // of the wrap may remain
+    assert(out.contains("__q0"), out)
+  }
+
+  test("""strict WINDOW scope: sibling set-op redefinition raises "already defined" (duck-probed)""") {
+    Engine.registerAll(spark, dir)
+    val q =
+      """SELECT n_nationkey, row_number() OVER w AS rn FROM nation WINDOW w AS (ORDER BY n_nationkey)
+        |UNION ALL
+        |SELECT n_nationkey, row_number() OVER w FROM nation WINDOW w AS (ORDER BY n_nationkey DESC)""".stripMargin
+    val e = intercept[IllegalArgumentException] { SqlDialect.sql(spark, q) }
+    assert(e.getMessage.contains("window \"w\" is already defined"), e.getMessage)
+    // parenthesized members share the statement scope too (duck-probed)
+    val qp =
+      """(SELECT n_nationkey, row_number() OVER w AS rn FROM nation WINDOW w AS (ORDER BY n_nationkey))
+        |UNION ALL
+        |(SELECT n_nationkey, row_number() OVER w FROM nation WINDOW w AS (ORDER BY n_nationkey DESC))""".stripMargin
+    val ep = intercept[IllegalArgumentException] { SqlDialect.sql(spark, qp) }
+    assert(ep.getMessage.contains("already defined"), ep.getMessage)
+    // duplicate inside ONE clause raises as well (duck-probed)
+    val ed = intercept[IllegalArgumentException] { SqlDialect.sql(spark,
+      "SELECT n_nationkey FROM nation WINDOW w AS (ORDER BY n_nationkey), w AS (ORDER BY n_name)") }
+    assert(ed.getMessage.contains("already defined"), ed.getMessage)
+    // FROM-subquery and CTE scopes do NOT collide (duck-probed)
+    val ok = SqlDialect.sql(spark,
+      """WITH c AS (SELECT n_nationkey AS k, row_number() OVER w AS rn FROM nation WINDOW w AS (ORDER BY n_nationkey))
+        |SELECT k, row_number() OVER w FROM c WINDOW w AS (ORDER BY k DESC)""".stripMargin)
+    assert(ok.count() == 25)
+    // conf off restores Spark's per-member scope
+    spark.conf.set("spark.graft.strictWindowScope", "false")
+    try assert(SqlDialect.sql(spark, q).count() == 50)
+    finally spark.conf.unset("spark.graft.strictWindowScope")
+  }
 }
