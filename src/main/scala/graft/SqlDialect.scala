@@ -1117,23 +1117,27 @@ object SqlDialect {
                 s"${fold(coll, rhs)} ${toks(k + 2).lower} ${fold(coll, rhs2)}" +
                 q.substring(toks(e2).end)
               changed = true
-            } else {
-              val pos = toks(s1).start
-              val repl = SqlLex.clauseAt(toks, pos) match {
-                case "sort" if SqlLex.callNameAt(toks, pos).isEmpty =>
-                  fold(coll, rhs)
-                case "sort" => rhs
-                case "select" => rhs
-                case "func" if !collationAggregates(SqlLex.callNameAt(toks, pos)) =>
-                  rhs
-                case ctx => throw new IllegalArgumentException(
-                  s"graft: COLLATE ${coll.toUpperCase} on a single operand in a " +
-                    s"$ctx position would change ${if (ctx == "group") "grouping" else "matching"} " +
-                    "semantics silently — fold explicitly with lower()/strip_accents() " +
-                    "(reference collation registry, duckdb-5.cpp:5156)")
-              }
-              q = q.substring(0, toks(s1).start) + repl + q.substring(toks(k + 1).end)
-              changed = true
+            } else collateCompareForms(q, toks, k, s1, coll) match {
+              case Some(nq) =>
+                q = nq
+                changed = true
+              case None =>
+                val pos = toks(s1).start
+                val repl = SqlLex.clauseAt(toks, pos) match {
+                  case "sort" if SqlLex.callNameAt(toks, pos).isEmpty =>
+                    fold(coll, rhs)
+                  case "sort" => rhs
+                  case "select" => rhs
+                  case "func" if !collationAggregates(SqlLex.callNameAt(toks, pos)) =>
+                    rhs
+                  case ctx => throw new IllegalArgumentException(
+                    s"graft: COLLATE ${coll.toUpperCase} on a single operand in a " +
+                      s"$ctx position would change ${if (ctx == "group") "grouping" else "matching"} " +
+                      "semantics silently — fold explicitly with lower()/strip_accents() " +
+                      "(reference collation registry, duckdb-5.cpp:5156)")
+                }
+                q = q.substring(0, toks(s1).start) + repl + q.substring(toks(k + 1).end)
+                changed = true
             }
           }
         }
@@ -1141,6 +1145,318 @@ object SqlDialect {
       }
     }
     q
+  }
+
+  /** Comparison forms beyond the six binary operators (duck-probed
+    * r14b, the gap the token-span rewrite inherited from the regex era):
+    *
+    *  - `x COLLATE C [NOT] BETWEEN a AND b` folds x, a, and b — probed:
+    *    `'B' COLLATE NOCASE BETWEEN 'a' AND 'c'` is true (right-side
+    *    bound annotations are a reference parse error, so only the
+    *    first operand can carry one);
+    *  - `x COLLATE C [NOT] IN (e1, …)` folds x and every element;
+    *    an element's OWN annotation triggers the same fold (probed:
+    *    `'B' IN ('b' COLLATE NOCASE, 'x')` is true), and elements with
+    *    a DIFFERENT collation raise the reference's binder error
+    *    ("Cannot combine types with different collation!");
+    *  - `x COLLATE C IN (SELECT …)` IGNORES the annotation (probed:
+    *    byte semantics — the subquery side never folds);
+    *  - `x COLLATE C IS [NOT] DISTINCT FROM y` folds both sides;
+    *  - LIKE / ILIKE / GLOB / SIMILAR TO and IS [NOT] NULL ignore the
+    *    annotation on either side (probed: `'B' COLLATE NOCASE LIKE
+    *    'b%'` is false — pattern matching is always byte-wise);
+    *  - a simple-CASE operand or WHEN comparand folds the operand AND
+    *    every WHEN comparand as one collated matching group (probed:
+    *    `CASE 'B' COLLATE NOCASE WHEN 'b' THEN 1` hits).
+    *
+    * Returns the rewritten statement, or None when no form applies and
+    * the caller's single-operand clause classification decides. Folded
+    * spans may still contain the triggering COLLATE tokens — the next
+    * pass drops them via the scalar-call rule (`lower(x COLLATE C)` →
+    * `lower(x)`), which also bounds the rewrite loop. */
+  private def collateCompareForms(q: String, toks: Vector[SqlLex.Tok],
+      k: Int, s1: Int, coll: String): Option[String] = {
+    import SqlLex._
+    def fold(e: String): String =
+      if (coll == "nocase") s"lower($e)" else s"strip_accents($e)"
+    def tokAt(j: Int): Tok = if (j >= 0 && j < toks.length) toks(j) else null
+    def id(j: Int): String = {
+      val t = tokAt(j)
+      if (t != null && t.kind == Ident) t.lower else ""
+    }
+    val rhs = q.substring(toks(s1).start, toks(k - 1).end)
+    def drop: Option[String] =
+      Some(q.substring(0, toks(k - 1).end) + q.substring(toks(k + 1).end))
+    def mixedCheck(lo: Int, hi: Int): Unit = {
+      var i = lo
+      while (i <= hi) {
+        if (toks(i).kind == Ident && toks(i).lower == "collate" &&
+          i + 1 < toks.length && toks(i + 1).kind == Ident &&
+          Set("nocase", "noaccent")(toks(i + 1).lower) &&
+          toks(i + 1).lower != coll)
+          throw new IllegalArgumentException(
+            "graft: Cannot combine types with different collation! " +
+              "(reference binder wording; collation registry duckdb-5.cpp:5156)")
+        i += 1
+      }
+    }
+    def matchRightIdx(open: Int): Int = {
+      var depth = 0
+      var m = open
+      while (m < toks.length) {
+        toks(m).kind match {
+          case LParen => depth += 1
+          case RParen => depth -= 1; if (depth == 0) return m
+          case _ => ()
+        }
+        m += 1
+      }
+      -1
+    }
+
+    // ---- forms announced by the token AFTER the collation name ----
+    val j = k + 2
+    val neg = id(j) == "not"
+    val j0 = if (neg) j + 1 else j
+    id(j0) match {
+      // rlike: SIMILAR TO has already been rewritten to anchored RLIKE
+      // by the time this pass runs (rewriteCore order)
+      case "like" | "ilike" | "glob" | "rlike" => return drop
+      case "similar" if id(j0 + 1) == "to" => return drop
+      case "between" =>
+        val lowStart = j0 + 1
+        val lowEnd = operandEnd(toks, lowStart)
+        if (lowEnd >= 0 && id(lowEnd + 1) == "and") {
+          val hiStart = lowEnd + 2
+          val hiEnd = operandEnd(toks, hiStart)
+          if (hiEnd >= 0) {
+            mixedCheck(k + 2, hiEnd)
+            val low = q.substring(toks(lowStart).start, toks(lowEnd).end)
+            val hi = q.substring(toks(hiStart).start, toks(hiEnd).end)
+            val kw = if (neg) "NOT BETWEEN" else "BETWEEN"
+            return Some(q.substring(0, toks(s1).start) +
+              s"${fold(rhs)} $kw ${fold(low)} AND ${fold(hi)}" +
+              q.substring(toks(hiEnd).end))
+          }
+        }
+      case "in" if tokAt(j0 + 1) != null && tokAt(j0 + 1).kind == LParen =>
+        val close = matchRightIdx(j0 + 1)
+        if (close > 0) {
+          val h = tokAt(j0 + 2)
+          val isSub = h != null && h.kind == Ident &&
+            Set("select", "with", "values")(h.lower)
+          if (isSub) return drop // probed: annotation ignored vs a subquery
+          mixedCheck(j0 + 2, close - 1)
+          val interior = q.substring(toks(j0 + 1).end, toks(close).start)
+          val elems = splitTopLevel(interior).map(e => fold(e.trim))
+          val kw = if (neg) "NOT IN" else "IN"
+          return Some(q.substring(0, toks(s1).start) +
+            s"${fold(rhs)} $kw (${elems.mkString(", ")})" +
+            q.substring(toks(close).end))
+        }
+      case "is" if !neg =>
+        if (id(j0 + 1) == "null" ||
+          (id(j0 + 1) == "not" && id(j0 + 2) == "null")) return drop
+        val dIdx =
+          if (id(j0 + 1) == "distinct") j0 + 1
+          else if (id(j0 + 1) == "not" && id(j0 + 2) == "distinct") j0 + 2
+          else -1
+        if (dIdx > 0 && id(dIdx + 1) == "from") {
+          val rStart = dIdx + 2
+          val rEnd = operandEnd(toks, rStart)
+          if (rEnd >= 0) {
+            mixedCheck(rStart, rEnd)
+            val right = q.substring(toks(rStart).start, toks(rEnd).end)
+            val isKw = q.substring(toks(j0).start, toks(dIdx + 1).end)
+            return Some(q.substring(0, toks(s1).start) +
+              s"${fold(rhs)} $isKw ${fold(right)}" + q.substring(toks(rEnd).end))
+          }
+        }
+      case _ => ()
+    }
+
+    // ---- forms announced by the token BEFORE the operand ----
+    def owningCase(from: Int): Int = {
+      var depth = 1
+      var m = from
+      while (m >= 0 && depth > 0) {
+        val t = toks(m)
+        if (t.kind == RParen) {
+          var d = 0
+          var i = m
+          var open = -1
+          while (open < 0 && i >= 0) {
+            toks(i).kind match {
+              case RParen => d += 1
+              case LParen => d -= 1; if (d == 0) open = i
+              case _ => ()
+            }
+            i -= 1
+          }
+          if (open < 0) return -1
+          m = open - 1
+        } else {
+          if (t.kind == Ident && t.lower == "end") depth += 1
+          else if (t.kind == Ident && t.lower == "case") {
+            depth -= 1
+            if (depth == 0) return m
+          }
+          m -= 1
+        }
+      }
+      -1
+    }
+    id(s1 - 1) match {
+      case "like" | "ilike" | "glob" | "rlike" | "to" | "escape" =>
+        return drop // pattern-side annotation: byte-wise matching, probed
+      case "from" if id(s1 - 2) == "distinct" =>
+        // right side of IS [NOT] DISTINCT FROM (probed: folds both sides)
+        val isIdx = if (id(s1 - 3) == "not") s1 - 4 else s1 - 3
+        if (id(isIdx) == "is") {
+          val lend = isIdx - 1
+          val lstart = operandStart(toks, lend)
+          if (lstart >= 0) {
+            mixedCheck(lstart, lend)
+            val left = q.substring(toks(lstart).start, toks(lend).end)
+            val isKw = q.substring(toks(isIdx).start, toks(s1 - 1).end)
+            return Some(q.substring(0, toks(lstart).start) +
+              s"${fold(left)} $isKw ${fold(rhs)}" + q.substring(toks(k + 1).end))
+          }
+        }
+      case "case" =>
+        // != q guard: a malformed CASE (no matching END) folds to the
+        // unchanged text, which must fall through to classification
+        // instead of spinning the rewrite loop on the same site
+        val f = foldSimpleCase(q, toks, s1 - 1, coll)
+        if (f != q) return Some(f)
+      case "when" =>
+        val ci = owningCase(s1 - 2)
+        // only a SIMPLE case (operand directly after CASE) is a collated
+        // matching group; a searched case's WHEN is a boolean expression
+        if (ci >= 0 && tokAt(ci + 1) != null && id(ci + 1) != "when") {
+          val f = foldSimpleCase(q, toks, ci, coll)
+          if (f != q) return Some(f)
+        }
+      case _ => ()
+    }
+
+    // ---- the operand is an element of an enclosing IN list ----
+    var stack = List.empty[Int]
+    var i2 = 0
+    while (i2 < s1) {
+      toks(i2).kind match {
+        case LParen => stack ::= i2
+        case RParen => if (stack.nonEmpty) stack = stack.tail
+        case _ => ()
+      }
+      i2 += 1
+    }
+    stack.headOption.foreach { pIdx =>
+      val h = tokAt(pIdx + 1)
+      val isSub = h != null && h.kind == Ident &&
+        Set("select", "with", "values")(h.lower)
+      if (!isSub && pIdx > 0 && toks(pIdx - 1).kind == Ident &&
+        toks(pIdx - 1).lower == "in" &&
+        !(pIdx > 1 && toks(pIdx - 2).kind == Punct && toks(pIdx - 2).lower == ".")) {
+        val negIn = pIdx - 2 >= 0 && toks(pIdx - 2).kind == Ident &&
+          toks(pIdx - 2).lower == "not"
+        val lend = if (negIn) pIdx - 3 else pIdx - 2
+        val lstart = operandStart(toks, lend)
+        val close = matchRightIdx(pIdx)
+        if (lstart >= 0 && close > 0) {
+          mixedCheck(lstart, pIdx - 1)
+          mixedCheck(pIdx + 1, close - 1)
+          val left = q.substring(toks(lstart).start, toks(lend).end)
+          val interior = q.substring(toks(pIdx).end, toks(close).start)
+          val elems = splitTopLevel(interior).map(e => fold(e.trim))
+          val kw = if (negIn) "NOT IN" else "IN"
+          return Some(q.substring(0, toks(lstart).start) +
+            s"${fold(left)} $kw (${elems.mkString(", ")})" +
+            q.substring(toks(close).end))
+        }
+      }
+    }
+
+    // ---- parenthesized operand: the annotation is the ENTIRE content
+    // of a plain grouping paren — it binds through the transparent group
+    // (probed: `('B' COLLATE NOCASE) IN ('b','x')` folds). Move it
+    // outside so the next pass sees the real comparison context. Only
+    // for grouping positions (the allowlist below) — a call's or a
+    // quantifier's argument paren (`min(…)`, `ANY(…)`) is a boundary the
+    // annotation must NOT cross (probed: scalar-call args byte-compare).
+    if (s1 - 1 >= 0 && toks(s1 - 1).kind == LParen &&
+      matchRightIdx(s1 - 1) == k + 2) {
+      val prev = tokAt(s1 - 2)
+      val groupingPos = prev == null || prev.kind == Punct ||
+        prev.kind == LParen ||
+        (prev.kind == Ident && Set("where", "and", "or", "when", "then",
+          "else", "on", "select", "having", "qualify", "by")(prev.lower))
+      if (groupingPos)
+        return Some(q.substring(0, toks(s1 - 1).start) + "(" + rhs + ") " +
+          q.substring(toks(k).start, toks(k + 1).end) +
+          q.substring(toks(k + 2).end))
+    }
+    None
+  }
+
+  /** Fold a simple CASE's operand and every WHEN comparand as one
+    * collated matching group (THEN/ELSE results untouched). `caseIdx`
+    * is the CASE token; spans may contain the triggering COLLATE — the
+    * next rewrite pass drops it inside the fold call. */
+  private def foldSimpleCase(q: String, toks: Vector[SqlLex.Tok],
+      caseIdx: Int, coll: String): String = {
+    import SqlLex._
+    def fold(e: String): String =
+      if (coll == "nocase") s"lower($e)" else s"strip_accents($e)"
+    val spans = Vector.newBuilder[(Int, Int)]
+    var m = caseIdx + 1
+    var caseDepth = 1
+    var parenDepth = 0
+    var spanStart = m
+    var inComparand = true
+    var endIdx = -1
+    while (m < toks.length && endIdx < 0) {
+      val t = toks(m)
+      t.kind match {
+        case LParen => parenDepth += 1
+        case RParen => parenDepth -= 1
+        case Ident if parenDepth == 0 =>
+          t.lower match {
+            case "case" => caseDepth += 1
+            case "end" =>
+              caseDepth -= 1
+              if (caseDepth == 0) endIdx = m
+            case "when" if caseDepth == 1 =>
+              if (inComparand && m > spanStart) spans += ((spanStart, m - 1))
+              spanStart = m + 1
+              inComparand = true
+            case "then" if caseDepth == 1 =>
+              if (inComparand && m > spanStart) spans += ((spanStart, m - 1))
+              inComparand = false
+            case _ => ()
+          }
+        case _ => ()
+      }
+      m += 1
+    }
+    val sp = spans.result()
+    if (endIdx < 0 || sp.isEmpty) return q // malformed — leave for the parser
+    for ((a, b) <- sp; i <- a to b)
+      if (toks(i).kind == Ident && toks(i).lower == "collate" &&
+        i + 1 < toks.length && toks(i + 1).kind == Ident &&
+        Set("nocase", "noaccent")(toks(i + 1).lower) && toks(i + 1).lower != coll)
+        throw new IllegalArgumentException(
+          "graft: Cannot combine types with different collation! " +
+            "(reference binder wording; collation registry duckdb-5.cpp:5156)")
+    val sb = new StringBuilder
+    var last = 0
+    for ((a, b) <- sp) {
+      sb.append(q.substring(last, toks(a).start))
+        .append(fold(q.substring(toks(a).start, toks(b).end)))
+      last = toks(b).end
+    }
+    sb.append(q.substring(last))
+    sb.toString
   }
 
   /** Inline every registered-macro call site. Iterative passes handle

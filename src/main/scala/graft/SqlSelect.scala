@@ -210,6 +210,15 @@ private[graft] object SqlSelect {
       return false
     t.lower match {
       case "group" | "order" => p.isIdent(p.peekAt(p.k + 1), "by")
+      case "from" =>
+        // `IS [NOT] DISTINCT FROM` is a comparison operator at depth 0,
+        // not the clause boundary (r14b — the fuzz's IS-DISTINCT shape
+        // caught the item scan stopping inside the operator and losing
+        // the projection tail to a phantom FROM clause)
+        !(p.k >= 2 && p.toks(p.k - 1).kind == Ident &&
+          p.toks(p.k - 1).lower == "distinct" &&
+          p.toks(p.k - 2).kind == Ident &&
+          (p.toks(p.k - 2).lower == "is" || p.toks(p.k - 2).lower == "not"))
       case _ => true
     }
   }

@@ -51,21 +51,29 @@ case class FastRound(left: Expression, right: Expression)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val s = scaleVal // fail fast at plan time if non-literal
     nullSafeCodeGen(ctx, ev, (x, _) => {
-      val y = ctx.freshName("y")
-      val fl = ctx.freshName("fl")
-      val f = ctx.freshName("f")
-      s"""
-         |double $y = $x * ${FastRound.pow10(s)}D;
-         |double $fl = java.lang.Math.floor($y);
-         |double $f = $y - $fl;
-         |if (java.lang.Math.abs($y) < 4.503599627370496E15 &&
-         |    java.lang.Math.abs($f - 0.5) >
-         |      java.lang.Math.max(1.0E-9, 16.0 * java.lang.Math.ulp($y))) {
-         |  ${ev.value} = ($fl + ($f > 0.5 ? 1.0 : 0.0)) / ${FastRound.pow10(s)}D;
-         |} else {
-         |  ${ev.value} = graft.plans.FastRound.slow($x, $s);
-         |}
-       """.stripMargin
+      // the fast path needs 10^s binary-EXACT (s in [0, 22]) so the
+      // final divide is one correctly-rounded op on exact operands;
+      // other scales (negative = round to tens/…, or > 22) take the
+      // reference path — decided here at codegen time, s is a literal
+      if (s < 0 || s > 22)
+        s"${ev.value} = graft.plans.FastRound.slow($x, $s);"
+      else {
+        val y = ctx.freshName("y")
+        val fl = ctx.freshName("fl")
+        val f = ctx.freshName("f")
+        s"""
+           |double $y = $x * ${FastRound.pow10(s)}D;
+           |double $fl = java.lang.Math.floor($y);
+           |double $f = $y - $fl;
+           |if (java.lang.Math.abs($y) < 4.503599627370496E15 &&
+           |    java.lang.Math.abs($f - 0.5) >
+           |      java.lang.Math.max(1.0E-9, 16.0 * java.lang.Math.ulp($y))) {
+           |  ${ev.value} = ($fl + ($f > 0.5 ? 1.0 : 0.0)) / ${FastRound.pow10(s)}D;
+           |} else {
+           |  ${ev.value} = graft.plans.FastRound.slow($x, $s);
+           |}
+         """.stripMargin
+      }
     })
   }
 
@@ -84,6 +92,7 @@ object FastRound {
       .setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
 
   def round(x: Double, s: Int): Double = {
+    if (s < 0 || s > 22) return slow(x, s) // 10^s not binary-exact
     val y = x * pow10(s)
     val fl = math.floor(y)
     val f = y - fl

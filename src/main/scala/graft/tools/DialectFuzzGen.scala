@@ -214,6 +214,40 @@ object DialectFuzzGen {
           "SELECT k, n_name FROM (SELECT *, row_number() OVER (ORDER BY k) " +
           "AS __w FROM recursive) __x WHERE __w <= 3"))
 
+  /** COLLATE through BETWEEN and IS [NOT] DISTINCT FROM (r14b,
+    * duck-probed: both fold every side of the comparison). */
+  private def collateBetween(lit: String, m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, n_name, " +
+      s"n_name COLLATE NOCASE IS DISTINCT FROM '$lit' AS d FROM nation " +
+      s"WHERE n_name COLLATE NOCASE BETWEEN '$lit' AND 'zz' AND n_nationkey <= $m",
+      s"SELECT n_nationkey AS k, n_name, " +
+        s"lower(n_name) IS DISTINCT FROM lower('$lit') AS d FROM nation " +
+        s"WHERE lower(n_name) BETWEEN lower('$lit') AND lower('zz') AND n_nationkey <= $m"))
+
+  /** COLLATE through IN — annotation on the OPERAND or on a list
+    * ELEMENT triggers the same whole-membership fold (r14b,
+    * duck-probed: `'B' IN ('b' COLLATE NOCASE,'x')` is true). */
+  private def collateIn(lit: String, elemSide: Boolean): (Seq[String], Pair) = {
+    val folded = s"SELECT n_nationkey AS k, n_name FROM nation " +
+      s"WHERE lower(n_name) IN (lower('$lit'), lower('zz'))"
+    if (elemSide)
+      (Nil, (s"SELECT n_nationkey AS k, n_name FROM nation " +
+        s"WHERE n_name IN ('$lit' COLLATE NOCASE, 'zz')", folded))
+    else
+      (Nil, (s"SELECT n_nationkey AS k, n_name FROM nation " +
+        s"WHERE n_name COLLATE NOCASE IN ('$lit', 'zz')", folded))
+  }
+
+  /** Simple-CASE operand COLLATE folds operand + WHEN comparands;
+    * LIKE ignores the annotation on either side (r14b, duck-probed). */
+  private def collateCaseLike(lit: String): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, " +
+      s"CASE n_name COLLATE NOCASE WHEN '$lit' THEN 1 ELSE 0 END AS hit, " +
+      s"n_name COLLATE NOCASE LIKE '${lit.take(2)}%' AS lk FROM nation",
+      s"SELECT n_nationkey AS k, " +
+        s"CASE lower(n_name) WHEN lower('$lit') THEN 1 ELSE 0 END AS hit, " +
+        s"n_name LIKE '${lit.take(2)}%' AS lk FROM nation"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -308,7 +342,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, freshUnion)
-      val (setup, base) = rnd.nextInt(21) match {
+      val (setup, base) = rnd.nextInt(24) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -330,6 +364,12 @@ object DialectFuzzGen {
         case 18 => distinctOnLimit(1 + rnd.nextInt(5))
         case 19 => qualifyNamedWindow(1 + rnd.nextInt(3))
         case 20 => distinctOnAliasOrder(1 + rnd.nextInt(5))
+        case 21 => collateBetween(
+          Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)), 5 + rnd.nextInt(20))
+        case 22 => collateIn(
+          Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)), rnd.nextBoolean())
+        case 23 => collateCaseLike(
+          Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

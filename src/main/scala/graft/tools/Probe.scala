@@ -12,6 +12,9 @@ object Probe {
     val spark = Engine.session(
       s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
     args match {
+      case Array("rewrite", sql) =>
+        // dialect debug: print the post-rewrite SQL without executing
+        println("REWRITTEN: " + graft.SqlDialect.rewriteCore(spark, sql))
       case Array("query", name, sfDir) =>
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
         df.printSchema()

@@ -488,6 +488,64 @@ class MacroSpec extends SparkSpec {
     assert(cast.contains("lower(x::VARCHAR)"), cast)
   }
 
+  test("COLLATE comparison forms beyond binary ops (r14b, every value duck-probed)") {
+    Engine.registerAll(spark, dir)
+    def b(sql: String): Boolean = SqlDialect.sql(spark, sql).head().getBoolean(0)
+    def i(sql: String): Int = SqlDialect.sql(spark, sql).head().getInt(0)
+    // BETWEEN folds operand + both bounds (duck: true / false)
+    assert(b("SELECT 'B' COLLATE NOCASE BETWEEN 'a' AND 'c' AS v"))
+    assert(!b("SELECT 'B' COLLATE NOCASE NOT BETWEEN 'a' AND 'c' AS v"))
+    // IN folds operand + every element; NOT IN negates (duck: true / false)
+    assert(b("SELECT 'B' COLLATE NOCASE IN ('b', 'x') AS v"))
+    assert(!b("SELECT 'B' COLLATE NOCASE NOT IN ('b', 'x') AS v"))
+    // an ELEMENT's own annotation triggers the same whole-membership fold
+    assert(b("SELECT 'B' IN ('b' COLLATE NOCASE, 'x') AS v"))
+    // parenthesized operand: the annotation binds THROUGH the group
+    assert(b("SELECT ('B' COLLATE NOCASE) IN ('b', 'x') AS v"))
+    // IN (subquery): annotation IGNORED — byte semantics (duck probed
+    // on this exact query: 0 rows; the fold would make it 1)
+    assert(SqlDialect.sql(spark,
+      "SELECT count(*) AS n FROM nation WHERE n_name COLLATE NOCASE IN " +
+        "(SELECT lower(n_name) FROM nation WHERE n_nationkey = 1)")
+      .head().getLong(0) == 0L)
+    // IS [NOT] DISTINCT FROM folds both sides, annotation on EITHER
+    // side (duck: false / true / false / true)
+    assert(!b("SELECT 'B' COLLATE NOCASE IS DISTINCT FROM 'b' AS v"))
+    assert(b("SELECT 'B' COLLATE NOCASE IS NOT DISTINCT FROM 'b' AS v"))
+    assert(!b("SELECT 'B' IS DISTINCT FROM 'b' COLLATE NOCASE AS v"))
+    assert(b("SELECT 'B' IS NOT DISTINCT FROM 'b' COLLATE NOCASE AS v"))
+    // LIKE family ignores the annotation on either side (duck: false /
+    // true / false) — including in PREDICATE position, where the named
+    // error used to fire
+    assert(!b("SELECT 'B' COLLATE NOCASE LIKE 'b%' AS v"))
+    assert(b("SELECT 'B' COLLATE NOCASE NOT LIKE 'b%' AS v"))
+    assert(!b("SELECT 'b' COLLATE NOCASE SIMILAR TO 'B.*' AS v"))
+    assert(SqlDialect.sql(spark,
+      "SELECT 1 AS v FROM nation WHERE n_name COLLATE NOCASE LIKE 'zzz%'")
+      .collect().isEmpty)
+    // IS [NOT] NULL: annotation irrelevant, drops (duck: false / true)
+    assert(!b("SELECT 'B' COLLATE NOCASE IS NULL AS v"))
+    assert(b("SELECT 'B' COLLATE NOCASE IS NOT NULL AS v"))
+    // simple-CASE operand and WHEN comparands fold as one matching
+    // group (duck: 1 / 1 / 1); THEN results untouched
+    assert(i("SELECT CASE 'B' COLLATE NOCASE WHEN 'b' THEN 1 ELSE 0 END AS v") == 1)
+    assert(i("SELECT CASE 'B' WHEN 'b' COLLATE NOCASE THEN 1 ELSE 0 END AS v") == 1)
+    assert(i("SELECT CASE 'ÄB' COLLATE NOACCENT WHEN 'AB' THEN 1 WHEN 'x' THEN 2 ELSE 0 END AS v") == 1)
+    // predicate position now folds instead of raising (duck: 1 row)
+    assert(SqlDialect.sql(spark,
+      "SELECT n_nationkey FROM nation WHERE n_name COLLATE NOCASE IN ('NATION_1')")
+      .collect().length == 1)
+    // mixed collations raise the reference's binder error
+    val em = intercept[IllegalArgumentException](SqlDialect.sql(spark,
+      "SELECT 'B' COLLATE NOCASE IN ('b', 'X' COLLATE NOACCENT) AS v"))
+    assert(em.getMessage.contains("different collation"))
+    // mid-chain annotation does NOT survive concat into the comparison
+    // (duck: false — byte semantics once past an operator the chain
+    // walk cannot claim for the annotation site)
+    assert(!b("SELECT 'a' COLLATE NOCASE || 'b' = 'AB' AS v"))
+    assert(b("SELECT ('a' || 'b') COLLATE NOCASE = 'AB' AS v"))
+  }
+
   test("macro substitution is token-scoped (r14): strings, quoted idents, dotted refs untouched") {
     Engine.registerAll(spark, dir)
     SqlDialect.sql(spark, "CREATE OR REPLACE MACRO mtok(v) AS v + 1")

@@ -234,4 +234,21 @@ class SqlSelectSpec extends SparkSpec {
     try assert(SqlDialect.sql(spark, q).count() == 50)
     finally spark.conf.unset("spark.graft.strictWindowScope")
   }
+
+  test("IS [NOT] DISTINCT FROM at depth 0 is not the FROM clause boundary (r14b fuzz find)") {
+    Engine.registerAll(spark, dir)
+    // projection item: the old scan stopped at the operator's FROM and
+    // lost the rest of the item to a phantom FROM clause
+    val r = SqlDialect.sql(spark,
+      "SELECT n_nationkey AS k, n_name IS DISTINCT FROM 'x' AS d " +
+        "FROM nation WHERE n_nationkey <= 2").collect()
+    assert(r.length == 3 && r.forall(_.getBoolean(1)))
+    // WHERE position, negated form, composed with QUALIFY so the spine
+    // parser must slice every clause correctly
+    val q = SqlDialect.sql(spark,
+      "SELECT n_nationkey AS k FROM nation " +
+        "WHERE n_name IS NOT DISTINCT FROM n_name AND n_regionkey IS DISTINCT FROM 99 " +
+        "QUALIFY row_number() OVER (ORDER BY n_nationkey) <= 4").collect()
+    assert(q.length == 4 && q.map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3))
+  }
 }
