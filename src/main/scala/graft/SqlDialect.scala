@@ -1216,6 +1216,12 @@ object SqlDialect {
 
     // ---- forms announced by the token AFTER the collation name ----
     val j = k + 2
+    // quantified comparison (`= ANY/ALL/SOME (subquery)`): the
+    // annotation is IGNORED, like the IN-subquery form (duck-probed:
+    // `'B' COLLATE NOCASE = ANY (SELECT 'b')` is false — byte)
+    if (tokAt(j) != null && toks(j).kind == Punct && cmpOps(toks(j).lower) &&
+      Set("any", "all", "some")(id(j + 1)) &&
+      tokAt(j + 2) != null && toks(j + 2).kind == LParen) return drop
     val neg = id(j) == "not"
     val j0 = if (neg) j + 1 else j
     id(j0) match {

@@ -523,6 +523,13 @@ class MacroSpec extends SparkSpec {
     assert(SqlDialect.sql(spark,
       "SELECT 1 AS v FROM nation WHERE n_name COLLATE NOCASE LIKE 'zzz%'")
       .collect().isEmpty)
+    // quantified comparison vs subquery: annotation IGNORED like the
+    // IN-subquery form (duck probed: byte semantics). Spark has no
+    // `= ANY (subquery)` surface, so the drop is asserted on the
+    // rewrite itself
+    assert(SqlDialect.rewriteCollate(
+      "SELECT 1 WHERE x COLLATE NOCASE = ANY (SELECT y FROM t)")
+      == "SELECT 1 WHERE x = ANY (SELECT y FROM t)")
     // IS [NOT] NULL: annotation irrelevant, drops (duck: false / true)
     assert(!b("SELECT 'B' COLLATE NOCASE IS NULL AS v"))
     assert(b("SELECT 'B' COLLATE NOCASE IS NOT NULL AS v"))
