@@ -178,7 +178,13 @@ object SqlDialect {
     ("LOAD (extensions)", """(?is)^\s*LOAD\b""".r),
     ("CREATE INDEX (ART indexes; pruning/broadcast subsume the query role)",
       """(?is)^\s*CREATE\s+(?:UNIQUE\s+)?INDEX\b""".r),
-    ("DROP INDEX", """(?is)^\s*DROP\s+INDEX\b""".r))
+    ("DROP INDEX", """(?is)^\s*DROP\s+INDEX\b""".r),
+    // duck pairs rows by PHYSICAL scan order (duckdb-4.cpp:10097) - not
+    // stable on a distributed scan; the supported form is the explicit
+    // row_number zip the join_positional inventory query demonstrates
+    ("POSITIONAL JOIN (row-order pairing is not stable on a distributed " +
+      "scan; zip explicitly with row_number() OVER (ORDER BY <key>))",
+      """(?is)\bPOSITIONAL\s+JOIN\b""".r))
 
   private def guardUnsupported(q: String): Unit =
     unsupportedConstructs.foreach { case (name, re) =>
@@ -878,9 +884,11 @@ object SqlDialect {
       case Some(m) =>
         val pct = m.group(1).toDouble
         // localCheckpoint: the count pass materializes the base result once;
-        // the consuming limit reuses it instead of re-executing the query
+        // the consuming limit reuses it instead of re-executing the query.
+        // floor, not ceil: duck-probed r14b (LIMIT 26% of 10 rows -> 2,
+        // 99% of 10 -> 9 - the reference truncates the row count)
         val base = spark.sql(rewriteCore(spark, q.substring(0, m.start))).localCheckpoint()
-        val n = math.ceil(base.count() * pct / 100.0).toLong
+        val n = math.floor(base.count() * pct / 100.0).toLong
         return base.limit(n.toInt)
       case None =>
     }
@@ -993,6 +1001,16 @@ object SqlDialect {
         q = sb.append(q.substring(last)).toString
       }
     }
+
+    // duck list literals, `a // b`, and in-call ordered aggregates —
+    // token-structural passes (r14b; each behavior duck-probed). These
+    // run AFTER the replacement scans (read_csv option brackets are
+    // already consumed) and BEFORE the COLLATE pass (whose operand
+    // walks then see plain calls instead of dialect syntax).
+    q = rewriteListLiterals(q)
+    q = rewriteFloorDiv(q)
+    q = rewriteSortedAggs(q)
+    q = rewriteListFns(q)
 
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
@@ -1138,6 +1156,294 @@ object SqlDialect {
                 }
                 q = q.substring(0, toks(s1).start) + repl + q.substring(toks(k + 1).end)
                 changed = true
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** Identifiers after which a `[` opens a LIST LITERAL rather than an
+    * index — clause keywords and operators; a `[` directly after an
+    * identifier, quoted identifier, `)`, `]`, or string is indexing. */
+  private val bracketLiteralWords = Set(
+    "select", "where", "when", "then", "else", "and", "or", "not", "in",
+    "on", "using", "by", "as", "values", "union", "all", "except",
+    "intersect", "distinct", "having", "qualify", "limit", "offset",
+    "returning", "set", "between", "like", "ilike", "case", "is", "from")
+
+  /** duck `[e1, e2, …]` list literals → `array(e1, e2, …)` (reference
+    * list constructor syntax; Spark's parser has no bracket literal).
+    * Indexing (`w[i]`, `arr[1]` — a `[` after a value token) is left
+    * alone: Spark shares duck's bracket-index syntax. Runs after the
+    * replacement scans so `read_csv(… names=['a'])` options are
+    * already consumed. */
+  private[graft] def rewriteListLiterals(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Punct && t.lower == "[") {
+          val prev = if (k > 0) toks(k - 1) else null
+          val indexing = prev != null && (prev.kind == SqlLex.RParen ||
+            prev.kind == SqlLex.Str || prev.kind == SqlLex.QIdent ||
+            (prev.kind == SqlLex.Punct && prev.lower == "]") ||
+            (prev.kind == SqlLex.Ident && !bracketLiteralWords(prev.lower)))
+          if (!indexing) {
+            var depth = 0
+            var j = k
+            var close = -1
+            while (close < 0 && j < toks.length) {
+              val w = toks(j)
+              if (w.kind == SqlLex.Punct && w.lower == "[") depth += 1
+              else if (w.kind == SqlLex.Punct && w.lower == "]") {
+                depth -= 1
+                if (depth == 0) close = j
+              }
+              j += 1
+            }
+            if (close > 0) {
+              q = q.substring(0, t.start) + "array(" +
+                q.substring(t.end, toks(close).start) + ")" +
+                q.substring(toks(close).end)
+              changed = true
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck `a // b` (duck-probed r14b): truncating integer division for
+    * integral operands, PLAIN division otherwise — dispatched at plan
+    * time by [[graft.functions.DuckFloorDiv]]. Operand capture is
+    * multiplicative-precedence only (`a + b // c` is `a + (b//c)`):
+    * the left side chains across * / % :: and the right side is one
+    * atom (plus an optional sign and :: casts) — `a // b * c` stays
+    * `(a//b) * c`. */
+  private[graft] def rewriteFloorDiv(q0: String): String = {
+    val mulOps = Set("*", "/", "%", "::")
+    val castOnly = Set("::")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val a = toks(k)
+        val b = toks(k + 1)
+        if (a.kind == SqlLex.Punct && a.lower == "/" &&
+          b.kind == SqlLex.Punct && b.lower == "/" && a.end == b.start) {
+          val ls = SqlLex.operandStart(toks, k - 1, mulOps)
+          // optional unary sign on the right operand
+          val signTok = if (k + 2 < toks.length && toks(k + 2).kind == SqlLex.Punct &&
+            (toks(k + 2).lower == "-" || toks(k + 2).lower == "+")) 1 else 0
+          val re = SqlLex.operandEnd(toks, k + 2 + signTok, castOnly)
+          if (ls >= 0 && re >= 0) {
+            val l = q.substring(toks(ls).start, toks(k - 1).end)
+            val r = q.substring(toks(k + 2).start, toks(re).end)
+            q = q.substring(0, toks(ls).start) + s"graft_fdiv($l, $r)" +
+              q.substring(toks(re).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck's in-call ordered aggregates (duck-probed r14b):
+    *
+    *   string_agg(x[, sep] ORDER BY k…)  — default sep ',' —
+    *     → listagg(x, sep) WITHIN GROUP (ORDER BY k…)   (Spark 4)
+    *   list(x ORDER BY k…) / array_agg(x ORDER BY k…)
+    *     → transform(array_sort(array_agg(named_struct('o0',k0,…,'v',x)),
+    *         (l,r) -> <comparator>), s -> s.v)
+    *
+    * The comparator honors per-key ASC/DESC and NULLS FIRST/LAST with
+    * duck's default of NULLS LAST in BOTH directions (probed). Only
+    * calls whose argument list carries a depth-0 ORDER BY rewrite;
+    * plain `list(x)` / `string_agg(x, s)` keep their registered
+    * mappings. */
+  private[graft] def rewriteSortedAggs(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        val isName = t.kind == SqlLex.Ident &&
+          Set("string_agg", "list", "array_agg")(t.lower) &&
+          toks(k + 1).kind == SqlLex.LParen &&
+          !(k > 0 && toks(k - 1).kind == SqlLex.Punct && toks(k - 1).lower == ".")
+        if (isName) {
+          var depth = 0
+          var j = k + 1
+          var close = -1
+          while (close < 0 && j < toks.length) {
+            toks(j).kind match {
+              case SqlLex.LParen => depth += 1
+              case SqlLex.RParen => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (close > 0) {
+            val inner = q.substring(toks(k + 1).end, toks(close).start)
+            val itoks = SqlLex.tokenize(inner)
+            // depth-0 ORDER BY inside the argument list
+            var oi = -1
+            var d = 0
+            var m = 0
+            while (oi < 0 && m + 1 < itoks.length) {
+              itoks(m).kind match {
+                case SqlLex.LParen => d += 1
+                case SqlLex.RParen => d -= 1
+                case SqlLex.Ident if d == 0 && itoks(m).lower == "order" &&
+                  itoks(m + 1).kind == SqlLex.Ident && itoks(m + 1).lower == "by" =>
+                  oi = m
+                case _ => ()
+              }
+              m += 1
+            }
+            if (oi >= 0) {
+              val argsText = inner.substring(0, itoks(oi).start)
+              val spec = inner.substring(itoks(oi + 1).end).trim
+              val args = splitTopLevel(argsText).map(_.trim).filter(_.nonEmpty)
+              val repl =
+                if (t.lower == "string_agg") {
+                  val sep = if (args.length > 1) args(1) else "','"
+                  s"listagg(${args.head}, $sep) WITHIN GROUP (ORDER BY $spec)"
+                } else {
+                  // per-key (expr, desc, nullsFirst) with duck defaults
+                  val keys = splitTopLevel(spec).map(_.trim).filter(_.nonEmpty)
+                    .map { e =>
+                      val et = SqlLex.tokenize(e)
+                      var end = et.length
+                      var desc = false
+                      var nullsFirst = false
+                      var sawNulls = false
+                      var stop = false
+                      while (!stop && end > 1 && et(end - 1).kind == SqlLex.Ident) {
+                        et(end - 1).lower match {
+                          case "desc" => desc = true; end -= 1
+                          case "asc" => end -= 1
+                          case "first" | "last" if end > 2 &&
+                            et(end - 2).kind == SqlLex.Ident &&
+                            et(end - 2).lower == "nulls" =>
+                            sawNulls = true
+                            nullsFirst = et(end - 1).lower == "first"
+                            end -= 2
+                          case _ => stop = true
+                        }
+                      }
+                      val expr = e.substring(et.head.start, et(end - 1).end)
+                      (expr, desc, if (sawNulls) nullsFirst else false)
+                    }
+                  val fields = keys.zipWithIndex
+                    .map { case ((e, _, _), i) => s"'o$i', $e" }
+                    .mkString(", ") + s", 'v', ${args.head}"
+                  def cmp(i: Int): String =
+                    if (i >= keys.length) "0"
+                    else {
+                      val (_, desc, nf) = keys(i)
+                      val lt = if (desc) "1" else "-1"
+                      val gt = if (desc) "-1" else "1"
+                      val nl = if (nf) "-1" else "1" // null vs value
+                      val nr = if (nf) "1" else "-1"
+                      s"CASE WHEN l.o$i IS NULL AND r.o$i IS NULL THEN ${cmp(i + 1)} " +
+                        s"WHEN l.o$i IS NULL THEN $nl WHEN r.o$i IS NULL THEN $nr " +
+                        s"WHEN l.o$i < r.o$i THEN $lt WHEN l.o$i > r.o$i THEN $gt " +
+                        s"ELSE ${cmp(i + 1)} END"
+                    }
+                  s"transform(array_sort(array_agg(named_struct($fields)), " +
+                    s"(l, r) -> ${cmp(0)}), s -> s.v)"
+                }
+              q = q.substring(0, t.start) + repl + q.substring(toks(close).end)
+              changed = true
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck scalar list aggregates (duck-probed r14b): `list_aggregate(e,
+    * 'name'[, sep])` + the `list_aggr`/`list_sum`/`list_min`/`list_max`
+    * /`list_avg` aliases. NULL elements are skipped (sum [1,NULL,3]=4,
+    * count=2) and empty/all-null lists yield NULL for sum/avg (probed —
+    * a bare reduce would give 0). Unsupported aggregate names are left
+    * in place and fail with the unresolved-routine error. The list
+    * expression is spliced more than once for sum/avg/count — fine for
+    * SQL expressions (deterministic by construction on these paths). */
+  private[graft] def rewriteListFns(q0: String): String = {
+    val names = Set("list_aggregate", "list_aggr", "list_sum", "list_min",
+      "list_max", "list_avg")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Ident && names(t.lower) &&
+          toks(k + 1).kind == SqlLex.LParen &&
+          !(k > 0 && toks(k - 1).kind == SqlLex.Punct && toks(k - 1).lower == ".")) {
+          var depth = 0
+          var j = k + 1
+          var close = -1
+          while (close < 0 && j < toks.length) {
+            toks(j).kind match {
+              case SqlLex.LParen => depth += 1
+              case SqlLex.RParen => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (close > 0) {
+            val args = splitTopLevel(q.substring(toks(k + 1).end, toks(close).start))
+              .map(_.trim).filter(_.nonEmpty)
+            val call = t.lower match {
+              case "list_aggregate" | "list_aggr" if args.length >= 2 &&
+                args(1).startsWith("'") =>
+                Some((args(1).stripPrefix("'").stripSuffix("'").toLowerCase,
+                  args.head, args.drop(2)))
+              case "list_aggregate" | "list_aggr" => None
+              case other => Some((other.stripPrefix("list_"), args.head, args.tail))
+            }
+            val repl = call.flatMap { case (nm, e, extra) =>
+              def nn = s"filter($e, x -> x IS NOT NULL)"
+              nm match {
+                case "sum" => Some(s"(CASE WHEN size($nn) = 0 THEN NULL " +
+                  s"ELSE reduce($nn, 0, (a, x) -> a + x) END)")
+                case "min" => Some(s"array_min($e)")
+                case "max" => Some(s"array_max($e)")
+                case "avg" | "mean" => Some(s"(CASE WHEN size($nn) = 0 THEN NULL " +
+                  s"ELSE reduce($nn, CAST(0 AS DOUBLE), (a, x) -> a + x) / size($nn) END)")
+                case "count" => Some(s"size($nn)")
+                case "string_agg" =>
+                  Some(s"array_join($e, ${extra.headOption.getOrElse("','")})")
+                case _ => None
+              }
+            }
+            repl.foreach { r =>
+              q = q.substring(0, t.start) + r + q.substring(toks(close).end)
+              changed = true
             }
           }
         }

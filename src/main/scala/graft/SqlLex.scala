@@ -248,7 +248,12 @@ private[graft] object SqlLex {
     * string/number literal, dotted identifier chain, call with balanced
     * args (dotted name allowed), parenthesized group, bracket-index
     * suffix on any of those. */
-  def operandStart(toks: Vector[Tok], j: Int): Int = {
+  def operandStart(toks: Vector[Tok], j: Int): Int =
+    operandStart(toks, j, chainOps)
+
+  /** As [[operandStart]] with an explicit chain-operator set — the
+    * `//` rewrite needs multiplicative-precedence chains only. */
+  def operandStart(toks: Vector[Tok], j: Int, ops: Set[String]): Int = {
     def matchLeft(close: Int, isBracket: Boolean): Int = {
       var depth = 0
       var i = close
@@ -312,7 +317,7 @@ private[graft] object SqlLex {
     var more = true
     while (more) {
       more = false
-      if (s - 2 >= 0 && toks(s - 1).kind == Punct && chainOps(toks(s - 1).lower)) {
+      if (s - 2 >= 0 && toks(s - 1).kind == Punct && ops(toks(s - 1).lower)) {
         val s2 = atomStart(s - 2)
         if (s2 >= 0) { s = s2; more = true }
       }
@@ -323,7 +328,10 @@ private[graft] object SqlLex {
   /** End index (inclusive) of the widest operand chain whose FIRST
     * token is `j`, or -1. Mirror of [[operandStart]], for the
     * right-hand side of `x COLLATE NOCASE = y`. */
-  def operandEnd(toks: Vector[Tok], j: Int): Int = {
+  def operandEnd(toks: Vector[Tok], j: Int): Int =
+    operandEnd(toks, j, chainOps)
+
+  def operandEnd(toks: Vector[Tok], j: Int, ops: Set[String]): Int = {
     def matchRight(open: Int, isBracket: Boolean): Int = {
       var depth = 0
       var i = open
@@ -389,7 +397,7 @@ private[graft] object SqlLex {
     while (more) {
       more = false
       if (e + 2 < toks.length && toks(e + 1).kind == Punct &&
-        chainOps(toks(e + 1).lower)) {
+        ops(toks(e + 1).lower)) {
         val e2 = atomEnd(e + 2)
         if (e2 >= 0) { e = e2; more = true }
       }

@@ -518,9 +518,52 @@ private[graft] object SqlSelect {
       }
   }
 
+  /** A bare VALUES member names its columns col0..colN-1 in the
+    * reference; Spark names them col1..colN (duck-probed r14b: the
+    * FIRST set-op member decides the statement's names). Wrap the rows
+    * in an aliased subquery; trailing clauses (ORDER BY / LIMIT) stay
+    * OUTSIDE so ordinals and limits keep their statement-level
+    * meaning. Non-VALUES text passes through untouched. */
+  private def renderValuesTerm(text: String): String = {
+    val toks = tokenize(text)
+    if (toks.isEmpty || toks.head.kind != Ident || toks.head.lower != "values")
+      return text.trim
+    var k = 1
+    var lastEnd = -1
+    var arity = -1
+    var more = true
+    while (more && k < toks.length && toks(k).kind == LParen) {
+      val open = k
+      var depth = 0
+      var close = -1
+      while (close < 0 && k < toks.length) {
+        toks(k).kind match {
+          case LParen => depth += 1
+          case RParen => depth -= 1; if (depth == 0) close = k
+          case _ => ()
+        }
+        k += 1
+      }
+      if (close < 0) return text.trim // malformed - leave for the parser
+      if (arity < 0) arity = SqlDialect.splitTopLevel(
+        text.substring(toks(open).end, toks(close).start)).length
+      lastEnd = toks(close).end
+      if (k < toks.length && toks(k).kind == Punct && toks(k).lower == ",") k += 1
+      else more = false
+    }
+    if (lastEnd < 0 || arity <= 0) return text.trim
+    val rows = text.substring(toks.head.start, lastEnd)
+    val tail = text.substring(lastEnd)
+    val cols = (0 until arity).map(i => s"col$i").mkString(", ")
+    s"SELECT * FROM ($rows) __v($cols)$tail".trim
+  }
+
   private def renderBody(b: Body): String = {
     val parts = new StringBuilder
-    parts.append(renderTerm(b.terms.head))
+    parts.append(b.terms.head match {
+      case RawTerm(text) => renderValuesTerm(text)
+      case t => renderTerm(t)
+    })
     b.ops.zip(b.terms.tail).foreach { case (op, t) =>
       parts.append(' ').append(op).append(' ').append(renderTerm(t))
     }

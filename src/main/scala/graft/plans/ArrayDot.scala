@@ -168,6 +168,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       GramRollHashes.info, GramRollHashes.builder))
     ext.injectFunction((FunctionIdentifier("fast_round"),
       FastRound.info, FastRound.builder))
+    ext.injectFunction((FunctionIdentifier("graft_fdiv"),
+      graft.functions.DuckFloorDiv.info, graft.functions.DuckFloorDiv.builder))
+    ext.injectFunction((FunctionIdentifier("len"),
+      graft.functions.DuckLen.info, graft.functions.DuckLen.builder))
     ext.injectOptimizerRule(_ => SquarePowRule)
     ext.injectOptimizerRule(_ => RangeJoinRule)
     ext.injectPostHocResolutionRule(_ => ResolveReservoirHint)
