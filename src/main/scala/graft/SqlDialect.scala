@@ -1008,9 +1008,27 @@ object SqlDialect {
     // already consumed) and BEFORE the COLLATE pass (whose operand
     // walks then see plain calls instead of dialect syntax).
     q = rewriteListLiterals(q)
+    // exponentiation and prefix-abs BEFORE the division passes (the
+    // reference binds ** / ^ tighter than * / % — probed `2*3**2`=18)
+    q = rewritePowAbs(q)
     q = rewriteFloorDiv(q)
+    // duck cast targets (::/CAST int + varchar families) before the
+    // div/mod pass so operand chains see plain calls
+    q = rewriteCasts(q)
+    // SQL-surface function renames to the duck_-prefixed registrations
+    // (the registry also resolves API names in Spark 4, so the
+    // raise-on-domain / re-typed variants must not shadow them)
+    q = rewriteFnNames(q)
+    // `/` and `%` → reference semantics (NULL on zero divisor, always-
+    // double division — r15 arithmetic-edge sweep)
+    q = rewriteDivMod(q)
+    // << / >> → range-checked shifts (looser than + -, so after the
+    // passes that consume tighter operators)
+    q = rewriteShiftOps(q)
     q = rewriteSortedAggs(q)
     q = rewriteListFns(q)
+    // aggregate FILTER (expr) without WHERE (the reference accepts both)
+    q = rewriteFilterWhere(q)
 
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
@@ -1059,6 +1077,11 @@ object SqlDialect {
     // tree transforms on the parsed statement spine, at every nesting
     // depth (r13, [[SqlSelect]]; retired the regex splicers)
     q = SqlSelect.rewrite(q)
+
+    // LAST: the reference's default null ordering is NULLS LAST in
+    // BOTH directions (probed r15) — running after every pass that can
+    // generate ORDER BY spans keeps the whole surface covered
+    q = rewriteOrderByNulls(q)
 
     q
   }
@@ -1260,6 +1283,378 @@ object SqlDialect {
       }
     }
     q
+  }
+
+  /** `a ** b` / `a ^ b` → power(a, b) and prefix `@x` → abs(x)
+    * (duck-probed r15: the reference's `^` is EXPONENTIATION returning
+    * DOUBLE — `2^3`=8.0 where Spark's `^` is xor, a silent-wrong
+    * class; `**`/`^` bind tighter than `* / %` — `2*3**2`=18,
+    * `2^3*2`=16 — are left-associative — `2**3**2`=64 — and a unary
+    * sign binds INTO the left operand: `-2**2`=4). Scanning leftmost-
+    * first per pass yields left associativity. */
+  private[graft] def rewritePowAbs(q0: String): String = {
+    val castOnly = Set("::")
+    // a sign token is UNARY when the tokens before it cannot end an
+    // operand (`2 - 3**2` keeps the binary minus out of the operand;
+    // `(-2)**2` and `a * -2 ** 2` pull the sign in)
+    def unarySign(toks: Vector[SqlLex.Tok], i: Int): Boolean =
+      toks(i).kind == SqlLex.Punct &&
+        (toks(i).lower == "-" || toks(i).lower == "+") &&
+        (i == 0 || SqlLex.operandStart(toks, i - 1, castOnly) < 0)
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+        val isPow2 = t.kind == SqlLex.Punct && t.lower == "*" &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.Punct &&
+          toks(k + 1).lower == "*" && t.end == toks(k + 1).start
+        val isCaret = t.kind == SqlLex.Punct && t.lower == "^"
+        if ((isPow2 || isCaret) && k >= 1) {
+          val opEnd = if (isPow2) k + 1 else k
+          var ls = SqlLex.operandStart(toks, k - 1, castOnly)
+          if (ls > 0 && unarySign(toks, ls - 1)) ls -= 1
+          val rSign = if (opEnd + 1 < toks.length &&
+            toks(opEnd + 1).kind == SqlLex.Punct &&
+            (toks(opEnd + 1).lower == "-" || toks(opEnd + 1).lower == "+")) 1 else 0
+          val re = if (opEnd + 1 + rSign < toks.length)
+            SqlLex.operandEnd(toks, opEnd + 1 + rSign, castOnly) else -1
+          if (ls >= 0 && re >= 0) {
+            val l = q.substring(toks(ls).start, toks(k - 1).end)
+            val r = q.substring(toks(opEnd + 1).start, toks(re).end)
+            q = q.substring(0, toks(ls).start) + s"power($l, $r)" +
+              q.substring(toks(re).end)
+            changed = true
+          }
+        } else if (t.kind == SqlLex.Punct && t.lower == "@" &&
+          k + 1 < toks.length) {
+          // prefix abs (probed `@ -5.5` = 5.5): operand is an optional
+          // sign + one atom with casts
+          val rSign = if (toks(k + 1).kind == SqlLex.Punct &&
+            (toks(k + 1).lower == "-" || toks(k + 1).lower == "+")) 1 else 0
+          val re = if (k + 1 + rSign < toks.length)
+            SqlLex.operandEnd(toks, k + 1 + rSign, castOnly) else -1
+          if (re >= 0) {
+            val r = q.substring(toks(k + 1).start, toks(re).end)
+            q = q.substring(0, t.start) + s"abs($r)" + q.substring(toks(re).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck `a / b` and `a % b` → duck_div / duck_mod (r15 arithmetic-
+    * edge sweep; [[graft.functions.DuckDiv]] / [[graft.functions.DuckMod]]
+    * dispatch on operand types at plan time: NULL on a zero divisor at
+    * every numeric type, `/` always DOUBLE — probed `typeof(5/2)` =
+    * `typeof(1.5/2.5)` = DOUBLE — and the per-width `min % -1`
+    * overflow error). Same multiplicative operand capture as
+    * [[rewriteFloorDiv]]. An INTERVAL literal on the left keeps
+    * Spark's own interval arithmetic (the capture would otherwise take
+    * just the unit keyword). */
+  private[graft] def rewriteDivMod(q0: String): String = {
+    val mulOps = Set("*", "/", "%", "::")
+    val castOnly = Set("::")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Punct && (t.lower == "/" || t.lower == "%")) {
+          val fn = if (t.lower == "/") "duck_div" else "duck_mod"
+          val ls = SqlLex.operandStart(toks, k - 1, mulOps)
+          val intervalLeft = ls >= 2 &&
+            toks(ls - 2).kind == SqlLex.Ident && toks(ls - 2).lower == "interval"
+          val rSign = if (k + 1 < toks.length && toks(k + 1).kind == SqlLex.Punct &&
+            (toks(k + 1).lower == "-" || toks(k + 1).lower == "+")) 1 else 0
+          val re = if (k + 1 + rSign < toks.length)
+            SqlLex.operandEnd(toks, k + 1 + rSign, castOnly) else -1
+          if (ls >= 0 && re >= 0 && !intervalLeft) {
+            val l = q.substring(toks(ls).start, toks(k - 1).end)
+            val r = q.substring(toks(k + 1).start, toks(re).end)
+            q = q.substring(0, toks(ls).start) + s"$fn($l, $r)" +
+              q.substring(toks(re).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck cast targets (r15): `CAST/TRY_CAST(x AS <int-name>)` and
+    * `x::<int-name>` route through duck_icast (float inputs round half
+    * to even, decimals half away, strings take the exact parse first —
+    * all probed), and the VARCHAR/TEXT/STRING targets route through
+    * duck_str (fixes Spark's bare-VARCHAR rejection and renders
+    * doubles with the reference's shortest-round-trip format). */
+  private[graft] def rewriteCasts(q0: String): String = {
+    val intNames = graft.functions.DuckICast.targets.keySet
+    val strNames = Set("varchar", "text", "string")
+    val boolNames = Set("boolean", "bool", "logical")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Ident && (t.lower == "cast" || t.lower == "try_cast") &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
+          var depth = 0
+          var j = k + 1
+          var close = -1
+          var asIdx = -1
+          while (close < 0 && j < toks.length) {
+            val w = toks(j)
+            if (w.kind == SqlLex.LParen) depth += 1
+            else if (w.kind == SqlLex.RParen) { depth -= 1; if (depth == 0) close = j }
+            else if (depth == 1 && w.kind == SqlLex.Ident && w.lower == "as") asIdx = j
+            j += 1
+          }
+          // single-ident target directly before the close (DECIMAL(p,s)
+          // and array suffixes fall through to Spark untouched)
+          if (close > 0 && asIdx > k + 2 && asIdx + 2 == close &&
+            toks(asIdx + 1).kind == SqlLex.Ident) {
+            val ty = toks(asIdx + 1).lower
+            val isTry = t.lower == "try_cast"
+            val expr = q.substring(toks(k + 2).start, toks(asIdx).start).trim
+            val call =
+              if (intNames(ty)) Some(
+                (if (isTry) "duck_try_icast(" else "duck_icast(") + expr + s", '$ty')")
+              else if (strNames(ty)) Some(
+                (if (isTry) "duck_try_str(" else "duck_str(") + expr + ")")
+              else if (boolNames(ty)) Some(
+                (if (isTry) "duck_try_bcast(" else "duck_bcast(") + expr + ")")
+              else None
+            call.foreach { c =>
+              q = q.substring(0, t.start) + c + q.substring(toks(close).end)
+              changed = true
+            }
+          }
+        } else if (t.kind == SqlLex.Punct && t.lower == "::" && k >= 1 &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.Ident &&
+          (intNames(toks(k + 1).lower) || strNames(toks(k + 1).lower) ||
+            boolNames(toks(k + 1).lower)) &&
+          !(k + 2 < toks.length && toks(k + 2).kind == SqlLex.Punct &&
+            toks(k + 2).lower == "[")) {
+          val ls = SqlLex.operandStart(toks, k - 1, Set("::"))
+          if (ls >= 0) {
+            val ty = toks(k + 1).lower
+            val operand = q.substring(toks(ls).start, toks(k - 1).end)
+            val call = if (intNames(ty)) s"duck_icast($operand, '$ty')"
+              else if (strNames(ty)) s"duck_str($operand)"
+              else s"duck_bcast($operand)"
+            q = q.substring(0, toks(ls).start) + call + q.substring(toks(k + 1).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck `a << b` / `a >> b` → duck_lshift / duck_rshift (probed r15:
+    * the reference raises on negative or ≥-width left shifts and on
+    * overflow past the operand width's SIGNED max — `1 << 31` at INT32
+    * raises; `>>` yields 0 for out-of-range amounts — while Spark
+    * wraps at Java semantics). Probed precedence: looser than + -
+    * (`1+1<<2`=8), tighter than & (`3 & 1<<1`=2), left-associative.
+    * A leading unary sign binds into the left operand so `-1 << 2`
+    * raises like the reference. `>>>` (three adjacent) is untouched. */
+  private[graft] def rewriteShiftOps(q0: String): String = {
+    val addOps = Set("*", "/", "%", "::", "+", "-")
+    val castOnly = Set("::")
+    def unarySign(toks: Vector[SqlLex.Tok], i: Int): Boolean =
+      toks(i).kind == SqlLex.Punct &&
+        (toks(i).lower == "-" || toks(i).lower == "+") &&
+        (i == 0 || SqlLex.operandStart(toks, i - 1, castOnly) < 0)
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val a = toks(k)
+        val b = toks(k + 1)
+        val twoOf = (c: String) => a.kind == SqlLex.Punct && a.lower == c &&
+          b.kind == SqlLex.Punct && b.lower == c && a.end == b.start &&
+          !(k + 2 < toks.length && toks(k + 2).kind == SqlLex.Punct &&
+            toks(k + 2).lower == c && b.end == toks(k + 2).start) &&
+          !(k >= 1 && toks(k - 1).kind == SqlLex.Punct &&
+            toks(k - 1).lower == c && toks(k - 1).end == a.start)
+        val fn = if (twoOf("<")) "duck_lshift"
+          else if (twoOf(">")) "duck_rshift" else null
+        if (fn != null) {
+          var ls = SqlLex.operandStart(toks, k - 1, addOps)
+          if (ls > 0 && unarySign(toks, ls - 1)) ls -= 1
+          val rSign = if (k + 2 < toks.length && toks(k + 2).kind == SqlLex.Punct &&
+            (toks(k + 2).lower == "-" || toks(k + 2).lower == "+")) 1 else 0
+          val re = if (k + 2 + rSign < toks.length)
+            SqlLex.operandEnd(toks, k + 2 + rSign, addOps) else -1
+          if (ls >= 0 && re >= 0) {
+            val l = q.substring(toks(ls).start, toks(k - 1).end)
+            val r = q.substring(toks(k + 2).start, toks(re).end)
+            q = q.substring(0, toks(ls).start) + s"$fn($l, $r)" +
+              q.substring(toks(re).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** SQL-surface call renames to the duck_-prefixed registrations
+    * (r15): the reference's raise-on-domain math (sqrt/ln/log2/log10/
+    * asin/acos), its LOG10-meaning 1-arg log(), numeric 1-arg trunc(),
+    * TINYINT sign(), HUGEINT factorial(), NULL-on-zero mod(), and
+    * DOUBLE-typed avg()/mean() all carry semantics Spark's same-named
+    * functions don't — and in Spark 4 a registry override would ALSO
+    * capture the API's functions.* resolution (functions.log resolves
+    * to "ln"), silently re-typing every operator in the engine. The
+    * rename keeps the reference semantics strictly on the dialect
+    * surface. Only bare (non-dotted) call positions rename. */
+  private val fnRenames = Map(
+    "sqrt" -> "duck_sqrt", "ln" -> "duck_ln", "log10" -> "duck_log10",
+    "log2" -> "duck_log2", "asin" -> "duck_asin", "acos" -> "duck_acos",
+    "log" -> "duck_log", "trunc" -> "duck_trunc", "sign" -> "duck_sign",
+    "factorial" -> "duck_factorial", "mod" -> "duck_mod",
+    "avg" -> "duck_avg", "mean" -> "duck_avg")
+
+  private[graft] def rewriteFnNames(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(SqlLex.Tok, String)]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == SqlLex.Ident && fnRenames.contains(t.lower) &&
+        i + 1 < toks.length && toks(i + 1).kind == SqlLex.LParen &&
+        !(i > 0 && toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == "."))
+        subs += ((t, fnRenames(t.lower)))
+      i += 1
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (t, name) =>
+        sb.append(q0.substring(last, t.start)).append(name)
+        last = t.end
+      }
+      sb.append(q0.substring(last)).toString
+    }
+  }
+
+  /** Aggregate `FILTER (expr)` → `FILTER (WHERE expr)` (the reference
+    * accepts the WHERE-less form — probed r15). Only after a closing
+    * paren (an aggregate call); the filter() HOF never follows one. */
+  private[graft] def rewriteFilterWhere(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Ident && t.lower == "filter" &&
+          toks(k - 1).kind == SqlLex.RParen &&
+          toks(k + 1).kind == SqlLex.LParen &&
+          k + 2 < toks.length &&
+          !(toks(k + 2).kind == SqlLex.Ident && toks(k + 2).lower == "where")) {
+          q = q.substring(0, toks(k + 1).end) + "WHERE " +
+            q.substring(toks(k + 1).end)
+          changed = true
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** Append `NULLS LAST` to every sort key that carries no explicit
+    * modifier (duck-probed r15: the reference defaults to NULLS LAST
+    * in BOTH directions — `ORDER BY x LIMIT 2` over (1,NULL,2) returns
+    * 1,2 and `row_number() OVER (ORDER BY x)` ranks NULL last — while
+    * Spark's ASC default is NULLS FIRST, silently wrong whenever a
+    * LIMIT, window, or DISTINCT ON consumes the order). DESC keys keep
+    * Spark's matching NULLS LAST default; a bare `ORDER BY ALL` is
+    * left untouched (Spark rejects a modifier there). */
+  private[graft] def rewriteOrderByNulls(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val enders = Set("limit", "offset", "rows", "range", "groups", "window",
+      "union", "except", "intersect", "having", "qualify", "fetch")
+    val ins = scala.collection.mutable.ArrayBuffer.empty[Int] // char positions
+    var depth = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == SqlLex.LParen) depth += 1
+      else if (t.kind == SqlLex.RParen) depth -= 1
+      else if (t.kind == SqlLex.Ident && t.lower == "order" &&
+        i + 1 < toks.length && toks(i + 1).kind == SqlLex.Ident &&
+        toks(i + 1).lower == "by") {
+        val d0 = depth
+        var j = i + 2
+        var d = depth
+        var keyStart = j
+        var keyEnd = -1
+        var done = false
+        def closeKey(endTok: Int): Unit = {
+          keyEnd = endTok
+          if (keyEnd >= keyStart) {
+            val last = toks(keyEnd)
+            val skip = (last.kind == SqlLex.Ident &&
+              (last.lower == "first" || last.lower == "last" ||
+                last.lower == "desc")) ||
+              (keyEnd == keyStart && last.kind == SqlLex.Ident &&
+                last.lower == "all")
+            if (!skip) ins += last.end
+          }
+        }
+        while (!done && j < toks.length) {
+          val w = toks(j)
+          if (w.kind == SqlLex.LParen) d += 1
+          else if (w.kind == SqlLex.RParen) {
+            d -= 1
+            if (d < d0) { closeKey(j - 1); done = true }
+          } else if (d == d0) {
+            if (w.kind == SqlLex.Punct && (w.lower == "," || w.lower == ";")) {
+              closeKey(j - 1)
+              if (w.lower == ";") done = true else keyStart = j + 1
+            } else if (w.kind == SqlLex.Ident && enders(w.lower)) {
+              closeKey(j - 1); done = true
+            }
+          }
+          j += 1
+        }
+        if (!done) closeKey(toks.length - 1)
+        // continue the outer scan from the first key token so nested
+        // ORDER BYs (a window inside a sort key) are visited too
+      }
+      i += 1
+    }
+    if (ins.isEmpty) q0
+    else {
+      val sb = new StringBuilder(q0)
+      ins.sorted(Ordering[Int].reverse).foreach(p => sb.insert(p, " NULLS LAST"))
+      sb.toString
+    }
   }
 
   /** duck's in-call ordered aggregates (duck-probed r14b):

@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Divide, EqualTo, Expression, ExpressionInfo, If, IntegralDivide, Literal, RuntimeReplaceable, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, BinaryExpression, Cast, Divide, EqualTo, Expression, ExpressionInfo, If, IntegralDivide, Literal, RuntimeReplaceable, UnaryExpression}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DoubleType, IntegerType, LongType, MapType, ShortType}
 
 /** duck's `//` operator (duck-probed r14b): TRUNCATING integer
@@ -21,12 +21,21 @@ case class DuckFloorDiv(left: Expression, right: Expression)
   }
 
   // x // 0 is NULL on the reference (probed; ANSI division would
-  // raise) — guard both paths explicitly
+  // raise) — guard both paths explicitly. min // -1 raises the
+  // reference's per-width overflow ("Overflow in division of
+  // <min> / -1", probed r15 at INT32 too — the Long-widened division
+  // would otherwise silently produce 2147483648).
   override lazy val replacement: Expression =
     if (integral(left.dataType) && integral(right.dataType)) {
+      val w = DuckArith.widerIntegral(left.dataType, right.dataType)
+      val minL = DuckArith.minLiteral(w)
       val r = Cast(right, LongType)
       If(EqualTo(r, Literal(0L)), Literal.create(null, LongType),
-        IntegralDivide(Cast(left, LongType), r))
+        If(And(EqualTo(Cast(left, w), minL), EqualTo(r, Literal(-1L))),
+          DuckArith.raiseAs(
+            s"Out of Range Error: Overflow in division of ${minL.value} / -1",
+            LongType),
+          IntegralDivide(Cast(left, LongType), r)))
     } else {
       val r = Cast(right, DoubleType)
       If(EqualTo(r, Literal(0.0)), Literal.create(null, DoubleType),

@@ -161,8 +161,12 @@ object DuckFunctions {
   def signbit(x: Double): Boolean = (java.lang.Double.doubleToRawLongBits(x) >>> 63) == 1L
 
   /** lgamma via the Lanczos approximation (g=7, n=9) — matches libm to
-    * ~1e-13 relative, enough for 8-decimal parity with the reference. */
+    * ~1e-13 relative, enough for 8-decimal parity with the reference.
+    * Zero RAISES like the reference (probed r15: "cannot take log
+    * gamma of zero"); NaN passes through. */
   def lgamma(x0: Double): Double = {
+    if (x0 == 0.0) throw new ArithmeticException(
+      "Out of Range Error: cannot take log gamma of zero")
     if (x0.isNaN || x0.isInfinite) return x0
     val g = 7.0
     val c = Array(
@@ -182,9 +186,15 @@ object DuckFunctions {
     }
   }
 
-  /** gamma(x) = exp(lgamma(x)) with sign handling via reflection. */
+  /** gamma(x) = exp(lgamma(x)) with sign handling via reflection.
+    * Probed r15: zero RAISES ("cannot take gamma of zero"), negative
+    * INTEGERS are NaN (poles — the float sin(πx) is only ~1e-16 there,
+    * so the pole must be detected exactly, not via s == 0). */
   def gammaFn(x: Double): Double =
-    if (x > 0) math.exp(lgamma(x))
+    if (x == 0.0) throw new ArithmeticException(
+      "Out of Range Error: cannot take gamma of zero")
+    else if (x > 0) math.exp(lgamma(x))
+    else if (x == math.rint(x)) Double.NaN
     else {
       val s = math.sin(math.Pi * x)
       if (s == 0) Double.NaN else math.Pi / (s * math.exp(lgamma(1.0 - x)))
@@ -396,6 +406,71 @@ object DuckFunctions {
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("len",
           DuckLen.builder, "built-in")
+      // ---- r15 arithmetic-edge parity family (see DuckArith.scala;
+      // every behavior duck-probed — ARITH_BATTERY_r15.json) ----
+      locally {
+        import org.apache.spark.sql.catalyst.expressions.{Add => CAdd, Multiply => CMultiply, Subtract => CSubtract, BitwiseXor => CBitwiseXor, Expression => CExpr, Logarithm => CLogarithm, TruncDate => CTruncDate}
+        import org.apache.spark.sql.catalyst.expressions.aggregate.{Average => CAverage}
+        val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+          .sessionState.functionRegistry
+        def r(name: String, b: Seq[CExpr] => CExpr): Unit =
+          reg.createOrReplaceTempFunction(name, b, "built-in")
+        r("duck_div", DuckDiv.builder)
+        r("duck_mod", DuckMod.builder)
+        r("duck_icast", DuckICast.builder)
+        r("duck_try_icast", DuckICast.tryBuilder)
+        r("duck_str", DuckStrCast.builder)
+        r("duck_try_str", DuckStrCast.tryBuilder)
+        r("duck_lshift", DuckShiftLeft.builder)
+        r("duck_rshift", DuckShiftRight.builder)
+        r("duck_bcast", a => DuckBCast(a(0)))
+        r("duck_try_bcast", a => org.apache.spark.sql.catalyst.expressions
+          .TryEval(DuckBCast(a(0))))
+        // Domain-checked math + duck-typed scalars are registered
+        // under duck_ prefixes ONLY, and the SQL dialect renames bare
+        // calls (SqlDialect.rewriteFnNames): in Spark 4 the registry
+        // also resolves the API's functions.* names, so overriding
+        // `ln`/`sqrt`/`sign`/`factorial` globally would push the
+        // reference's raise-on-domain / re-typed semantics into every
+        // API operator in the engine (functions.log resolves to "ln").
+        Seq("sqrt", "ln", "log10", "log2", "asin", "acos").foreach { op =>
+          r(s"duck_$op", DuckMathErr.builder(op))
+        }
+        // duck's 1-arg log() is LOG10 (probed log(100)=2 — Spark's is
+        // ln, a silent-wrong class); 2-arg log(b, x) matches Spark
+        r("duck_log", a => if (a.length == 1) DuckMathErr(a(0), "log10")
+          else CLogarithm(a(0), a(1)))
+        // duck's 1-arg trunc() is numeric truncation toward zero
+        // (Spark's trunc is the 2-arg date truncation — kept)
+        r("duck_trunc", a => if (a.length == 1) DuckTrunc1(a(0))
+          else CTruncDate(a(0), a(1)))
+        r("duck_factorial", DuckFactorial.builder)
+        r("duck_sign", a => DuckSign(a(0)))
+        // new names with no Spark collision register bare
+        r("fdiv", a => DuckFdiv(a(0), a(1)))
+        r("fmod", a => DuckFmod(a(0), a(1)))
+        r("isinf", a => DuckIsInf(a(0)))
+        r("isfinite", a => DuckIsFinite(a(0)))
+        r("xor", a => CBitwiseXor(a(0), a(1)))
+        // the reference's named operator forms (probed: divide() is
+        // INTEGER division unlike the / operator; add/subtract/multiply
+        // keep ANSI overflow errors, which Spark's defaults match)
+        r("divide", DuckFloorDiv.builder)
+        r("add", a => CAdd(a(0), a(1)))
+        r("subtract", a => CSubtract(a(0), a(1)))
+        r("multiply", a => CMultiply(a(0), a(1)))
+        // decimal averages promote to DOUBLE (probed reference result
+        // type) — dialect-renamed like the math family. sum()
+        // deliberately KEEPS Spark's BIGINT accumulator: the
+        // reference's HUGEINT twin would be DECIMAL(38,0), but the
+        // registry also resolves the API's functions.sum, so the
+        // promotion re-types every integral sum in the engine (13
+        // inventory rows went decimal in the r15 dress rehearsal);
+        // past 2^63 Spark raises a NAMED ANSI overflow — loud, never
+        // silently wrong — recorded as a guardrail disposition in
+        // ARITH_BATTERY_r15.json.
+        r("duck_avg", a => CAverage(DuckAvgArg(a(0))))
+      }
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("sign_lsh_buckets",

@@ -615,8 +615,75 @@ object ScalarFns {
           enumFirst(prios).as("first_val"),
           enumLast(prios).as("last_val"),
           col("n"))
+    }),
+
+    // ---- r15 arithmetic-edge family (same text on both engines; the
+    // graft side runs through the dialect so duck_div/duck_mod/casts/
+    // pow/shift rewrites execute — per-case table ARITH_BATTERY_r15.json) ----
+    "arith_edges_div" -> ((s, dir) => {
+      Engine.registerAll(s, dir); Engine.sql(s, arithDivSql)
+    }),
+    "arith_edges_pow" -> ((s, dir) => {
+      Engine.registerAll(s, dir); Engine.sql(s, arithPowSql)
+    }),
+    "arith_edges_cast" -> ((s, dir) => {
+      Engine.registerAll(s, dir); Engine.sql(s, arithCastSql)
+    }),
+    "arith_edges_order" -> ((s, dir) => {
+      Engine.registerAll(s, dir); Engine.sql(s, arithOrderSql)
     })
   )
+
+  // zero divisors are NULL (never ANSI errors), / is always-double,
+  // fdiv/fmod are floor forms, divide() is integer division
+  private val arithDivSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  l_quantity / 0 AS dz, l_partkey % 0 AS mz,
+      |  round(l_partkey / 7, 8) AS ddiv,
+      |  l_partkey % 7 AS m7, (-l_partkey) % 7 AS m7n,
+      |  round(CAST(l_quantity AS DECIMAL(12,2)) / 3, 8) AS decdiv,
+      |  fdiv(l_extendedprice, 7) AS fd, fmod(-l_partkey, 7) AS fm,
+      |  fdiv(l_partkey, 0) AS fd0,
+      |  CAST(divide(l_partkey, 4) AS BIGINT) AS idiv,
+      |  mod(l_partkey, 0) AS mz2
+      |FROM lineitem WHERE l_orderkey <= 200""".stripMargin
+
+  // ** and ^ exponentiation, @ abs, range-checked shifts, factorial,
+  // log()=log10, 1-arg numeric trunc
+  private val arithPowSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  round(l_linenumber ** 2, 4) AS p2,
+      |  round(2 ^ l_linenumber, 4) AS c2,
+      |  round(l_quantity ** 0.5, 8) AS sq,
+      |  @(25 - l_quantity) AS absq,
+      |  (l_suppkey % 100) << 3 AS shl,
+      |  l_suppkey >> 70 AS shr0,
+      |  CAST(factorial(l_linenumber) AS BIGINT) AS fact,
+      |  round(log(l_extendedprice), 8) AS lg10,
+      |  trunc(l_extendedprice / 100) AS tr
+      |FROM lineitem WHERE l_orderkey <= 200""".stripMargin
+
+  // duck cast rounding: double half-even, decimal half-away, strings
+  // exact-first; VARCHAR double rendering compared as exact strings
+  private val arithCastSql =
+    """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS ln,
+      |  CAST(l_extendedprice / 7 AS INTEGER) AS ci,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(14,3)) AS BIGINT) AS cd,
+      |  CAST(concat(CAST(l_partkey AS VARCHAR), '.5') AS INTEGER) AS cs,
+      |  CAST(l_extendedprice AS VARCHAR) AS sv,
+      |  CAST(l_discount AS VARCHAR) AS sv2,
+      |  TRY_CAST(CAST(l_extendedprice AS VARCHAR) AS INTEGER) AS tc
+      |FROM lineitem WHERE l_orderkey <= 300""".stripMargin
+
+  // default NULLS LAST ordering under a LIMIT and inside a window
+  private val arithOrderSql =
+    """SELECT x, rn FROM (
+      |  SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END AS x,
+      |    row_number() OVER (
+      |      ORDER BY CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END,
+      |               l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem WHERE l_orderkey <= 100
+      |) ORDER BY rn LIMIT 50""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "fn_string_basic" ->
@@ -1000,6 +1067,12 @@ object ScalarFns {
         |  enum_last(NULL::prio_t) AS last_val,
         |  n
         |FROM (SELECT CAST(o_orderpriority AS prio_t) AS p, count(*) AS n
-        |      FROM orders GROUP BY 1)""".stripMargin
+        |      FROM orders GROUP BY 1)""".stripMargin,
+
+    // r15 arithmetic-edge family: IDENTICAL text on both engines
+    "arith_edges_div" -> arithDivSql,
+    "arith_edges_pow" -> arithPowSql,
+    "arith_edges_cast" -> arithCastSql,
+    "arith_edges_order" -> arithOrderSql
   )
 }

@@ -248,6 +248,36 @@ object DialectFuzzGen {
         s"CASE lower(n_name) WHEN lower('$lit') THEN 1 ELSE 0 END AS hit, " +
         s"n_name LIKE '${lit.take(2)}%' AS lk FROM nation"))
 
+  // ---- r15 arithmetic-edge shapes (ARITH_BATTERY_r15.json): zero
+  // divisors are NULL, / is double, // truncates, ^/** exponentiate,
+  // shifts are range-checked, default null order is NULLS LAST ----
+
+  private def arithDivEdge(k: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, n_nationkey / $k AS d, " +
+      "n_nationkey % (n_regionkey - n_regionkey) AS mz, " +
+      s"n_nationkey // $k AS fd FROM nation",
+      s"SELECT n_nationkey AS k, CAST(n_nationkey AS DOUBLE) / $k AS d, " +
+        "CAST(NULL AS INT) AS mz, " +
+        s"CAST(FLOOR(CAST(n_nationkey AS DOUBLE) / $k) AS BIGINT) AS fd FROM nation"))
+
+  private def arithPowEdge(): (Seq[String], Pair) =
+    (Nil, ("SELECT n_nationkey AS k, n_nationkey ^ 2 AS p, " +
+      "2 ** (n_regionkey + 1) AS q FROM nation",
+      "SELECT n_nationkey AS k, power(n_nationkey, 2) AS p, " +
+        "power(2, n_regionkey + 1) AS q FROM nation"))
+
+  private def arithShiftEdge(m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, (n_nationkey % 16) << $m AS sl, " +
+      "n_nationkey >> 1 AS sr FROM nation",
+      s"SELECT n_nationkey AS k, shiftleft(n_nationkey % 16, $m) AS sl, " +
+        "shiftright(n_nationkey, 1) AS sr FROM nation"))
+
+  private def orderNullsEdge(m: Int): (Seq[String], Pair) =
+    (Nil, ("SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS x " +
+      s"FROM nation ORDER BY x LIMIT $m",
+      "SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS x " +
+        s"FROM nation ORDER BY x NULLS LAST LIMIT $m"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -342,7 +372,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, freshUnion)
-      val (setup, base) = rnd.nextInt(24) match {
+      val (setup, base) = rnd.nextInt(28) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -370,6 +400,10 @@ object DialectFuzzGen {
           Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)), rnd.nextBoolean())
         case 23 => collateCaseLike(
           Seq("algeria", "France", "KENYA").apply(rnd.nextInt(3)))
+        case 24 => arithDivEdge(1 + rnd.nextInt(7))
+        case 25 => arithPowEdge()
+        case 26 => arithShiftEdge(rnd.nextInt(4))
+        case 27 => orderNullsEdge(3 + rnd.nextInt(12))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

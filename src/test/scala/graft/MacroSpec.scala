@@ -482,10 +482,11 @@ class MacroSpec extends SparkSpec {
         |ORDER BY CASE WHEN 1 < 0 THEN '' ELSE s END COLLATE NOCASE, s""".stripMargin)
       .collect().map(_.getString(0)).toSeq
     assert(s == Seq("A", "a", "B", "b"), s"got $s")
-    // a chain across :: binds the whole cast result
+    // a chain across :: binds the whole cast result (r15: the VARCHAR
+    // cast itself now renders through duck_str — same operand span)
     val cast = SqlDialect.rewriteCore(spark,
       "SELECT * FROM t ORDER BY x::VARCHAR COLLATE NOCASE")
-    assert(cast.contains("lower(x::VARCHAR)"), cast)
+    assert(cast.contains("lower(duck_str(x))"), cast)
   }
 
   test("COLLATE comparison forms beyond binary ops (r14b, every value duck-probed)") {
