@@ -215,9 +215,16 @@ object SqlDialect {
       else if (c == '-' && i + 1 < n && sql.charAt(i + 1) == '-') {
         while (i < n && sql.charAt(i) != '\n') i += 1
       } else if (c == '/' && i + 1 < n && sql.charAt(i + 1) == '*') {
+        // block comments NEST on the reference (probed r15:
+        // `/* outer /* inner */ still */` is one comment)
+        var depth = 1
         i += 2
-        while (i + 1 < n && !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
-        i = math.min(i + 2, n)
+        while (i + 1 < n && depth > 0) {
+          if (sql.charAt(i) == '/' && sql.charAt(i + 1) == '*') { depth += 1; i += 2 }
+          else if (sql.charAt(i) == '*' && sql.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+          else i += 1
+        }
+        if (depth > 0) i = n
         sb.append(' ')
       } else { sb.append(c); i += 1 }
     }
@@ -225,8 +232,26 @@ object SqlDialect {
   }
 
   def sql(spark: SparkSession, query: String): DataFrame = {
-    var q = stripComments(query).trim.stripSuffix(";").trim
+    var q = stripComments(convertDollarQuotes(query)).trim.stripSuffix(";").trim
     guardUnsupported(q)
+
+    // multi-statement scripts: the reference returns the LAST
+    // statement's result (probed r15: `SELECT 1; SELECT 2` → 2)
+    locally {
+      val toks = SqlLex.tokenize(q)
+      var depth = 0
+      var cut = -1
+      toks.foreach { t =>
+        if (t.kind == SqlLex.LParen) depth += 1
+        else if (t.kind == SqlLex.RParen) depth -= 1
+        else if (depth == 0 && t.kind == SqlLex.Punct && t.lower == ";" && cut < 0)
+          cut = t.start
+      }
+      if (cut >= 0) {
+        sql(spark, q.substring(0, cut))
+        return sql(spark, q.substring(cut + 1))
+      }
+    }
 
     // macro DDL
     createMacroRe.findFirstMatchIn(q) match {
@@ -1008,6 +1033,14 @@ object SqlDialect {
     // already consumed) and BEFORE the COLLATE pass (whose operand
     // walks then see plain calls instead of dialect syntax).
     q = rewriteListLiterals(q)
+    // r15 battery-tranche-2 literal surfaces: e'…' escapes, TIME and
+    // mixed-INTERVAL literals, struct/map braces — then 1-based duck
+    // subscripts/slices over whatever base expressions remain
+    q = rewriteEStrings(q)
+    q = rewriteTimeLiterals(q)
+    q = rewriteMixedIntervals(q)
+    q = rewriteStructLits(q)
+    q = rewriteBracketOps(q)
     // exponentiation and prefix-abs BEFORE the division passes (the
     // reference binds ** / ^ tighter than * / % — probed `2*3**2`=18)
     q = rewritePowAbs(q)
@@ -1022,6 +1055,8 @@ object SqlDialect {
     // `/` and `%` → reference semantics (NULL on zero divisor, always-
     // double division — r15 arithmetic-edge sweep)
     q = rewriteDivMod(q)
+    // binary `-` → duck_sub (DATE - DATE is an integer day count)
+    q = rewriteDateSub(q)
     // << / >> → range-checked shifts (looser than + -, so after the
     // passes that consume tighter operators)
     q = rewriteShiftOps(q)
@@ -1392,6 +1427,102 @@ object SqlDialect {
     q
   }
 
+  /** Typed-literal keywords: a captured Str operand whose PREVIOUS
+    * token is one of these belongs to a typed literal — the keyword
+    * must travel with the operand (`DATE '1994-01-01' - 1` must not
+    * capture just the string). */
+  private val typedLitKw = Set("date", "timestamp", "time", "interval")
+
+  private def withTypedLitKw(toks: Vector[SqlLex.Tok], ls: Int): Int =
+    if (ls > 0 && toks(ls).kind == SqlLex.Str &&
+      toks(ls - 1).kind == SqlLex.Ident && typedLitKw(toks(ls - 1).lower)) ls - 1
+    else ls
+
+  /** duck `a - b` → duck_sub (r15 battery tranche 2): DATE - DATE is
+    * an INTEGER day count on the reference (probed: 31) where Spark
+    * yields a day-time interval; all other operand types pass through
+    * to Spark's own Subtract resolution. Additive-precedence capture;
+    * unary minus never rewrites (no left operand). */
+  private[graft] def rewriteDateSub(q0: String): String = {
+    val addOps = Set("*", "/", "%", "::", "+", "-")
+    val mulOps = Set("*", "/", "%", "::")
+    val castOnly = Set("::")
+    def unarySign(toks: Vector[SqlLex.Tok], i: Int): Boolean =
+      toks(i).kind == SqlLex.Punct &&
+        (toks(i).lower == "-" || toks(i).lower == "+") &&
+        (i == 0 || SqlLex.operandStart(toks, i - 1, castOnly) < 0)
+    // additive-chain start with unary signs folded INTO the chain
+    // (`x * -3 - y` must capture `x * -3`, not just `3`)
+    def extStart(toks: Vector[SqlLex.Tok], j: Int): Int = {
+      var s = SqlLex.operandStart(toks, j, addOps)
+      if (s < 0) return -1
+      var more = true
+      while (more) {
+        more = false
+        s = withTypedLitKw(toks, s)
+        if (s > 0 && unarySign(toks, s - 1)) {
+          s -= 1
+          if (s > 0 && toks(s - 1).kind == SqlLex.Punct &&
+            addOps(toks(s - 1).lower) && s - 2 >= 0) {
+            val s2 = SqlLex.operandStart(toks, s - 2, addOps)
+            if (s2 >= 0) { s = s2; more = true }
+          }
+        }
+      }
+      s
+    }
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        // a binary minus only (tokens before it can end an operand);
+        // `->` arrows pass through
+        val isArrow = toks(k + 1).kind == SqlLex.Punct &&
+          toks(k + 1).lower == ">" && t.end == toks(k + 1).start
+        // `1e-7`: the lexer splits a signed exponent into Num('1e') -
+        // Num('7'); an adjacent minus between them is the literal's
+        // exponent sign, not subtraction
+        val isSciExp = toks(k - 1).kind == SqlLex.Num &&
+          toks(k - 1).end == t.start && k + 1 < toks.length &&
+          toks(k + 1).kind == SqlLex.Num && t.end == toks(k + 1).start && {
+            val p = q.substring(toks(k - 1).start, toks(k - 1).end)
+            p.endsWith("e") || p.endsWith("E")
+          }
+        if (t.kind == SqlLex.Punct && t.lower == "-" && !isArrow && !isSciExp &&
+          SqlLex.operandStart(toks, k - 1, castOnly) >= 0) {
+          val ls = extStart(toks, k - 1)
+          val intervalLeft = ls >= 2 &&
+            toks(ls - 2).kind == SqlLex.Ident && toks(ls - 2).lower == "interval"
+          val rSign = if (toks(k + 1).kind == SqlLex.Punct &&
+            (toks(k + 1).lower == "-" || toks(k + 1).lower == "+")) 1 else 0
+          var re = if (k + 1 + rSign < toks.length)
+            SqlLex.operandEnd(toks, k + 1 + rSign, mulOps) else -1
+          // typed literal on the right (DATE '…' parses as ident+str)
+          if (re >= 0 && rSign == 0 && toks(k + 1).kind == SqlLex.Ident &&
+            typedLitKw(toks(k + 1).lower) && re == k + 1 &&
+            k + 2 < toks.length && toks(k + 2).kind == SqlLex.Str) re = k + 2
+          // an INTERVAL right operand never rewrites: `interval` is a
+          // nonAtomWord, so operandEnd returns -1 and the minus stays
+          // native — Spark's own datetime-interval subtraction applies
+          if (ls >= 0 && re >= 0 && !intervalLeft) {
+            val l = q.substring(toks(ls).start, toks(k - 1).end)
+            val r = q.substring(toks(k + 1).start, toks(re).end)
+            q = q.substring(0, toks(ls).start) + s"duck_sub($l, $r)" +
+              q.substring(toks(re).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+
   /** duck cast targets (r15): `CAST/TRY_CAST(x AS <int-name>)` and
     * `x::<int-name>` route through duck_icast (float inputs round half
     * to even, decimals half away, strings take the exact parse first —
@@ -1423,15 +1554,22 @@ object SqlDialect {
             else if (depth == 1 && w.kind == SqlLex.Ident && w.lower == "as") asIdx = j
             j += 1
           }
-          // single-ident target directly before the close (DECIMAL(p,s)
-          // and array suffixes fall through to Spark untouched)
-          if (close > 0 && asIdx > k + 2 && asIdx + 2 == close &&
-            toks(asIdx + 1).kind == SqlLex.Ident) {
+          // single-ident target directly before the close, or `T[]`
+          // array targets (DECIMAL(p,s) falls through to Spark)
+          val singleIdent = close > 0 && asIdx > k + 2 && asIdx + 2 == close &&
+            toks(asIdx + 1).kind == SqlLex.Ident
+          val arrayIdent = close > 0 && asIdx > k + 2 && asIdx + 4 == close &&
+            toks(asIdx + 1).kind == SqlLex.Ident &&
+            toks(asIdx + 2).kind == SqlLex.Punct && toks(asIdx + 2).lower == "[" &&
+            toks(asIdx + 3).kind == SqlLex.Punct && toks(asIdx + 3).lower == "]"
+          if (singleIdent || arrayIdent) {
             val ty = toks(asIdx + 1).lower
             val isTry = t.lower == "try_cast"
             val expr = q.substring(toks(k + 2).start, toks(asIdx).start).trim
             val call =
-              if (intNames(ty)) Some(
+              if (arrayIdent) Some(
+                (if (isTry) "duck_try_acast(" else "duck_acast(") + expr + s", '$ty')")
+              else if (intNames(ty)) Some(
                 (if (isTry) "duck_try_icast(" else "duck_icast(") + expr + s", '$ty')")
               else if (strNames(ty)) Some(
                 (if (isTry) "duck_try_str(" else "duck_str(") + expr + ")")
@@ -1519,6 +1657,343 @@ object SqlDialect {
     q
   }
 
+  /** duck struct literals `{'k': v, …}` → named_struct('k', v, …) and
+    * `MAP {'k': v, …}` → map('k', v, …); `struct_pack(a := 1)` →
+    * named_struct('a', 1) (probed r15 battery tranche 2 — Spark has no
+    * brace literals). Outermost-first; nested literals resolve on the
+    * next pass. Only braces whose first depth-1 item is `key :` are
+    * touched. */
+  private[graft] def rewriteStructLits(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Punct && t.lower == "{") {
+          var depth = 0
+          var j = k
+          var close = -1
+          val colons = scala.collection.mutable.ArrayBuffer.empty[Int]
+          val commas = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (close < 0 && j < toks.length) {
+            val w = toks(j)
+            if (w.kind == SqlLex.Punct && w.lower == "{") depth += 1
+            else if (w.kind == SqlLex.Punct && w.lower == "}") {
+              depth -= 1; if (depth == 0) close = j
+            } else if (depth == 1 && w.kind == SqlLex.LParen) {
+              // skip call groups whole so inner commas/colons don't count
+              var d2 = 1; j += 1
+              while (j < toks.length && d2 > 0) {
+                if (toks(j).kind == SqlLex.LParen) d2 += 1
+                else if (toks(j).kind == SqlLex.RParen) d2 -= 1
+                if (d2 > 0) j += 1
+              }
+            } else if (depth == 1 && w.kind == SqlLex.Punct && w.lower == ":")
+              colons += j
+            else if (depth == 1 && w.kind == SqlLex.Punct && w.lower == ",")
+              commas += j
+            j += 1
+          }
+          val isMap = k > 0 && toks(k - 1).kind == SqlLex.Ident &&
+            toks(k - 1).lower == "map"
+          // a struct/map literal iff the first content token is a key
+          // followed by a depth-1 colon
+          val looksLit = close > k + 2 && colons.nonEmpty &&
+            (toks(k + 1).kind == SqlLex.Str || toks(k + 1).kind == SqlLex.QIdent) &&
+            colons.head == k + 2
+          if (looksLit) {
+            val bounds = (Seq(k) ++ commas ++ Seq(close)).sliding(2).toSeq
+            val pairs = bounds.map { case Seq(a, b) =>
+              // item spans (a, b); its key:value split at the first
+              // depth-1 colon inside
+              val c = colons.find(i => i > a && i < b).getOrElse(-1)
+              require(c > 0, "struct literal item without ':'")
+              val key = q.substring(toks(a + 1).start, toks(c).start).trim
+              val v = q.substring(toks(c).end, toks(b).start).trim
+              val keyLit =
+                if (toks(a + 1).kind == SqlLex.QIdent)
+                  "'" + key.stripPrefix("\"").stripSuffix("\"") + "'"
+                else key
+              s"$keyLit, $v"
+            }
+            val fn = if (isMap) "map" else "named_struct"
+            val from = if (isMap) toks(k - 1).start else t.start
+            q = q.substring(0, from) + fn + "(" + pairs.mkString(", ") + ")" +
+              q.substring(toks(close).end)
+            changed = true
+          }
+        } else if (t.kind == SqlLex.Ident && t.lower == "struct_pack" &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
+          var depth = 0
+          var j = k + 1
+          var close = -1
+          while (close < 0 && j < toks.length) {
+            if (toks(j).kind == SqlLex.LParen) depth += 1
+            else if (toks(j).kind == SqlLex.RParen) {
+              depth -= 1; if (depth == 0) close = j
+            }
+            j += 1
+          }
+          if (close > 0) {
+            val inner = q.substring(toks(k + 1).end, toks(close).start)
+            val conv = splitTopLevel(inner).map { arg =>
+              val i = arg.indexOf(":=")
+              require(i > 0, "struct_pack expects name := value")
+              s"'${arg.substring(0, i).trim}', ${arg.substring(i + 2).trim}"
+            }
+            q = q.substring(0, t.start) + "named_struct(" +
+              conv.mkString(", ") + ")" + q.substring(toks(close).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** duck bracket subscripts (r15 battery tranche 2 — the probe found
+    * the reference's indexing is 1-BASED with NULL at 0/out-of-range
+    * while Spark's `[]` is 0-based, a silently-shifted-value class):
+    * `base[i]` → duck_idx(base, i) and `base[a:b]` (1-based inclusive,
+    * negative-from-end, open bounds) → duck_slice(base, a, b). Runs
+    * after rewriteListLiterals, so remaining `[` after a value token
+    * are genuine subscripts. */
+  private[graft] def rewriteBracketOps(q0: String): String = {
+    val castOnly = Set("::")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+        val prev = toks(k - 1)
+        val indexing = t.kind == SqlLex.Punct && t.lower == "[" &&
+          (prev.kind == SqlLex.Str || prev.kind == SqlLex.QIdent ||
+            prev.kind == SqlLex.RParen ||
+            (prev.kind == SqlLex.Punct && prev.lower == "]") ||
+            (prev.kind == SqlLex.Ident && !bracketLiteralWords(prev.lower)))
+        if (indexing) {
+          var depth = 0
+          var j = k
+          var close = -1
+          var colon = -1
+          while (close < 0 && j < toks.length) {
+            val w = toks(j)
+            if (w.kind == SqlLex.Punct && w.lower == "[") depth += 1
+            else if (w.kind == SqlLex.Punct && w.lower == "]") {
+              depth -= 1; if (depth == 0) close = j
+            } else if (depth == 1 && w.kind == SqlLex.Punct && w.lower == ":")
+              colon = j
+            else if (w.kind == SqlLex.LParen) {
+              var d2 = 1; j += 1
+              while (j < toks.length && d2 > 0) {
+                if (toks(j).kind == SqlLex.LParen) d2 += 1
+                else if (toks(j).kind == SqlLex.RParen) d2 -= 1
+                if (d2 > 0) j += 1
+              }
+            }
+            j += 1
+          }
+          val bs = SqlLex.operandStart(toks, k - 1, castOnly)
+          // empty brackets are TYPE syntax (INTEGER[]), not a subscript
+          if (close > k + 1 && bs >= 0) {
+            val base = q.substring(toks(bs).start, prev.end)
+            val call =
+              if (colon > 0) {
+                val s = q.substring(t.end, toks(colon).start).trim
+                val e = q.substring(toks(colon).end, toks(close).start).trim
+                val sArg = if (s.isEmpty) "CAST(NULL AS INT)" else s
+                val eArg = if (e.isEmpty) "CAST(NULL AS INT)" else e
+                s"duck_slice($base, $sArg, $eArg)"
+              } else {
+                val i = q.substring(t.end, toks(close).start).trim
+                s"duck_idx($base, $i)"
+              }
+            q = q.substring(0, toks(bs).start) + call + q.substring(toks(close).end)
+            changed = true
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
+  /** C-style escape strings `e'…'` (reference/Postgres syntax; probed:
+    * e'a\nb' is a two-line string) → plain literals with the escapes
+    * decoded. */
+  private[graft] def rewriteEStrings(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var k = 0
+    while (k + 1 < toks.length) {
+      val t = toks(k)
+      val s = toks(k + 1)
+      if (t.kind == SqlLex.Ident && t.lower == "e" && s.kind == SqlLex.Str &&
+        t.end == s.start) {
+        val raw = q0.substring(s.start + 1, s.end - 1)
+        val out = new StringBuilder
+        var i = 0
+        while (i < raw.length) {
+          val c = raw.charAt(i)
+          if (c == '\\' && i + 1 < raw.length) {
+            raw.charAt(i + 1) match {
+              case 'n' => out.append('\n'); case 't' => out.append('\t')
+              case 'r' => out.append('\r'); case 'b' => out.append('\b')
+              case 'f' => out.append('\f'); case '\\' => out.append('\\')
+              case '\'' => out.append('\'')
+              case other => out.append(other)
+            }
+            i += 2
+          } else { out.append(c); i += 1 }
+        }
+        subs += ((t.start, s.end, "'" + out.toString.replace("'", "''") + "'"))
+        k += 1
+      }
+      k += 1
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (a, b, rep) =>
+        sb.append(q0.substring(last, a)).append(rep); last = b
+      }
+      sb.append(q0.substring(last)).toString
+    }
+  }
+
+  /** Dollar-quoted strings `$tag$…$tag$` (reference/Postgres) → plain
+    * quoted literals. Raw text scan BEFORE tokenization (the contents
+    * may not lex), skipping `$` inside normal string literals. */
+  private[graft] def convertDollarQuotes(sql: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    val n = sql.length
+    while (i < n) {
+      val c = sql.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (c == '$') {
+        var j = i + 1
+        while (j < n && (sql.charAt(j).isLetterOrDigit || sql.charAt(j) == '_')) j += 1
+        if (j < n && sql.charAt(j) == '$' && !(j == i + 1 && i + 1 < n &&
+          sql.charAt(i + 1).isDigit)) {
+          val tag = sql.substring(i, j + 1)
+          val end = sql.indexOf(tag, j + 1)
+          if (end >= 0) {
+            val body = sql.substring(j + 1, end)
+            sb.append('\'').append(body.replace("'", "''")).append('\'')
+            i = end + tag.length
+          } else { sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** `TIME 'HH:MM:SS[.f]'` literals → the engine's documented TIME
+    * encoding (LongType micros since midnight — TypeHelpers; the
+    * reference's dtime_t, duckdb.hpp:914). */
+  private[graft] def rewriteTimeLiterals(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var k = 0
+    while (k + 1 < toks.length) {
+      val t = toks(k)
+      val s = toks(k + 1)
+      if (t.kind == SqlLex.Ident && t.lower == "time" && s.kind == SqlLex.Str &&
+        // not TIME_TZ / not a column named time compared to a string:
+        // the literal form is exactly TIME '<h:m:s>'
+        (k == 0 || !(toks(k - 1).kind == SqlLex.Punct &&
+          (toks(k - 1).lower == "." || toks(k - 1).lower == "::")))) {
+        val raw = q0.substring(s.start + 1, s.end - 1)
+        val m = """(\d{1,2}):(\d{2})(?::(\d{2})(?:\.(\d{1,6}))?)?""".r
+        raw match {
+          case m(h, mi, se, fr) =>
+            val frac = Option(fr).map(f => (f + "0" * (6 - f.length)).toLong)
+              .getOrElse(0L)
+            val us = h.toLong * 3600000000L + mi.toLong * 60000000L +
+              Option(se).map(_.toLong * 1000000L).getOrElse(0L) + frac
+            subs += ((t.start, s.end, s"CAST($us AS BIGINT)"))
+            k += 1
+          case _ => ()
+        }
+      }
+      k += 1
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (a, b, rep) =>
+        sb.append(q0.substring(last, a)).append(rep); last = b
+      }
+      sb.append(q0.substring(last)).toString
+    }
+  }
+
+  /** Mixed INTERVAL string literals (`INTERVAL '1 year 2 months 3
+    * days'`) → make_interval(…): Spark's ANSI intervals cannot mix
+    * year-month and day-time fields in one literal, the reference can
+    * (probed). Single-class literals stay native. */
+  private[graft] def rewriteMixedIntervals(q0: String): String = {
+    val ymU = Set("year", "years", "month", "months", "quarter", "quarters")
+    val dtU = Set("week", "weeks", "day", "days", "hour", "hours", "minute",
+      "minutes", "second", "seconds", "millisecond", "milliseconds",
+      "microsecond", "microseconds")
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var k = 0
+    while (k + 1 < toks.length) {
+      val t = toks(k)
+      val s = toks(k + 1)
+      if (t.kind == SqlLex.Ident && t.lower == "interval" && s.kind == SqlLex.Str) {
+        val raw = q0.substring(s.start + 1, s.end - 1).trim.toLowerCase
+        val parts = raw.split("\\s+").toSeq
+        if (parts.length >= 4 && parts.length % 2 == 0 &&
+          parts.grouped(2).forall { case Seq(n, u) =>
+            n.matches("-?\\d+") && (ymU(u) || dtU(u)) }) {
+          val pairs = parts.grouped(2).map { case Seq(n, u) => (u, n.toLong) }.toSeq
+          val hasYm = pairs.exists(p => ymU(p._1))
+          val hasDt = pairs.exists(p => dtU(p._1))
+          if (hasYm && hasDt) {
+            def tot(us: Set[String], scale: String => Long): Long =
+              pairs.filter(p => us(p._1)).map(p => p._2 * scale(p._1)).sum
+            val y = tot(Set("year", "years"), _ => 1L)
+            val mo = tot(Set("month", "months"), _ => 1L) +
+              tot(Set("quarter", "quarters"), _ => 3L)
+            val w = tot(Set("week", "weeks"), _ => 1L)
+            val d = tot(Set("day", "days"), _ => 1L)
+            val h = tot(Set("hour", "hours"), _ => 1L)
+            val mi = tot(Set("minute", "minutes"), _ => 1L)
+            val se = tot(Set("second", "seconds"), _ => 1L)
+            subs += ((t.start, s.end,
+              s"make_interval($y, $mo, $w, $d, $h, $mi, $se)"))
+            k += 1
+          }
+        }
+      }
+      k += 1
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (a, b, rep) =>
+        sb.append(q0.substring(last, a)).append(rep); last = b
+      }
+      sb.append(q0.substring(last)).toString
+    }
+  }
+
   /** SQL-surface call renames to the duck_-prefixed registrations
     * (r15): the reference's raise-on-domain math (sqrt/ln/log2/log10/
     * asin/acos), its LOG10-meaning 1-arg log(), numeric 1-arg trunc(),
@@ -1534,7 +2009,11 @@ object SqlDialect {
     "log2" -> "duck_log2", "asin" -> "duck_asin", "acos" -> "duck_acos",
     "log" -> "duck_log", "trunc" -> "duck_trunc", "sign" -> "duck_sign",
     "factorial" -> "duck_factorial", "mod" -> "duck_mod",
-    "avg" -> "duck_avg", "mean" -> "duck_avg")
+    "avg" -> "duck_avg", "mean" -> "duck_avg",
+    // r15 tranche 2: null-skipping stringly concat, substr 0/negative-
+    // length edges (substring's FROM…FOR form is guarded below)
+    "concat" -> "duck_concat",
+    "substr" -> "duck_substr", "substring" -> "duck_substr")
 
   private[graft] def rewriteFnNames(q0: String): String = {
     val toks = SqlLex.tokenize(q0)
@@ -1544,8 +2023,24 @@ object SqlDialect {
       val t = toks(i)
       if (t.kind == SqlLex.Ident && fnRenames.contains(t.lower) &&
         i + 1 < toks.length && toks(i + 1).kind == SqlLex.LParen &&
-        !(i > 0 && toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == "."))
-        subs += ((t, fnRenames(t.lower)))
+        !(i > 0 && toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == ".")) {
+        // `substring(x FROM a FOR b)` is parser-special syntax on the
+        // bare name — a renamed call would not parse; skip when the
+        // call carries a depth-1 FROM
+        val skipFromForm = (t.lower == "substring" || t.lower == "substr") && {
+          var d = 0; var j = i + 1; var sawFrom = false; var stop = false
+          while (!stop && j < toks.length) {
+            val w = toks(j)
+            if (w.kind == SqlLex.LParen) d += 1
+            else if (w.kind == SqlLex.RParen) { d -= 1; if (d == 0) stop = true }
+            else if (d == 1 && w.kind == SqlLex.Ident && w.lower == "from")
+              sawFrom = true
+            j += 1
+          }
+          sawFrom
+        }
+        if (!skipFromForm) subs += ((t, fnRenames(t.lower)))
+      }
       i += 1
     }
     if (subs.isEmpty) q0

@@ -46,6 +46,32 @@ object DuckArith {
   private[graft] def raiseAs(msg: String, dt: DataType): Expression =
     Cast(RaiseError(Literal(UTF8String.fromString(msg), StringType)), dt)
 
+  /** Cast a numeric (or stringly-numeric) operand pair to a common
+    * type: RuntimeReplaceable replacements are built AFTER the
+    * analyzer's implicit coercion has run, so BinaryArithmetic children
+    * must be widened by hand (Subtract(BIGINT, INT) is unresolved). */
+  private[graft] def widenPair(l: Expression, r: Expression): (Expression, Expression) = {
+    val (a, b) = (l.dataType, r.dataType)
+    def dec(dt: DataType): DecimalType = dt match {
+      case d: DecimalType => d
+      case ByteType => DecimalType(3, 0)
+      case ShortType => DecimalType(5, 0)
+      case IntegerType => DecimalType(10, 0)
+      case _ => DecimalType(20, 0)
+    }
+    (a, b) match {
+      case (x, y) if x == y => (l, r)
+      case (x, y) if isIntegral(x) && isIntegral(y) =>
+        val w = widerIntegral(x, y); (Cast(l, w), Cast(r, w))
+      case (_: DecimalType, y) if isIntegral(y) => (l, Cast(r, dec(b)))
+      case (x, _: DecimalType) if isIntegral(x) => (Cast(l, dec(a)), r)
+      case (x, y) if isNumericish(x) || isNumericish(y) ||
+        x == StringType || y == StringType =>
+        (Cast(l, DoubleType), Cast(r, DoubleType))
+      case _ => (l, r)
+    }
+  }
+
   // ---- reference float rendering (duck casts DOUBLE→VARCHAR with the
   // shortest-round-trip digits and python-repr placement rules: probed
   // 1e16→'1e+16', 1e15→'1000000000000000.0', 1e-4→'0.0001',
@@ -199,7 +225,10 @@ case class DuckMod(left: Expression, right: Expression)
       If(And(EqualTo(l, minL), EqualTo(r, Cast(Literal(-1), w))),
         raiseAs(s"Out of Range Error: Overflow in division of ${minL.value} / -1", w),
         new TryMod(l, r))
-    } else new TryMod(left, right)
+    } else {
+      val (l2, r2) = widenPair(left, right)
+      new TryMod(l2, r2)
+    }
 
   override def prettyName: String = "duck_mod"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DuckMod =
@@ -265,7 +294,12 @@ case class DuckStrCast(child: Expression)
 
   override lazy val replacement: Expression = child.dataType match {
     case DoubleType | FloatType => DuckFloatStr(child)
-    case _ => Cast(child, StringType)
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => DuckIntervalStr(child)
+    // timestamp/date casts are timezone-aware and this replacement is
+    // built AFTER ResolveTimeZone ran — set the zone explicitly
+    case _ => Cast(child, StringType,
+      Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
   }
 
   override def prettyName: String = "duck_str"

@@ -426,6 +426,29 @@ object DuckFunctions {
         r("duck_bcast", a => DuckBCast(a(0)))
         r("duck_try_bcast", a => org.apache.spark.sql.catalyst.expressions
           .TryEval(DuckBCast(a(0))))
+        r("duck_acast", DuckACast.builder)
+        r("duck_try_acast", a => org.apache.spark.sql.catalyst.expressions
+          .TryEval(DuckACast.builder(a)))
+        // r15 battery tranche 2 (duck-probed: 1-based subscripts with
+        // NULL at 0/out-of-range, inclusive slices, DATE-DATE day
+        // counts, null-skipping stringly concat, substr edges)
+        r("duck_idx", a => DuckIdx(a(0), a(1)))
+        r("duck_slice", a => DuckSlice(a(0), a(1), a(2)))
+        r("duck_sub", a => DuckSub(a(0), a(1)))
+        r("duck_concat", a => DuckConcat(a))
+        r("duck_substr", a => if (a.length == 2)
+          DuckSubstr(a(0), a(1),
+            org.apache.spark.sql.catalyst.expressions.Literal(Int.MaxValue))
+          else DuckSubstr(a(0), a(1), a(2)))
+        r("epoch", a => DuckEpoch(a(0)))
+        r("age", a => if (a.length == 2)
+          new org.apache.spark.sql.catalyst.expressions.SubtractTimestamps(a(0), a(1))
+          else new org.apache.spark.sql.catalyst.expressions.SubtractTimestamps(
+            org.apache.spark.sql.catalyst.expressions.CurrentTimestamp(), a(0)))
+        r("list_contains", a => org.apache.spark.sql.catalyst.expressions
+          .ArrayContains(a(0), a(1)))
+        r("list_has", a => org.apache.spark.sql.catalyst.expressions
+          .ArrayContains(a(0), a(1)))
         // Domain-checked math + duck-typed scalars are registered
         // under duck_ prefixes ONLY, and the SQL dialect renames bare
         // calls (SqlDialect.rewriteFnNames): in Spark 4 the registry

@@ -19,11 +19,15 @@ class DialectListOpsSpec extends SparkSpec {
     assert(r.getSeq[Int](0) == Seq(3, 1) || r.getSeq[Int](0).head == 3)
     assert(r.getSeq[Seq[Int]](1) == Seq(Seq(1, 2), Seq(3)))
     assert(r.getInt(2) == 3)
-    // indexing stays indexing (duck and Spark share the syntax)
+    // indexing stays indexing — and is 1-BASED like the reference
+    // (r15 duck-probed: [1] is the first element, [0] is NULL; the r14
+    // pin asserted Spark's 0-base, which silently shifted every
+    // shared-text subscript)
     val ix = SqlDialect.sql(spark,
-      "SELECT split(n_name, '_')[0] AS p FROM nation WHERE n_nationkey = 1")
-      .head().getString(0)
-    assert(ix == "NATION")
+      "SELECT split(n_name, '_')[1] AS p, split(n_name, '_')[0] AS z " +
+        "FROM nation WHERE n_nationkey = 1").head()
+    assert(ix.getString(0) == "NATION")
+    assert(ix.isNullAt(1), "[0] is NULL on the reference")
   }
 
   test("// is truncating integer division on integers, plain division on floats (duck-probed)") {

@@ -1,0 +1,111 @@
+package graft
+
+/** r15 battery-tranche-2 pins — every value duck-probed (DuckDB 1.0)
+  * on the same statement text; per-case table BATTERY2_r15.json.
+  * Headline: the reference's bracket subscripts are 1-BASED (0 and
+  * out-of-range are NULL, negative from the end) where Spark's are
+  * 0-based — a silently-shifted-value class on shared-text SQL. */
+class DuckEdgesSpec extends SparkSpec {
+
+  private def one(sql: String) = SqlDialect.sql(spark, sql).head()
+
+  test("bracket subscripts are 1-based with NULL at 0/out-of-range") {
+    val r = one("SELECT ([10,20,30])[1] AS a, ([10,20,30])[0] AS b, " +
+      "([10,20,30])[4] AS c, ([10,20,30])[-1] AS d, " +
+      "'abcdef'[2] AS e, 'abcdef'[9] AS f, 'abcdef'[-1] AS g")
+    assert(r.getInt(0) == 10)
+    assert(r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getInt(3) == 30, "negative indexes from the end")
+    assert(r.getString(4) == "b" && r.getString(5) == "" && r.getString(6) == "f")
+  }
+
+  test("slices are 1-based inclusive with negative/open bounds") {
+    val r = one("SELECT ([1,2,3,4,5])[2:4] AS a, ([1,2,3,4,5])[2:-1] AS b, " +
+      "([1,2,3,4,5])[:3] AS c, ([1,2,3,4,5])[4:2] AS d, ([1,2,3])[5:9] AS e, " +
+      "'abcdef'[2:4] AS f, 'abcdef'[3:] AS g, 'abcdef'[2:-2] AS h")
+    assert(r.getSeq[Int](0) == Seq(2, 3, 4))
+    assert(r.getSeq[Int](1) == Seq(2, 3, 4, 5), "end -1 reaches the last element")
+    assert(r.getSeq[Int](2) == Seq(1, 2, 3))
+    assert(r.getSeq[Int](3) == Seq() && r.getSeq[Int](4) == Seq())
+    assert(r.getString(5) == "bcd" && r.getString(6) == "cdef" &&
+      r.getString(7) == "bcde")
+  }
+
+  test("struct/map literals, struct_pack, and dotted access") {
+    val r = one("SELECT ({'a': 1, 'b': 'x'}).a AS a, ({'o': {'i': 42}}).o.i AS b, " +
+      "struct_pack(x := 5, y := 'z').x AS c, (MAP {'k1': 1, 'k2': 2})['k1'] AS d")
+    assert(r.getInt(0) == 1)
+    assert(r.getInt(1) == 42)
+    assert(r.getInt(2) == 5)
+    // duck map subscripts return a LIST of matches (probed)
+    assert(r.getSeq[Int](3) == Seq(1))
+    val miss = one("SELECT (MAP {'a': 1})['zz'] AS m")
+    assert(miss.getSeq[Int](0) == Seq(), "missing key is an empty list (probed)")
+  }
+
+  test("DATE - DATE is an integer day count; other minus forms keep Spark") {
+    val r = one("SELECT DATE '1994-02-01' - DATE '1994-01-01' AS d, " +
+      "DATE '1994-01-10' - 3 AS dd, 5 - 2 AS i, 5.5 - 1 AS f, " +
+      "9223372036854775807 - 1 AS big")
+    assert(r.getInt(0) == 31, "day count, not an interval (duck-probed)")
+    assert(r.getDate(1).toString == "1994-01-07")
+    assert(r.getInt(2) == 3)
+    assert(r.getDecimal(3).doubleValue == 4.5)
+    assert(r.getLong(4) == Long.MaxValue - 1)
+    // the minus rewrite must not break scientific literals or arrows
+    val s = one("SELECT 1e-7 AS sci, CAST(1e-7::DOUBLE AS VARCHAR) AS sv")
+    assert(s.getString(1) == "1e-07")
+  }
+
+  test("e-strings, dollar quotes, nested comments, multi-statement") {
+    assert(one("SELECT e'a\\nb' AS r").getString(0) == "a\nb")
+    assert(one("SELECT e'a\\tb' AS r").getString(0) == "a\tb")
+    assert(one("SELECT $tag$it's raw$tag$ AS r").getString(0) == "it's raw")
+    assert(one("SELECT /* outer /* inner */ still */ 1 AS r").getInt(0) == 1)
+    assert(one("SELECT 1 AS a; SELECT 2 AS b").getInt(0) == 2,
+      "a multi-statement script returns the LAST result (probed)")
+  }
+
+  test("concat skips NULLs and stringifies; substr edges match") {
+    val r = one("SELECT concat('a', NULL, 'b') AS a, " +
+      "concat('a', 1.5, DATE '1994-01-01') AS b, " +
+      "substr('abcdef', 0, 3) AS c, substr('abcdef', 2, -1) AS d, " +
+      "substr('abcdef', -2, 10) AS e, 'x' || NULL AS f")
+    assert(r.getString(0) == "ab")
+    assert(r.getString(1) == "a1.51994-01-01")
+    assert(r.getString(2) == "ab", "start 0 consumes one unit of length")
+    assert(r.getString(3) == "a", "negative length reaches back")
+    assert(r.getString(4) == "ef")
+    assert(r.isNullAt(5), "|| stays null-propagating (probed)")
+  }
+
+  test("mixed interval literals, epoch, age, interval rendering") {
+    val r = one("SELECT DATE '1994-01-01' + INTERVAL '1 year 2 months 3 days' AS d, " +
+      "epoch(TIMESTAMP '1970-01-02 00:00:00') AS e, " +
+      "epoch(TIMESTAMP '1970-01-01 00:00:00.5') AS e2, " +
+      "CAST(INTERVAL 90 MINUTE AS VARCHAR) AS iv, " +
+      "CAST(INTERVAL '1 year 2 months' AS VARCHAR) AS ym, " +
+      "CAST(INTERVAL '26 hours' AS VARCHAR) AS hh")
+    assert(r.get(0).toString.startsWith("1995-03-04"))
+    assert(r.getDouble(1) == 86400.0 && r.getDouble(2) == 0.5)
+    assert(r.getString(3) == "01:30:00")
+    assert(r.getString(4) == "1 year 2 months")
+    assert(r.getString(5) == "26:00:00")
+  }
+
+  test("array casts: T[] targets and string parsing") {
+    val r = one("SELECT TRY_CAST('[1,2]' AS INTEGER[]) AS a, " +
+      "CAST([1, 2] AS BIGINT[]) AS b, TRY_CAST('nope' AS INTEGER[]) AS c")
+    assert(r.getSeq[Int](0) == Seq(1, 2))
+    assert(r.getSeq[Long](1) == Seq(1L, 2L))
+    assert(r.isNullAt(2))
+  }
+
+  test("TIME literal takes the engine's documented micros encoding") {
+    // TypeHelpers TIME surface = LongType micros since midnight
+    // (fn_time); Spark 4 has no TIME type, so the literal lowers into
+    // that encoding rather than erroring
+    val r = one("SELECT TIME '13:45:30' AS t")
+    assert(r.getLong(0) == (13L * 3600 + 45 * 60 + 30) * 1000000L)
+  }
+}

@@ -464,10 +464,12 @@ class MacroSpec extends SparkSpec {
       .head().getLong(0)
     assert(d == 1L)
     // bracket indexing is part of the operand (the old atom shapes had
-    // no bracket form at all)
+    // no bracket form at all). r15: subscripts are 1-BASED like the
+    // reference (duck-probed — [0] is NULL), so the first split part
+    // is [1]
     val b = SqlDialect.sql(spark,
       "SELECT count(*) AS n FROM nation WHERE " +
-        "split(n_name, '_')[0] COLLATE NOCASE = 'NATION'").head().getLong(0)
+        "split(n_name, '_')[1] COLLATE NOCASE = 'NATION'").head().getLong(0)
     assert(b == 25L)
     // CASE … END is one atom: comparison fold (duck-replayed: 1) and
     // sort fold (duck-replayed: A,a,B,b — the old scanner classified
