@@ -184,7 +184,13 @@ object SqlDialect {
     // row_number zip the join_positional inventory query demonstrates
     ("POSITIONAL JOIN (row-order pairing is not stable on a distributed " +
       "scan; zip explicitly with row_number() OVER (ORDER BY <key>))",
-      """(?is)\bPOSITIONAL\s+JOIN\b""".r))
+      """(?is)\bPOSITIONAL\s+JOIN\b""".r),
+    // r15 grammar census: named CREATE TYPE (ENUM registry) — the
+    // engine's ENUM surface is the documented TypeHelpers encoding
+    // (enumCode/enumFirst/enumLast over an explicit value list)
+    ("CREATE TYPE (use the TypeHelpers ENUM encoding: enumCode/" +
+      "enum_first/enum_last over an explicit value list — SURVEY §2.8)",
+      """(?is)^\s*CREATE\s+TYPE\b""".r))
 
   private def guardUnsupported(q: String): Unit =
     unsupportedConstructs.foreach { case (name, re) =>
@@ -339,6 +345,23 @@ object SqlDialect {
     // duckdb_tables(), which the r14 provenance split narrowed to
     // table-provenance names only)
     if (q.trim.toUpperCase.matches("SHOW\\s+TABLES")) return Engine.allRelations(spark)
+
+    // USE <schema> (r15 grammar census): the reference's single-file
+    // default schemas are main/memory/temp — an empty no-op result
+    // (probed). Other names delegate to Spark's catalog.
+    val useRe = """(?is)^\s*USE\s+([\w.]+)\s*$""".r
+    useRe.findFirstMatchIn(q) match {
+      case Some(m) if Set("main", "memory", "temp", "system")(m.group(1).toLowerCase) =>
+        return spark.emptyDataFrame
+      case _ =>
+    }
+    // CALL <table-fn>(…) invokes a table function (reference
+    // T_PGCallStmt) — same surface as FROM fn(…)
+    val callRe = """(?is)^\s*CALL\s+(.+)$""".r
+    callRe.findFirstMatchIn(q) match {
+      case Some(m) => return sql(spark, s"SELECT * FROM ${m.group(1)}")
+      case None =>
+    }
 
     // CREATE [OR REPLACE] TABLE <name> AS <select> — CTAS into the
     // temp-view catalog (reference CreateTableAs, duckdb-9.cpp binder);
@@ -893,6 +916,14 @@ object SqlDialect {
       Engine.databaseSize(spark).createOrReplaceTempView("__graft_db_size")
       q = pragmaDbSizeFn.replaceAllIn(q, "__graft_db_size")
     }
+    // pragma_table_info('t') table-fn form (r15 census — the statement
+    // form PRAGMA table_info(…) and DESCRIBE already route above)
+    val pragmaTableInfoFn = """(?i)\bpragma_table_info\s*\(\s*'([^']+)'\s*\)""".r
+    pragmaTableInfoFn.findFirstMatchIn(q).foreach { m =>
+      Engine.tableInfo(spark, m.group(1))
+        .createOrReplaceTempView("__graft_table_info")
+      q = pragmaTableInfoFn.replaceAllIn(q, "__graft_table_info")
+    }
 
     // replacement scans: read_csv('p' [, opt=v…]) / read_parquet('p') /
     // bare 'x.csv' / 'x.parquet' → temp views
@@ -1064,6 +1095,8 @@ object SqlDialect {
     q = rewriteListFns(q)
     // aggregate FILTER (expr) without WHERE (the reference accepts both)
     q = rewriteFilterWhere(q)
+    // quantified subquery comparisons (= ANY / <> ALL / op ANY|ALL)
+    q = rewriteQuantified(q)
 
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
@@ -2053,6 +2086,84 @@ object SqlDialect {
       }
       sb.append(q0.substring(last)).toString
     }
+  }
+
+  /** Quantified subquery comparisons (r15 grammar census — reference
+    * AEXPR_OP_ANY / AEXPR_OP_ALL, probed): `x = ANY/SOME (sub)` →
+    * `x IN (sub)`, `x <> ALL (sub)` → `x NOT IN (sub)`, other
+    * operators → [NOT] EXISTS with a correlated comparison. Spark has
+    * no quantified-comparison surface at all (parse error before).
+    * Three-valued-logic caveat: a NULL in the subquery yields NULL on
+    * the reference and false here in PROJECTION position — the same
+    * documented class as IN-subquery (BATTERY2_r15.json). Only
+    * subquery operands rewrite (group must start with SELECT/WITH/
+    * VALUES); array forms stay errors. */
+  private[graft] def rewriteQuantified(q0: String): String = {
+    val cmp2 = Set("<=", ">=", "<>", "!=")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Ident &&
+          (t.lower == "any" || t.lower == "some" || t.lower == "all") &&
+          toks(k + 1).kind == SqlLex.LParen) {
+          // the comparison operator directly before: one Punct or an
+          // adjacent pair (<=, >=, <>, !=)
+          // the lexer may emit two-char comparisons as one token or as
+          // an adjacent pair — accept both
+          val single = Set("=", "<", ">", "<>", "!=", "<=", ">=")
+          var opStart = -1
+          var opText = ""
+          if (k >= 2 && toks(k - 1).kind == SqlLex.Punct &&
+            toks(k - 2).kind == SqlLex.Punct &&
+            toks(k - 2).end == toks(k - 1).start &&
+            cmp2(toks(k - 2).lower + toks(k - 1).lower)) {
+            opStart = k - 2; opText = toks(k - 2).lower + toks(k - 1).lower
+          } else if (toks(k - 1).kind == SqlLex.Punct && single(toks(k - 1).lower)) {
+            opStart = k - 1; opText = toks(k - 1).lower
+          }
+          // subquery group only
+          val firstIn = if (k + 2 < toks.length) toks(k + 2) else toks(k + 1)
+          val isSub = firstIn.kind == SqlLex.Ident &&
+            Set("select", "with", "values")(firstIn.lower)
+          if (opStart > 0 && isSub) {
+            val ls = SqlLex.operandStart(toks, opStart - 1)
+            var depth = 0
+            var j = k + 1
+            var close = -1
+            while (close < 0 && j < toks.length) {
+              if (toks(j).kind == SqlLex.LParen) depth += 1
+              else if (toks(j).kind == SqlLex.RParen) {
+                depth -= 1; if (depth == 0) close = j
+              }
+              j += 1
+            }
+            if (ls >= 0 && close > 0) {
+              val l = q.substring(toks(ls).start, toks(opStart).start).trim
+              val sub = q.substring(toks(k + 1).end, toks(close).start)
+              val isAll = t.lower == "all"
+              val rep =
+                if (opText == "=" && !isAll) s"($l IN ($sub))"
+                else if ((opText == "<>" || opText == "!=") && isAll)
+                  s"($l NOT IN ($sub))"
+                else if (!isAll)
+                  s"(EXISTS (SELECT 1 FROM ($sub) __qany(__qv) WHERE ($l) $opText __qv))"
+                else
+                  s"(NOT EXISTS (SELECT 1 FROM ($sub) __qall(__qv) " +
+                    s"WHERE NOT (($l) $opText __qv) OR __qv IS NULL))"
+              q = q.substring(0, toks(ls).start) + rep + q.substring(toks(close).end)
+              changed = true
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
   }
 
   /** Aggregate `FILTER (expr)` → `FILTER (WHERE expr)` (the reference

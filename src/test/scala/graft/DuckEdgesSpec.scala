@@ -101,6 +101,25 @@ class DuckEdgesSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("quantified comparisons, USE, and CALL (r15 grammar census)") {
+    val r = one("SELECT 3 = ANY (SELECT x FROM (VALUES (1),(3)) t(x)) AS a, " +
+      "5 <> ALL (SELECT x FROM (VALUES (1),(3)) t(x)) AS b, " +
+      "5 > ANY (SELECT x FROM (VALUES (1),(9)) t(x)) AS c, " +
+      "5 > ALL (SELECT x FROM (VALUES (1),(3)) t(x)) AS d, " +
+      "5 > ALL (SELECT x FROM (VALUES (1),(9)) t(x)) AS e, " +
+      "3 = SOME (SELECT 3) AS f")
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+    assert(r.getBoolean(3) && !r.getBoolean(4) && r.getBoolean(5))
+    assert(SqlDialect.sql(spark, "USE main").isEmpty)
+    Engine.registerAll(spark, "/root/testdata/sf0.001")
+    val ti = SqlDialect.sql(spark, "CALL pragma_table_info('nation')")
+    assert(ti.count() == 3)
+    // CREATE TYPE carries a NAMED guardrail (census §15.1)
+    val e = intercept[UnsupportedOperationException](
+      SqlDialect.sql(spark, "CREATE TYPE mood AS ENUM ('a')"))
+    assert(e.getMessage.contains("CREATE TYPE"))
+  }
+
   test("TIME literal takes the engine's documented micros encoding") {
     // TypeHelpers TIME surface = LongType micros since midnight
     // (fn_time); Spark 4 has no TIME type, so the literal lowers into
