@@ -1300,9 +1300,46 @@ object SqlDialect {
               j += 1
             }
             if (close > 0) {
-              q = q.substring(0, t.start) + "array(" +
-                q.substring(t.end, toks(close).start) + ")" +
-                q.substring(toks(close).end)
+              // duck list COMPREHENSIONS (r15 probed: `[x*2 FOR x IN
+              // [1,2,3] IF x > 1]` = [4,6]) → transform/filter lambdas;
+              // detection: depth-1 bare FOR … IN inside the brackets
+              var forIdx = -1
+              var inIdx = -1
+              var ifIdx = -1
+              locally {
+                var d = 0
+                var m = k
+                while (m < close) {
+                  val w = toks(m)
+                  if ((w.kind == SqlLex.Punct && w.lower == "[") ||
+                    w.kind == SqlLex.LParen) d += 1
+                  else if ((w.kind == SqlLex.Punct && w.lower == "]") ||
+                    w.kind == SqlLex.RParen) d -= 1
+                  else if (d == 1 && w.kind == SqlLex.Ident) {
+                    if (w.lower == "for" && forIdx < 0) forIdx = m
+                    else if (w.lower == "in" && forIdx > 0 && inIdx < 0) inIdx = m
+                    else if (w.lower == "if" && inIdx > 0 && ifIdx < 0) ifIdx = m
+                  }
+                  m += 1
+                }
+              }
+              if (forIdx > 0 && inIdx == forIdx + 2 &&
+                toks(forIdx + 1).kind == SqlLex.Ident) {
+                val v = q.substring(toks(forIdx + 1).start, toks(forIdx + 1).end)
+                val e = q.substring(t.end, toks(forIdx).start).trim
+                val listEnd = if (ifIdx > 0) toks(ifIdx).start else toks(close).start
+                val lst = q.substring(toks(inIdx).end, listEnd).trim
+                val src = if (ifIdx > 0) {
+                  val cond = q.substring(toks(ifIdx).end, toks(close).start).trim
+                  s"filter($lst, $v -> $cond)"
+                } else lst
+                q = q.substring(0, t.start) + s"transform($src, $v -> $e)" +
+                  q.substring(toks(close).end)
+              } else {
+                q = q.substring(0, t.start) + "array(" +
+                  q.substring(t.end, toks(close).start) + ")" +
+                  q.substring(toks(close).end)
+              }
               changed = true
             }
           }

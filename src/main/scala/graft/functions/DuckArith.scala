@@ -63,6 +63,9 @@ object DuckArith {
       case (x, y) if x == y => (l, r)
       case (x, y) if isIntegral(x) && isIntegral(y) =>
         val w = widerIntegral(x, y); (Cast(l, w), Cast(r, w))
+      // BinaryArithmetic resolves mixed decimal PRECISIONS natively
+      // (it computes the result decimal type) — don't degrade to double
+      case (_: DecimalType, _: DecimalType) => (l, r)
       case (_: DecimalType, y) if isIntegral(y) => (l, Cast(r, dec(b)))
       case (x, _: DecimalType) if isIntegral(x) => (Cast(l, dec(a)), r)
       case (x, y) if isNumericish(x) || isNumericish(y) ||

@@ -101,6 +101,16 @@ class DuckEdgesSpec extends SparkSpec {
     assert(r.isNullAt(2))
   }
 
+  test("list comprehensions [e FOR x IN l IF c] (duck-probed)") {
+    val r = one("SELECT [x*2 FOR x IN [1,2,3] IF x > 1] AS a, " +
+      "[upper(s) FOR s IN split('a_b','_')] AS b, " +
+      "[x * -3 - 1 FOR x IN [1]] AS c, [1, 2] AS plain")
+    assert(r.getSeq[Int](0) == Seq(4, 6))
+    assert(r.getSeq[String](1) == Seq("A", "B"))
+    assert(r.getSeq[Int](2) == Seq(-4))
+    assert(r.getSeq[Int](3) == Seq(1, 2))
+  }
+
   test("quantified comparisons, USE, and CALL (r15 grammar census)") {
     val r = one("SELECT 3 = ANY (SELECT x FROM (VALUES (1),(3)) t(x)) AS a, " +
       "5 <> ALL (SELECT x FROM (VALUES (1),(3)) t(x)) AS b, " +
