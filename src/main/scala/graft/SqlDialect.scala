@@ -1097,6 +1097,10 @@ object SqlDialect {
     q = rewriteFilterWhere(q)
     // quantified subquery comparisons (= ANY / <> ALL / op ANY|ALL)
     q = rewriteQuantified(q)
+    // JSON arrow operators (before dateSub would see the minus)
+    q = rewriteJsonArrows(q)
+    // frame EXCLUDE: strip the no-op form, name the unsupported ones
+    q = rewriteFrameExclude(q)
 
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
@@ -1151,7 +1155,40 @@ object SqlDialect {
     // generate ORDER BY spans keeps the whole surface covered
     q = rewriteOrderByNulls(q)
 
+    // VERY LAST: the reference's string literals are RAW (standard
+    // SQL — '\d' is backslash-d) while Spark's parser processes C
+    // escapes, silently eating the backslash out of every regex in
+    // shared-text SQL (r15 tranche 3: regexp_extract('ab12cd','(\d+)')
+    // matched 'd'). Doubling each backslash inside string literals
+    // makes Spark's un-escaping reproduce the raw text; '' doubling is
+    // untouched. (The session-conf alternative,
+    // escapedStringLiterals=true, BREAKS '' doubling — probed.)
+    // e'…' escape strings were already decoded to raw chars upstream,
+    // so their surviving backslashes are literal and double correctly.
+    q = rewriteRawStrings(q)
+
     q
+  }
+
+  private[graft] def rewriteRawStrings(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    toks.foreach { t =>
+      if (t.kind == SqlLex.Str) {
+        val body = q0.substring(t.start, t.end)
+        if (body.indexOf('\\') >= 0)
+          subs += ((t.start, t.end, body.replace("\\", "\\\\")))
+      }
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (a, b, rep) =>
+        sb.append(q0.substring(last, a)).append(rep); last = b
+      }
+      sb.append(q0.substring(last)).toString
+    }
   }
 
   // aggregates whose RESULT is decided by comparisons of the annotated
@@ -2083,7 +2120,19 @@ object SqlDialect {
     // r15 tranche 2: null-skipping stringly concat, substr 0/negative-
     // length edges (substring's FROM…FOR form is guarded below)
     "concat" -> "duck_concat",
-    "substr" -> "duck_substr", "substring" -> "duck_substr")
+    "substr" -> "duck_substr", "substring" -> "duck_substr",
+    // r15 tranche 3 (BATTERY3_r15.json): same-named Spark functions
+    // with silently DIFFERENT semantics — trim family's swapped
+    // (trimStr, srcStr) argument order, left/right negative counts,
+    // regexp_extract's default group 1 (reference: 0), regexp_replace
+    // replacing ALL (reference: FIRST unless 'g'), split's regex
+    // delimiter (reference: literal)
+    "trim" -> "duck_trim", "ltrim" -> "duck_ltrim", "rtrim" -> "duck_rtrim",
+    "left" -> "duck_left", "right" -> "duck_right",
+    "regexp_extract" -> "duck_regexp_extract",
+    "regexp_extract_all" -> "duck_regexp_extract_all",
+    "regexp_replace" -> "duck_regexp_replace",
+    "split" -> "duck_split")
 
   private[graft] def rewriteFnNames(q0: String): String = {
     val toks = SqlLex.tokenize(q0)
@@ -2123,6 +2172,90 @@ object SqlDialect {
       }
       sb.append(q0.substring(last)).toString
     }
+  }
+
+  /** Window frame EXCLUDE clauses (r15 tranche 3): `EXCLUDE NO
+    * OTHERS` is the default — stripped; the active exclusions
+    * (CURRENT ROW / GROUP / TIES) have no Spark frame analog and raise
+    * a NAMED error instead of the parse error. Detection: EXCLUDE
+    * following a frame-bound keyword region inside parens (the star
+    * modifier `* EXCLUDE (…)` has a following LParen and is skipped). */
+  private[graft] def rewriteFrameExclude(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var k = 1
+    while (k < toks.length) {
+      val t = toks(k)
+      if (t.kind == SqlLex.Ident && t.lower == "exclude" &&
+        k + 1 < toks.length && toks(k + 1).kind != SqlLex.LParen &&
+        (toks(k - 1).kind == SqlLex.Ident &&
+          Set("row", "following", "preceding")(toks(k - 1).lower))) {
+        val rest = toks.drop(k + 1).take(2).map(_.lower)
+        if (rest.startsWith(Seq("no", "others")))
+          subs += ((t.start, toks(k + 2).end))
+        else throw new UnsupportedOperationException(
+          "unsupported DuckDB construct: window frame EXCLUDE " +
+            rest.mkString(" ").toUpperCase +
+            " (no Spark frame analog; rewrite the aggregate explicitly, " +
+            "e.g. sum(x) OVER frame - x for EXCLUDE CURRENT ROW)")
+      }
+      k += 1
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (a, b) => sb.append(q0.substring(last, a)); last = b }
+      sb.append(q0.substring(last)).toString
+    }
+  }
+
+  /** JSON arrow operators (r15 tranche 3): `j -> 'key'` extracts JSON
+    * text, `j ->> 'key'` extracts unquoted text (probed; keys accept
+    * bare names or $-paths). The arrow is also the LAMBDA arrow, so
+    * only forms a lambda can never take rewrite: the RIGHT side must
+    * be a string literal and the LEFT operand must not be a bare
+    * identifier or a paren group (lambda parameter shapes) — a
+    * bare-ident json column uses json_extract() instead (documented). */
+  private[graft] def rewriteJsonArrows(q0: String): String = {
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      var k = 1
+      while (!changed && k + 1 < toks.length) {
+        val t = toks(k)
+        val isArrow = t.kind == SqlLex.Punct && t.lower == "-" &&
+          toks(k + 1).kind == SqlLex.Punct && toks(k + 1).lower == ">" &&
+          t.end == toks(k + 1).start
+        if (isArrow) {
+          val dbl = k + 2 < toks.length && toks(k + 2).kind == SqlLex.Punct &&
+            toks(k + 2).lower == ">" && toks(k + 1).end == toks(k + 2).start
+          val keyIdx = if (dbl) k + 3 else k + 2
+          if (keyIdx < toks.length && toks(keyIdx).kind == SqlLex.Str) {
+            val ls = SqlLex.operandStart(toks, k - 1, Set("::"))
+            val bareIdent = ls == k - 1 && toks(ls).kind == SqlLex.Ident
+            val parenGroup = ls >= 0 && toks(ls).kind == SqlLex.LParen &&
+              toks(k - 1).kind == SqlLex.RParen &&
+              // a CALL name(…) before the arrow is fine; a plain paren
+              // group could be lambda params
+              !(ls > 0 && (toks(ls - 1).kind == SqlLex.Ident ||
+                toks(ls - 1).kind == SqlLex.QIdent))
+            if (ls >= 0 && !bareIdent && !parenGroup) {
+              val l = q.substring(toks(ls).start, toks(k - 1).end)
+              val key = q.substring(toks(keyIdx).start, toks(keyIdx).end)
+              val fn = if (dbl) "json_extract_string" else "json_extract"
+              q = q.substring(0, toks(ls).start) + s"$fn($l, $key)" +
+                q.substring(toks(keyIdx).end)
+              changed = true
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
   }
 
   /** Quantified subquery comparisons (r15 grammar census — reference

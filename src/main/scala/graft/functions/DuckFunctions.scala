@@ -449,6 +449,80 @@ object DuckFunctions {
           .ArrayContains(a(0), a(1)))
         r("list_has", a => org.apache.spark.sql.catalyst.expressions
           .ArrayContains(a(0), a(1)))
+        // ---- r15 battery tranche 3: the SQL-surface function layer
+        // (BATTERY3_r15.json). Same-named-but-different Spark semantics
+        // register under duck_ prefixes and rename at the dialect
+        // surface (SqlDialect.fnRenames); pure aliases lower onto the
+        // Spark built-in by name. ----
+        def alias(name: String, to: String, extra: Seq[CExpr] = Nil): Unit =
+          r(name, args => org.apache.spark.sql.catalyst.analysis
+            .UnresolvedFunction(Seq(to), args ++ extra, isDistinct = false))
+        r("duck_trim", DuckStrFns.trimB)
+        r("duck_ltrim", DuckStrFns.ltrimB)
+        r("duck_rtrim", DuckStrFns.rtrimB)
+        r("duck_left", DuckStrFns.leftB)
+        r("duck_right", DuckStrFns.rightB)
+        r("duck_regexp_extract", DuckStrFns.regexpExtractB)
+        r("duck_regexp_replace", DuckStrFns.regexpReplaceB)
+        // duck regexp_extract_all default group is 0 (Spark's is 1)
+        r("duck_regexp_extract_all", a =>
+          if (a.length > 2) org.apache.spark.sql.catalyst.expressions
+            .RegExpExtractAll(a(0), a(1), a(2))
+          else org.apache.spark.sql.catalyst.expressions
+            .RegExpExtractAll(a(0), a(1),
+              org.apache.spark.sql.catalyst.expressions.Literal(0)))
+        r("duck_split", DuckStrFns.splitLiteralB)
+        r("string_split", DuckStrFns.splitLiteralB)
+        r("str_split", DuckStrFns.splitLiteralB)
+        r("string_to_array", DuckStrFns.splitLiteralB)
+        r("string_split_regex", DuckStrFns.splitRegexB)
+        r("str_split_regex", DuckStrFns.splitRegexB)
+        r("regexp_split_to_array", DuckStrFns.splitRegexB)
+        r("format", DuckStrFns.formatB)
+        r("json_extract", DuckStrFns.jsonExtractB)
+        r("json_extract_string", DuckStrFns.jsonExtractStringB)
+        r("json_valid", DuckStrFns.jsonValidB)
+        r("strftime", DuckStrFns.strftimeB)
+        r("strptime", DuckStrFns.strptimeB)
+        r("yearweek", DuckStrFns.yearweekB)
+        r("range", DuckStrFns.rangeB)
+        r("generate_series", DuckStrFns.generateSeriesB)
+        r("list_distinct", DuckStrFns.listDistinctB)
+        r("list_unique", DuckStrFns.listUniqueB)
+        alias("week", "weekofyear")
+        alias("strpos", "instr")
+        alias("starts_with", "startswith")
+        alias("ends_with", "endswith")
+        alias("regexp_matches", "rlike")
+        alias("printf", "format_string")
+        alias("gen_random_uuid", "uuid")
+        alias("list_sort", "array_sort")
+        alias("list_reverse_sort", "sort_array",
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(false)))
+        // HOFs construct directly (an UnresolvedFunction alias trips
+        // the lambda-only-in-higher-order-function analyzer check)
+        r("list_filter", a => org.apache.spark.sql.catalyst.expressions
+          .ArrayFilter(a(0), a(1)))
+        r("list_transform", a => org.apache.spark.sql.catalyst.expressions
+          .ArrayTransform(a(0), a(1)))
+        alias("list_value", "array")
+        alias("list_pack", "array")
+        alias("list_append", "array_append")
+        // duck list_prepend takes (element, list) — Spark's the reverse
+        r("list_prepend", a => org.apache.spark.sql.catalyst.analysis
+          .UnresolvedFunction(Seq("array_prepend"), Seq(a(1), a(0)),
+            isDistinct = false))
+        alias("array_to_string", "array_join")
+        alias("list_position", "array_position")
+        alias("list_indexof", "array_position")
+        alias("list_zip", "arrays_zip")
+        alias("list_reverse", "reverse")
+        alias("sha256", "sha2",
+          Seq(org.apache.spark.sql.catalyst.expressions.Literal(256)))
+        r("to_base", a => org.apache.spark.sql.catalyst.expressions.Conv(
+          org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.catalyst.expressions.Literal(10), a(1)))
         // Domain-checked math + duck-typed scalars are registered
         // under duck_ prefixes ONLY, and the SQL dialect renames bare
         // calls (SqlDialect.rewriteFnNames): in Spark 4 the registry
