@@ -1832,7 +1832,8 @@ object SqlDialect {
               q.substring(toks(close).end)
             changed = true
           }
-        } else if (t.kind == SqlLex.Ident && t.lower == "struct_pack" &&
+        } else if (t.kind == SqlLex.Ident &&
+          (t.lower == "struct_pack" || t.lower == "struct_insert") &&
           k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
           var depth = 0
           var j = k + 1
@@ -1848,10 +1849,14 @@ object SqlDialect {
             val inner = q.substring(toks(k + 1).end, toks(close).start)
             val conv = splitTopLevel(inner).map { arg =>
               val i = arg.indexOf(":=")
-              require(i > 0, "struct_pack expects name := value")
-              s"'${arg.substring(0, i).trim}', ${arg.substring(i + 2).trim}"
+              if (i > 0) s"'${arg.substring(0, i).trim}', ${arg.substring(i + 2).trim}"
+              else if (t.lower == "struct_insert") arg.trim // the base struct
+              else throw new IllegalArgumentException(
+                "struct_pack expects name := value")
             }
-            q = q.substring(0, t.start) + "named_struct(" +
+            val fn = if (t.lower == "struct_pack") "named_struct"
+              else "duck_struct_insert"
+            q = q.substring(0, t.start) + fn + "(" +
               conv.mkString(", ") + ")" + q.substring(toks(close).end)
             changed = true
           }
@@ -2132,7 +2137,22 @@ object SqlDialect {
     "regexp_extract" -> "duck_regexp_extract",
     "regexp_extract_all" -> "duck_regexp_extract_all",
     "regexp_replace" -> "duck_regexp_replace",
-    "split" -> "duck_split")
+    "split" -> "duck_split",
+    // r15 tranche 4 (BATTERY4_r15.json): more same-named-but-different
+    // semantics — Spark's chr truncates codepoints to a byte,
+    // dayname/monthname are short names, skewness/kurtosis are
+    // POPULATION statistics (the reference's are sample),
+    // date_part/date_diff/date_sub/date_add lack the reference's
+    // fields/arities, element_at on maps returns the scalar (the
+    // reference wraps a list, like subscripts)
+    "chr" -> "duck_chr", "char" -> "duck_chr",
+    "dayname" -> "duck_dayname", "monthname" -> "duck_monthname",
+    "skewness" -> "duck_skewness", "kurtosis" -> "duck_kurtosis",
+    "date_part" -> "duck_date_part", "datepart" -> "duck_date_part",
+    "date_diff" -> "duck_date_diff", "datediff" -> "duck_date_diff",
+    "date_sub" -> "duck_date_sub", "date_add" -> "duck_date_add",
+    "dateadd" -> "duck_date_add",
+    "element_at" -> "duck_idx")
 
   private[graft] def rewriteFnNames(q0: String): String = {
     val toks = SqlLex.tokenize(q0)

@@ -173,14 +173,14 @@ case class DuckSub(left: Expression, right: Expression)
         DateAddYMInterval(left, UnaryMinus(right))
       case (DateType, _: DayTimeIntervalType) =>
         // duck's date ± day-time interval yields a TIMESTAMP (probed)
-        new TimestampAddInterval(
-          Cast(left, TimestampType, tzOpt), UnaryMinus(right))
+        TimestampAddInterval(
+          Cast(left, TimestampType, tzOpt), UnaryMinus(right), tzOpt)
       case (TimestampType, TimestampType) =>
         SubtractTimestamps(left, right, legacyInterval = false, tzOpt)
       case (TimestampType, _: YearMonthIntervalType) =>
         new TimestampAddYMInterval(left, UnaryMinus(right))
       case (TimestampType, _: DayTimeIntervalType) =>
-        new TimestampAddInterval(left, UnaryMinus(right))
+        TimestampAddInterval(left, UnaryMinus(right), tzOpt)
       case (a, b) if a == b => Subtract(left, right)
       case _ =>
         val (l2, r2) = DuckArith.widenPair(left, right)

@@ -523,6 +523,37 @@ object DuckFunctions {
           org.apache.spark.sql.catalyst.expressions.Cast(a(0),
             org.apache.spark.sql.types.StringType),
           org.apache.spark.sql.catalyst.expressions.Literal(10), a(1)))
+        // ---- r15 battery tranche 4 (BATTERY4_r15.json): date-part
+        // long tail, aggregate edges, struct/map names ----
+        r("duck_chr", DuckDateAgg.chrB)
+        r("duck_dayname", DuckDateAgg.daynameB)
+        r("duck_monthname", DuckDateAgg.monthnameB)
+        r("duck_skewness", DuckDateAgg.skewSampB)
+        r("duck_kurtosis", DuckDateAgg.kurtSampB)
+        r("duck_date_part", DuckDateAgg.datePartB)
+        r("duck_date_diff", DuckDateAgg.dateDiffB)
+        r("duck_date_sub", DuckDateAgg.dateSubB)
+        r("duck_date_add", DuckDateAgg.dateAddB)
+        r("duck_struct_insert", DuckDateAgg.structInsertB)
+        r("string_agg", DuckDateAgg.stringAggB)
+        r("group_concat", DuckDateAgg.stringAggB)
+        r("time_bucket", DuckDateAgg.timeBucketB)
+        r("bitstring_agg", DuckDateAgg.bitstringAggB)
+        r("struct_extract", DuckDateAgg.structExtractB)
+        r("century", a => DuckDateAgg.century(a(0)))
+        r("decade", a => DuckDateAgg.decade(a(0)))
+        r("millennium", a => DuckDateAgg.millennium(a(0)))
+        r("isoyear", a => DuckDateAgg.isoyear(a(0)))
+        alias("row", "struct")
+        alias("arg_min", "min_by")
+        alias("arg_max", "max_by")
+        alias("argmin", "min_by")
+        alias("argmax", "max_by")
+        alias("product", "product_agg")
+        alias("favg", "avg")
+        alias("fsum", "sum")
+        alias("to_hex", "hex")
+        alias("ord", "unicode")
         // Domain-checked math + duck-typed scalars are registered
         // under duck_ prefixes ONLY, and the SQL dialect renames bare
         // calls (SqlDialect.rewriteFnNames): in Spark 4 the registry
