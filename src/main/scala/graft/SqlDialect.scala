@@ -1514,8 +1514,13 @@ object SqlDialect {
         if (t.kind == SqlLex.Punct && (t.lower == "/" || t.lower == "%")) {
           val fn = if (t.lower == "/") "duck_div" else "duck_mod"
           val ls = SqlLex.operandStart(toks, k - 1, mulOps)
-          val intervalLeft = ls >= 2 &&
-            toks(ls - 2).kind == SqlLex.Ident && toks(ls - 2).lower == "interval"
+          // two token shapes: `INTERVAL 4 HOUR` (keyword at ls-2, the
+          // capture lands on the unit ident) and the quoted form
+          // `INTERVAL '4 hours'` (keyword at ls-1, capture on the Str)
+          val intervalLeft = (ls >= 2 &&
+            toks(ls - 2).kind == SqlLex.Ident && toks(ls - 2).lower == "interval") ||
+            (ls >= 1 && toks(ls).kind == SqlLex.Str &&
+              toks(ls - 1).kind == SqlLex.Ident && toks(ls - 1).lower == "interval")
           val rSign = if (k + 1 < toks.length && toks(k + 1).kind == SqlLex.Punct &&
             (toks(k + 1).lower == "-" || toks(k + 1).lower == "+")) 1 else 0
           val re = if (k + 1 + rSign < toks.length)
@@ -1661,6 +1666,28 @@ object SqlDialect {
             else if (depth == 1 && w.kind == SqlLex.Ident && w.lower == "as") asIdx = j
             j += 1
           }
+          // stringy targets incl. length modifiers: the reference
+          // treats CHAR(10) / VARCHAR(3) / CHARACTER VARYING(2) /
+          // BPCHAR as plain VARCHAR — no padding, no truncation
+          // (probed r16: CAST('abc' AS CHAR(10)) || 'Z' = 'abcZ')
+          // where Spark's CHAR(n) space-pads and VARCHAR(n) truncates
+          val strTypeEnd: Int = if (close > 0 && asIdx > k + 2 &&
+            toks(asIdx + 1).kind == SqlLex.Ident) {
+            val ty0 = toks(asIdx + 1).lower
+            var e = -1
+            if (strNames(ty0) || ty0 == "char" || ty0 == "character" ||
+              ty0 == "bpchar") {
+              e = asIdx + 1
+              if ((ty0 == "character" || ty0 == "char") && e + 1 < close &&
+                toks(e + 1).kind == SqlLex.Ident && toks(e + 1).lower == "varying")
+                e += 1
+              if (e + 3 <= close && toks(e + 1).kind == SqlLex.LParen &&
+                toks(e + 2).kind == SqlLex.Num &&
+                toks(e + 3).kind == SqlLex.RParen) e += 3
+              if (e + 1 != close) e = -1 // trailing junk — not ours
+            }
+            e
+          } else -1
           // single-ident target directly before the close, or `T[]`
           // array targets (DECIMAL(p,s) falls through to Spark)
           val singleIdent = close > 0 && asIdx > k + 2 && asIdx + 2 == close &&
@@ -1669,7 +1696,14 @@ object SqlDialect {
             toks(asIdx + 1).kind == SqlLex.Ident &&
             toks(asIdx + 2).kind == SqlLex.Punct && toks(asIdx + 2).lower == "[" &&
             toks(asIdx + 3).kind == SqlLex.Punct && toks(asIdx + 3).lower == "]"
-          if (singleIdent || arrayIdent) {
+          if (strTypeEnd > 0) {
+            val isTry = t.lower == "try_cast"
+            val expr = q.substring(toks(k + 2).start, toks(asIdx).start).trim
+            q = q.substring(0, t.start) +
+              (if (isTry) "duck_try_str(" else "duck_str(") + expr + ")" +
+              q.substring(toks(close).end)
+            changed = true
+          } else if (singleIdent || arrayIdent) {
             val ty = toks(asIdx + 1).lower
             val isTry = t.lower == "try_cast"
             val expr = q.substring(toks(k + 2).start, toks(asIdx).start).trim
@@ -1691,17 +1725,30 @@ object SqlDialect {
         } else if (t.kind == SqlLex.Punct && t.lower == "::" && k >= 1 &&
           k + 1 < toks.length && toks(k + 1).kind == SqlLex.Ident &&
           (intNames(toks(k + 1).lower) || strNames(toks(k + 1).lower) ||
-            boolNames(toks(k + 1).lower)) &&
+            boolNames(toks(k + 1).lower) ||
+            Set("char", "character", "bpchar")(toks(k + 1).lower)) &&
           !(k + 2 < toks.length && toks(k + 2).kind == SqlLex.Punct &&
             toks(k + 2).lower == "[")) {
           val ls = SqlLex.operandStart(toks, k - 1, Set("::"))
           if (ls >= 0) {
             val ty = toks(k + 1).lower
+            // stringy targets may carry VARYING and a length modifier
+            // — both ignored by the reference (probed 'abc'::CHAR(10))
+            val stringy = !intNames(ty) && !boolNames(ty)
+            var te = k + 1
+            if (stringy && (ty == "character" || ty == "char") &&
+              te + 1 < toks.length &&
+              toks(te + 1).kind == SqlLex.Ident && toks(te + 1).lower == "varying")
+              te += 1
+            if (stringy && te + 3 < toks.length &&
+              toks(te + 1).kind == SqlLex.LParen &&
+              toks(te + 2).kind == SqlLex.Num &&
+              toks(te + 3).kind == SqlLex.RParen) te += 3
             val operand = q.substring(toks(ls).start, toks(k - 1).end)
             val call = if (intNames(ty)) s"duck_icast($operand, '$ty')"
-              else if (strNames(ty)) s"duck_str($operand)"
-              else s"duck_bcast($operand)"
-            q = q.substring(0, toks(ls).start) + call + q.substring(toks(k + 1).end)
+              else if (boolNames(ty)) s"duck_bcast($operand)"
+              else s"duck_str($operand)"
+            q = q.substring(0, toks(ls).start) + call + q.substring(toks(te).end)
             changed = true
           }
         }
@@ -1952,17 +1999,66 @@ object SqlDialect {
         val raw = q0.substring(s.start + 1, s.end - 1)
         val out = new StringBuilder
         var i = 0
+        // escape-produced bytes must be ASCII and non-zero on the
+        // reference (probed: e'\xff', e'\0', e'é' are all parser
+        // errors; only 0x01–0x7F results survive UTF-8 validation)
+        def appendCode(v: Int, form: String): Unit =
+          if (v >= 1 && v <= 0x7f) out.append(v.toChar)
+          else throw new IllegalArgumentException(
+            s"invalid e-string escape $form: byte value $v is not valid here")
+        def isHex(c: Char): Boolean =
+          (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
         while (i < raw.length) {
           val c = raw.charAt(i)
           if (c == '\\' && i + 1 < raw.length) {
             raw.charAt(i + 1) match {
-              case 'n' => out.append('\n'); case 't' => out.append('\t')
-              case 'r' => out.append('\r'); case 'b' => out.append('\b')
-              case 'f' => out.append('\f'); case '\\' => out.append('\\')
-              case '\'' => out.append('\'')
-              case other => out.append(other)
+              case 'n' => out.append('\n'); i += 2
+              case 't' => out.append('\t'); i += 2
+              case 'r' => out.append('\r'); i += 2
+              case 'b' => out.append('\b'); i += 2
+              case 'f' => out.append('\f'); i += 2
+              case '\\' => out.append('\\'); i += 2
+              case '\'' => out.append('\''); i += 2
+              case 'x' =>
+                // \x + 1-2 hex digits (probed: e'\x41'='A', e'\x4.' =
+                // 0x04 then '.', bare e'\x'='x')
+                var j = i + 2
+                while (j < raw.length && j < i + 4 && isHex(raw.charAt(j))) j += 1
+                if (j == i + 2) { out.append('x'); i += 2 }
+                else {
+                  appendCode(Integer.parseInt(raw.substring(i + 2, j), 16), "\\x")
+                  i = j
+                }
+              case 'u' =>
+                // \u takes EXACTLY 4 hex digits (probed: e'\u004' is
+                // "invalid Unicode escape"); surrogates and non-ASCII
+                // codepoints are errors on the reference
+                val j = i + 2
+                if (j + 4 > raw.length || !raw.substring(j, j + 4).forall(isHex))
+                  throw new IllegalArgumentException("invalid Unicode escape")
+                val v = Integer.parseInt(raw.substring(j, j + 4), 16)
+                if (v >= 0xd800 && v <= 0xdfff) throw new IllegalArgumentException(
+                  "invalid Unicode surrogate pair")
+                appendCode(v, "\\u")
+                i = j + 4
+              case 'U' =>
+                // 8-digit \U escapes error on the reference for every
+                // probed codepoint (incl. \U00000041) — named error
+                val j = i + 2
+                if (j + 8 > raw.length || !raw.substring(j, j + 8).forall(isHex))
+                  throw new IllegalArgumentException("invalid Unicode escape")
+                throw new IllegalArgumentException(
+                  "invalid e-string escape \\U: 8-digit Unicode escapes are not supported here")
+              case d if d >= '0' && d <= '7' =>
+                // octal: 1-3 digits (probed: e'\101'='A', e'\479' =
+                // 0x27 then '9')
+                var j = i + 1
+                while (j < raw.length && j < i + 4 &&
+                  raw.charAt(j) >= '0' && raw.charAt(j) <= '7') j += 1
+                appendCode(Integer.parseInt(raw.substring(i + 1, j), 8), "\\octal")
+                i = j
+              case other => out.append(other); i += 2
             }
-            i += 2
           } else { out.append(c); i += 1 }
         }
         subs += ((t.start, s.end, "'" + out.toString.replace("'", "''") + "'"))
@@ -2163,14 +2259,30 @@ object SqlDialect {
       if (t.kind == SqlLex.Ident && fnRenames.contains(t.lower) &&
         i + 1 < toks.length && toks(i + 1).kind == SqlLex.LParen &&
         !(i > 0 && toks(i - 1).kind == SqlLex.Punct && toks(i - 1).lower == ".")) {
-        // `substring(x FROM a FOR b)` is parser-special syntax on the
-        // bare name — a renamed call would not parse; skip when the
-        // call carries a depth-1 FROM
-        val skipFromForm = (t.lower == "substring" || t.lower == "substr") && {
+        // cast-TARGET position: `CAST(x AS CHAR(10))` / `x::char(10)`
+        // names a TYPE, not a call — a rename makes a parse error
+        val castTarget = i > 0 && {
+          val p = toks(i - 1)
+          (p.kind == SqlLex.Ident && p.lower == "as") ||
+            (p.kind == SqlLex.Punct && p.lower == "::")
+        }
+        // `substring(x FROM a FOR b)` and `trim(BOTH c FROM s)` are
+        // parser-special syntax on the bare name — a renamed call
+        // would not parse; skip when the call carries a depth-1 FROM
+        // or opens with a LEADING/TRAILING/BOTH specifier
+        val fromFamily = t.lower == "substring" || t.lower == "substr" ||
+          t.lower == "trim" || t.lower == "ltrim" || t.lower == "rtrim"
+        val skipFromForm = fromFamily && {
           var d = 0; var j = i + 1; var sawFrom = false; var stop = false
           while (!stop && j < toks.length) {
             val w = toks(j)
-            if (w.kind == SqlLex.LParen) d += 1
+            if (w.kind == SqlLex.LParen) { d += 1
+              if (d == 1 && j == i + 1 && j + 1 < toks.length &&
+                toks(j + 1).kind == SqlLex.Ident &&
+                Set("leading", "trailing", "both")(toks(j + 1).lower)) {
+                sawFrom = true; stop = true
+              }
+            }
             else if (w.kind == SqlLex.RParen) { d -= 1; if (d == 0) stop = true }
             else if (d == 1 && w.kind == SqlLex.Ident && w.lower == "from")
               sawFrom = true
@@ -2178,7 +2290,7 @@ object SqlDialect {
           }
           sawFrom
         }
-        if (!skipFromForm) subs += ((t, fnRenames(t.lower)))
+        if (!castTarget && !skipFromForm) subs += ((t, fnRenames(t.lower)))
       }
       i += 1
     }

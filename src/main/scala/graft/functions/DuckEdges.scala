@@ -104,6 +104,9 @@ case class DuckIdx(base: Expression, idx: Expression)
       val e = new TryElementAt(base, idx)
       If(IsNull(e), Literal.create(Array.empty[Any],
         ArrayType(vt)), CreateArray(Seq(e)))
+    case _: StructType =>
+      // struct bracket access s['key'] is field extraction (probed 42)
+      ExtractValue(base, idx, SQLConf.get.resolver)
     case _ =>
       val s = Cast(base, StringType)
       val i = Cast(idx, IntegerType)
@@ -177,6 +180,14 @@ case class DuckSub(left: Expression, right: Expression)
           Cast(left, TimestampType, tzOpt), UnaryMinus(right), tzOpt)
       case (TimestampType, TimestampType) =>
         SubtractTimestamps(left, right, legacyInterval = false, tzOpt)
+      // mixed timestamp/date pairs (probed): the date side widens to
+      // TIMESTAMP and the difference is an interval, same as ts - ts
+      case (TimestampType, DateType) =>
+        SubtractTimestamps(
+          left, Cast(right, TimestampType, tzOpt), legacyInterval = false, tzOpt)
+      case (DateType, TimestampType) =>
+        SubtractTimestamps(
+          Cast(left, TimestampType, tzOpt), right, legacyInterval = false, tzOpt)
       case (TimestampType, _: YearMonthIntervalType) =>
         new TimestampAddYMInterval(left, UnaryMinus(right))
       case (TimestampType, _: DayTimeIntervalType) =>

@@ -66,6 +66,52 @@ class DuckEdgesSpec extends SparkSpec {
       "a multi-statement script returns the LAST result (probed)")
   }
 
+  test("r16 advice fixes: ts-date minus, struct brackets, cast/trim contexts") {
+    // mixed timestamp/date minus yields an interval (probed r16)
+    val r = one("SELECT CAST(TIMESTAMP '2024-01-02 03:00:00' - DATE '2024-01-01' " +
+      "AS VARCHAR) AS a, " +
+      "CAST(DATE '2024-01-05' - TIMESTAMP '2024-01-01 06:00:00' AS VARCHAR) AS b")
+    assert(r.getString(0) == "1 day 03:00:00")
+    assert(r.getString(1) == "3 days 18:00:00")
+    // struct bracket access is field extraction (probed: 42)
+    val s = one("SELECT ({'key': 42, 'b': 'x'})['key'] AS k")
+    assert(s.getInt(0) == 42)
+    // CHAR/VARCHAR length modifiers are ignored by the reference —
+    // no padding, no truncation (probed 'abcZ'/'abcdefZ')
+    val c = one("SELECT CAST('abc' AS CHAR(10)) || 'Z' AS a, " +
+      "CAST('abcdef' AS VARCHAR(3)) || 'Z' AS b, " +
+      "CAST('abc' AS CHARACTER VARYING(2)) || 'Z' AS c, " +
+      "'abc'::CHAR(10) || 'Z' AS d, CAST('ab' AS CHAR) || 'Z' AS e, " +
+      "CAST('abcdef' AS BPCHAR(2)) || 'Z' AS f")
+    assert((0 to 5).map(i => c.getString(i)) ==
+      Seq("abcZ", "abcdefZ", "abcZ", "abcZ", "abZ", "abcdefZ"))
+    // the parser-special TRIM forms survive the trim rename
+    val t = one("SELECT TRIM(BOTH 'x' FROM 'xxaxx') AS a, " +
+      "TRIM(LEADING 'x' FROM 'xxaxx') AS b, TRIM(TRAILING 'x' FROM 'xxaxx') AS c")
+    assert(t.getString(0) == "a" && t.getString(1) == "axx" &&
+      t.getString(2) == "xxa")
+    // quoted-form interval keeps interval division (probed 02:00:00)
+    val iv = one("SELECT CAST(INTERVAL '4 hours' / 2 AS VARCHAR) AS v")
+    assert(iv.getString(0) == "02:00:00")
+  }
+
+  test("r16 e-string hex/unicode/octal escapes (duck-probed)") {
+    assert(one("SELECT e'\\x41' AS r").getString(0) == "A")
+    assert(one("SELECT e'\\x4.' AS r").getString(0) == ".")
+    assert(one("SELECT e'\\x' AS r").getString(0) == "x",
+      "bare \\x keeps the literal x (probed)")
+    assert(one("SELECT e'\\u0041' AS r").getString(0) == "A")
+    assert(one("SELECT e'\\101' AS r").getString(0) == "A")
+    assert(one("SELECT e'\\7' AS r").getString(0) == "")
+    assert(one("SELECT e'\\18' AS r").getString(0) == "8")
+    assert(one("SELECT e'\\479' AS r").getString(0) == "'9",
+      "octal stops at 3 digits / first non-octal (probed)")
+    // non-ASCII / malformed escapes are named errors on the reference
+    for (bad <- Seq("SELECT e'\\xff'", "SELECT e'\\0'", "SELECT e'\\u004'",
+      "SELECT e'\\u00e9'", "SELECT e'\\U00000041'", "SELECT e'\\uD800'"))
+      intercept[Exception](one(bad))
+  }
+
   test("concat skips NULLs and stringifies; substr edges match") {
     val r = one("SELECT concat('a', NULL, 'b') AS a, " +
       "concat('a', 1.5, DATE '1994-01-01') AS b, " +

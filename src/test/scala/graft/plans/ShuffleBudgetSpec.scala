@@ -90,7 +90,12 @@ class ShuffleBudgetSpec extends SparkSpec {
     // explode) + the 2-stage distinct context count for V + the
     // per-doc agg + the presentation orderBy = 6; the agg+join form
     // this replaced materialized 9 and ran the explode twice
-    "text_bigram_lm" -> 6)) {
+    "text_bigram_lm" -> 6,
+    // unigram LM (r16 rebuild) = the word-keyed count window + the
+    // per-doc agg + the k-row per-source agg + the k-row global-total
+    // window = 4; the freq-join form this replaced ran the
+    // scan+explode twice and force-broadcast the full vocabulary
+    "text_unigram_lm" -> 4)) {
     test(s"$name materializes at most $budget shuffle(s)") {
       val (n, plan) = materializedShuffles(name)
       assert(n <= budget,
