@@ -2455,8 +2455,12 @@ object SqlDialect {
                 else if (!isAll)
                   s"(EXISTS (SELECT 1 FROM ($sub) __qany(__qv) WHERE ($l) $opText __qv))"
                 else
+                  // the `($l) IS NULL` disjunct covers a NULL left
+                  // operand (probed r16: NULL > ALL (SELECT 2) is NULL
+                  // — falsy in predicates — where the two-clause form
+                  // returned TRUE and kept the row)
                   s"(NOT EXISTS (SELECT 1 FROM ($sub) __qall(__qv) " +
-                    s"WHERE NOT (($l) $opText __qv) OR __qv IS NULL))"
+                    s"WHERE NOT (($l) $opText __qv) OR __qv IS NULL OR ($l) IS NULL))"
               q = q.substring(0, toks(ls).start) + rep + q.substring(toks(close).end)
               changed = true
             }

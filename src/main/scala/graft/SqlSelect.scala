@@ -173,6 +173,162 @@ private[graft] object SqlSelect {
       .forall(s => java.lang.Boolean.parseBoolean(
         s.conf.get("spark.graft.strictWindowScope", "true")))
 
+  /** Projection-position three-valued logic (r16 — the last known
+    * silent-divergence class; reference MARK joins,
+    * `/root/reference/duckdb.hpp:13906-13911`): in a SELECT item,
+    * `x IN (subquery)` yields NULL on the reference when unmatched and
+    * either x is NULL or the subquery produced a NULL, but FALSE under
+    * Spark's ExistenceJoin. Predicate positions (WHERE/HAVING/ON)
+    * filter identically — NULL and FALSE are both falsy — so only
+    * projection ITEMS rewrite. The IN keeps Spark's fast existence
+    * probe as CASE branch 1; the NULL corrections attach as
+    * UNCORRELATED scalar stats over the same subquery text (count and
+    * has-null), which Spark plans as 1-row broadcasts. Quantified
+    * comparisons arrive here already rendered by
+    * [[SqlDialect.rewriteQuantified]] as EXISTS forms carrying the
+    * __qany/__qall alias markers and get the analogous CASE. A
+    * row-value left operand `(a, b) IN (sub)` raises a named error
+    * (the stats alias list is single-column by construction).
+    * `SET spark.graft.projection3vl=false` restores the plain probes.
+    * All branch values duck-probed (r16): TRUE on match; FALSE on an
+    * EMPTY subquery even for NULL x; NULL when unmatched with x NULL
+    * or a NULL member; ALL is TRUE on empty, FALSE the moment any
+    * comparison is false (even with NULLs present). */
+  private def projection3vl: Boolean =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .forall(s => java.lang.Boolean.parseBoolean(
+        s.conf.get("spark.graft.projection3vl", "true")))
+
+  private[graft] def rewrite3vl(item0: String): String = {
+    if (!projection3vl) return item0
+    val toks = tokenize(item0)
+    def close(open: Int): Int = {
+      var d = 0; var j = open
+      while (j < toks.length) {
+        if (toks(j).kind == LParen) d += 1
+        else if (toks(j).kind == RParen) { d -= 1; if (d == 0) return j }
+        j += 1
+      }
+      -1
+    }
+    def subHead(open: Int): Boolean = open + 1 < toks.length && {
+      val h = toks(open + 1)
+      h.kind == Ident && Set("select", "with", "values")(h.lower)
+    }
+    def isW(j: Int, w: String): Boolean =
+      j >= 0 && j < toks.length && toks(j).kind == Ident && toks(j).lower == w
+    def txt(a: Int, b: Int): String = item0.substring(toks(a).start, toks(b).end)
+    // NULL-branch stats over the subquery: empty-set and has-null, each
+    // an uncorrelated 1-row scalar
+    def stats(sub: String, l: String) = (
+      s"(SELECT count(*) FROM ($sub) __q3c) = 0",
+      s"($l) IS NULL OR (SELECT count(*) > count(__q3v) FROM ($sub) __q3n(__q3v))")
+
+    val out = new StringBuilder
+    var emitted = 0
+    var k = 0
+    def emit(a: Int, b: Int, rep: String): Unit = {
+      out.append(item0.substring(emitted, toks(a).start)).append(rep)
+      emitted = toks(b).end
+      k = b + 1
+    }
+    while (k < toks.length) {
+      val t = toks(k)
+      if (t.kind == Ident && t.lower == "in" && k + 1 < toks.length &&
+        toks(k + 1).kind == LParen && subHead(k + 1)) {
+        val c = close(k + 1)
+        val neg = isW(k - 1, "not")
+        val opEnd = if (neg) k - 2 else k - 1
+        val ls = SqlLex.operandStart(toks, opEnd)
+        if (c > 0 && ls >= 0) {
+          val l = txt(ls, opEnd)
+          if (toks(ls).kind == LParen && close(ls) == opEnd && {
+            // row-value left operand: top-level comma inside the group
+            var d = 0; var j = ls; var comma = false
+            while (j <= opEnd) {
+              if (toks(j).kind == LParen) d += 1
+              else if (toks(j).kind == RParen) d -= 1
+              else if (d == 1 && toks(j).kind == Punct && toks(j).lower == ",")
+                comma = true
+              j += 1
+            }
+            comma
+          }) throw new UnsupportedOperationException(
+            "row-value IN (subquery) in projection position is not supported " +
+              "(single-column operands only); rewrite as a conjunction or SET " +
+              "spark.graft.projection3vl=false for the two-valued probe")
+          val sub = item0.substring(toks(k + 1).end, toks(c).start)
+          val (empty, nullish) = stats(sub, l)
+          val (hit, miss) = if (neg) ("FALSE", "TRUE") else ("TRUE", "FALSE")
+          emit(ls, c,
+            s"(CASE WHEN $l IN ($sub) THEN $hit WHEN $empty THEN $miss " +
+              s"WHEN $nullish THEN CAST(NULL AS BOOLEAN) ELSE $miss END)")
+        } else k += 1
+      } else if (t.kind == Ident && t.lower == "exists" && k + 1 < toks.length &&
+        toks(k + 1).kind == LParen && isW(k + 2, "select") &&
+        k + 4 < toks.length && isW(k + 4, "from") &&
+        toks(k + 5).kind == LParen && {
+          val sc = close(k + 5)
+          sc > 0 && (isW(sc + 1, "__qany") || isW(sc + 1, "__qall"))
+        }) {
+        // a rewriteQuantified marker: EXISTS (SELECT 1 FROM (sub)
+        // __qany(__qv) WHERE (l) op __qv) — or the __qall NOT-EXISTS
+        // dual whose WHERE is NOT ((l) op __qv) OR ... null clauses
+        val existsEnd = close(k + 1)
+        val subClose = close(k + 5)
+        val isAll = isW(subClose + 1, "__qall")
+        val whereIdx = subClose + 5 // alias ( __qv ) WHERE
+        val sub = item0.substring(toks(k + 5).end, toks(subClose).start)
+        var ok = existsEnd > 0 && isW(whereIdx, "where")
+        var l = ""; var op = ""
+        if (ok && isAll && isW(whereIdx + 1, "not") &&
+          toks(whereIdx + 2).kind == LParen) {
+          // interior: (l) op __qv
+          val g = whereIdx + 2
+          val lOpen = g + 1
+          if (toks(lOpen).kind == LParen) {
+            val lClose = close(lOpen)
+            val gClose = close(g)
+            if (lClose > 0 && gClose > lClose + 1) {
+              l = item0.substring(toks(lOpen).end, toks(lClose).start)
+              op = item0.substring(toks(lClose).end, toks(gClose - 1).start).trim
+            } else ok = false
+          } else ok = false
+        } else if (ok && !isAll && toks(whereIdx + 1).kind == LParen) {
+          val lOpen = whereIdx + 1
+          val lClose = close(lOpen)
+          if (lClose > 0 && lClose + 1 < existsEnd) {
+            l = item0.substring(toks(lOpen).end, toks(lClose).start)
+            op = item0.substring(toks(lClose).end, toks(existsEnd - 1).start).trim
+          } else ok = false
+        } else ok = false
+        if (ok && l.nonEmpty && op.nonEmpty) {
+          val (empty, nullish) = stats(sub, l)
+          val start = if (isAll && isW(k - 1, "not")) k - 1 else k
+          val rep = if (!isAll)
+            s"(CASE WHEN EXISTS (SELECT 1 FROM ($sub) __qany(__qv) " +
+              s"WHERE ($l) $op __qv) THEN TRUE WHEN $empty THEN FALSE " +
+              s"WHEN $nullish THEN CAST(NULL AS BOOLEAN) ELSE FALSE END)"
+          else
+            s"(CASE WHEN EXISTS (SELECT 1 FROM ($sub) __qall(__qv) " +
+              s"WHERE NOT (($l) $op __qv)) THEN FALSE WHEN $empty THEN TRUE " +
+              s"WHEN $nullish THEN CAST(NULL AS BOOLEAN) ELSE TRUE END)"
+          emit(start, existsEnd, rep)
+        } else {
+          // not a marker shape after all — skip the EXISTS group whole
+          k = if (existsEnd > 0) existsEnd + 1 else k + 1
+        }
+      } else if (t.kind == LParen && subHead(k)) {
+        // a nested subquery NOT behind IN/EXISTS — its own projection
+        // was handled recursively; its predicates must stay two-valued
+        val c = close(k)
+        k = if (c > 0) c + 1 else k + 1
+      } else k += 1
+    }
+    if (emitted == 0) item0
+    else { out.append(item0.substring(emitted)); out.toString }
+  }
+
   private final class P(val q: String, val toks: Vector[Tok]) {
     var k = 0
     def peek: Tok = if (k < toks.length) toks(k) else null
@@ -411,7 +567,7 @@ private[graft] object SqlSelect {
       if (p.peek.kind == LParen) p.skipGroup() else p.k += 1
     }
     val end = if (p.atEnd) p.q.length else p.peek.start
-    RawItem(rewriteRawRegion(p.q.substring(start, end)))
+    RawItem(rewrite3vl(rewriteRawRegion(p.q.substring(start, end))))
   }
 
   // ---- transforms + render --------------------------------------------

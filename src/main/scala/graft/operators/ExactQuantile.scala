@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact distributed quantiles with O(B)-state per group at ANY group
+  * size — the scale path for the reference's exact holistic aggregates
+  * (`quantile_cont`/`median`, ref `duckdb-5.cpp:12-17`). Spark's exact
+  * `Percentile` buffers every group value in one aggregation buffer —
+  * a boxed value→count map that OOMs past ~10M rows/group (BASELINE.md
+  * r15 lab) — where this operator locates each target rank by
+  * iterative BIN REFINEMENT: each pass counts per (cell, bin) with B
+  * bins over the active value interval (state O(B·cells), never
+  * O(rows)), narrowing every rank's interval ~B× per pass; one bounded
+  * tail job then reads the exact order statistics as per-value counts.
+  * All passes are full parallel scans over the base; the driver holds
+  * B·cells longs — the same bounded-envelope class as the Lloyd k-row
+  * aggregates (`Similarity.scala`).
+  *
+  * Cell membership is defined by the CHAIN of clamped floor-bin
+  * equalities (each level's interval literals computed once on the
+  * driver), never by raw interval comparisons — the same IEEE double
+  * expression on both sides makes membership and the rank bookkeeping
+  * agree bit-for-bit even for values at bin boundaries, where an
+  * interval filter could drift by an ulp against the parent's counts.
+  *
+  * Interpolation matches Spark `percentile` and the reference's
+  * `quantile_cont`: continuous rank r = q·(n−1), linear between the
+  * floor/ceil order statistics. NULLs are ignored; an all-NULL or
+  * empty group yields NULL. The inventory row (`agg_quantile`) flips to
+  * this path under `spark.graft.exactQuantile.binRefine=true` — default
+  * off locally because below ~10M rows/group the buffered percentile is
+  * floor-bound and this operator's extra actions cost more than the
+  * buffering saves (crossover table in BASELINE.md, r15/r16 labs).
+  */
+object ExactQuantile {
+
+  private final class Cell(
+      val gKey: Int, // index into the collected group array
+      val lo: Double, val hi: Double, // next binning interval
+      val path: List[(Double, Double, Int)], // ancestry bin constraints
+      val cumBefore: Long, val count: Long,
+      val ranks: scala.collection.mutable.ArrayBuffer[Long])
+
+  /** Grouped exact quantiles: one output row per group with
+    * `quantiles: array<double>` aligned with `qs`.
+    *
+    * @param tailLimit  max rows a cell may hold before another refine
+    *                   pass (and the bound on per-cell driver state in
+    *                   the final per-value count read)
+    * @param maxGroups  driver-state envelope: the group stats and the
+    *                   cell table live on the driver (named error past
+    *                   it — same policy as the clustering envelope)
+    */
+  def quantiles(
+      df: DataFrame, groupCol: String, valueCol: String, qs: Seq[Double],
+      bins: Int = 1024, tailLimit: Long = 1L << 16,
+      maxGroups: Int = 4096, maxPasses: Int = 16): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      "quantile fractions must be in [0, 1]")
+    val spark = df.sparkSession
+    val gField = df.schema(groupCol)
+    val all = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+    val base = all.filter(col("__v").isNotNull)
+
+    // pass 0: per-group stats — G rows of driver state. Computed over
+    // the UNFILTERED frame so an all-NULL group still yields its
+    // (group, NULL) output row, matching grouped `percentile`;
+    // min/max/count(col) all skip NULLs themselves.
+    val stats = all.groupBy(col("__g"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(col("__v")).as("n"))
+      .collect()
+    if (stats.length > maxGroups) throw new IllegalStateException(
+      s"exact_quantile: ${stats.length} groups exceed the $maxGroups driver " +
+        "envelope; raise maxGroups or pre-aggregate the grouping column")
+    val gVals: Array[Any] = stats.map(_.get(0))
+    val nOf: Array[Long] = stats.map(_.getLong(3))
+
+    // target ranks per group: floor/ceil of r = q(n-1) per fraction
+    var cells = stats.indices.flatMap { i =>
+      val n = nOf(i)
+      if (n == 0) Nil
+      else {
+        val ks = qs.flatMap { q =>
+          val r = q * (n - 1)
+          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+        }.distinct.sorted
+        Seq(new Cell(i, stats(i).getDouble(1), stats(i).getDouble(2), Nil, 0L,
+          n, scala.collection.mutable.ArrayBuffer(ks: _*)))
+      }
+    }.toArray
+    // resolved exact order statistics: (group index, rank) -> value
+    val resolved = scala.collection.mutable.Map.empty[(Int, Long), Double]
+
+    // the one clamped floor-bin formula, used for pass binning AND for
+    // membership replay — identical doubles on driver and executors
+    def binExpr(v: Column, lo: Column, hi: Column): Column =
+      least(lit(bins - 1), greatest(lit(0),
+        floor((v - lo) / (hi - lo) * bins))).cast("int")
+
+    def joined(active: Array[Cell]): DataFrame = {
+      val schema = StructType(Seq(
+        StructField("__cid", IntegerType, nullable = false),
+        StructField("__cg", gField.dataType, nullable = true),
+        StructField("__lo", DoubleType, nullable = false),
+        StructField("__hi", DoubleType, nullable = false),
+        StructField("__los", ArrayType(DoubleType), nullable = false),
+        StructField("__his", ArrayType(DoubleType), nullable = false),
+        StructField("__bs", ArrayType(IntegerType), nullable = false)))
+      val rows = active.zipWithIndex.map { case (c, i) =>
+        Row(i, gVals(c.gKey), c.lo, c.hi,
+          c.path.map(_._1), c.path.map(_._2), c.path.map(_._3))
+      }
+      val cellsDf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+      // membership = AND over the ancestry levels. Unrolled to plain
+      // codegen-able conjunctions (a forall HOF here is interpreted
+      // per row and measured ~2× the whole pass); depth differs per
+      // cell, so each level is guarded by its own size check
+      val maxDepth = active.map(_.path.length).max
+      val member = (0 until maxDepth).foldLeft(lit(true)) { (acc, i) =>
+        acc && (lit(i) >= size(col("__bs")) ||
+          binExpr(col("__v"), col("__los")(i), col("__his")(i)) ===
+            col("__bs")(i))
+      }
+      base.join(broadcast(cellsDf), col("__g") <=> col("__cg") && member)
+    }
+
+    // refinement passes: narrow every over-limit cell by ~bins×
+    var pass = 0
+    while (pass < maxPasses &&
+      cells.exists(c => c.count > tailLimit && c.hi > c.lo)) {
+      val active = cells.filter(c => c.count > tailLimit && c.hi > c.lo)
+      val stable = cells.filterNot(c => c.count > tailLimit && c.hi > c.lo)
+      val binned = joined(active)
+        .groupBy(col("__cid"),
+          binExpr(col("__v"), col("__lo"), col("__hi")).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val next = scala.collection.mutable.ArrayBuffer.empty[Cell]
+      active.zipWithIndex.foreach { case (c, ci) =>
+        val width = (c.hi - c.lo) / bins
+        val cum = (0 until bins).scanLeft(0L)((acc, b) =>
+          acc + binned.getOrElse((ci, b), 0L))
+        val byBin = scala.collection.mutable.Map.empty[Int, Cell]
+        c.ranks.foreach { k =>
+          val local = k - c.cumBefore
+          val b = {
+            val idx = cum.indexWhere(_ > local) - 1
+            if (idx < 0) bins - 1 else idx
+          }
+          val nc = byBin.getOrElseUpdate(b, {
+            val lo2 = c.lo + b * width
+            val hi2 = if (b == bins - 1) c.hi else c.lo + (b + 1) * width
+            new Cell(c.gKey, lo2, hi2, c.path :+ ((c.lo, c.hi, b)),
+              c.cumBefore + cum(b), cum(b + 1) - cum(b),
+              scala.collection.mutable.ArrayBuffer.empty[Long])
+          })
+          nc.ranks += k
+        }
+        next ++= byBin.values
+      }
+      cells = stable ++ next
+      pass += 1
+    }
+
+    // tail: exact per-value counts inside every remaining cell — rows
+    // bounded by distinct values ≤ cell count ≤ tailLimit per cell
+    // (a cell that survived maxPasses is value-degenerate and still
+    // reads as a handful of rows here)
+    if (cells.nonEmpty) {
+      val active = cells
+      val counts = joined(active)
+        .groupBy(col("__cid"), col("__v")).agg(count(lit(1)).as("__c"))
+        .collect()
+        .groupBy(_.getInt(0))
+      active.zipWithIndex.foreach { case (c, ci) =>
+        val vs = counts.getOrElse(ci, Array.empty[Row])
+          .map(r => (r.getDouble(1), r.getLong(2))).sortBy(_._1)
+        var cum = c.cumBefore
+        var vi = 0
+        val pending = c.ranks.sorted
+        var pi = 0
+        while (pi < pending.length && vi < vs.length) {
+          val (v, n) = vs(vi)
+          while (pi < pending.length && pending(pi) < cum + n) {
+            resolved((c.gKey, pending(pi))) = v
+            pi += 1
+          }
+          cum += n
+          vi += 1
+        }
+        // ranks past the scanned values (floating-point edge): clamp
+        // to the cell's last value
+        while (pi < pending.length && vs.nonEmpty) {
+          resolved((c.gKey, pending(pi))) = vs.last._1
+          pi += 1
+        }
+      }
+    }
+
+    val outRows = stats.indices.map { i =>
+      val n = nOf(i)
+      val arr: Any =
+        if (n == 0) null
+        else qs.map { q =>
+          // Spark Percentile's exact arithmetic (weighted two-point
+          // form, lower returned directly on integral ranks) so the
+          // two paths are bit-identical, not just close
+          val r = q * (n - 1)
+          val lo = math.floor(r).toLong
+          val hi = math.ceil(r).toLong
+          if (lo == hi) resolved((i, lo))
+          else (hi - r) * resolved((i, lo)) + (r - lo) * resolved((i, hi))
+        }
+      Row(gVals(i), arr)
+    }
+    val outSchema = StructType(Seq(
+      gField.copy(name = groupCol),
+      StructField("quantiles", ArrayType(DoubleType), nullable = true)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
+  }
+}

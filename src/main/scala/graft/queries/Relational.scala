@@ -113,6 +113,34 @@ object Relational {
         okOf("__qt", 0, 0.1).as("p10_ok"), okOf("__qt", 1, 0.9).as("p90_ok"))
   }
 
+  /** Same-text 3VL projection probe (r16): x has NULLs every 7th
+    * customer, the 25-row nation subquery has NULLs every 5th key, x
+    * ranges 0–29 so IN/ANY/ALL each produce a TRUE/FALSE/NULL mix; the
+    * empty-set column pins FALSE-on-empty-even-for-NULL-probe. Nation
+    * keeps every added subquery a trivial broadcast. */
+  private val Sub3vlSql: String =
+    """WITH probe AS (
+      |  SELECT c_custkey AS k,
+      |    CASE WHEN c_custkey % 7 = 0 THEN NULL
+      |         ELSE CAST(c_custkey % 30 AS INT) END AS x
+      |  FROM customer),
+      |s AS (
+      |  SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+      |              ELSE n_nationkey END AS y
+      |  FROM nation)
+      |SELECT
+      |  CAST(sum(CASE WHEN x IN (SELECT y FROM s) THEN 1 ELSE 0 END) AS BIGINT) AS in_true,
+      |  CAST(sum(CASE WHEN (x IN (SELECT y FROM s)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_null,
+      |  CAST(sum(CASE WHEN (x NOT IN (SELECT y FROM s)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS notin_null,
+      |  CAST(sum(CASE WHEN (x > ANY (SELECT y FROM s)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS any_null,
+      |  CAST(sum(CASE WHEN x <= ALL (SELECT y FROM s) THEN 1
+      |           WHEN (x <= ALL (SELECT y FROM s)) IS NULL THEN 10
+      |           ELSE 100 END) AS BIGINT) AS all_mix,
+      |  CAST(sum(CASE WHEN x IN (SELECT y FROM s WHERE y > 999) THEN 1
+      |           WHEN (x IN (SELECT y FROM s WHERE y > 999)) IS NULL THEN 10
+      |           ELSE 100 END) AS BIGINT) AS empty_mix
+      |FROM probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / in-memory sources (SURVEY §2.1) ----
@@ -261,8 +289,30 @@ object Relational {
       // Exact `percentile` buffers every group value PER CALL, so both
       // l_extendedprice quantiles ride ONE array(0.25, 0.75) aggregate
       // and the column buffers once (two scalar calls measured 1.58 s;
-      // the same fusion bought ~15% on the approx row in r8)
-      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+      // the same fusion bought ~15% on the approx row in r8).
+      // `SET spark.graft.exactQuantile.binRefine=true` reroutes the
+      // value-buffering aggregates (percentile + median) onto
+      // operators.ExactQuantile — O(B) state per group at any group
+      // size, the 100×-scale path (r15 lab memory bound; promoted r16).
+      // Default off locally: below ~10M rows/group the buffered
+      // percentile is floor-bound (BASELINE.md crossover).
+      val li = t(s, dir, "lineitem")
+      if (s.conf.get("spark.graft.exactQuantile.binRefine", "false").toBoolean) {
+        val price = graft.operators.ExactQuantile
+          .quantiles(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+          .select(col("l_returnflag"),
+            round(col("quantiles").getItem(0), 4).as("p25_price"),
+            round(col("quantiles").getItem(1), 4).as("p75_price"))
+        val qty = graft.operators.ExactQuantile
+          .quantiles(li, "l_returnflag", "l_quantity", Seq(0.5))
+          .select(col("l_returnflag"),
+            round(col("quantiles").getItem(0), 4).as("med_qty"))
+        val mo = li.groupBy(col("l_returnflag"))
+          .agg(mode(col("l_linestatus")).as("mode_ls"))
+        qty.join(price, "l_returnflag").join(mo, "l_returnflag")
+          .select(col("l_returnflag"), col("med_qty"), col("p25_price"),
+            col("p75_price"), col("mode_ls"))
+      } else li.groupBy(col("l_returnflag")).agg(
           round(median(col("l_quantity")), 4).as("med_qty"),
           expr("percentile(l_extendedprice, array(0.25, 0.75))").as("__pq"),
           mode(col("l_linestatus")).as("mode_ls"))
@@ -606,6 +656,18 @@ object Relational {
         """SELECT count(*) AS n_top FROM supplier
           |WHERE s_acctbal > (SELECT max(a) FROM
           |  (SELECT avg(c_acctbal) AS a FROM customer GROUP BY c_nationkey))""".stripMargin)
+    }),
+
+    "sub_in_projection_3vl" -> ((s, dir) => {
+      // IN / quantified comparisons in PROJECTION position carry the
+      // reference's three-valued logic (MARK joins, duckdb.hpp:13906):
+      // a NULL probe or a NULL subquery member yields NULL, not false —
+      // SqlSelect.rewrite3vl's CASE attaches the NULL corrections as
+      // uncorrelated 1-row stats (r16; Projection3vlSpec pins the truth
+      // table). Same text on both engines; the *_null sums are the
+      // discriminators (Spark's plain ExistenceJoin would return 0).
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, Sub3vlSql)
     }),
 
     "win_ignore_nulls" -> ((s, dir) => {
@@ -1241,6 +1303,8 @@ object Relational {
       """SELECT count(*) AS n_top FROM supplier
         |WHERE s_acctbal > ALL
         |  (SELECT avg(c_acctbal) FROM customer GROUP BY c_nationkey)""".stripMargin,
+
+    "sub_in_projection_3vl" -> Sub3vlSql,
 
     "win_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,

@@ -173,6 +173,19 @@ object ExactQuantLab {
       }
       spark.createDataFrame(rows).toDF("flag", "p25", "p75")
     }
+
+    // r16: the PROMOTED operator (operators.ExactQuantile, chained-bin
+    // membership + per-value-count tail) and the conf-gated inventory
+    // row riding it — the crossover numbers BASELINE.md cites
+    time("operator ExactQuantile pair") {
+      graft.operators.ExactQuantile.quantiles(
+        li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
+    }
+    time("agg_quantile binRefine=true") {
+      spark.conf.set("spark.graft.exactQuantile.binRefine", "true")
+      try graft.SparkEntry.queries("agg_quantile")(spark, dir)
+      finally spark.conf.set("spark.graft.exactQuantile.binRefine", "false")
+    }
     spark.stop()
   }
 }
