@@ -100,6 +100,19 @@ object SqlDialect {
     primaryKeys.computeIfAbsent(spark,
       _ => new scala.collection.concurrent.TrieMap[String, Seq[String]])
 
+  // ---- column DEFAULT registry (reference column defaults,
+  // CreateTableInfo / SetToDefault, duckdb-9.cpp): DEFAULT exprs parsed
+  // out of CREATE TABLE column defs and substituted on the
+  // INSERT/UPDATE paths — column-list inserts fill omitted columns,
+  // bare DEFAULT keywords in VALUES tuples and UPDATE assignments
+  // resolve to the declared expr (NULL when none) (r16 tranche 5).
+  private val columnDefaults = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Map[String, String]]]())
+  private def defaultsFor(spark: SparkSession) =
+    columnDefaults.computeIfAbsent(spark,
+      _ => new scala.collection.concurrent.TrieMap[String, Map[String, String]])
+
   // ---- declared-constraint registry (reference constraint binding,
   // duckdb.hpp:20267-20272): NOT NULL/UNIQUE/CHECK parsed out of CREATE
   // TABLE and validated by Engine.validateConstraints on the INSERT
@@ -377,6 +390,7 @@ object SqlDialect {
         // (a CTAS result has no declared constraints in the reference)
         primaryKeysFor(spark).remove(m.group(1).toLowerCase)
         constraintsFor(spark).remove(m.group(1).toLowerCase)
+        defaultsFor(spark).remove(m.group(1).toLowerCase)
         Engine.markAsTable(spark, m.group(1)) // TABLE in the catalog, not a view
         return df
       case None =>
@@ -410,6 +424,7 @@ object SqlDialect {
         var uniques = Vector.empty[(String, Seq[String])]
         var checks = Vector.empty[String]
         var fks = Vector.empty[(Seq[String], String, Seq[String])]
+        var defaults = Vector.empty[(String, String)]
         val tablePk = """(?is)^PRIMARY\s+KEY\s*\((.+)\)$""".r
         val tableUnique = """(?is)^UNIQUE\s*\((.+)\)$""".r
         val tableCheck = """(?is)^CHECK\s*\((.+)\)$""".r
@@ -449,6 +464,22 @@ object SqlDialect {
                   Option(fm.group(2)).map(_.split(",").map(_.trim).toSeq).getOrElse(Nil)))
                 tpe = tpe.substring(0, fm.start) + tpe.substring(fm.end)
               }
+              // DEFAULT <expr> (r16): expr runs to the next depth-0
+              // constraint keyword or the def's end; extracted BEFORE
+              // colCheck so `DEFAULT 5 CHECK (…)` leaves the CHECK in
+              // terminal position for the greedy check regex
+              """(?i)\bDEFAULT\b""".r.findAllMatchIn(tpe).find(dm =>
+                  !insideQuotes(tpe, dm.start) &&
+                    parenDepth(tpe, dm.start) == 0).foreach { dm =>
+                val rest = tpe.substring(dm.end)
+                val stop = """(?i)\b(PRIMARY|NOT|UNIQUE|CHECK|REFERENCES)\b""".r
+                  .findAllMatchIn(rest).find(sm =>
+                    !insideQuotes(rest, sm.start) &&
+                      parenDepth(rest, sm.start) == 0)
+                  .map(_.start).getOrElse(rest.length)
+                defaults :+= (parts(0).toLowerCase -> rest.substring(0, stop).trim)
+                tpe = tpe.substring(0, dm.start) + rest.substring(stop)
+              }
               colCheck.findFirstMatchIn(tpe).foreach { cm =>
                 checks :+= cm.group(1).trim
                 tpe = tpe.substring(0, cm.start) + tpe.substring(cm.end)
@@ -472,6 +503,8 @@ object SqlDialect {
         Engine.markAsTable(spark, name) // TABLE in the catalog, not a view
         if (keys.nonEmpty) primaryKeysFor(spark)(name.toLowerCase) = keys
         else primaryKeysFor(spark).remove(name.toLowerCase)
+        if (defaults.nonEmpty) defaultsFor(spark)(name.toLowerCase) = defaults.toMap
+        else defaultsFor(spark).remove(name.toLowerCase)
         // PRIMARY KEY implies NOT NULL on its columns + a unique key
         // (the reference raises the NOT NULL error for a null PK part).
         // FK referenced columns resolve at CREATE time: an omitted
@@ -517,29 +550,104 @@ object SqlDialect {
     def returned(changed: DataFrame): DataFrame =
       changed.selectExpr(returningCols.get: _*)
 
+    // bare DEFAULT items inside VALUES tuples → the bound column's
+    // declared default expr (NULL when none) — positional by depth-1
+    // comma count (r16; reference SetToDefault, duckdb-9.cpp)
+    def substValuesDefaults(body: String, cols: Seq[String],
+        defaults: Map[String, String]): String = {
+      if (!body.trim.toLowerCase.startsWith("values") ||
+        !body.toLowerCase.contains("default")) return body
+      val toks = SqlLex.tokenize(body)
+      val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      var depth = 0
+      var pos = 0
+      var k = 0
+      while (k < toks.length) {
+        val t = toks(k)
+        t.kind match {
+          case SqlLex.LParen => depth += 1; if (depth == 1) pos = 0
+          case SqlLex.RParen => depth -= 1
+          case SqlLex.Punct if depth == 1 && t.lower == "," => pos += 1
+          case SqlLex.Ident if depth == 1 && t.lower == "default" &&
+            k > 0 && (toks(k - 1).kind == SqlLex.LParen ||
+              (toks(k - 1).kind == SqlLex.Punct && toks(k - 1).lower == ",")) &&
+            k + 1 < toks.length && (toks(k + 1).kind == SqlLex.RParen ||
+              (toks(k + 1).kind == SqlLex.Punct && toks(k + 1).lower == ",")) =>
+            val rep = if (pos < cols.length)
+              defaults.getOrElse(cols(pos).toLowerCase, "NULL") else "NULL"
+            subs += ((t.start, t.end, "(" + rep + ")"))
+          case _ => ()
+        }
+        k += 1
+      }
+      if (subs.isEmpty) body
+      else {
+        val sb = new StringBuilder
+        var last = 0
+        subs.foreach { case (a, b, rep) =>
+          sb.append(body.substring(last, a)).append(rep); last = b
+        }
+        sb.append(body.substring(last)).toString
+      }
+    }
+
     val insertRe =
-      """(?is)^\s*INSERT\s+(OR\s+REPLACE\s+|OR\s+IGNORE\s+)?INTO\s+([A-Za-z_][A-Za-z0-9_]*)\s+((?:VALUES|SELECT|WITH)\b.+)$""".r
+      ("""(?is)^\s*INSERT\s+(OR\s+REPLACE\s+|OR\s+IGNORE\s+)?INTO\s+""" +
+        """([A-Za-z_][A-Za-z0-9_]*)\s*(?:\(([^()]*)\)\s*)?""" +
+        """((?:VALUES|SELECT|WITH)\b.+|DEFAULT\s+VALUES)\s*$""").r
     insertRe.findFirstMatchIn(qDml) match {
       case Some(m) =>
         import spark.implicits._
         val name = m.group(2)
         val target = spark.table(name)
+        // column-list / DEFAULT machinery (r16 tranche 5; reference
+        // SetToDefault + CreateTableInfo defaults): a column list binds
+        // the VALUES/SELECT positionally to the LISTED columns; omitted
+        // columns take their declared DEFAULT (NULL when none). A bare
+        // DEFAULT keyword inside a VALUES tuple resolves the same way.
+        val colList = Option(m.group(3))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        val defaults = defaultsFor(spark).getOrElse(name.toLowerCase,
+          Map.empty[String, String])
+        colList.foreach { cl =>
+          val known = target.columns.map(_.toLowerCase).toSet
+          cl.filterNot(c => known(c.toLowerCase)).foreach(c =>
+            throw new IllegalArgumentException(
+              s"INSERT: column '$c' does not exist in '$name'"))
+        }
+        val boundCols = colList.getOrElse(target.columns.toSeq)
+        def defaultExpr(f: org.apache.spark.sql.types.StructField) =
+          defaults.get(f.name.toLowerCase)
+            .map(org.apache.spark.sql.functions.expr)
+            .getOrElse(org.apache.spark.sql.functions.lit(null))
+            .cast(f.dataType).as(f.name)
         // ON CONFLICT tail (reference duckdb-4.cpp:9996): [(cols)] +
         // DO NOTHING / DO UPDATE SET a = expr[, ...]
         val conflictRe =
           ("""(?is)^(.*?)\s+ON\s+CONFLICT\s*(?:\(([^)]*)\)\s*)?""" +
             """DO\s+(NOTHING|UPDATE\s+SET\s+.+)$""").r
-        val (body, conflict) = m.group(3) match {
+        val (body0, conflict) = m.group(4) match {
           case conflictRe(b, cols, action) =>
             (b, Some((Option(cols).map(_.split(",").map(_.trim).toSeq), action)))
           case b => (b, None)
         }
+        // bare DEFAULT items inside VALUES tuples → the declared expr
+        val body = substValuesDefaults(body0, boundCols, defaults)
         // positional bind + coercion to the TABLE's column types (the
         // reference casts VALUES literals to the declared types; without
         // this, RETURNING would leak the literal-inferred types)
-        val rows = sql(spark, body).toDF(target.columns.toSeq: _*)
-          .select(target.schema.fields.map(f =>
-            col(f.name).cast(f.dataType)).toSeq: _*)
+        val rows =
+          if (body.trim.toUpperCase.startsWith("DEFAULT")) // DEFAULT VALUES
+            spark.range(1).select(target.schema.fields.map(defaultExpr).toSeq: _*)
+          else {
+            val bound = sql(spark, body).toDF(boundCols: _*)
+            val listed = boundCols.map(_.toLowerCase).toSet
+            bound.select(target.schema.fields.map { f =>
+              if (listed(f.name.toLowerCase))
+                col(f.name).cast(f.dataType).as(f.name)
+              else defaultExpr(f)
+            }.toSeq: _*)
+          }
         def declaredKeys: Seq[String] = primaryKeysFor(spark)
           .getOrElse(name.toLowerCase, throw new IllegalArgumentException(
             s"INSERT conflict clause on '$name': no PRIMARY KEY declared " +
@@ -639,11 +747,17 @@ object SqlDialect {
         val cond = Option(m.group(3))
           .map(org.apache.spark.sql.functions.expr)
           .getOrElse(org.apache.spark.sql.functions.lit(true))
+        val tblDefaults = defaultsFor(spark)
+          .getOrElse(m.group(1).toLowerCase, Map.empty[String, String])
         val assignments = splitTopLevel(m.group(2)).map { a =>
           val eq = a.indexOf('=')
           require(eq > 0, s"UPDATE: malformed assignment '$a'")
-          a.substring(0, eq).trim ->
-            org.apache.spark.sql.functions.expr(a.substring(eq + 1).trim)
+          val lhs = a.substring(0, eq).trim
+          val rhsText = a.substring(eq + 1).trim
+          // SET col = DEFAULT → the declared default (NULL when none)
+          val rhs = if (rhsText.equalsIgnoreCase("default"))
+            tblDefaults.getOrElse(lhs.toLowerCase, "NULL") else rhsText
+          lhs -> org.apache.spark.sql.functions.expr(rhs)
         }
         // RETURNING on UPDATE reports the NEW row values: apply the same
         // assignment fold updateWhere uses, but over the matched rows only
@@ -730,6 +844,7 @@ object SqlDialect {
         require(existed || m.group(1) != null, s"table ${m.group(2)} does not exist")
         primaryKeysFor(spark).remove(dropped)
         constraintsFor(spark).remove(dropped)
+        defaultsFor(spark).remove(dropped)
         Engine.unmarkTable(spark, dropped)
         return spark.emptyDataFrame
       case None =>
@@ -1101,6 +1216,11 @@ object SqlDialect {
     q = rewriteJsonArrows(q)
     // frame EXCLUDE: strip the no-op form, name the unsupported ones
     q = rewriteFrameExclude(q)
+    // window-edge parity (r16 tranche 5): FILTER-before-OVER, empty
+    // literal frames, nonpositive nth_value offsets, and order-requiring
+    // functions over an ORDER-BY-less spec — all valid on the reference,
+    // all Spark analysis errors without the rewrites
+    q = rewriteWindowEdges(q)
 
     // expr [NOT] SIMILAR TO 'pattern' → anchored [NOT] RLIKE (the
     // reference binds SIMILAR TO to regexp_full_match — the pattern is a
@@ -2312,6 +2432,206 @@ object SqlDialect {
     * a NAMED error instead of the parse error. Detection: EXCLUDE
     * following a frame-bound keyword region inside parens (the star
     * modifier `* EXCLUDE (…)` has a following LParen and is skipped). */
+  /** Window-edge parity (r16 battery tranche 5; reference segment-tree
+    * window executor, `duckdb-3.cpp:10800-12291`). Four reference-valid
+    * shapes that are Spark ANALYSIS ERRORS get structural rewrites:
+    *
+    *  1. `agg(x) FILTER (WHERE c) OVER …` → `agg(CASE WHEN c THEN x
+    *     END) OVER …` (`count(*)` counts a CASE-guarded 1) — aggregates
+    *     skip NULLs, so the guard reproduces the filter exactly;
+    *     Spark's window operator rejects filter predicates outright.
+    *  2. empty literal frames (`ROWS BETWEEN 2 FOLLOWING AND 1
+    *     FOLLOWING`) — NULL on the reference (0 for count) — the call
+    *     wraps in a dead-branch CASE over a valid frame, which keeps
+    *     the aggregate's exact result TYPE without executing it.
+    *  3. `nth_value(x, k)` with literal k ≤ 0 → NULL (same dead-branch
+    *     device; Spark requires a positive offset).
+    *  4. ranking/offset functions over a spec with no ORDER BY —
+    *     arbitrary order on the reference — gain `ORDER BY 1`: a
+    *     constant key ties every row, which is the reference's
+    *     any-order contract.
+    */
+  private[graft] def rewriteWindowEdges(q0: String): String = {
+    val orderReq = Set("row_number", "rank", "dense_rank", "percent_rank",
+      "cume_dist", "ntile", "lag", "lead")
+    var q = q0
+    var changed = true
+    while (changed) {
+      changed = false
+      val toks = SqlLex.tokenize(q)
+      def closeOf(open: Int): Int = {
+        var d = 0; var j = open
+        while (j < toks.length) {
+          if (toks(j).kind == SqlLex.LParen) d += 1
+          else if (toks(j).kind == SqlLex.RParen) { d -= 1; if (d == 0) return j }
+          j += 1
+        }
+        -1
+      }
+      def openOf(close: Int): Int = {
+        var d = 0; var j = close
+        while (j >= 0) {
+          if (toks(j).kind == SqlLex.RParen) d += 1
+          else if (toks(j).kind == SqlLex.LParen) { d -= 1; if (d == 0) return j }
+          j -= 1
+        }
+        -1
+      }
+      // the agg call directly before token i: `fn ( args )` with its
+      // closing paren at i-1; returns (fnIdx, argsOpen, argsClose)
+      def callBefore(i: Int): Option[(Int, Int, Int)] =
+        if (i >= 1 && toks(i - 1).kind == SqlLex.RParen) {
+          val ao = openOf(i - 1)
+          if (ao >= 1 && toks(ao - 1).kind == SqlLex.Ident)
+            Some((ao - 1, ao, i - 1))
+          else None
+        } else None
+
+      var k = 0
+      while (!changed && k < toks.length) {
+        val t = toks(k)
+
+        // 1. FILTER (WHERE c) immediately before OVER
+        if (t.kind == SqlLex.Ident && t.lower == "filter" &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
+          val fc = closeOf(k + 1)
+          val isWin = fc > 0 && fc + 1 < toks.length &&
+            toks(fc + 1).kind == SqlLex.Ident && toks(fc + 1).lower == "over"
+          callBefore(k) match {
+            case Some((fi, ao, ac)) if isWin =>
+              val fn = toks(fi).lower
+              // rewriteFilterWhere has already normalized to WHERE form
+              val condStart =
+                if (toks(k + 2).kind == SqlLex.Ident &&
+                  toks(k + 2).lower == "where") k + 3 else k + 2
+              val cond = q.substring(toks(condStart).start, toks(fc).start).trim
+              val args = q.substring(toks(ao).end, toks(ac).start).trim
+              val newCall =
+                if (fn == "count" && args == "*")
+                  s"count(CASE WHEN $cond THEN 1 END)"
+                else {
+                  val parts = splitTopLevel(args).map(_.trim)
+                  val first = parts.head
+                  val (pre, core) =
+                    if (first.toUpperCase.startsWith("DISTINCT "))
+                      ("DISTINCT ", first.substring(9))
+                    else ("", first)
+                  q.substring(toks(fi).start, toks(ao).end) +
+                    ((s"${pre}CASE WHEN $cond THEN $core END") +: parts.tail)
+                      .mkString(", ") + ")"
+                }
+              q = q.substring(0, toks(fi).start) + newCall +
+                q.substring(toks(fc).end)
+              changed = true
+            case _ => ()
+          }
+        }
+
+        // 3. nth_value with a nonpositive literal offset
+        if (!changed && t.kind == SqlLex.Ident && t.lower == "nth_value" &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
+          val ac = closeOf(k + 1)
+          if (ac > 0 && ac + 1 < toks.length &&
+            toks(ac + 1).kind == SqlLex.Ident && toks(ac + 1).lower == "over") {
+            val parts = splitTopLevel(
+              q.substring(toks(k + 1).end, toks(ac).start)).map(_.trim)
+            val nonPos = parts.length == 2 &&
+              parts(1).matches("-?\\d+") && parts(1).toLong <= 0
+            if (nonPos) {
+              val (overEnd, overText) =
+                if (ac + 2 < toks.length && toks(ac + 2).kind == SqlLex.LParen) {
+                  val oc = closeOf(ac + 2)
+                  (oc, q.substring(toks(ac + 2).start, toks(oc).end))
+                } else (ac + 2, q.substring(toks(ac + 2).start, toks(ac + 2).end))
+              q = q.substring(0, t.start) +
+                s"(CASE WHEN 1=0 THEN nth_value(${parts.head}, 1) " +
+                s"OVER $overText END)" + q.substring(toks(overEnd).end)
+              changed = true
+            }
+          }
+        }
+
+        // 2. empty literal frame / 4. missing ORDER BY on ranking fns
+        if (!changed && t.kind == SqlLex.Ident && t.lower == "over" &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
+          val oc = closeOf(k + 1)
+          if (oc > 0) {
+            // depth-1 scan of the spec interior
+            var d = 0
+            var frameIdx = -1
+            var hasOrder = false
+            var j = k + 1
+            while (j < oc) {
+              toks(j).kind match {
+                case SqlLex.LParen => d += 1
+                case SqlLex.RParen => d -= 1
+                case SqlLex.Ident if d == 1 =>
+                  val w = toks(j).lower
+                  if (w == "order") hasOrder = true
+                  else if ((w == "rows" || w == "range") && frameIdx < 0)
+                    frameIdx = j
+                case _ => ()
+              }
+              j += 1
+            }
+            // literal frame bounds: Some(v) finite, None non-literal
+            def bound(s: Int): (Option[Long], Int) = {
+              if (s >= oc) (None, s)
+              else if (toks(s).kind == SqlLex.Ident &&
+                toks(s).lower == "unbounded") (None, s + 2)
+              else if (toks(s).kind == SqlLex.Ident &&
+                toks(s).lower == "current") (Some(0L), s + 2)
+              else if (toks(s).kind == SqlLex.Num && s + 1 < oc &&
+                toks(s + 1).kind == SqlLex.Ident &&
+                (toks(s + 1).lower == "preceding" ||
+                  toks(s + 1).lower == "following")) {
+                val raw = q.substring(toks(s).start, toks(s).end)
+                val v = try Some(raw.toLong) catch { case _: Exception => None }
+                (v.map(x => if (toks(s + 1).lower == "preceding") -x else x),
+                  s + 2)
+              } else (None, s + 2)
+            }
+            val emptyFrame = frameIdx > 0 && frameIdx + 1 < oc &&
+              toks(frameIdx + 1).kind == SqlLex.Ident &&
+              toks(frameIdx + 1).lower == "between" && {
+                val (lo, after) = bound(frameIdx + 2)
+                val andOk = after < oc && toks(after).kind == SqlLex.Ident &&
+                  toks(after).lower == "and"
+                val (hi, _) = if (andOk) bound(after + 1) else (None, 0)
+                lo.isDefined && hi.isDefined && lo.get > hi.get
+              }
+            if (emptyFrame) {
+              callBefore(k) match {
+                case Some((fi, _, ac)) =>
+                  val fnCall = q.substring(toks(fi).start, toks(ac).end)
+                  val specPrefix = q.substring(toks(k + 1).end,
+                    toks(frameIdx).start)
+                  val tail = if (toks(fi).lower == "count") " ELSE 0" else ""
+                  q = q.substring(0, toks(fi).start) +
+                    s"(CASE WHEN 1=0 THEN $fnCall OVER ($specPrefix " +
+                    s"ROWS BETWEEN CURRENT ROW AND CURRENT ROW)$tail END)" +
+                    q.substring(toks(oc).end)
+                  changed = true
+                case None => ()
+              }
+            } else if (!hasOrder) {
+              callBefore(k) match {
+                case Some((fi, _, _)) if orderReq(toks(fi).lower) =>
+                  val at = if (frameIdx > 0) toks(frameIdx).start
+                    else toks(oc).start
+                  q = q.substring(0, at) + " ORDER BY 1 " + q.substring(at)
+                  changed = true
+                case _ => ()
+              }
+            }
+          }
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
   private[graft] def rewriteFrameExclude(q0: String): String = {
     val toks = SqlLex.tokenize(q0)
     val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]

@@ -338,3 +338,47 @@ case class DuckEpoch(child: Expression)
   override protected def withNewChildInternal(c: Expression): DuckEpoch =
     copy(child = c)
 }
+
+/** duck typeof(x): the REFERENCE's type names, resolved at plan time
+  * from the child's data type (probed r16: INTEGER / BIGINT / VARCHAR /
+  * DECIMAL(2,1) / INTEGER[] / STRUCT(a INTEGER) / MAP(VARCHAR, INTEGER)
+  * / "NULL" for the null literal) — Spark's own typeof renders its
+  * lowercase names ("int", "decimal(11,1)"), a silent text divergence
+  * on every shared typeof call. */
+case class DuckTypeof(child: Expression)
+  extends UnaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression =
+    Literal(UTF8String.fromString(DuckTypeof.name(child.dataType)), StringType)
+
+  override def prettyName: String = "typeof"
+  override protected def withNewChildInternal(c: Expression): DuckTypeof =
+    copy(child = c)
+}
+
+object DuckTypeof {
+  def name(dt: DataType): String = dt match {
+    case NullType => "\"NULL\""
+    case ByteType => "TINYINT"
+    case ShortType => "SMALLINT"
+    case IntegerType => "INTEGER"
+    case LongType => "BIGINT"
+    case FloatType => "FLOAT"
+    case DoubleType => "DOUBLE"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case TimestampType | TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case _: DayTimeIntervalType | _: YearMonthIntervalType |
+         CalendarIntervalType => "INTERVAL"
+    case ArrayType(et, _) => name(et) + "[]"
+    case MapType(k, v, _) => s"MAP(${name(k)}, ${name(v)})"
+    case st: StructType =>
+      st.fields.map(f => s"${f.name} ${name(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
+    case other => other.sql
+  }
+  val builder: Seq[Expression] => Expression = a => DuckTypeof(a.head)
+}

@@ -418,6 +418,9 @@ object DuckFunctions {
         r("duck_div", DuckDiv.builder)
         r("duck_mod", DuckMod.builder)
         r("duck_icast", DuckICast.builder)
+        // reference type NAMES from typeof (r16 tranche 5 — Spark's own
+        // typeof renders lowercase spark names, silent text divergence)
+        r("typeof", DuckTypeof.builder)
         r("duck_try_icast", DuckICast.tryBuilder)
         r("duck_str", DuckStrCast.builder)
         r("duck_try_str", DuckStrCast.tryBuilder)

@@ -201,6 +201,15 @@ object Catalog {
         .crossJoin(ns.table("exp_region").agg(count(lit(1)).as("n_region")))
     }),
 
+    "catalog_defaults" -> ((s, dir) => {
+      // column DEFAULTs + column-list INSERT + DEFAULT VALUES + UPDATE
+      // SET DEFAULT (r16 tranche 5; reference SetToDefault /
+      // CreateTableInfo defaults, duckdb-9.cpp) — same script text on
+      // both engines, final table state compared
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, DefaultsScript)
+    }),
+
     "catalog_dml" -> ((s, dir) => {
       // INSERT/UPDATE/DELETE over the temp-view catalog (reference
       // PhysicalInsert/Delete/Update duckdb-4.cpp:9996-10015) — the
@@ -583,7 +592,21 @@ object Catalog {
       |   WHERE table_name IN ('nation', 'region', 'customer'))
       |    AS base_views_in_tables""".stripMargin
 
+  /** r16 defaults script (probed case-by-case in BATTERY5_r16.json). */
+  private val DefaultsScript: String =
+    """DROP TABLE IF EXISTS rdef;
+      |CREATE TABLE rdef(a INT DEFAULT 7, b INT, c VARCHAR DEFAULT 'x');
+      |INSERT INTO rdef(b) VALUES (1);
+      |INSERT INTO rdef VALUES (DEFAULT, 2, 'y');
+      |INSERT INTO rdef(b, a) VALUES (3, 30);
+      |INSERT INTO rdef(a, b) VALUES (99, 4);
+      |INSERT INTO rdef(b) SELECT 5;
+      |INSERT INTO rdef DEFAULT VALUES;
+      |UPDATE rdef SET a = DEFAULT, c = 'z' WHERE b = 4;
+      |SELECT a, b, c FROM rdef ORDER BY b NULLS LAST""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "catalog_defaults" -> DefaultsScript,
 
     "csv_roundtrip" ->
       """SELECT count(*) AS n, round(sum(l_quantity), 2) AS sum_qty,

@@ -141,6 +141,22 @@ object Relational {
       |           ELSE 100 END) AS BIGINT) AS empty_mix
       |FROM probe""".stripMargin
 
+  /** r16 window-edge battery row (per-case probes BATTERY5_r16.json). */
+  private val WinEdgeSql: String =
+    """SELECT v,
+      |  CAST(sum(v) OVER (ORDER BY v DESC RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS desc_range,
+      |  CAST(sum(v) OVER (ORDER BY v ROWS BETWEEN 2 FOLLOWING AND 1 FOLLOWING) AS BIGINT) AS empty_sum,
+      |  CAST(count(*) OVER (ORDER BY v ROWS BETWEEN 2 FOLLOWING AND 1 FOLLOWING) AS BIGINT) AS empty_cnt,
+      |  CAST(sum(v) FILTER (WHERE v % 2 = 0) OVER (ORDER BY v ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS BIGINT) AS filt,
+      |  nth_value(v, 0) OVER (ORDER BY v) AS nth0,
+      |  CAST(sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 2 HOUR PRECEDING AND INTERVAL 1 HOUR FOLLOWING) AS BIGINT) AS ts_range
+      |FROM (VALUES (1, TIMESTAMP '2024-01-01 00:00:00'),
+      |             (2, TIMESTAMP '2024-01-01 01:30:00'),
+      |             (3, TIMESTAMP '2024-01-01 02:00:00'),
+      |             (4, TIMESTAMP '2024-01-01 09:00:00'),
+      |             (8, TIMESTAMP '2024-01-01 09:30:00')) t(v, ts)
+      |ORDER BY v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ---- scans / in-memory sources (SURVEY §2.1) ----
@@ -656,6 +672,17 @@ object Relational {
         """SELECT count(*) AS n_top FROM supplier
           |WHERE s_acctbal > (SELECT max(a) FROM
           |  (SELECT avg(c_acctbal) AS a FROM customer GROUP BY c_nationkey))""".stripMargin)
+    }),
+
+    "win_edge_frames" -> ((s, dir) => {
+      // r16 tranche 5 window-edge parity (reference segment-tree window
+      // executor, duckdb-3.cpp:10800): descending RANGE offsets, EMPTY
+      // literal frames (NULL on the reference, 0 for count — Spark
+      // analysis errors without SqlDialect.rewriteWindowEdges), window
+      // FILTER with an explicit frame, nonpositive nth_value offsets,
+      // timestamp RANGE with interval bounds. Same text both engines.
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, WinEdgeSql)
     }),
 
     "sub_in_projection_3vl" -> ((s, dir) => {
@@ -1305,6 +1332,8 @@ object Relational {
         |  (SELECT avg(c_acctbal) FROM customer GROUP BY c_nationkey)""".stripMargin,
 
     "sub_in_projection_3vl" -> Sub3vlSql,
+
+    "win_edge_frames" -> WinEdgeSql,
 
     "win_ignore_nulls" ->
       """SELECT o_custkey, o_orderkey,
