@@ -278,6 +278,50 @@ object DialectFuzzGen {
       "SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL ELSE n_nationkey END AS x " +
         s"FROM nation ORDER BY x NULLS LAST LIMIT $m"))
 
+  // ---- r16 tranche-5 shapes (BATTERY5_r16.json): projection-position
+  // 3VL for IN-subqueries, window FILTER + empty literal frames, and
+  // the column-DEFAULT machinery ----
+
+  /** IN (subquery with NULL members) in PROJECTION position: NULL when
+    * unmatched (reference MARK joins); the native side spells the
+    * 3-branch CASE explicitly over Spark's 2-valued ExistenceJoin. */
+  private def proj3vl(m: Int): (Seq[String], Pair) = {
+    val sub = "SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL " +
+      s"ELSE n_regionkey END AS y FROM nation WHERE n_nationkey < $m"
+    (Nil, (s"SELECT n_nationkey AS k, n_regionkey IN ($sub) AS f FROM nation",
+      s"SELECT n_nationkey AS k, CASE WHEN n_regionkey IN ($sub) THEN TRUE " +
+        s"WHEN (SELECT count(*) FROM ($sub)) = 0 THEN FALSE " +
+        s"WHEN (SELECT count(*) > count(y) FROM ($sub)) THEN CAST(NULL AS BOOLEAN) " +
+        "ELSE FALSE END AS f FROM nation"))
+  }
+
+  /** Window FILTER with an explicit frame + an EMPTY literal frame:
+    * both Spark analysis errors without rewriteWindowEdges. */
+  private def winEdgeFuzz(p: Int): (Seq[String], Pair) =
+    (Nil, ("SELECT n_nationkey AS k, " +
+      "CAST(sum(n_nationkey) FILTER (WHERE n_nationkey % 2 = 0) OVER " +
+      s"(PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN $p " +
+      "PRECEDING AND CURRENT ROW) AS BIGINT) AS f, " +
+      "CAST(sum(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN " +
+      "2 FOLLOWING AND 1 FOLLOWING) AS BIGINT) AS e FROM nation",
+      "SELECT n_nationkey AS k, " +
+        "CAST(sum(CASE WHEN n_nationkey % 2 = 0 THEN n_nationkey END) OVER " +
+        s"(PARTITION BY n_regionkey ORDER BY n_nationkey ROWS BETWEEN $p " +
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS f, " +
+        "CAST(NULL AS BIGINT) AS e FROM nation"))
+
+  /** Column DEFAULTs: column-list INSERT, VALUES DEFAULT, reordered
+    * lists — final state vs the literal rows they must produce. */
+  private def defaultsFuzz(i: Int, a: Int): (Seq[String], Pair) =
+    (Seq(s"DROP TABLE IF EXISTS fz_d$i",
+      s"CREATE TABLE fz_d$i(a INT DEFAULT $a, b INT, c VARCHAR DEFAULT 'd$i')",
+      s"INSERT INTO fz_d$i(b) VALUES (1), (2)",
+      s"INSERT INTO fz_d$i VALUES (DEFAULT, 3, 'x')",
+      s"INSERT INTO fz_d$i(b, a) VALUES (4, ${a + 1})"),
+      (s"SELECT a, b, c FROM fz_d$i ORDER BY b",
+        s"SELECT * FROM (VALUES ($a, 1, 'd$i'), ($a, 2, 'd$i'), " +
+          s"($a, 3, 'x'), (${a + 1}, 4, 'd$i')) v(a, b, c) ORDER BY b"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -372,7 +416,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, freshUnion)
-      val (setup, base) = rnd.nextInt(28) match {
+      val (setup, base) = rnd.nextInt(31) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -404,6 +448,9 @@ object DialectFuzzGen {
         case 25 => arithPowEdge()
         case 26 => arithShiftEdge(rnd.nextInt(4))
         case 27 => orderNullsEdge(3 + rnd.nextInt(12))
+        case 28 => proj3vl(2 + rnd.nextInt(20))
+        case 29 => winEdgeFuzz(1 + rnd.nextInt(4))
+        case 30 => defaultsFuzz(i, 1 + rnd.nextInt(90))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

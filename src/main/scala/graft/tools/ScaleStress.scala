@@ -593,6 +593,75 @@ object ScaleStress {
         r.copy(plantedTotal = 1L, plantedFound = if (ok) 1L else 0L)
       }
 
+      // unigram LM (r16 window rebuild): per-word counts ride ONE
+      // word-keyed window exchange — no freq join-back re-executing
+      // the scan+explode, no vocabulary broadcast (the r15 shape's
+      // 100 TB killer). Planted contract is SEMANTIC like bigram's:
+      // boilerplate docs (corpus-common tokens) must average strictly
+      // HIGHER mean log-frequency than the token-soup replicas.
+      val unigramLm = if (!wanted("unigramlm")) None else Some {
+        import org.apache.spark.sql.expressions.Window
+        val words = docs.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        val wc = words.withColumn("wc",
+          count(lit(1)).over(Window.partitionBy("word")))
+        val perDoc = wc.groupBy("doc_id", "source")
+          .agg(avg(log(col("wc"))).as("mean_logwc"),
+            count(lit(1)).as("n_tok"))
+        // the FILTER is a non-foldable tautology consuming mean_logwc:
+        // measure()'s count() protocol prunes every unused aggregate,
+        // which deleted the word window from the measured plan entirely
+        // (21k shuffle records instead of the ~800k word exchange);
+        // a filter must evaluate, so the window survives
+        val r = measure(spark, meter, "text_unigram_lm",
+          perDoc
+            .where(xxhash64(col("mean_logwc"), col("n_tok")) >=
+              lit(Long.MinValue))
+            .select(col("doc_id").as("id_a"), col("n_tok").as("id_b")),
+          None)
+        val means = perDoc.groupBy(col("source"))
+          .agg(avg(col("mean_logwc")).as("m"))
+          .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+        val ok = means("boiler") > means("src0")
+        r.copy(plantedTotal = 1L, plantedFound = if (ok) 1L else 0L)
+      }
+
+      // exact quantile at scale (r16 ExactQuantile promotion): the
+      // bin-refinement operator must stay BIT-equal to the buffered
+      // percentile as the corpus grows — its state is O(B·cells) at
+      // any group size where percentile's buffer is O(rows/group).
+      // tailLimit forced low so the tier exercises real refine passes
+      // (not just the tail read); ~unique hash-derived doubles are the
+      // percentile-hostile 97%-distinct shape from the r15 lab. Runs
+      // EAGERLY at construction (driver-looped passes), so the timed
+      // window includes the build, like the Lloyd block above.
+      val quant = if (!wanted("quantile")) None else Some {
+        val vals = docs.select(col("source"),
+          (pmod(xxhash64(col("doc_id")), lit(100000000L)) / lit(997.0)).as("v"))
+          .localCheckpoint()
+        val want = vals.groupBy("source")
+          .agg(expr("percentile(v, array(0.25, 0.5, 0.75))").as("p"))
+          .collect().map(x => x.getString(0) -> x.getSeq[Double](1)).toMap
+        def build() = graft.operators.ExactQuantile.quantiles(
+          vals, "source", "v", Seq(0.25, 0.5, 0.75), tailLimit = 4096)
+        var outRows = build().count() // warm pass
+        var wall = Double.MaxValue
+        var snap = (0L, 0L)
+        for (_ <- 1 to 2) {
+          meter.reset()
+          val t0 = System.nanoTime()
+          outRows = build().count()
+          val w = (System.nanoTime() - t0) / 1e9
+          if (w < wall) { wall = w; snap = meter.snapshot }
+        }
+        val got = build().collect()
+          .map(x => x.getString(0) -> x.getSeq[Double](1)).toMap
+        val ok = want.forall { case (k, ws) => got(k) == ws }
+        vals.unpersist(blocking = true)
+        OpResult("agg_quantile_binrefine", wall, snap._1, snap._2, outRows,
+          1L, if (ok) 1L else 0L)
+      }
+
       // SemDeDup at scale: k grows ~sqrt(n) (the paper's own recipe —
       // bounded cluster sizes keep within-cluster pairs Σ|C|², not n²),
       // tau high enough that only true copies/near-copies prune. The
@@ -716,7 +785,7 @@ object ScaleStress {
       (Seq(prefix, minhash, fuzzy, lsh, compResult, ivf, kmeans,
         decontam, pack, quota, mix, leakage, end2end,
         bm25, epochShuf, incremental, dupspans, removespans, semdedup,
-        boilermine, bigramLm).flatten ++
+        boilermine, bigramLm, unigramLm, quant).flatten ++
         kmeansWide ++ saltspans)
     } finally spark.sparkContext.removeSparkListener(meter)
   }

@@ -60,7 +60,12 @@ for name, case in sorted(manifest.items()):
             same = np.allclose(x.fillna(1.23456e300), y.fillna(1.23456e300),
                                rtol=1e-9, atol=1e-12)
         else:
-            same = x.astype(str).equals(y.astype(str))
+            # normalize null rendering first: pandas nullable dtypes
+            # stringify NA as '<NA>' while object columns give 'None'
+            # (boolean-with-NULL columns arrived with the r16 3VL shape)
+            xs = x.astype(object).where(pd.notnull(x), 'NULL').astype(str)
+            ys = y.astype(object).where(pd.notnull(y), 'NULL').astype(str)
+            same = xs.equals(ys)
         if not same:
             print(f'FAIL {name}: col {c} differs\n  {case["sql"]}')
             ok = False; break
