@@ -2368,7 +2368,10 @@ object SqlDialect {
     "date_diff" -> "duck_date_diff", "datediff" -> "duck_date_diff",
     "date_sub" -> "duck_date_sub", "date_add" -> "duck_date_add",
     "dateadd" -> "duck_date_add",
-    "element_at" -> "duck_idx")
+    "element_at" -> "duck_idx",
+    // r16 tranche 5: reference type names (Spark's typeof renders its
+    // own lowercase names — silent text divergence)
+    "typeof" -> "duck_typeof")
 
   private[graft] def rewriteFnNames(q0: String): String = {
     val toks = SqlLex.tokenize(q0)

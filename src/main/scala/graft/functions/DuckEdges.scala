@@ -178,16 +178,25 @@ case class DuckSub(left: Expression, right: Expression)
         // duck's date ± day-time interval yields a TIMESTAMP (probed)
         TimestampAddInterval(
           Cast(left, TimestampType, tzOpt), UnaryMinus(right), tzOpt)
-      case (TimestampType, TimestampType) =>
+      case (TimestampType | TimestampNTZType, TimestampType | TimestampNTZType)
+        if left.dataType == right.dataType =>
         SubtractTimestamps(left, right, legacyInterval = false, tzOpt)
-      // mixed timestamp/date pairs (probed): the date side widens to
-      // TIMESTAMP and the difference is an interval, same as ts - ts
-      case (TimestampType, DateType) =>
+      // mixed timestamp/date pairs (probed; parquet timestamps arrive
+      // as TIMESTAMP_NTZ): the date side widens to the timestamp
+      // side's type and the difference is an interval, same as ts - ts
+      case (ts @ (TimestampType | TimestampNTZType), DateType) =>
         SubtractTimestamps(
-          left, Cast(right, TimestampType, tzOpt), legacyInterval = false, tzOpt)
-      case (DateType, TimestampType) =>
+          left, Cast(right, ts, tzOpt), legacyInterval = false, tzOpt)
+      case (DateType, ts @ (TimestampType | TimestampNTZType)) =>
         SubtractTimestamps(
-          Cast(left, TimestampType, tzOpt), right, legacyInterval = false, tzOpt)
+          Cast(left, ts, tzOpt), right, legacyInterval = false, tzOpt)
+      case (TimestampType, TimestampNTZType) | (TimestampNTZType, TimestampType) =>
+        SubtractTimestamps(Cast(left, TimestampType, tzOpt),
+          Cast(right, TimestampType, tzOpt), legacyInterval = false, tzOpt)
+      case (TimestampNTZType, _: YearMonthIntervalType) =>
+        new TimestampAddYMInterval(left, UnaryMinus(right))
+      case (TimestampNTZType, _: DayTimeIntervalType) =>
+        TimestampAddInterval(left, UnaryMinus(right), tzOpt)
       case (TimestampType, _: YearMonthIntervalType) =>
         new TimestampAddYMInterval(left, UnaryMinus(right))
       case (TimestampType, _: DayTimeIntervalType) =>

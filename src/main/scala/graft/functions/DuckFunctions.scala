@@ -419,8 +419,11 @@ object DuckFunctions {
         r("duck_mod", DuckMod.builder)
         r("duck_icast", DuckICast.builder)
         // reference type NAMES from typeof (r16 tranche 5 — Spark's own
-        // typeof renders lowercase spark names, silent text divergence)
-        r("typeof", DuckTypeof.builder)
+        // typeof renders lowercase spark names, silent text divergence).
+        // duck_ prefix + dialect rename per the r15 architecture rule:
+        // the registry also resolves API names, so bare overrides leak
+        // into API-built plans
+        r("duck_typeof", DuckTypeof.builder)
         r("duck_try_icast", DuckICast.tryBuilder)
         r("duck_str", DuckStrCast.builder)
         r("duck_try_str", DuckStrCast.tryBuilder)

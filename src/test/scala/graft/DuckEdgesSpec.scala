@@ -95,6 +95,21 @@ class DuckEdgesSpec extends SparkSpec {
     assert(iv.getString(0) == "02:00:00")
   }
 
+  test("r16 TIMESTAMP_NTZ minus pairs (parquet timestamps; duck-probed)") {
+    // parquet timestamp columns arrive as TIMESTAMP_NTZ — every minus
+    // pairing must yield the reference's interval (probed on orders:
+    // '1006 days' / '2404 days' / '-1308 days')
+    val r = one("SELECT " +
+      "CAST(CAST('2024-01-05 03:00:00' AS TIMESTAMP_NTZ) - DATE '2024-01-01' AS VARCHAR) AS a, " +
+      "CAST(CAST('2024-01-05' AS TIMESTAMP_NTZ) - CAST('2024-01-01 06:00:00' AS TIMESTAMP_NTZ) AS VARCHAR) AS b, " +
+      "CAST(DATE '2024-01-05' - CAST('2024-01-01 06:00:00' AS TIMESTAMP_NTZ) AS VARCHAR) AS c, " +
+      "CAST(CAST('2024-01-05' AS TIMESTAMP_NTZ) - INTERVAL 3 DAY AS VARCHAR) AS d")
+    assert(r.getString(0) == "4 days 03:00:00")
+    assert(r.getString(1) == "3 days 18:00:00")
+    assert(r.getString(2) == "3 days 18:00:00")
+    assert(r.getString(3) == "2024-01-02 00:00:00")
+  }
+
   test("r16 e-string hex/unicode/octal escapes (duck-probed)") {
     assert(one("SELECT e'\\x41' AS r").getString(0) == "A")
     assert(one("SELECT e'\\x4.' AS r").getString(0) == ".")
