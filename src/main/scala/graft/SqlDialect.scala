@@ -1183,6 +1183,7 @@ object SqlDialect {
     // mixed-INTERVAL literals, struct/map braces — then 1-based duck
     // subscripts/slices over whatever base expressions remain
     q = rewriteEStrings(q)
+    q = rewriteBlobLiterals(q)
     q = rewriteTimeLiterals(q)
     q = rewriteMixedIntervals(q)
     q = rewriteStructLits(q)
@@ -1726,9 +1727,14 @@ object SqlDialect {
           }
         if (t.kind == SqlLex.Punct && t.lower == "-" && !isArrow && !isSciExp &&
           SqlLex.operandStart(toks, k - 1, castOnly) >= 0) {
-          val ls = extStart(toks, k - 1)
-          val intervalLeft = ls >= 2 &&
-            toks(ls - 2).kind == SqlLex.Ident && toks(ls - 2).lower == "interval"
+          var ls = extStart(toks, k - 1)
+          // keyword-form interval on the left (`INTERVAL 4 HOUR - …`):
+          // the capture lands on the unit ident — extend to the
+          // keyword so duck_sub sees the whole literal (r16; duck_sub
+          // now dispatches every interval pairing incl. the MIXED
+          // ym/dt classes Spark cannot combine)
+          if (ls >= 2 && toks(ls - 2).kind == SqlLex.Ident &&
+            toks(ls - 2).lower == "interval") ls -= 2
           val rSign = if (toks(k + 1).kind == SqlLex.Punct &&
             (toks(k + 1).lower == "-" || toks(k + 1).lower == "+")) 1 else 0
           var re = if (k + 1 + rSign < toks.length)
@@ -1737,10 +1743,15 @@ object SqlDialect {
           if (re >= 0 && rSign == 0 && toks(k + 1).kind == SqlLex.Ident &&
             typedLitKw(toks(k + 1).lower) && re == k + 1 &&
             k + 2 < toks.length && toks(k + 2).kind == SqlLex.Str) re = k + 2
-          // an INTERVAL right operand never rewrites: `interval` is a
-          // nonAtomWord, so operandEnd returns -1 and the minus stays
-          // native — Spark's own datetime-interval subtraction applies
-          if (ls >= 0 && re >= 0 && !intervalLeft) {
+          // INTERVAL right operands (quoted and keyword forms) rewrite
+          // too since r16 — duck_sub owns all interval pairings
+          if (re < 0 && rSign == 0 && toks(k + 1).kind == SqlLex.Ident &&
+            toks(k + 1).lower == "interval" && k + 2 < toks.length) {
+            if (toks(k + 2).kind == SqlLex.Str) re = k + 2
+            else if (toks(k + 2).kind == SqlLex.Num && k + 3 < toks.length &&
+              toks(k + 3).kind == SqlLex.Ident) re = k + 3
+          }
+          if (ls >= 0 && re >= 0) {
             val l = q.substring(toks(ls).start, toks(k - 1).end)
             val r = q.substring(toks(k + 1).start, toks(re).end)
             q = q.substring(0, toks(ls).start) + s"duck_sub($l, $r)" +
@@ -2227,6 +2238,49 @@ object SqlDialect {
     sb.toString
   }
 
+  /** `BLOB '<text>'` literals (reference blob literal with \xHH byte
+    * escapes) → `unhex('<hex>')` computed at rewrite time (r16 —
+    * Spark has no BLOB typed literal). */
+  private[graft] def rewriteBlobLiterals(q0: String): String = {
+    val toks = SqlLex.tokenize(q0)
+    val subs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+    var k = 0
+    while (k + 1 < toks.length) {
+      val t = toks(k)
+      val s = toks(k + 1)
+      if (t.kind == SqlLex.Ident && t.lower == "blob" && s.kind == SqlLex.Str &&
+        (k == 0 || !(toks(k - 1).kind == SqlLex.Punct &&
+          (toks(k - 1).lower == "." || toks(k - 1).lower == "::")))) {
+        val raw = q0.substring(s.start + 1, s.end - 1).replace("''", "'")
+        val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+        var i = 0
+        while (i < raw.length) {
+          if (raw.charAt(i) == '\\' && i + 3 < raw.length &&
+            (raw.charAt(i + 1) == 'x' || raw.charAt(i + 1) == 'X')) {
+            bytes += Integer.parseInt(raw.substring(i + 2, i + 4), 16).toByte
+            i += 4
+          } else {
+            bytes ++= raw.substring(i, i + 1).getBytes("UTF-8")
+            i += 1
+          }
+        }
+        val hex = bytes.map("%02X".format(_)).mkString
+        subs += ((t.start, s.end, s"unhex('$hex')"))
+        k += 1
+      }
+      k += 1
+    }
+    if (subs.isEmpty) q0
+    else {
+      val sb = new StringBuilder
+      var last = 0
+      subs.foreach { case (a, b, rep) =>
+        sb.append(q0.substring(last, a)).append(rep); last = b
+      }
+      sb.append(q0.substring(last)).toString
+    }
+  }
+
   /** `TIME 'HH:MM:SS[.f]'` literals → the engine's documented TIME
     * encoding (LongType micros since midnight — TypeHelpers; the
     * reference's dtime_t, duckdb.hpp:914). */
@@ -2371,7 +2425,17 @@ object SqlDialect {
     "element_at" -> "duck_idx",
     // r16 tranche 5: reference type names (Spark's typeof renders its
     // own lowercase names — silent text divergence)
-    "typeof" -> "duck_typeof")
+    "typeof" -> "duck_typeof",
+    // r16 tranche 6 (BATTERY6_r16.json): same-named-but-different —
+    // dayofweek/weekday are Sunday=0 on the reference (Spark: 1/Mon-0),
+    // bit_count popcounts at the input WIDTH, date_trunc supports
+    // decade/century/millennium and returns DATE for day-or-coarser
+    // units, printf carries C numeric conversions, age is the symbolic
+    // calendar decomposition
+    "dayofweek" -> "duck_dayofweek", "weekday" -> "duck_dayofweek",
+    "bit_count" -> "duck_bit_count",
+    "date_trunc" -> "duck_date_trunc", "datetrunc" -> "duck_date_trunc",
+    "printf" -> "duck_printf")
 
   private[graft] def rewriteFnNames(q0: String): String = {
     val toks = SqlLex.tokenize(q0)

@@ -71,6 +71,21 @@ object DuckEdges {
     }
   }
 
+  /** Mixed year-month ± day-time interval → CalendarInterval with the
+    * reference's day split (probed r16: INTERVAL '1 month' - INTERVAL
+    * '10 days' renders '1 month -10 days'). */
+  def mixedInterval(months: Int, us: Long): org.apache.spark.unsafe.types.CalendarInterval =
+    new org.apache.spark.unsafe.types.CalendarInterval(
+      months, (us / 86400000000L).toInt, us % 86400000000L)
+
+  /** ym − dt (physical encodings: months int / micros long). */
+  def mixedIntervalSub(months: Int, us: Long): org.apache.spark.unsafe.types.CalendarInterval =
+    mixedInterval(months, -us)
+
+  /** dt − ym. */
+  def mixedIntervalSubDt(us: Long, months: Int): org.apache.spark.unsafe.types.CalendarInterval =
+    mixedInterval(-months, us)
+
   /** CalendarInterval (mixed literals via make_interval). */
   def formatCalendar(months: Int, days: Int, us: Long): UTF8String = {
     val sb = new StringBuilder
@@ -197,6 +212,19 @@ case class DuckSub(left: Expression, right: Expression)
         new TimestampAddYMInterval(left, UnaryMinus(right))
       case (TimestampNTZType, _: DayTimeIntervalType) =>
         TimestampAddInterval(left, UnaryMinus(right), tzOpt)
+      // mixed interval classes → CalendarInterval (probed r16:
+      // '1 month -10 days'; Spark cannot combine the two types).
+      // Intervals pass at their PHYSICAL encodings (months int /
+      // micros long) — a Cast to LongType converts to the END-FIELD
+      // unit ('10 days' → 10), which minted a -10-microsecond bug
+      case (ym: YearMonthIntervalType, dt: DayTimeIntervalType) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          DuckEdges.getClass, CalendarIntervalType, "mixedIntervalSub",
+          Seq(left, right), Seq(ym, dt))
+      case (dt: DayTimeIntervalType, ym: YearMonthIntervalType) =>
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          DuckEdges.getClass, CalendarIntervalType, "mixedIntervalSubDt",
+          Seq(left, right), Seq(dt, ym))
       case (TimestampType, _: YearMonthIntervalType) =>
         new TimestampAddYMInterval(left, UnaryMinus(right))
       case (TimestampType, _: DayTimeIntervalType) =>
@@ -390,4 +418,68 @@ object DuckTypeof {
     case other => other.sql
   }
   val builder: Seq[Expression] => Expression = a => DuckTypeof(a.head)
+}
+
+/** duck bit_count: popcount at the INPUT's width (probed r16:
+  * bit_count(CAST(-1 AS TINYINT)) = 8 where Spark promotes and answers
+  * 64 — silent wrong on every negative narrow input). */
+case class DuckBitCount(child: Expression)
+  extends UnaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case ByteType => BitwiseCount(
+      BitwiseAnd(Cast(child, LongType), Literal(0xFFL)))
+    case ShortType => BitwiseCount(
+      BitwiseAnd(Cast(child, LongType), Literal(0xFFFFL)))
+    case IntegerType => BitwiseCount(
+      BitwiseAnd(Cast(child, LongType), Literal(0xFFFFFFFFL)))
+    case _ => BitwiseCount(child)
+  }
+
+  override def prettyName: String = "bit_count"
+  override protected def withNewChildInternal(c: Expression): DuckBitCount =
+    copy(child = c)
+}
+
+/** duck date_trunc: result TYPE is DATE for day-or-coarser units and
+  * TIMESTAMP for sub-day units, regardless of the input's type (probed
+  * r16); decade/century/millennium floor the year (probed: 2024 →
+  * 2020 / 2000 / 2000) where Spark returns NULL — silent wrong. */
+case class DuckDateTrunc(unit: Expression, child: Expression)
+  extends BinaryExpression with RuntimeReplaceable {
+  import DuckEdges.tzOpt
+
+  override def left: Expression = unit
+  override def right: Expression = child
+
+  override lazy val replacement: Expression = {
+    val u = unit match {
+      case Literal(s: UTF8String, StringType) => s.toString.toLowerCase
+      case _ => throw new IllegalArgumentException(
+        "date_trunc requires a literal unit")
+    }
+    val ts = Cast(child, TimestampType, tzOpt)
+    def yearFloor(div: Int): Expression =
+      MakeDate(Multiply(Cast(Floor(Divide(
+        Cast(Year(Cast(child, DateType, tzOpt)), DoubleType),
+        Literal(div.toDouble))), IntegerType), Literal(div)),
+        Literal(1), Literal(1))
+    u match {
+      case "decade" | "decades" => yearFloor(10)
+      case "century" | "centuries" => yearFloor(100)
+      case "millennium" | "millennia" => yearFloor(1000)
+      case "year" | "years" | "quarter" | "quarters" | "month" | "months" |
+           "week" | "weeks" | "day" | "days" =>
+        // day-or-coarser → DATE (probed even for timestamp inputs)
+        Cast(TruncTimestamp(Literal(UTF8String.fromString(u), StringType),
+          ts, tzOpt), DateType, tzOpt)
+      case _ =>
+        // sub-day units keep TIMESTAMP (probed even for date inputs)
+        TruncTimestamp(unit, ts, tzOpt)
+    }
+  }
+
+  override def prettyName: String = "date_trunc"
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DuckDateTrunc = copy(unit = l, child = r)
 }

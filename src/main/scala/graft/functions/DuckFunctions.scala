@@ -550,6 +550,129 @@ object DuckFunctions {
         r("decade", a => DuckDateAgg.decade(a(0)))
         r("millennium", a => DuckDateAgg.millennium(a(0)))
         r("isoyear", a => DuckDateAgg.isoyear(a(0)))
+        // ---- r16 battery tranche 6 (BATTERY6_r16.json): name tail +
+        // same-named-but-different semantics (dialect-renamed) ----
+        alias("today", "current_date")
+        alias("suffix", "endswith")
+        alias("prefix", "startswith")
+        alias("json_keys", "json_object_keys")
+        alias("list_concat", "concat")
+        alias("list_cat", "concat")
+        alias("array_concat", "concat")
+        alias("to_base64", "base64")
+        alias("from_base64", "unbase64")
+        alias("to_binary", "bin")
+        r("map_extract", a => DuckIdx(a(0), a(1)))
+        r("list_any_value", a => new org.apache.spark.sql.catalyst.expressions
+          .TryElementAt(org.apache.spark.sql.catalyst.analysis
+            .UnresolvedFunction(Seq("array_compact"), Seq(a(0)),
+              isDistinct = false),
+          org.apache.spark.sql.catalyst.expressions.Literal(1)))
+        locally { // list_reduce: seed = first element, raise on empty.
+          // The empty-check rides the ZERO argument — a lambda under an
+          // outer If trips the analyzer's lambda-only-in-HOF check, so
+          // ArrayAggregate must stay the top node (r16)
+          import org.apache.spark.sql.catalyst.expressions.{ArrayAggregate,
+            ElementAt, If => CIf, LambdaFunction, LessThanOrEqual, Literal => L,
+            RaiseError, Size, Slice, UnresolvedNamedLambdaVariable}
+          r("list_reduce", a => {
+            val sz = Size(a(0), legacySizeOfNull = false)
+            val acc = UnresolvedNamedLambdaVariable(Seq("__lr_acc"))
+            val zero = CIf(LessThanOrEqual(sz, L(0)),
+              RaiseError(L(org.apache.spark.unsafe.types.UTF8String.fromString(
+                "Cannot perform list_reduce on an empty input list"),
+                org.apache.spark.sql.types.StringType)),
+              ElementAt(a(0), L(1)))
+            ArrayAggregate(
+              Slice(a(0), L(2), org.apache.spark.sql.catalyst.expressions
+                .Greatest(Seq(org.apache.spark.sql.catalyst.expressions
+                  .Subtract(sz, L(1)), L(0)))),
+              zero, a(1), LambdaFunction(acc, Seq(acc)))
+          })
+        }
+        alias("array_length", "size")
+        r("json_merge_patch", a =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            DuckStrFns.getClass, org.apache.spark.sql.types.StringType,
+            "jsonMergePatch",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+              org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.catalyst.expressions.Cast(a(1),
+                org.apache.spark.sql.types.StringType)),
+            Seq(org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)))
+        r("json_type", a =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            DuckStrFns.getClass, org.apache.spark.sql.types.StringType,
+            "jsonType",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+              org.apache.spark.sql.types.StringType)),
+            Seq(org.apache.spark.sql.types.StringType)))
+        r("json_structure", a =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            DuckStrFns.getClass, org.apache.spark.sql.types.StringType,
+            "jsonStructure",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+              org.apache.spark.sql.types.StringType)),
+            Seq(org.apache.spark.sql.types.StringType)))
+        r("regexp_full_match", a => org.apache.spark.sql.catalyst.expressions
+          .RLike(a(0), org.apache.spark.sql.catalyst.expressions.Concat(Seq(
+            org.apache.spark.sql.catalyst.expressions.Literal("^(?:"),
+            org.apache.spark.sql.catalyst.expressions.Cast(a(1),
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.catalyst.expressions.Literal(")$")))))
+        r("regexp_escape", a =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            DuckStrFns.getClass, org.apache.spark.sql.types.StringType,
+            "regexpEscape",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+              org.apache.spark.sql.types.StringType)),
+            Seq(org.apache.spark.sql.types.StringType)))
+        r("format_bytes", a =>
+          org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+            DuckStrFns.getClass, org.apache.spark.sql.types.StringType,
+            "formatBytes",
+            Seq(org.apache.spark.sql.catalyst.expressions.Cast(a(0),
+              org.apache.spark.sql.types.LongType)),
+            Seq(org.apache.spark.sql.types.LongType)))
+        locally { // even: round away from zero to the next even number
+          import org.apache.spark.sql.catalyst.expressions.{Cast => CCast,
+            Ceil, Divide, GreaterThanOrEqual, If => CIf, Literal => L,
+            Multiply, UnaryMinus}
+          import org.apache.spark.sql.types.DoubleType
+          r("even", a => {
+            val x = CCast(a(0), DoubleType)
+            def up(v: CExpr): CExpr =
+              Multiply(CCast(Ceil(Divide(v, L(2.0))), DoubleType), L(2.0))
+            CIf(GreaterThanOrEqual(x, L(0.0)), up(x), UnaryMinus(up(UnaryMinus(x))))
+          })
+        }
+        r("duck_bit_count", a => DuckBitCount(a(0)))
+        r("duck_dayofweek", a => org.apache.spark.sql.catalyst.expressions
+          .Subtract(org.apache.spark.sql.catalyst.analysis.UnresolvedFunction(
+            Seq("dayofweek"), Seq(a(0)), isDistinct = false),
+            org.apache.spark.sql.catalyst.expressions.Literal(1)))
+        r("duck_date_trunc", a => DuckDateTrunc(a(0), a(1)))
+        r("duck_printf", DuckStrFns.printfB)
+        r("age", DuckStrFns.ageB)
+        r("generate_subscripts", a => org.apache.spark.sql.catalyst.analysis
+          .UnresolvedFunction(Seq("explode"),
+            Seq(new org.apache.spark.sql.catalyst.expressions.Sequence(
+              org.apache.spark.sql.catalyst.expressions.Literal(1L),
+              org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Size(a(0),
+                  legacySizeOfNull = false),
+                org.apache.spark.sql.types.LongType))),
+            isDistinct = false))
+        locally { // make_time → the documented TIME encoding (micros)
+          import org.apache.spark.sql.catalyst.expressions.{Add => CA,
+            Cast => CC, Literal => L, Multiply => CM, Round}
+          import org.apache.spark.sql.types.{DoubleType, LongType}
+          r("make_time", a =>
+            CA(CM(CA(CM(CC(a(0), LongType), L(3600L)),
+              CM(CC(a(1), LongType), L(60L))), L(1000000L)),
+              CC(Round(CM(CC(a(2), DoubleType), L(1000000.0)), L(0)), LongType)))
+        }
         alias("row", "struct")
         alias("arg_min", "min_by")
         alias("arg_max", "max_by")

@@ -146,10 +146,27 @@ object DuckStrFns {
         else {
           sb.append(fmt.substring(i, open))
           val inner = fmt.substring(open + 1, close)
-          val idx = if (inner.isEmpty) { val k = next; next += 1; k }
-            else inner.toInt + 1
+          // `{`, `{0}`, or fmt-spec forms `{:.2f}` / `{2:04d}` (r16):
+          // the spec subset maps onto a Java % conversion
+          val colon = inner.indexOf(':')
+          val idxPart = if (colon >= 0) inner.substring(0, colon) else inner
+          val spec = if (colon >= 0) inner.substring(colon + 1) else ""
+          val idx = if (idxPart.isEmpty) { val k = next; next += 1; k }
+            else idxPart.toInt + 1
           if (sb.nonEmpty) { parts += Literal(sb.toString); sb.clear() }
-          parts += Coalesce(Seq(DuckStrCast(a(idx)), Literal("")))
+          parts += (if (spec.isEmpty)
+            Coalesce(Seq(DuckStrCast(a(idx)), Literal("")))
+          else {
+            val conv = spec.last
+            val arg = conv match {
+              case 'f' | 'e' | 'g' => Cast(a(idx), DoubleType)
+              case 'd' | 'x' | 'X' | 'o' => Cast(a(idx), LongType)
+              case 's' => Cast(a(idx), StringType)
+              case other => throw new IllegalArgumentException(
+                s"format(): unsupported format spec '{$inner}'")
+            }
+            FormatString(Literal("%" + spec), arg)
+          })
           i = close + 1
         }
       }
@@ -179,22 +196,20 @@ object DuckStrFns {
 
   /** strptime(s, fmt) — epoch micros through the shared translator. */
   val strptimeB: Seq[Expression] => Expression = a =>
-    StaticInvoke(DuckStrFns.getClass, TimestampType, "strptime",
+    StaticInvoke(DuckStrFns.getClass, TimestampType, "strptimeDuck",
       Seq(Cast(a(0), StringType), Cast(a(1), StringType)),
       Seq(StringType, StringType))
 
-  /** strftime(ts, fmt) — literal fmt through the shared translation to
-    * a Java pattern (non-literal formats raise). */
-  val strftimeB: Seq[Expression] => Expression = a => a(1) match {
-    case Literal(f: UTF8String, StringType) =>
-      DateFormatClass(
-        Cast(a(0), TimestampType,
-          Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
-        Literal(DuckFunctions.strftimeToJava(f.toString)),
-        Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-    case _ => throw new IllegalArgumentException(
-      "strftime() requires a literal format string")
-  }
+  /** strftime(ts, fmt) — the hand formatter with the reference's exact
+    * specifier set (r16; the Java-pattern translation it replaces
+    * could not express %U/%W/%V/%G — hard Spark errors — and silently
+    * differed on %c/%x/%X/%n/%z). */
+  val strftimeB: Seq[Expression] => Expression = a =>
+    StaticInvoke(DuckStrFns.getClass, StringType, "strftimeMicros",
+      Seq(Cast(a(0), TimestampType,
+        Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)),
+        Cast(a(1), StringType)),
+      Seq(TimestampType, StringType))
 
   /** yearweek = ISO year * 100 + ISO week (probed: 1994-01-01 →
     * 199352). ISO year = calendar year of that week's Thursday. */
@@ -234,4 +249,394 @@ object DuckStrFns {
     ArrayDistinct(nonNulls(a(0)))
   val listUniqueB: Seq[Expression] => Expression = a =>
     Cast(Size(ArrayDistinct(nonNulls(a(0))), legacySizeOfNull = false), LongType)
+
+  // ---- r16 battery tranche 6: hand-rolled strftime/strptime with the
+  // reference's EXACT specifier set (duckdb-5.cpp:11399 StrfTimeFormat;
+  // every behavior duck-probed, BATTERY6_r16.json). The Java-pattern
+  // translation this replaces could not express the week-number family
+  // (%U %W %V %G are hard errors in Spark >= 3.0 patterns) and
+  // silently differed on %c/%x/%X/%n/%z. Unknown specifiers raise the
+  // reference's named error. ----
+
+  private val dayNames = Array("Monday", "Tuesday", "Wednesday",
+    "Thursday", "Friday", "Saturday", "Sunday")
+  private val monNames = Array("January", "February", "March", "April",
+    "May", "June", "July", "August", "September", "October", "November",
+    "December")
+
+  def strftimeMicros(us: Long, fmt: UTF8String): UTF8String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val d = ldt.toLocalDate
+    val iso = java.time.temporal.WeekFields.ISO
+    val f = fmt.toString
+    val sb = new StringBuilder
+    var i = 0
+    def p2(v: Int): String = f"$v%02d"
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        var j = i + 1
+        val dash = f.charAt(j) == '-'
+        if (dash) j += 1
+        def n(v: Int, w: Int): String =
+          if (dash) v.toString else ("%0" + w + "d").format(v)
+        val sp = if (j < f.length) f.charAt(j) else ' '
+        sp match {
+          case 'a' => sb.append(dayNames(d.getDayOfWeek.getValue - 1).take(3))
+          case 'A' => sb.append(dayNames(d.getDayOfWeek.getValue - 1))
+          case 'b' => sb.append(monNames(d.getMonthValue - 1).take(3))
+          case 'B' => sb.append(monNames(d.getMonthValue - 1))
+          case 'c' => sb.append(d.toString).append(' ')
+            .append(p2(ldt.getHour)).append(':').append(p2(ldt.getMinute))
+            .append(':').append(p2(ldt.getSecond))
+          case 'd' => sb.append(n(d.getDayOfMonth, 2))
+          case 'f' => sb.append(if (dash) (us % 1000000L + 1000000L) % 1000000L
+            else f"${Math.floorMod(us, 1000000L)}%06d")
+          case 'g' => sb.append(if (dash) Math.floorMod(us, 1000000L) / 1000L
+            else f"${Math.floorMod(us, 1000000L) / 1000L}%03d")
+          case 'n' => sb.append(f"${Math.floorMod(us, 1000000L) * 1000L}%09d")
+          case 'G' => sb.append(d.get(iso.weekBasedYear))
+          case 'H' => sb.append(n(ldt.getHour, 2))
+          case 'I' =>
+            val h12 = { val h = ldt.getHour % 12; if (h == 0) 12 else h }
+            sb.append(n(h12, 2))
+          case 'j' => sb.append(n(d.getDayOfYear, 3))
+          case 'm' => sb.append(n(d.getMonthValue, 2))
+          case 'M' => sb.append(n(ldt.getMinute, 2))
+          case 'p' => sb.append(if (ldt.getHour < 12) "AM" else "PM")
+          case 'S' => sb.append(n(ldt.getSecond, 2))
+          case 'u' => sb.append(d.getDayOfWeek.getValue)
+          case 'U' =>
+            val w = d.getDayOfWeek.getValue % 7 // Sunday = 0
+            sb.append(n((d.getDayOfYear - 1 - w + 7) / 7, 2))
+          case 'V' => sb.append(n(d.get(iso.weekOfWeekBasedYear), 2))
+          case 'w' => sb.append(d.getDayOfWeek.getValue % 7)
+          case 'W' =>
+            val w = d.getDayOfWeek.getValue - 1 // Monday = 0
+            sb.append(n((d.getDayOfYear - 1 - w + 7) / 7, 2))
+          case 'x' => sb.append(d.toString)
+          case 'X' => sb.append(p2(ldt.getHour)).append(':')
+            .append(p2(ldt.getMinute)).append(':').append(p2(ldt.getSecond))
+          case 'y' => sb.append(n(d.getYear % 100, 2))
+          case 'Y' => sb.append(d.getYear)
+          case 'z' => sb.append("+00")
+          case 'Z' => () // empty for naive timestamps (probed)
+          case '%' => sb.append('%')
+          case other => throw new IllegalArgumentException(
+            s"Failed to parse format specifier ${f.substring(i)}: " +
+              s"Unrecognized format for strftime/strptime: %$other")
+        }
+        i = j + 1
+      } else { sb.append(c); i += 1 }
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** Hand strptime mirroring the reference's parser: numeric fields
+    * consume up to their width (fewer digits allowed), %j/%U/%W parse
+    * AND DISCARD (probed: strptime('2024-068','%Y-%j') = Jan 1), month
+    * names match case-insensitively, %p flips the 12-hour field. */
+  def strptimeDuck(s0: UTF8String, fmt: UTF8String): Long = {
+    val s = s0.toString
+    val f = fmt.toString
+    var pos = 0
+    var year = 1900; var month = 1; var day = 1
+    var hour = 0; var minute = 0; var second = 0; var micros = 0L
+    var pm = false; var sawAmPm = false; var hour12 = false
+    def digits(maxW: Int): Int = {
+      var v = 0; var n = 0
+      if (pos >= s.length || !s.charAt(pos).isDigit)
+        throw new IllegalArgumentException(
+          s"strptime: expected a number at position $pos in '$s'")
+      while (pos < s.length && n < maxW && s.charAt(pos).isDigit) {
+        v = v * 10 + (s.charAt(pos) - '0'); pos += 1; n += 1
+      }
+      v
+    }
+    def name(names: Array[String]): Int = {
+      val rest = s.substring(pos)
+      var hit = -1
+      var hitLen = 0
+      var k = 0
+      while (k < names.length) {
+        val full = names(k); val abbr = full.take(3)
+        if (rest.regionMatches(true, 0, full, 0, full.length) &&
+          full.length > hitLen) { hit = k; hitLen = full.length }
+        else if (hitLen < 3 && rest.regionMatches(true, 0, abbr, 0, 3)) {
+          hit = k; hitLen = 3
+        }
+        k += 1
+      }
+      if (hit < 0) throw new IllegalArgumentException(
+        s"strptime: no name matches at position $pos in '$s'")
+      pos += hitLen
+      hit
+    }
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        var j = i + 1
+        if (f.charAt(j) == '-') j += 1
+        f.charAt(j) match {
+          case 'Y' => year = digits(4)
+          case 'y' => val v = digits(2); year = if (v < 69) 2000 + v else 1900 + v
+          case 'm' => month = digits(2)
+          case 'd' => day = digits(2)
+          case 'H' => hour = digits(2)
+          case 'I' => hour = digits(2); hour12 = true
+          case 'M' => minute = digits(2)
+          case 'S' => second = digits(2)
+          case 'f' =>
+            // fractional seconds scale by CONSUMED width ('.12' is
+            // 120000 micros, not 12)
+            val start = pos
+            val v = digits(6).toLong
+            var scale = 6 - (pos - start)
+            var m = v
+            while (scale > 0) { m *= 10; scale -= 1 }
+            micros = m
+          case 'g' => micros = digits(3).toLong * 1000L
+          case 'p' =>
+            sawAmPm = true
+            val rest = s.substring(pos)
+            if (rest.regionMatches(true, 0, "PM", 0, 2)) { pm = true; pos += 2 }
+            else if (rest.regionMatches(true, 0, "AM", 0, 2)) pos += 2
+            else throw new IllegalArgumentException(
+              s"strptime: expected AM/PM at position $pos in '$s'")
+          case 'b' | 'B' => month = name(monNames) + 1
+          case 'a' | 'A' => name(dayNames) // consumed, not used
+          case 'j' | 'U' | 'W' => digits(3) // parsed AND DISCARDED (probed)
+          case '%' =>
+            if (pos < s.length && s.charAt(pos) == '%') pos += 1
+            else throw new IllegalArgumentException("strptime: expected %")
+          case other => throw new IllegalArgumentException(
+            s"Failed to parse format specifier ${f.substring(i)}: " +
+              s"Unrecognized format for strftime/strptime: %$other")
+        }
+        i = j + 1
+      } else {
+        if (pos < s.length && s.charAt(pos) == c) pos += 1
+        else if (c == ' ') () // duck tolerates absent literal spaces
+        else throw new IllegalArgumentException(
+          s"strptime: literal '$c' does not match at position $pos in '$s'")
+        i += 1
+      }
+    }
+    if (hour12 && sawAmPm) {
+      val h = hour % 12
+      hour = if (pm) h + 12 else h
+    }
+    java.time.LocalDateTime.of(year, month, day, hour, minute, second)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + micros
+  }
+
+  /** duck format_bytes: '<1024' renders as 'N bytes', tiers are /1024
+    * with ONE TRUNCATED decimal (probed boundaries: 1126 → '1.0 KiB',
+    * 1127 → '1.1 KiB' — i.e. floor(v·10 / 1024^u), not rounding;
+    * '-2048' → '-2.0 KiB'). */
+  def formatBytes(v: Long): UTF8String = {
+    val neg = v < 0
+    var x = math.abs(v)
+    val units = Array("bytes", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB")
+    var div = 1L
+    var u = 0
+    while (x / div >= 1024 && u < units.length - 1) { div *= 1024; u += 1 }
+    val s =
+      if (u == 0) s"$x bytes"
+      else {
+        val tenths = (BigInt(x) * 10 / div).toLong // truncation, probed
+        s"${tenths / 10}.${tenths % 10} ${units(u)}"
+      }
+    UTF8String.fromString(if (neg) "-" + s else s)
+  }
+
+  /** duck regexp_escape: backslash-escapes the regex metacharacters
+    * (probed: 'a.b' -> 'a\\.b'). */
+  def regexpEscape(s: UTF8String): UTF8String = {
+    val meta = ".^$|()[]{}*+?\\"
+    val sb = new StringBuilder
+    s.toString.foreach { c =>
+      if (meta.indexOf(c) >= 0) sb.append('\\')
+      sb.append(c)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  /** C-style %g for duck_printf: %.6g significance with trailing-zero
+    * trim (Java's %g keeps the zeros — probed '0.0001' vs
+    * '0.000100000'). */
+  def gFormat(v: Double): UTF8String = {
+    var s = "%.6g".format(v)
+    if (s.contains('.') && !s.contains('e') && !s.contains('E'))
+      s = s.reverse.dropWhile(_ == '0').reverse.stripSuffix(".")
+    else if (s.contains('e') || s.contains('E')) {
+      val Array(m, e) = s.split("[eE]")
+      val m2 = if (m.contains('.'))
+        m.reverse.dropWhile(_ == '0').reverse.stripSuffix(".") else m
+      s = m2 + "e" + e
+    }
+    UTF8String.fromString(s)
+  }
+
+
+  /** duck age(a, b): SYMBOLIC year/month/day decomposition with the
+    * reference's borrow rules (probed r16: borrows use the EARLIER
+    * date's month length — age('2024-03-01','2024-01-31') =
+    * '1 month 1 day' via January's 31; sign-symmetric for a < b). */
+  def ageInterval(aUs: Long, bUs: Long):
+      org.apache.spark.unsafe.types.CalendarInterval = {
+    if (aUs < bUs) {
+      val r = ageInterval(bUs, aUs)
+      return new org.apache.spark.unsafe.types.CalendarInterval(
+        -r.months, -r.days, -r.microseconds)
+    }
+    def ldt(us: Long) = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    val a = ldt(aUs); val b = ldt(bUs)
+    var micros = a.toLocalTime.toNanoOfDay / 1000L -
+      b.toLocalTime.toNanoOfDay / 1000L
+    var days = a.getDayOfMonth - b.getDayOfMonth
+    var months = (a.getYear - b.getYear) * 12 + (a.getMonthValue - b.getMonthValue)
+    if (micros < 0) { micros += 86400000000L; days -= 1 }
+    if (days < 0) { days += b.toLocalDate.lengthOfMonth(); months -= 1 }
+    new org.apache.spark.unsafe.types.CalendarInterval(months, days, micros)
+  }
+
+  val ageB: Seq[Expression] => Expression = a => {
+    val tz = Option(org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val args = if (a.length == 2) a else Seq(
+      Cast(org.apache.spark.sql.catalyst.expressions.CurrentDate(tz),
+        TimestampType, tz), a(0))
+    StaticInvoke(DuckStrFns.getClass, CalendarIntervalType, "ageInterval",
+      args.map(x => Cast(x, TimestampType, tz)),
+      Seq(TimestampType, TimestampType))
+  }
+
+  /** duck printf: C semantics over a literal format — numeric args are
+    * cast per conversion (Java's format_string throws on DECIMAL
+    * against %f), and %g gets C's trailing-zero trim (probed '0.0001'
+    * vs Java's '0.000100000'). */
+  val printfB: Seq[Expression] => Expression = a => a.head match {
+    case Literal(f: UTF8String, StringType) =>
+      val fmt = f.toString
+      val out = new StringBuilder
+      val args = scala.collection.mutable.ArrayBuffer.empty[Expression]
+      var next = 1
+      var i = 0
+      while (i < fmt.length) {
+        val c = fmt.charAt(i)
+        if (c == '%' && i + 1 < fmt.length) {
+          if (fmt.charAt(i + 1) == '%') { out.append("%%"); i += 2 }
+          else {
+            var j = i + 1
+            while (j < fmt.length && !fmt.charAt(j).isLetter) j += 1
+            if (j >= fmt.length) { out.append(c); i += 1 }
+            else {
+              val flags = fmt.substring(i + 1, j)
+              val conv = fmt.charAt(j)
+              val arg = a(next); next += 1
+              conv match {
+                case 'f' | 'e' | 'E' =>
+                  out.append('%').append(flags).append(conv)
+                  args += Cast(arg, DoubleType)
+                case 'g' | 'G' =>
+                  out.append("%s")
+                  args += StaticInvoke(DuckStrFns.getClass, StringType,
+                    "gFormat", Seq(Cast(arg, DoubleType)), Seq(DoubleType))
+                case 'd' | 'i' =>
+                  out.append('%').append(flags).append('d')
+                  args += Cast(arg, LongType)
+                case 'x' | 'X' | 'o' =>
+                  out.append('%').append(flags).append(conv)
+                  args += Cast(arg, LongType)
+                case 's' =>
+                  out.append('%').append(flags).append('s')
+                  args += Coalesce(Seq(DuckStrCast(arg), Literal("NULL")))
+                case other => throw new IllegalArgumentException(
+                  s"printf: unsupported conversion %$other")
+              }
+              i = j + 1
+            }
+          }
+        } else { out.append(c); i += 1 }
+      }
+      FormatString((Literal(out.toString) +: args.toSeq): _*)
+    case _ => FormatString(a: _*)
+  }
+
+
+  /** RFC 7386 JSON merge patch (reference json_merge_patch, probed:
+    * recursive object merge, null values DELETE keys, non-object patch
+    * replaces wholesale). json4s ships with Spark. */
+  def jsonMergePatch(a: UTF8String, b: UTF8String): UTF8String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def merge(x: JValue, y: JValue): JValue = (x, y) match {
+      case (JObject(xf), JObject(yf)) =>
+        val xm = xf.toMap
+        val keep = xf.filterNot { case (k, _) => yf.exists(_._1 == k) }
+        val merged = yf.flatMap {
+          case (_, JNull) => None
+          case (k, v) => Some(k -> merge(xm.getOrElse(k, JNothing), v))
+        }
+        JObject(keep ++ merged)
+      case (_, JObject(yf)) =>
+        JObject(yf.flatMap { case (_, JNull) => None
+          case (k, v) => Some(k -> merge(JNothing, v)) })
+      case (_, y2) => y2
+    }
+    val out = merge(JsonMethods.parse(a.toString), JsonMethods.parse(b.toString))
+    UTF8String.fromString(JsonMethods.compact(JsonMethods.render(out)))
+  }
+
+  /** duck json_type (probed r16): the root value's reference type
+    * name — OBJECT / ARRAY / VARCHAR / UBIGINT / BIGINT / DOUBLE /
+    * BOOLEAN / NULL. */
+  def jsonType(j: UTF8String): UTF8String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val t = JsonMethods.parse(j.toString) match {
+      case JObject(_) => "OBJECT"
+      case JArray(_) => "ARRAY"
+      case JString(_) => "VARCHAR"
+      case JInt(n) => if (n >= 0) "UBIGINT" else "BIGINT"
+      case JLong(n) => if (n >= 0) "UBIGINT" else "BIGINT"
+      case JDouble(_) | JDecimal(_) => "DOUBLE"
+      case JBool(_) => "BOOLEAN"
+      case JNull => "NULL"
+      case _ => "JSON"
+    }
+    UTF8String.fromString(t)
+  }
+
+  /** duck json_structure (probed r16): positive ints are UBIGINT,
+    * negative BIGINT, floats DOUBLE, strings VARCHAR, null "NULL";
+    * arrays report the shared element structure or ["JSON"] when
+    * mixed ([] reports ["NULL"]); objects recurse. */
+  def jsonStructure(j: UTF8String): UTF8String = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def walk(v: JValue): JValue = v match {
+      case JObject(fs) => JObject(fs.map { case (k, x) => k -> walk(x) })
+      case JArray(Nil) => JArray(List(JString("NULL")))
+      case JArray(xs) =>
+        val shapes = xs.map(walk)
+        JArray(List(
+          if (shapes.distinct.length == 1) shapes.head else JString("JSON")))
+      case JInt(n) => JString(if (n >= 0) "UBIGINT" else "BIGINT")
+      case JLong(n) => JString(if (n >= 0) "UBIGINT" else "BIGINT")
+      case JDouble(_) | JDecimal(_) => JString("DOUBLE")
+      case JBool(_) => JString("BOOLEAN")
+      case JString(_) => JString("VARCHAR")
+      case JNull => JString("NULL")
+      case _ => JString("JSON")
+    }
+    UTF8String.fromString(JsonMethods.compact(JsonMethods.render(
+      walk(JsonMethods.parse(j.toString)))))
+  }
+
 }
