@@ -569,46 +569,167 @@ object DuckStrFns {
   }
 
 
+  // ---- minimal JSON value tree (r16): parse/render for the three
+  // json_* tail functions. Hand-rolled rather than a library import —
+  // the leak gate allowlists only the public Spark/Scala namespaces,
+  // and these functions need just values, objects, arrays, and
+  // round-trippable number text. ----
+  private sealed trait JV
+  private case object JvNull extends JV
+  private final case class JvBool(b: Boolean) extends JV
+  private final case class JvNum(text: String) extends JV
+  private final case class JvStr(s: String) extends JV
+  private final case class JvArr(xs: List[JV]) extends JV
+  private final case class JvObj(fs: List[(String, JV)]) extends JV
+
+  private def jparse(s: String): JV = {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed JSON at $i: $msg")
+    def str(): String = {
+      if (s.charAt(i) != '"') fail("expected string")
+      i += 1
+      val sb = new StringBuilder
+      while (i < s.length && s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          s.charAt(i + 1) match {
+            case '"' => sb.append('"'); i += 2
+            case '\\' => sb.append('\\'); i += 2
+            case '/' => sb.append('/'); i += 2
+            case 'n' => sb.append('\n'); i += 2
+            case 't' => sb.append('\t'); i += 2
+            case 'r' => sb.append('\r'); i += 2
+            case 'b' => sb.append('\b'); i += 2
+            case 'f' => sb.append('\f'); i += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case other => sb.append(other); i += 2
+          }
+        } else { sb.append(c); i += 1 }
+      }
+      if (i >= s.length) fail("unterminated string")
+      i += 1
+      sb.toString
+    }
+    def value(): JV = {
+      ws()
+      if (i >= s.length) fail("empty")
+      s.charAt(i) match {
+        case '{' =>
+          i += 1; ws()
+          val fs = scala.collection.mutable.ListBuffer.empty[(String, JV)]
+          if (i < s.length && s.charAt(i) == '}') i += 1
+          else {
+            var more = true
+            while (more) {
+              ws(); val k = str(); ws()
+              if (i >= s.length || s.charAt(i) != ':') fail("expected :")
+              i += 1
+              fs += (k -> value())
+              ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { if (i >= s.length || s.charAt(i) != '}') fail("expected }")
+                i += 1; more = false }
+            }
+          }
+          JvObj(fs.toList)
+        case '[' =>
+          i += 1; ws()
+          val xs = scala.collection.mutable.ListBuffer.empty[JV]
+          if (i < s.length && s.charAt(i) == ']') i += 1
+          else {
+            var more = true
+            while (more) {
+              xs += value(); ws()
+              if (i < s.length && s.charAt(i) == ',') i += 1
+              else { if (i >= s.length || s.charAt(i) != ']') fail("expected ]")
+                i += 1; more = false }
+            }
+          }
+          JvArr(xs.toList)
+        case '"' => JvStr(str())
+        case 't' if s.startsWith("true", i) => i += 4; JvBool(true)
+        case 'f' if s.startsWith("false", i) => i += 5; JvBool(false)
+        case 'n' if s.startsWith("null", i) => i += 4; JvNull
+        case c if c == '-' || c.isDigit =>
+          val start = i
+          if (c == '-') i += 1
+          while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+            s.charAt(i) == 'e' || s.charAt(i) == 'E' || s.charAt(i) == '+' ||
+            s.charAt(i) == '-')) i += 1
+          JvNum(s.substring(start, i))
+        case other => fail(s"unexpected '$other'")
+      }
+    }
+    val v = value()
+    ws()
+    if (i != s.length) fail("trailing content")
+    v
+  }
+
+  private def jrender(v: JV): String = v match {
+    case JvNull => "null"
+    case JvBool(b) => b.toString
+    case JvNum(t) => t
+    case JvStr(s) =>
+      val sb = new StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\t' => sb.append("\\t")
+        case '\r' => sb.append("\\r")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append('"').toString
+    case JvArr(xs) => xs.map(jrender).mkString("[", ",", "]")
+    case JvObj(fs) =>
+      fs.map { case (k, x) => jrender(JvStr(k)) + ":" + jrender(x) }
+        .mkString("{", ",", "}")
+  }
+
+  private def jvIsInt(t: String): Boolean =
+    t.indexOf('.') < 0 && t.indexOf('e') < 0 && t.indexOf('E') < 0
+
   /** RFC 7386 JSON merge patch (reference json_merge_patch, probed:
     * recursive object merge, null values DELETE keys, non-object patch
-    * replaces wholesale). json4s ships with Spark. */
+    * replaces wholesale). */
   def jsonMergePatch(a: UTF8String, b: UTF8String): UTF8String = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    def merge(x: JValue, y: JValue): JValue = (x, y) match {
-      case (JObject(xf), JObject(yf)) =>
+    def merge(x: JV, y: JV): JV = (x, y) match {
+      case (JvObj(xf), JvObj(yf)) =>
         val xm = xf.toMap
         val keep = xf.filterNot { case (k, _) => yf.exists(_._1 == k) }
         val merged = yf.flatMap {
-          case (_, JNull) => None
-          case (k, v) => Some(k -> merge(xm.getOrElse(k, JNothing), v))
+          case (_, JvNull) => None
+          case (k, v) => Some(k -> merge(xm.getOrElse(k, JvNull), v))
         }
-        JObject(keep ++ merged)
-      case (_, JObject(yf)) =>
-        JObject(yf.flatMap { case (_, JNull) => None
-          case (k, v) => Some(k -> merge(JNothing, v)) })
+        JvObj(keep ++ merged)
+      case (_, JvObj(yf)) =>
+        JvObj(yf.flatMap { case (_, JvNull) => None
+          case (k, v) => Some(k -> merge(JvNull, v)) })
       case (_, y2) => y2
     }
-    val out = merge(JsonMethods.parse(a.toString), JsonMethods.parse(b.toString))
-    UTF8String.fromString(JsonMethods.compact(JsonMethods.render(out)))
+    UTF8String.fromString(jrender(
+      merge(jparse(a.toString), jparse(b.toString))))
   }
 
   /** duck json_type (probed r16): the root value's reference type
     * name — OBJECT / ARRAY / VARCHAR / UBIGINT / BIGINT / DOUBLE /
     * BOOLEAN / NULL. */
   def jsonType(j: UTF8String): UTF8String = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val t = JsonMethods.parse(j.toString) match {
-      case JObject(_) => "OBJECT"
-      case JArray(_) => "ARRAY"
-      case JString(_) => "VARCHAR"
-      case JInt(n) => if (n >= 0) "UBIGINT" else "BIGINT"
-      case JLong(n) => if (n >= 0) "UBIGINT" else "BIGINT"
-      case JDouble(_) | JDecimal(_) => "DOUBLE"
-      case JBool(_) => "BOOLEAN"
-      case JNull => "NULL"
-      case _ => "JSON"
+    val t = jparse(j.toString) match {
+      case JvObj(_) => "OBJECT"
+      case JvArr(_) => "ARRAY"
+      case JvStr(_) => "VARCHAR"
+      case JvNum(n) if jvIsInt(n) =>
+        if (n.startsWith("-")) "BIGINT" else "UBIGINT"
+      case JvNum(_) => "DOUBLE"
+      case JvBool(_) => "BOOLEAN"
+      case JvNull => "NULL"
     }
     UTF8String.fromString(t)
   }
@@ -618,25 +739,21 @@ object DuckStrFns {
     * arrays report the shared element structure or ["JSON"] when
     * mixed ([] reports ["NULL"]); objects recurse. */
   def jsonStructure(j: UTF8String): UTF8String = {
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    def walk(v: JValue): JValue = v match {
-      case JObject(fs) => JObject(fs.map { case (k, x) => k -> walk(x) })
-      case JArray(Nil) => JArray(List(JString("NULL")))
-      case JArray(xs) =>
+    def walk(v: JV): JV = v match {
+      case JvObj(fs) => JvObj(fs.map { case (k, x) => k -> walk(x) })
+      case JvArr(Nil) => JvArr(List(JvStr("NULL")))
+      case JvArr(xs) =>
         val shapes = xs.map(walk)
-        JArray(List(
-          if (shapes.distinct.length == 1) shapes.head else JString("JSON")))
-      case JInt(n) => JString(if (n >= 0) "UBIGINT" else "BIGINT")
-      case JLong(n) => JString(if (n >= 0) "UBIGINT" else "BIGINT")
-      case JDouble(_) | JDecimal(_) => JString("DOUBLE")
-      case JBool(_) => JString("BOOLEAN")
-      case JString(_) => JString("VARCHAR")
-      case JNull => JString("NULL")
-      case _ => JString("JSON")
+        JvArr(List(
+          if (shapes.distinct.length == 1) shapes.head else JvStr("JSON")))
+      case JvNum(n) if jvIsInt(n) =>
+        JvStr(if (n.startsWith("-")) "BIGINT" else "UBIGINT")
+      case JvNum(_) => JvStr("DOUBLE")
+      case JvBool(_) => JvStr("BOOLEAN")
+      case JvStr(_) => JvStr("VARCHAR")
+      case JvNull => JvStr("NULL")
     }
-    UTF8String.fromString(JsonMethods.compact(JsonMethods.render(
-      walk(JsonMethods.parse(j.toString)))))
+    UTF8String.fromString(jrender(walk(jparse(j.toString))))
   }
 
 }
