@@ -245,57 +245,11 @@ object DuckFunctions {
   def timeBucket(widthSeconds: Long, ts: Column): Column =
     timestamp_seconds(floor(unix_timestamp(ts) / widthSeconds) * widthSeconds)
 
-  /** Translate a C strftime pattern (reference dialect,
-    * duckdb-5.cpp:11399 strftime) to a Java DateTimeFormatter pattern
-    * usable with Spark's date_format/to_timestamp.
-    */
-  def strftimeToJava(fmt: String): String = {
-    val sb = new StringBuilder
-    var i = 0
-    var literal = new StringBuilder
-    def flush(): Unit = {
-      if (literal.nonEmpty) {
-        val s = literal.toString
-        // quote anything containing letters
-        if (s.exists(_.isLetter)) sb.append("'").append(s.replace("'", "''")).append("'")
-        else sb.append(s)
-        literal = new StringBuilder
-      }
-    }
-    while (i < fmt.length) {
-      if (fmt(i) == '%' && i + 1 < fmt.length) {
-        flush()
-        fmt(i + 1) match {
-          case 'Y' => sb.append("yyyy")
-          case 'y' => sb.append("yy")
-          case 'm' => sb.append("MM")
-          case 'd' => sb.append("dd")
-          case 'H' => sb.append("HH")
-          case 'I' => sb.append("hh")
-          case 'M' => sb.append("mm")
-          case 'S' => sb.append("ss")
-          case 'f' => sb.append("SSSSSS")
-          case 'g' => sb.append("SSS")
-          case 'p' => sb.append("a")
-          case 'a' => sb.append("EEE")
-          case 'A' => sb.append("EEEE")
-          case 'b' => sb.append("MMM")
-          case 'B' => sb.append("MMMM")
-          case 'j' => sb.append("DDD")
-          case 'Z' => sb.append("zzz")
-          case 'z' => sb.append("xxx")
-          case '%' => sb.append("'%'")
-          case other => sb.append(other)
-        }
-        i += 2
-      } else { literal.append(fmt(i)); i += 1 }
-    }
-    flush()
-    sb.toString
-  }
-
-  /** strftime(ts, cFmt) as a Column. */
-  def strftime(ts: Column, cFmt: String): Column = date_format(ts, strftimeToJava(cFmt))
+  /** strftime(ts, cFmt) as a Column — routed through the r16 hand
+    * formatter (the registered `strftime` function), which owns the
+    * reference's full specifier set. */
+  def strftime(ts: Column, cFmt: String): Column =
+    call_function("strftime", ts, lit(cFmt))
 
   // ---- pattern matching ----
 

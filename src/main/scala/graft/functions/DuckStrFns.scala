@@ -55,28 +55,6 @@ object DuckStrFns {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
   }
 
-  /** strptime via the shared strftime↔Java translation (per-format
-    * cached formatter; reference strptime, duckdb-5.cpp:11399).
-    * Returns epoch MICROS (TimestampType's physical form). */
-  private val formatters = new java.util.concurrent.ConcurrentHashMap[
-    String, java.time.format.DateTimeFormatter]()
-
-  def strptime(s: UTF8String, fmt: UTF8String): Long = {
-    val f = formatters.computeIfAbsent(fmt.toString, c =>
-      new java.time.format.DateTimeFormatterBuilder()
-        .parseCaseInsensitive()
-        .appendPattern(DuckFunctions.strftimeToJava(c))
-        .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
-        .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
-        .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
-        .toFormatter(java.util.Locale.ROOT))
-    val ta = f.parse(s.toString)
-    val ld = java.time.LocalDate.from(ta)
-    val lt = java.time.LocalTime.from(ta)
-    java.time.LocalDateTime.of(ld, lt)
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + lt.getNano / 1000L
-  }
-
   private def sInvoke(name: String, dt: DataType, args: Seq[Expression]): Expression =
     StaticInvoke(DuckStrFns.getClass, dt, name,
       args.map(a => Cast(a, StringType)), args.map(_ => StringType))

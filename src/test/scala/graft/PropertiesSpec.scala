@@ -157,14 +157,14 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
-  test("strftime translation round-trips through to_timestamp") {
+  test("strftime round-trips through strptime (r16 hand formatters)") {
     val fmts = Seq("%Y-%m-%d %H:%M:%S", "%Y/%m/%d", "%d-%m-%Y %H:%M")
     val df = Seq("2020-06-15 13:45:30").toDF("s")
       .select(to_timestamp(col("s")).as("ts")).cache()
     fmts.foreach { f =>
-      val java = graft.functions.DuckFunctions.strftimeToJava(f)
       val back = df.select(
-        to_timestamp(date_format(col("ts"), java), java).as("rt"),
+        call_function("strptime",
+          call_function("strftime", col("ts"), lit(f)), lit(f)).as("rt"),
         date_trunc("minute", col("ts")).as("truncated")).head()
       // round-trip preserves everything the format itself encodes
       assert(back.getTimestamp(0) != null)

@@ -42,11 +42,16 @@ class DuckFunctionsSpec extends AnyFunSuite {
     assert(DuckFunctions.jaroWinkler("ab", "ab") == 1.0)
   }
 
-  test("strftime to Java pattern translation") {
-    assert(DuckFunctions.strftimeToJava("%Y-%m-%d") == "yyyy-MM-dd")
-    assert(DuckFunctions.strftimeToJava("%H:%M:%S") == "HH:mm:ss")
-    assert(DuckFunctions.strftimeToJava("%Y/%m/%d %H:%M") == "yyyy/MM/dd HH:mm")
-    assert(DuckFunctions.strftimeToJava("%a %B %d") == "EEE MMMM dd")
+  test("strftime hand formatter (r16 — replaced the Java-pattern translation)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def f(us: Long, fmt: String): String =
+      DuckStrFns.strftimeMicros(us, UTF8String.fromString(fmt)).toString
+    val us = java.time.LocalDateTime.of(2020, 6, 15, 13, 45, 30)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    assert(f(us, "%Y-%m-%d") == "2020-06-15")
+    assert(f(us, "%H:%M:%S") == "13:45:30")
+    assert(f(us, "%Y/%m/%d %H:%M") == "2020/06/15 13:45")
+    assert(f(us, "%a %B %d") == "Mon June 15")
   }
 
   test("math long tail: nextafter, signbit, gamma, lgamma") {
