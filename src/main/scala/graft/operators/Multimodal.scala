@@ -18,6 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** One-time per-JVM: route `ImageIO` stream caches to MEMORY. The
+    * default (`getUseCache == true`) makes the static `ImageIO.read/
+    * write` convenience methods back every image with a temp FILE in
+    * `java.io.tmpdir` (`FileCacheImageInput/OutputStream`) — one file
+    * per decode/encode call, so a per-document decode pipeline's
+    * wall-clock is hostage to tmpdir state (MmLab r17: 1114 ms vs
+    * 338 ms full-query on a healthy tmpdir; the r16 3.08 s reading was
+    * the same code under tmpdir pressure). Objects are per-JVM
+    * singletons, so referencing this lazy val from any executor-side
+    * decode/encode body flips the flag exactly once per executor. */
+  private[graft] lazy val imageIoMemCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + typed metadata. */
   case class MediaRecord(id: Long, payload: Array[Byte], mediaType: String,
                          width: Int, height: Int)
@@ -57,6 +70,7 @@ object Multimodal {
     */
   def decodeImage(payload: Array[Byte]): Option[(Array[Byte], Int, Int)] =
     try {
+      imageIoMemCache
       val img = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(payload))
       if (img == null) None

@@ -158,6 +158,7 @@ object PipelineOps {
       import s.implicits._
       val media = t(s, dir, "documents").select(col("doc_id")).as[Long]
         .mapPartitions { it =>
+          graft.operators.Multimodal.imageIoMemCache
           it.map { id =>
             val w = 16; val h = 16
             val img = new java.awt.image.BufferedImage(

@@ -856,6 +856,10 @@ class MultimodalSpec extends SparkSpec {
     // TYPE_BYTE_GRAY via getRGB would corrupt these (128 -> ~186); the
     // raw-sample path must return the written values verbatim
     assert(px.zipWithIndex.forall { case (b, i) => (b & 0xff) == i * 11 % 256 })
+    // MmLab r17: decode must run with MEMORY stream caches — the default
+    // disk cache creates one tmpdir file per image and made the row's
+    // wall-clock hostage to host tmpdir state (1114 vs 338 ms at sf0.1)
+    assert(!javax.imageio.ImageIO.getUseCache)
   }
 
   test("decodeImage converts RGB PNG by integer luminance; junk returns None") {
