@@ -142,7 +142,7 @@ private[graft] object SqlSelect {
     val prefix = if (wp.isEmpty) "" else rewriteRawRegion(wp) + " "
     val body = parseBody(rest)
     if (names != null) names ++= statementWindowNames(body)
-    prefix + renderBody(body)
+    prefix + renderBody(body, prefix)
   }
 
   /** Window names declared at this statement's set-op scope: each
@@ -714,17 +714,187 @@ private[graft] object SqlSelect {
     s"SELECT * FROM ($rows) __v($cols)$tail".trim
   }
 
-  private def renderBody(b: Body): String = {
-    val parts = new StringBuilder
-    parts.append(b.terms.head match {
+  private def renderBody(b: Body, withPrefix: String = ""): String = {
+    val head = b.terms.head match {
       case RawTerm(text) => renderValuesTerm(text)
       case t => renderTerm(t)
-    })
-    b.ops.zip(b.terms.tail).foreach { case (op, t) =>
-      parts.append(' ').append(op).append(' ').append(renderTerm(t))
+    }
+    val members0 = head +: b.terms.tail.map(renderTerm)
+    val members =
+      if (b.ops.isEmpty) members0
+      else coerceSetOpMembers(withPrefix, members0, b.ops)
+    val parts = new StringBuilder(members.head)
+    b.ops.zip(members.tail).foreach { case (op, m) =>
+      parts.append(' ').append(op).append(' ').append(m)
     }
     b.tail.foreach(t => parts.append(' ').append(t.trim))
     parts.toString
+  }
+
+  /** The reference's set-operation member coercion, imposed at rewrite
+    * time (r17 — closes the last documented semantic-difference class
+    * on the shared surface). The reference's binder unifies member
+    * column types over its OWN lattice (duckdb-9.cpp set-op bind),
+    * which differs from Spark's in direction: `INT UNION VARCHAR` →
+    * VARCHAR (Spark casts the string side to the numeric and errors on
+    * non-numeric text), `BOOL UNION INT` → INTEGER (Spark refuses),
+    * `DECIMAL UNION FLOAT` → FLOAT (Spark would pick DOUBLE).
+    *
+    * Each rendered member is BOUND against the active session (with the
+    * statement's WITH prefix so CTE references resolve); per-position
+    * types fold through [[duckSetOpType]] — the full duck pair matrix
+    * probed r17 (BATTERY7) — and any member whose column differs from
+    * the unified type is wrapped in an explicit cast projection
+    * (`duck_str` for VARCHAR targets, so doubles render with the
+    * reference's shortest-round-trip format). Fallbacks are silent and
+    * safe: no active session / a member that does not bind standalone
+    * (correlated subqueries) / BY NAME ops / an UNPROBED type pair →
+    * members pass through untouched, and Spark's native coercion (or
+    * its loud error) stands, exactly the pre-r17 behavior.
+    * `SET spark.graft.setopCoerce=false` disables the pass. */
+  private def coerceSetOpMembers(withPrefix: String, members: Seq[String],
+                                 ops: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.types._
+    val sessOpt = org.apache.spark.sql.SparkSession.getActiveSession
+    if (sessOpt.isEmpty) return members
+    val spark = sessOpt.get
+    if (spark.conf.get("spark.graft.setopCoerce", "true") != "true")
+      return members
+    // UNION BY NAME matches columns by NAME, not position — the
+    // positional diff below does not apply; native handling stands
+    if (ops.exists(_.toLowerCase.split("\\s+").contains("by"))) return members
+    // A trailing depth-0 ORDER BY / LIMIT / OFFSET on the LAST member
+    // belongs to the SET-OP scope (both engines' grammar), not to the
+    // member: split it off so the member binds standalone and the cast
+    // wrap does not swallow the statement-level ordering.
+    val (lastCore, lastTail) = splitTrailingSetopTail(members.last)
+    val cores = members.init :+ lastCore
+    val schemas = cores.map { m =>
+      scala.util.Try(
+        spark.sql(s"${withPrefix}SELECT * FROM ( $m ) __graft_sob").schema)
+    }
+    if (schemas.exists(_.isFailure)) return members
+    val fields = schemas.map(_.get.fields)
+    if (fields.map(_.length).distinct.length != 1) return members
+    val unified: Seq[Option[DataType]] = fields.head.indices.map { c =>
+      fields.map(f => Option(f(c).dataType): Option[DataType]).reduce {
+        (oa, ob) => for (a <- oa; b <- ob; u <- duckSetOpType(a, b)) yield u
+      }
+    }
+    // act only when every position unifies AND at least one member
+    // needs a cast (an unprobed pair anywhere → native behavior)
+    if (unified.exists(_.isEmpty)) return members
+    val anyCast = fields.exists(fs =>
+      fs.zip(unified).exists { case (f, u) => !sameType(f.dataType, u.get) })
+    if (!anyCast) return members
+    val out = cores.zip(fields).zipWithIndex.map { case ((m, fs), i) =>
+      if (fs.zip(unified).forall { case (f, u) => sameType(f.dataType, u.get) }) m
+      else {
+        val cols = fs.zip(unified).map { case (f, u) =>
+          val qn = "`" + f.name.replace("`", "``") + "`"
+          if (sameType(f.dataType, u.get)) qn
+          else u.get match {
+            case StringType => s"duck_str($qn) AS $qn"
+            case t => s"CAST($qn AS ${t.sql}) AS $qn"
+          }
+        }
+        s"SELECT ${cols.mkString(", ")} FROM ( $m ) __graft_soc$i"
+      }
+    }
+    if (lastTail.isEmpty) out
+    else out.init :+ (out.last + " " + lastTail)
+  }
+
+  /** Split a rendered set-op member into (core, trailing set-op-scope
+    * clause text): the first depth-0 `ORDER BY` / `LIMIT` / `OFFSET`
+    * token run at the member's top level starts the tail (""), if none.
+    * SQL grammar puts these only at the end, so a depth-0 hit is
+    * always the statement-scope tail. */
+  private def splitTrailingSetopTail(m: String): (String, String) = {
+    val toks = tokenize(m)
+    var depth = 0
+    var k = 0
+    while (k < toks.length) {
+      val t = toks(k)
+      t.kind match {
+        case LParen => depth += 1
+        case RParen => depth -= 1
+        case Ident if depth == 0 =>
+          val dotted = k > 0 && toks(k - 1).kind == Punct &&
+            toks(k - 1).lower == "."
+          if (!dotted && (t.lower == "limit" || t.lower == "offset" ||
+            (t.lower == "order" && k + 1 < toks.length &&
+              toks(k + 1).kind == Ident && toks(k + 1).lower == "by")))
+            return (m.substring(0, t.start).trim, m.substring(t.start).trim)
+        case _ => ()
+      }
+      k += 1
+    }
+    (m, "")
+  }
+
+  private def sameType(a: org.apache.spark.sql.types.DataType,
+                       b: org.apache.spark.sql.types.DataType): Boolean =
+    a == b
+
+  /** The reference's set-op type-unification lattice over the SHARED
+    * representable types, probed pairwise against the oracle r17
+    * (15×15 matrix, tools/battery7 set-op tranche): BOOLEAN loses to
+    * every numeric; the integer ladder widens TINYINT→…→HUGEINT
+    * (HUGEINT rides graft's documented DECIMAL(38,0) encoding and
+    * falls out of the decimal rule); FLOAT beats ints AND DECIMAL
+    * (duck: `DECIMAL ∪ FLOAT` → FLOAT); DOUBLE beats everything
+    * numeric; DECIMAL∪int widens precision by the int's decimal width
+    * (BIGINT=19 digits → DECIMAL(20,1) with scale 1, capped at 38);
+    * VARCHAR beats everything probed EXCEPT BLOB (`VARCHAR ∪ BLOB` →
+    * BLOB); DATE∪TIMESTAMP → TIMESTAMP. Unprobed / non-unifiable pairs
+    * (temporal↔numeric, INTERVAL, nested types, TIME's long encoding)
+    * → None, leaving Spark's native coercion or loud error in place. */
+  private def duckSetOpType(
+      a0: org.apache.spark.sql.types.DataType,
+      b0: org.apache.spark.sql.types.DataType)
+      : Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    def intWidth(dt: DataType): Int = dt match {
+      case ByteType => 3; case ShortType => 5
+      case IntegerType => 10; case LongType => 19; case _ => -1
+    }
+    def isInt(dt: DataType) = intWidth(dt) > 0
+    def isNum(dt: DataType) = isInt(dt) || dt == FloatType ||
+      dt == DoubleType || dt.isInstanceOf[DecimalType]
+    def stringy(dt: DataType) = isNum(dt) || dt == BooleanType ||
+      dt == DateType || dt == TimestampType || dt == TimestampNTZType
+    def decWithInt(d: DecimalType, w: Int): DecimalType =
+      DecimalType(math.min(38, math.max(d.precision - d.scale, w) + d.scale),
+        d.scale)
+    (a0, b0) match {
+      case (a, b) if a == b => Some(a)
+      case (NullType, o) => Some(o)
+      case (o, NullType) => Some(o)
+      case (StringType, BinaryType) | (BinaryType, StringType) =>
+        Some(BinaryType)
+      case (StringType, o) if stringy(o) => Some(StringType)
+      case (o, StringType) if stringy(o) => Some(StringType)
+      case (BooleanType, o) if isNum(o) => Some(o)
+      case (o, BooleanType) if isNum(o) => Some(o)
+      case (DoubleType, o) if isNum(o) => Some(DoubleType)
+      case (o, DoubleType) if isNum(o) => Some(DoubleType)
+      case (FloatType, o) if isNum(o) => Some(FloatType)
+      case (o, FloatType) if isNum(o) => Some(FloatType)
+      case (da: DecimalType, db: DecimalType) =>
+        val s = math.max(da.scale, db.scale)
+        Some(DecimalType(math.min(38,
+          math.max(da.precision - da.scale, db.precision - db.scale) + s), s))
+      case (d: DecimalType, o) if isInt(o) => Some(decWithInt(d, intWidth(o)))
+      case (o, d: DecimalType) if isInt(o) => Some(decWithInt(d, intWidth(o)))
+      case (x, y) if isInt(x) && isInt(y) =>
+        Some(if (intWidth(x) >= intWidth(y)) x else y)
+      case (DateType, TimestampType) | (TimestampType, DateType) =>
+        Some(TimestampType)
+      case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
+        Some(TimestampNTZType)
+      case _ => None
+    }
   }
 
   private def renderTerm(t: Term): String = t match {

@@ -141,6 +141,33 @@ object Relational {
       |           ELSE 100 END) AS BIGINT) AS empty_mix
       |FROM probe""".stripMargin
 
+  /** r17 set-op member coercion row: the reference's binder widens
+    * mixed member types in the STRING direction (INT∪VARCHAR→VARCHAR,
+    * BOOL∪INT→the int — duckdb-9.cpp set-op bind), where Spark coerces
+    * numeric-first (and errors on BOOL∪INT). SqlSelect.coerceSetOpMembers
+    * imposes the probed duck lattice via bind-time schema diffs; this
+    * row exercises INT∪VARCHAR∪BOOL → VARCHAR, BOOL∪SMALLINT → SMALLINT,
+    * and the set-op-scope trailing ORDER BY that the member wrap must
+    * not swallow. Same text both engines. */
+  private val SetCoerceSql: String =
+    """WITH iv AS (
+      |  SELECT x, count(*) AS n FROM (
+      |    SELECT CAST(c_custkey % 10 AS INTEGER) AS x FROM customer
+      |    UNION ALL SELECT substr(n_name, 1, 2) FROM nation
+      |    UNION ALL SELECT c_custkey % 3 = 0 FROM customer
+      |  ) t GROUP BY x
+      |),
+      |bi AS (
+      |  SELECT x, count(*) AS n FROM (
+      |    SELECT o_orderkey % 2 = 0 AS x FROM orders
+      |    UNION ALL SELECT CAST(s_suppkey % 5 AS SMALLINT) FROM supplier
+      |  ) t GROUP BY x
+      |)
+      |SELECT 'int_varchar_bool' AS family, CAST(x AS VARCHAR) AS x, n FROM iv
+      |UNION ALL
+      |SELECT 'bool_smallint' AS family, CAST(x AS VARCHAR) AS x, n FROM bi
+      |ORDER BY family, x""".stripMargin
+
   /** r16 window-edge battery row (per-case probes BATTERY5_r16.json). */
   private val WinEdgeSql: String =
     """SELECT v,
@@ -550,6 +577,12 @@ object Relational {
         .select(col("k"),
           coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
           coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+    }),
+
+    "set_coercion" -> ((s, dir) => {
+      // reference-direction set-op member coercion (SetCoerceSql doc)
+      Engine.registerAll(s, dir)
+      SqlDialect.sql(s, SetCoerceSql)
     }),
 
     "set_recursive_cte" -> ((s, _) => {
@@ -1239,6 +1272,8 @@ object Relational {
         |  CAST(coalesce(n_except_all, 0) AS BIGINT) AS n_except_all,
         |  CAST(coalesce(n_intersect_all, 0) AS BIGINT) AS n_intersect_all
         |FROM ea FULL OUTER JOIN ia ON ea.k = ia.k""".stripMargin,
+
+    "set_coercion" -> SetCoerceSql,
 
     "set_recursive_cte" ->
       """WITH RECURSIVE t(i) AS (

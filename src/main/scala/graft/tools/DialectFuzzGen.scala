@@ -322,6 +322,22 @@ object DialectFuzzGen {
         s"SELECT * FROM (VALUES ($a, 1, 'd$i'), ($a, 2, 'd$i'), " +
           s"($a, 3, 'x'), (${a + 1}, 4, 'd$i')) v(a, b, c) ORDER BY b"))
 
+  /** r17 set-op member-type coercion: mixed INT / VARCHAR / BOOLEAN
+    * members widen in the REFERENCE's direction (VARCHAR; duck-probed
+    * matrix in SqlSelect.duckSetOpType). The native side spells the
+    * duck-widened casts explicitly — integer and boolean renderings
+    * are engine-identical, so plain CAST…AS STRING is the equivalent. */
+  private def setopCoerceFuzz(m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT x, count(*) AS n FROM (" +
+      s"SELECT CAST(n_nationkey % $m AS INTEGER) AS x FROM nation " +
+      "UNION ALL SELECT substr(n_name, 1, 2) FROM nation " +
+      "UNION ALL SELECT n_nationkey % 3 = 0 FROM nation) t GROUP BY x",
+      s"SELECT x, count(*) AS n FROM (" +
+        s"SELECT CAST(n_nationkey % $m AS STRING) AS x FROM nation " +
+        "UNION ALL SELECT substr(n_name, 1, 2) FROM nation " +
+        "UNION ALL SELECT CAST(n_nationkey % 3 = 0 AS STRING) FROM nation) t " +
+        "GROUP BY x"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -416,7 +432,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, freshUnion)
-      val (setup, base) = rnd.nextInt(31) match {
+      val (setup, base) = rnd.nextInt(32) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -451,6 +467,7 @@ object DialectFuzzGen {
         case 28 => proj3vl(2 + rnd.nextInt(20))
         case 29 => winEdgeFuzz(1 + rnd.nextInt(4))
         case 30 => defaultsFuzz(i, 1 + rnd.nextInt(90))
+        case 31 => setopCoerceFuzz(2 + rnd.nextInt(9))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base
