@@ -802,7 +802,11 @@ object Engine {
   /** EXPORT DATABASE analog (duckdb-4.cpp:9722): dump every temp-view
     * table to parquet + a schema.sql DDL script into `outDir`. */
   def exportDatabase(spark: SparkSession, outDir: String): Unit = {
-    val names = spark.catalog.listTables().collect().filter(_.isTemporary).map(_.name)
+    // `__graft_`-prefixed views are dialect machinery (catalog-fn
+    // snapshots, test_all_types, test-vector views), not user catalog
+    // state — the reference's EXPORT DATABASE walks its catalog tables
+    val names = spark.catalog.listTables().collect().filter(_.isTemporary)
+      .map(_.name).filterNot(_.startsWith("__graft"))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     val ddl = new StringBuilder
     names.foreach { n =>

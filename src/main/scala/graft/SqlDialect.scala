@@ -1040,6 +1040,12 @@ object SqlDialect {
       q = pragmaTableInfoFn.replaceAllIn(q, "__graft_table_info")
     }
 
+    // test_all_types() / test_vector_types(expr[, all_flat]) — the
+    // reference's type-surface table functions (duckdb-6.cpp:13886-7),
+    // registered as temp views at call time (same replacement-scan
+    // treatment as read_csv below)
+    q = rewriteTestTableFns(spark, q)
+
     // replacement scans: read_csv('p' [, opt=v…]) / read_parquet('p') /
     // bare 'x.csv' / 'x.parquet' → temp views
     q = readCsvFn.replaceAllIn(q,
@@ -1772,6 +1778,64 @@ object SqlDialect {
     * all probed), and the VARCHAR/TEXT/STRING targets route through
     * duck_str (fixes Spark's bare-VARCHAR rejection and renders
     * doubles with the reference's shortest-round-trip format). */
+  /** `test_all_types()` → a registered 3-row min/max/NULL view;
+    * `test_vector_types(expr [, all_flat])` → a per-layout test-vector
+    * view for the ARGUMENT's type ([[graft.sources.TestTables]]). The
+    * argument's type is bound through the session (after the cast
+    * rewrite so `NULL::DECIMAL(4,1)` resolves); `all_flat` only
+    * changes the reference's internal vector layout, so it is
+    * accepted and ignored. */
+  private def rewriteTestTableFns(spark: SparkSession, q0: String): String = {
+    var q = q0
+    val tat = """(?is)\btest_all_types\s*\(\s*\)""".r
+    if (tat.findFirstMatchIn(q).exists(m => !insideQuotes(q, m.start))) {
+      graft.sources.TestTables.testAllTypes(spark)
+        .createOrReplaceTempView("__graft_test_all_types")
+      q = tat.replaceAllIn(q, "__graft_test_all_types")
+    }
+    var guard = 0
+    var found = true
+    while (found && guard < 64) {
+      guard += 1
+      found = false
+      val toks = SqlLex.tokenize(q)
+      var k = 0
+      while (!found && k < toks.length) {
+        val t = toks(k)
+        if (t.kind == SqlLex.Ident && t.lower == "test_vector_types" &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen) {
+          var depth = 0
+          var j = k + 1
+          var close = -1
+          while (close < 0 && j < toks.length) {
+            toks(j).kind match {
+              case SqlLex.LParen => depth += 1
+              case SqlLex.RParen => depth -= 1; if (depth == 0) close = j
+              case _ => ()
+            }
+            j += 1
+          }
+          if (close < 0) throw new IllegalArgumentException(
+            "test_vector_types: unbalanced parentheses")
+          val inner = q.substring(toks(k + 1).end, toks(close).start)
+          val args = splitTopLevel(inner).map(_.trim).filter(_.nonEmpty)
+          if (args.isEmpty) throw new IllegalArgumentException(
+            "test_vector_types requires a typed argument, e.g. " +
+              "test_vector_types(NULL::INTEGER)")
+          val dt = spark.sql(rewriteCore(spark,
+            s"SELECT ${args.head} AS __graft_tvt")).schema.head.dataType
+          val view = s"__graft_tvt_${guard}_${math.abs(inner.hashCode)}"
+          graft.sources.TestTables.testVectorTypes(spark, dt)
+            .createOrReplaceTempView(view)
+          q = q.substring(0, t.start) + view + q.substring(toks(close).end)
+          found = true
+        }
+        k += 1
+      }
+    }
+    q
+  }
+
   private[graft] def rewriteCasts(q0: String): String = {
     val intNames = graft.functions.DuckICast.targets.keySet
     val strNames = Set("varchar", "text", "string")

@@ -16,6 +16,74 @@ import graft.sources.Csv
   */
 object Catalog {
 
+  /** r17 type-surface oracle row: the same `SELECT … FROM
+    * test_all_types()` text runs on both engines and hash-compares the
+    * SHARED-representable projections of every v0.7 column
+    * (duckdb-6.cpp:13661): raw ints/floats/decimals/strings, unsigned
+    * types through explicit widening casts, temporals through
+    * zone-free epoch arithmetic (raw ±290k-year extremes overflow the
+    * driver's ns/us frame canon), arrays/structs/maps through element
+    * probes (the driver's canon rejects nested cells), interval/enum/
+    * uuid/bit through VARCHAR casts. Documented carve-outs (SURVEY
+    * §1.2 encodings, checked by TestTablesSpec instead): hugeint
+    * (±(2^127−1) exceeds DECIMAL(38,0)), time/time_tz (LongType
+    * encodings), raw blob bytes (engine-specific binary repr at the
+    * canon layer — octet_length pins the payload size). */
+  private val TestAllTypesSql: String =
+    """SELECT
+      |  CAST("bool" AS INTEGER) AS bool_i,
+      |  tinyint, smallint, "int", bigint,
+      |  CAST(utinyint AS SMALLINT) AS utinyint_w,
+      |  CAST(usmallint AS INTEGER) AS usmallint_w,
+      |  CAST(uint AS BIGINT) AS uint_w,
+      |  CAST(CAST(ubigint AS DECIMAL(20,0)) AS VARCHAR) AS ubigint_w,
+      |  CAST("date" - DATE '1970-01-01' AS BIGINT) AS date_days,
+      |  CAST(date_part('epoch', "timestamp") AS DOUBLE) AS ts_epoch,
+      |  CAST(date_part('microseconds', "timestamp") AS BIGINT) AS ts_micros,
+      |  CAST(date_part('epoch', CAST(timestamp_s AS TIMESTAMP)) AS DOUBLE) AS ts_s_epoch,
+      |  CAST(date_part('epoch', CAST(timestamp_ms AS TIMESTAMP)) AS DOUBLE) AS ts_ms_epoch,
+      |  CAST(date_part('epoch', CAST(timestamp_ns AS TIMESTAMP)) AS DOUBLE) AS ts_ns_epoch,
+      |  CAST(date_part('epoch', timestamp_tz) AS DOUBLE) AS ts_tz_epoch,
+      |  "float", "double",
+      |  CAST(dec_4_1 AS VARCHAR) AS dec_4_1_s,
+      |  CAST(dec_9_4 AS VARCHAR) AS dec_9_4_s,
+      |  CAST(dec_18_6 AS VARCHAR) AS dec_18_6_s,
+      |  CAST(dec38_10 AS VARCHAR) AS dec38_10_s,
+      |  CAST(uuid AS VARCHAR) AS uuid_s,
+      |  CAST("interval" AS VARCHAR) AS interval_s,
+      |  "varchar",
+      |  CAST(octet_length(blob) AS BIGINT) AS blob_len,
+      |  CAST(bit AS VARCHAR) AS bit_s,
+      |  CAST(small_enum AS VARCHAR) AS small_enum_s,
+      |  CAST(medium_enum AS VARCHAR) AS medium_enum_s,
+      |  CAST(large_enum AS VARCHAR) AS large_enum_s,
+      |  CAST(len(int_array) AS BIGINT) AS ia_len,
+      |  int_array[1] AS ia1, int_array[5] AS ia5,
+      |  double_array[1] AS da1,
+      |  CAST(double_array[2] <> double_array[2] AS INTEGER) AS da2_nan,
+      |  double_array[6] AS da6,
+      |  CAST(len(varchar_array) AS BIGINT) AS va_len,
+      |  varchar_array[1] AS va1, varchar_array[4] AS va4,
+      |  CAST(len(nested_int_array) AS BIGINT) AS nia_len,
+      |  nested_int_array[2][1] AS nia21,
+      |  CAST(date_array[5] - DATE '1970-01-01' AS BIGINT) AS dta5,
+      |  CAST(date_part('epoch', timestamp_array[5]) AS DOUBLE) AS tsa5_epoch,
+      |  "struct".a AS struct_a, "struct".b AS struct_b,
+      |  struct_of_arrays.a[2] AS soa_a2, struct_of_arrays.b[2] AS soa_b2,
+      |  CAST(len(array_of_structs) AS BIGINT) AS aos_len,
+      |  array_of_structs[2].a AS aos2a,
+      |  CAST(cardinality("map") AS BIGINT) AS map_n,
+      |  map_keys("map")[2] AS map_k2, map_values("map")[1] AS map_v1
+      |FROM test_all_types()""".stripMargin
+
+  /** r17: the sibling test-vector generator, INTEGER instance — v0.7's
+    * FLAT/CONSTANT/DICTIONARY/SEQUENCE row blocks (duckdb-6.cpp:14135)
+    * are value-identical on the oracle engine. */
+  private val TestVectorTypesSql: String =
+    """SELECT CAST(test_vector AS BIGINT) AS v, count(*) AS n
+      |FROM test_vector_types(NULL::INTEGER, true)
+      |GROUP BY v""".stripMargin
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Engine.table(s, dir, name)
 
@@ -418,6 +486,15 @@ object Catalog {
       skipped.crossJoin(unioned).crossJoin(hp)
     }),
 
+    "scan_test_all_types" -> ((s, _) => {
+      // type-surface oracle (TestAllTypesSql doc): same text both engines
+      SqlDialect.sql(s, TestAllTypesSql)
+    }),
+
+    "scan_test_vector_types" -> ((s, _) => {
+      SqlDialect.sql(s, TestVectorTypesSql)
+    }),
+
     "scan_json" -> ((s, dir) => {
       // NDJSON replacement scan (read_json_auto — the reference's JSON
       // extension scan; Spark's json reader is NDJSON-native): both
@@ -754,6 +831,9 @@ object Catalog {
         |        CAST(sum(CAST(key AS BIGINT)) AS BIGINT) AS key_part_sum
         | FROM read_csv('/root/repo/target/csv_opts/pt/*/*.csv',
         |               hive_partitioning=true, header=true))""".stripMargin,
+
+    "scan_test_all_types" -> TestAllTypesSql,
+    "scan_test_vector_types" -> TestVectorTypesSql,
 
     "scan_json" ->
       """SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
