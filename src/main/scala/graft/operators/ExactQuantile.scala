@@ -225,4 +225,44 @@ object ExactQuantile {
     spark.createDataFrame(
       spark.sparkContext.parallelize(outRows.toSeq, 1), outSchema)
   }
+
+  // ---- self-selecting entry (r17, verdict #7) ----------------------
+
+  /** The documented crossover (BASELINE.md r15/r16 exact-quantile labs):
+    * Spark's buffered `Percentile` holds every group value in one
+    * aggregation buffer and OOMs past ~10M rows/group (r15 lab: task
+    * death at 10M under an 8g executor), while below it the buffered
+    * path is floor-bound and this operator's extra driver actions cost
+    * more than the buffering saves. The switch is MEASURED, not
+    * guessed: one count-per-group aggregate (the same G-row driver
+    * envelope as the operator's own pass 0). */
+  val CrossoverRowsPerGroup: Long = 10L * 1000 * 1000
+
+  /** Max rows in any single group — the statistic the switch runs on. */
+  def maxGroupRows(df: DataFrame, groupCol: String): Long = {
+    val r = df.groupBy(col(groupCol)).count()
+      .agg(max(col("count"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  def shouldBinRefine(df: DataFrame, groupCol: String,
+                      crossover: Long = CrossoverRowsPerGroup): Boolean =
+    maxGroupRows(df, groupCol) >= crossover
+
+  /** Self-selecting exact quantiles: measures rows-per-group and routes
+    * groups past the crossover through bin refinement (O(B·cells)
+    * state), everything below it through Spark's buffered `Percentile`
+    * (floor-bound at local scale, bit-identical output — pinned in
+    * `ExactQuantileSpec`). Callers need no operator knowledge; the
+    * crossover table drives the choice. */
+  def auto(df: DataFrame, groupCol: String, valueCol: String,
+           qs: Seq[Double], bins: Int = 1024,
+           crossover: Long = CrossoverRowsPerGroup): DataFrame =
+    if (shouldBinRefine(df, groupCol, crossover))
+      quantiles(df, groupCol, valueCol, qs, bins)
+    else {
+      df.groupBy(col(groupCol))
+        .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), " +
+          s"array(${qs.mkString(", ")}))").as("quantiles"))
+    }
 }

@@ -333,14 +333,24 @@ object Relational {
       // l_extendedprice quantiles ride ONE array(0.25, 0.75) aggregate
       // and the column buffers once (two scalar calls measured 1.58 s;
       // the same fusion bought ~15% on the approx row in r8).
-      // `SET spark.graft.exactQuantile.binRefine=true` reroutes the
-      // value-buffering aggregates (percentile + median) onto
-      // operators.ExactQuantile — O(B) state per group at any group
-      // size, the 100×-scale path (r15 lab memory bound; promoted r16).
-      // Default off locally: below ~10M rows/group the buffered
-      // percentile is floor-bound (BASELINE.md crossover).
+      // `spark.graft.exactQuantile.binRefine` ∈ auto|true|false
+      // (default AUTO, r17 — verdict #7): auto MEASURES max rows/group
+      // (one count aggregate, the operator's own pass-0 envelope) and
+      // flips to operators.ExactQuantile past the documented ~10M
+      // rows/group crossover (BASELINE.md) — O(B) state per group at
+      // any group size, the 100×-scale path — while below it the
+      // buffered percentile stays (floor-bound locally, and the fused
+      // single-scan shape is cheaper than the operator's extra driver
+      // actions). true forces the operator; false forces buffering.
       val li = t(s, dir, "lineitem")
-      if (s.conf.get("spark.graft.exactQuantile.binRefine", "false").toBoolean) {
+      val refine = s.conf.get(
+        "spark.graft.exactQuantile.binRefine", "auto") match {
+        case "true" => true
+        case "false" => false
+        case _ => graft.operators.ExactQuantile.shouldBinRefine(
+          li, "l_returnflag")
+      }
+      if (refine) {
         val price = graft.operators.ExactQuantile
           .quantiles(li, "l_returnflag", "l_extendedprice", Seq(0.25, 0.75))
           .select(col("l_returnflag"),

@@ -91,6 +91,28 @@ class ExactQuantileSpec extends SparkSpec {
         spark, "/root/testdata/sf0.01").collect()
         .map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
       assert(on == off, s"conf path diverged:\noff=$off\non=$on")
-    } finally spark.conf.set("spark.graft.exactQuantile.binRefine", "false")
+    } finally spark.conf.set("spark.graft.exactQuantile.binRefine", "auto")
+  }
+
+  test("auto self-selects on MEASURED rows/group vs the documented crossover (r17)") {
+    val li = graft.Engine.table(spark, "/root/testdata/sf0.001", "lineitem")
+    // sf0.001 lineitem: ~600 rows in the largest l_returnflag group —
+    // far below the 10M crossover, so the default stays buffered
+    assert(ExactQuantile.maxGroupRows(li, "l_returnflag") < 10000L)
+    assert(!ExactQuantile.shouldBinRefine(li, "l_returnflag"))
+    // ...and a forced-low crossover engages the refinement operator
+    assert(ExactQuantile.shouldBinRefine(li, "l_returnflag", crossover = 100L))
+    val buffered = ExactQuantile.auto(li, "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.75)) // default crossover → buffered Percentile
+    assert(buffered.queryExecution.analyzed.toString.contains("percentile"),
+      "below crossover the plan is the buffered Percentile aggregate")
+    val refined = ExactQuantile.auto(li, "l_returnflag", "l_extendedprice",
+      Seq(0.25, 0.75), crossover = 100L) // forced over → bin refinement
+    assert(!refined.queryExecution.analyzed.toString.contains("percentile"),
+      "over crossover the plan is the operator's assembled frame")
+    // both paths produce BIT-identical quantiles
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(m(buffered) == m(refined))
   }
 }
