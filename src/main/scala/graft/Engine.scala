@@ -405,14 +405,21 @@ object Engine {
       // allowed); PRIMARY KEY nulls are caught by the implied NOT NULL
       val keyed = rows.filter(keys.map(col(_).isNotNull).reduce(_ && _))
       val withinDup = keyed.groupBy(keys.map(col): _*)
-        .count().filter(col("count") > 1).limit(1).count() > 0
+        .count().filter(col("count") > 1).limit(1).collect().headOption
       lazy val storedDup =
         keyed.join(spark.table(name).select(keys.map(col): _*),
-          keys, "left_semi").limit(1).count() > 0
-      if (withinDup || storedDup)
+          keys, "left_semi").limit(1).collect().headOption
+      val dup = withinDup.orElse(storedDup)
+      dup.foreach { r =>
+        // the reference's message carries the offending key values:
+        // Duplicate key "a: 1" violates primary key constraint (r17
+        // BATTERY7 d05 message parity)
+        val kv = keys.zipWithIndex
+          .map { case (k, i) => s"$k: ${r.get(i)}" }.mkString(", ")
         throw new ConstraintViolation(
-          s"Constraint Error: Duplicate key violates $label constraint: " +
-            s"$name(${keys.mkString(", ")})")
+          s"""Constraint Error: Duplicate key "$kv" violates $label """ +
+            "constraint")
+      }
     }
   }
 

@@ -31,7 +31,10 @@ object SqlDialect {
   private val readCsvFn =
     """(?is)\bread_csv(?:_auto)?\s*\(\s*'([^']+)'\s*(,[^)]*)?\)""".r
   private val bareCsv = """(?is)\bFROM\s+'([^']+\.csv)'""".r
-  private val readParquetFn = """(?is)\bread_parquet\s*\(\s*'([^']+)'\s*\)""".r
+  // optional trailing options accepted (hive_partitioning is Spark's
+  // native partition discovery; others raise in registerParquet)
+  private val readParquetFn =
+    """(?is)\bread_parquet\s*\(\s*'([^']+)'\s*(,[^)]*)?\)""".r
   private val bareParquet = """(?is)\bFROM\s+'([^']+\.parquet)'""".r
   // read_json / read_json_auto / read_ndjson: newline-delimited JSON
   // replacement scan (the reference ships these in its JSON extension;
@@ -267,7 +270,11 @@ object SqlDialect {
           cut = t.start
       }
       if (cut >= 0) {
-        sql(spark, q.substring(0, cut))
+        // the reference EXECUTES every script statement; a pure SELECT
+        // returned lazily would skip its side effects (r17 BATTERY7
+        // d07: nextval('s') in a non-final statement never ticked the
+        // sequence) — drain the head statement's result
+        sql(spark, q.substring(0, cut)).collect()
         return sql(spark, q.substring(cut + 1))
       }
     }
@@ -966,25 +973,101 @@ object SqlDialect {
       case None =>
     }
 
-    // COPY … TO 'path' [(FORMAT …)] → DataFrame write; returns the
-    // copied row count like the reference
+    // CREATE / DROP / ALTER SEQUENCE statements (reference
+    // duckdb-6.cpp:2012; nextval/currval are registered session UDFs
+    // over the same driver-side counters — r17, closes the
+    // SQL-surface half of the §2.11 sequence row)
+    locally {
+      val createSeq =
+        ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+          """([A-Za-z_]\w*)\s*(.*)$""").r
+      val dropSeq =
+        """(?is)^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$""".r
+      val alterSeq =
+        ("""(?is)^\s*ALTER\s+SEQUENCE\s+([A-Za-z_]\w*)\s+RESTART""" +
+          """(?:\s+WITH\s+(-?\d+))?\s*$""").r
+      q.trim match { // original case: the sequence NAME is the map key
+        case createSeq(name, tail) =>
+          val start = """(?is)START\s+(?:WITH\s+)?(-?\d+)""".r
+            .findFirstMatchIn(tail).map(_.group(1).toLong).getOrElse(1L)
+          val inc = """(?is)INCREMENT\s+(?:BY\s+)?(-?\d+)""".r
+            .findFirstMatchIn(tail).map(_.group(1).toLong).getOrElse(1L)
+          graft.functions.TypeHelpers.createSequence(name, start, inc)
+          return spark.emptyDataFrame
+        case dropSeq(ifEx, name) =>
+          graft.functions.TypeHelpers.dropSequence(name, ifEx != null)
+          return spark.emptyDataFrame
+        case alterSeq(_, _) =>
+          // the reference itself raises here (probed d08) — error
+          // parity beats implementing more than the reference;
+          // TypeHelpers.restartSequence stays as the API-level partial
+          throw new UnsupportedOperationException(
+            "Not implemented Error: ALTER SEQUENCE option not supported yet!")
+        case _ =>
+      }
+    }
+
+    // COPY … TO 'path' [(options)] → DataFrame write; returns the
+    // copied row count like the reference. Option matrix (r17
+    // BATTERY7): FORMAT, HEADER [bool], DELIMITER/DELIM/SEP, QUOTE,
+    // ESCAPE, NULL 'str', COMPRESSION, DATEFORMAT/TIMESTAMPFORMAT
+    // (strftime text translated to the writer's pattern language),
+    // FORCE_QUOTE (cols|*) → quote-all, PARTITION_BY (cols) → hive
+    // layout on both formats.
     copyToRe.findFirstMatchIn(q) match {
       case Some(m) =>
         val src = m.group(1).trim
         val df =
           if (src.startsWith("(")) sql(spark, src.stripPrefix("(").stripSuffix(")"))
           else spark.table(src)
-        val opts = Option(m.group(3)).map(splitTopLevel(_).map(_.trim.toUpperCase))
-          .getOrElse(Seq.empty)
-        val fmt = opts.collectFirst { case o if o.startsWith("FORMAT") =>
-          o.split("\\s+").last }.getOrElse(
+        // parse `NAME [value]` options: value = quoted string, bare
+        // word, or parenthesized column list
+        val optPairs: Seq[(String, String)] =
+          Option(m.group(3)).map(splitTopLevel(_).map(_.trim).filter(_.nonEmpty)
+            .map { o =>
+              val sp = o.indexWhere(c => c.isWhitespace || c == '(')
+              if (sp < 0) (o.toUpperCase, "")
+              else (o.substring(0, sp).toUpperCase, o.substring(sp).trim)
+            }).getOrElse(Seq.empty)
+        def strVal(v: String): String =
+          v.stripPrefix("'").stripSuffix("'")
+        val optMap = optPairs.toMap
+        val fmt = optMap.get("FORMAT").map(strVal(_).toUpperCase).getOrElse(
           if (m.group(2).toLowerCase.endsWith(".parquet")) "PARQUET" else "CSV")
+        val partitionCols: Seq[String] = optMap.get("PARTITION_BY").toSeq
+          .flatMap(v => v.stripPrefix("(").stripSuffix(")").split(",")
+            .map(_.trim).filter(_.nonEmpty))
         val n = df.count()
-        if (fmt == "PARQUET") df.write.mode("overwrite").parquet(m.group(2))
-        else {
-          val delim = Option(m.group(3)).flatMap(
-            """(?i)DELIMITER\s+'([^']*)'""".r.findFirstMatchIn(_)).map(_.group(1))
-          sources.Csv.write(df, m.group(2), delim.map("sep" -> _).toMap)
+        if (fmt == "PARQUET") {
+          val w0 = df.write.mode("overwrite")
+          val w = optMap.get("COMPRESSION")
+            .map(c => w0.option("compression", strVal(c).toLowerCase))
+            .getOrElse(w0)
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+            .parquet(m.group(2))
+        } else {
+          val csvOpts = scala.collection.mutable.Map.empty[String, String]
+          optPairs.foreach { case (k, v) =>
+            k match {
+              case "FORMAT" => ()
+              case "HEADER" => csvOpts("header") =
+                (v.isEmpty || strVal(v).equalsIgnoreCase("true") ||
+                  strVal(v) == "1").toString
+              case "DELIMITER" | "DELIM" | "SEP" => csvOpts("delim") = strVal(v)
+              case "QUOTE" => csvOpts("quote") = strVal(v)
+              case "ESCAPE" => csvOpts("escape") = strVal(v)
+              case "NULL" => csvOpts("nullstr") = strVal(v)
+              case "COMPRESSION" => csvOpts("compression") =
+                strVal(v).toLowerCase
+              case "DATEFORMAT" => csvOpts("dateformat") = strVal(v)
+              case "TIMESTAMPFORMAT" => csvOpts("timestampformat") = strVal(v)
+              case "FORCE_QUOTE" => csvOpts("force_quote") = "true"
+              case "PARTITION_BY" => ()
+              case other => throw new UnsupportedOperationException(
+                s"COPY TO: unsupported option $other")
+            }
+          }
+          sources.Csv.write(df, m.group(2), csvOpts.toMap, partitionCols)
         }
         import spark.implicits._
         return Seq(n).toDF("Count")
@@ -1051,7 +1134,8 @@ object SqlDialect {
     q = readCsvFn.replaceAllIn(q,
       m => registerCsv(spark, m.group(1), Option(m.group(2)).getOrElse("")))
     q = bareCsv.replaceAllIn(q, m => "FROM " + registerCsv(spark, m.group(1), ""))
-    q = readParquetFn.replaceAllIn(q, m => registerParquet(spark, m.group(1)))
+    q = readParquetFn.replaceAllIn(q, m =>
+      registerParquet(spark, m.group(1), Option(m.group(2)).getOrElse("")))
     q = bareParquet.replaceAllIn(q, m => "FROM " + registerParquet(spark, m.group(1)))
     q = readJsonFn.replaceAllIn(q, m => registerJson(spark, m.group(1)))
     q = bareJson.replaceAllIn(q, m => "FROM " + registerJson(spark, m.group(1)))
@@ -1185,6 +1269,52 @@ object SqlDialect {
     // already consumed) and BEFORE the COLLATE pass (whose operand
     // walks then see plain calls instead of dialect syntax).
     q = rewriteListLiterals(q)
+    // MAP(keys_list, values_list) — the reference's two-LIST map
+    // constructor (duckdb-5.cpp map function). Spark's `map(…)` takes
+    // ALTERNATING key/value scalars, so the same text built a 1-entry
+    // list→list map silently (r17 BATTERY7 find, r07_render_map) —
+    // exactly-2-argument map() calls rewrite to map_from_arrays. Runs
+    // BEFORE rewriteStructLits (whose brace literals legitimately
+    // emit Spark's alternating map(k, v)); an `AS`/`::`-preceded map
+    // token is a CAST target, skipped for rewriteCasts to fold.
+    locally {
+      var changed = true
+      while (changed) {
+        changed = false
+        val toks = SqlLex.tokenize(q)
+        var k = 0
+        while (!changed && k < toks.length) {
+          val t = toks(k)
+          if (t.kind == SqlLex.Ident && t.lower == "map" &&
+            k + 1 < toks.length && toks(k + 1).kind == SqlLex.LParen &&
+            !(k > 0 && ((toks(k - 1).kind == SqlLex.Punct &&
+              (toks(k - 1).lower == "." || toks(k - 1).lower == "::")) ||
+              (toks(k - 1).kind == SqlLex.Ident &&
+                toks(k - 1).lower == "as")))) {
+            var depth = 0
+            var j = k + 1
+            var close = -1
+            while (close < 0 && j < toks.length) {
+              toks(j).kind match {
+                case SqlLex.LParen => depth += 1
+                case SqlLex.RParen => depth -= 1; if (depth == 0) close = j
+                case _ => ()
+              }
+              j += 1
+            }
+            if (close > 0) {
+              val inner = q.substring(toks(k + 1).end, toks(close).start)
+              if (splitTopLevel(inner).map(_.trim).count(_.nonEmpty) == 2) {
+                q = q.substring(0, t.start) + "map_from_arrays" +
+                  q.substring(t.end)
+                changed = true
+              }
+            }
+          }
+          k += 1
+        }
+      }
+    }
     // r15 battery-tranche-2 literal surfaces: e'…' escapes, TIME and
     // mixed-INTERVAL literals, struct/map braces — then 1-based duck
     // subscripts/slices over whatever base expressions remain
@@ -1891,7 +2021,29 @@ object SqlDialect {
             toks(asIdx + 1).kind == SqlLex.Ident &&
             toks(asIdx + 2).kind == SqlLex.Punct && toks(asIdx + 2).lower == "[" &&
             toks(asIdx + 3).kind == SqlLex.Punct && toks(asIdx + 3).lower == "]"
-          if (strTypeEnd > 0) {
+          // nested targets: STRUCT(…)/MAP(…) (at any depth, incl.
+          // array suffixes) and multi-dim T[][] route through
+          // duck_ncast — by-name struct matching + leaf-level TRY
+          // (r17 BATTERY7; functions/DuckNestedCast.scala)
+          val nestedTarget: Option[String] =
+            if (close > 0 && asIdx > k + 2 && asIdx + 1 < close) {
+              val tt = q.substring(toks(asIdx).end, toks(close).start).trim
+              val headIsNested = toks(asIdx + 1).kind == SqlLex.Ident &&
+                Set("struct", "map")(toks(asIdx + 1).lower) &&
+                asIdx + 2 < close && toks(asIdx + 2).kind == SqlLex.LParen
+              val multiDim =
+                """\]\s*\[""".r.findFirstIn(tt).isDefined
+              if (headIsNested || multiDim) Some(tt) else None
+            } else None
+          if (nestedTarget.isDefined) {
+            val isTry = t.lower == "try_cast"
+            val expr = q.substring(toks(k + 2).start, toks(asIdx).start).trim
+            val tyLit = nestedTarget.get.replace("'", "''")
+            q = q.substring(0, t.start) +
+              (if (isTry) "duck_try_ncast(" else "duck_ncast(") +
+              expr + s", '$tyLit')" + q.substring(toks(close).end)
+            changed = true
+          } else if (strTypeEnd > 0) {
             val isTry = t.lower == "try_cast"
             val expr = q.substring(toks(k + 2).start, toks(asIdx).start).trim
             q = q.substring(0, t.start) +
@@ -1914,6 +2066,39 @@ object SqlDialect {
               else None
             call.foreach { c =>
               q = q.substring(0, t.start) + c + q.substring(toks(close).end)
+              changed = true
+            }
+          }
+        } else if (t.kind == SqlLex.Punct && t.lower == "::" && k >= 1 &&
+          k + 1 < toks.length && toks(k + 1).kind == SqlLex.Ident &&
+          Set("struct", "map")(toks(k + 1).lower) &&
+          k + 2 < toks.length && toks(k + 2).kind == SqlLex.LParen) {
+          // x::STRUCT(…) / x::MAP(…,…) [+ optional [] suffixes] → the
+          // by-name nested cast (r17 BATTERY7)
+          val ls = SqlLex.operandStart(toks, k - 1, Set("::"))
+          if (ls >= 0) {
+            var depth = 0
+            var j = k + 2
+            var close = -1
+            while (close < 0 && j < toks.length) {
+              toks(j).kind match {
+                case SqlLex.LParen => depth += 1
+                case SqlLex.RParen => depth -= 1; if (depth == 0) close = j
+                case _ => ()
+              }
+              j += 1
+            }
+            if (close > 0) {
+              var te = close
+              while (te + 2 < toks.length &&
+                toks(te + 1).kind == SqlLex.Punct && toks(te + 1).lower == "[" &&
+                toks(te + 2).kind == SqlLex.Punct && toks(te + 2).lower == "]")
+                te += 2
+              val operand = q.substring(toks(ls).start, toks(k - 1).end)
+              val tyLit = q.substring(toks(k + 1).start, toks(te).end)
+                .replace("'", "''")
+              q = q.substring(0, toks(ls).start) +
+                s"duck_ncast($operand, '$tyLit')" + q.substring(toks(te).end)
               changed = true
             }
           }
@@ -3768,9 +3953,31 @@ object SqlDialect {
     view
   }
 
-  private def registerParquet(spark: SparkSession, path: String): String = {
-    val view = "pq_" + math.abs(path.hashCode).toString
-    spark.read.parquet(path).createOrReplaceTempView(view)
+  private def registerParquet(spark: SparkSession, path: String,
+                              optStr: String = ""): String = {
+    // accepted options: hive_partitioning (Spark discovers key=value
+    // directories natively — basePath pins the partition root when the
+    // path is a glob INTO the partition dirs), union_by_name (schema
+    // merge); anything else raises rather than silently diverging
+    var reader = spark.read
+    splitTopLevel(optStr.stripPrefix(",")).map(_.trim).filter(_.nonEmpty)
+      .foreach { o =>
+        val kv = o.split("=", 2).map(_.trim.toLowerCase)
+        kv(0) match {
+          case "hive_partitioning" =>
+            // strip glob tails (/*/*.parquet) back to the dataset root
+            val root = path.indexOf("/*") match {
+              case -1 => path
+              case i => path.substring(0, i)
+            }
+            reader = reader.option("basePath", root)
+          case "union_by_name" => reader = reader.option("mergeSchema", "true")
+          case other => throw new IllegalArgumentException(
+            s"read_parquet: unsupported option $other")
+        }
+      }
+    val view = "pq_" + math.abs((path + optStr).hashCode).toString
+    reader.parquet(path).createOrReplaceTempView(view)
     view
   }
 

@@ -775,7 +775,12 @@ private[graft] object SqlSelect {
     }
     if (schemas.exists(_.isFailure)) return members
     val fields = schemas.map(_.get.fields)
-    if (fields.map(_.length).distinct.length != 1) return members
+    if (fields.map(_.length).distinct.length != 1)
+      // both engines error here; raise the REFERENCE's text
+      // (r17 BATTERY7 d01 message parity)
+      throw new IllegalArgumentException(
+        "Binder Error: Set operations can only apply to expressions " +
+          "with the same number of result columns")
     val unified: Seq[Option[DataType]] = fields.head.indices.map { c =>
       fields.map(f => Option(f(c).dataType): Option[DataType]).reduce {
         (oa, ob) => for (a <- oa; b <- ob; u <- duckSetOpType(a, b)) yield u

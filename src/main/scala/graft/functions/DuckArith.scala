@@ -299,6 +299,10 @@ case class DuckStrCast(child: Expression)
     case DoubleType | FloatType => DuckFloatStr(child)
     case _: DayTimeIntervalType | _: YearMonthIntervalType |
          CalendarIntervalType => DuckIntervalStr(child)
+    // complex types render with the reference's list/struct/map text
+    // (r17 BATTERY7: '[1, NULL, 3]' / "{'a': 1}" / '{k=v}' — Spark's
+    // cast spells nulls lowercase and drops struct keys)
+    case _: ArrayType | _: StructType | _: MapType => DuckRenderStr(child)
     // timestamp/date casts are timezone-aware and this replacement is
     // built AFTER ResolveTimeZone ran — set the zone explicitly
     case _ => Cast(child, StringType,

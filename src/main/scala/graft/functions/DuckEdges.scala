@@ -342,7 +342,28 @@ case class DuckACast(child: Expression, elem: DataType)
     copy(child = c)
 }
 
+/** TRY_CAST to an ARRAY type: the reference nulls the failing ELEMENT,
+  * not the whole list (r17 BATTERY7 probe: `TRY_CAST(['1','x','3'] AS
+  * INT[])` → `[1, NULL, 3]`) — array inputs route through
+  * [[DuckNamedCast]]'s leaf-level TRY; string inputs keep the
+  * null-on-malformed json parse (whole-value NULL, matching the
+  * reference's list-literal parse). */
+case class DuckTryACast(child: Expression, elem: DataType)
+  extends UnaryExpression with RuntimeReplaceable {
+
+  override lazy val replacement: Expression = child.dataType match {
+    case StringType => TryEval(JsonToStructs(ArrayType(elem),
+      Map.empty[String, String], child, DuckEdges.tzOpt))
+    case _ => DuckNamedCast(child, ArrayType(elem), isTry = true)
+  }
+
+  override def prettyName: String = "duck_try_acast"
+  override protected def withNewChildInternal(c: Expression): DuckTryACast =
+    copy(child = c)
+}
+
 object DuckACast {
+  private[functions] def elemType(e: Expression): DataType = t(e)
   private def t(e: Expression): DataType = e match {
     case Literal(s: UTF8String, StringType) =>
       DuckICast.targets.getOrElse(s.toString.toLowerCase, s.toString.toLowerCase match {

@@ -287,6 +287,14 @@ object DuckFunctions {
       // session-info surface (reference duckdb-6.cpp system fns) —
       // values are engine-identifying by nature, so spec-checked only
       spark.udf.register("graft_version", udf(() => "graft 0.3 (spark 4.1.2)"))
+      // sequence SQL surface (r17 BATTERY7 d02/d07): driver-side
+      // counters per TypeHelpers — documented single-node semantics,
+      // same as the reference's catalog sequences. Nondeterministic so
+      // the optimizer never folds or duplicates a nextval call.
+      spark.udf.register("nextval",
+        udf((n: String) => TypeHelpers.nextval(n)).asNondeterministic())
+      spark.udf.register("currval",
+        udf((n: String) => TypeHelpers.currval(n)).asNondeterministic())
       spark.udf.register("current_database", udf(() => "memory"))
       spark.udf.register("current_schema", udf(() => "main"))
       spark.udf.register("current_schemas", udf(() => Array("main")))
@@ -387,8 +395,11 @@ object DuckFunctions {
         r("duck_try_bcast", a => org.apache.spark.sql.catalyst.expressions
           .TryEval(DuckBCast(a(0))))
         r("duck_acast", DuckACast.builder)
-        r("duck_try_acast", a => org.apache.spark.sql.catalyst.expressions
-          .TryEval(DuckACast.builder(a)))
+        r("duck_try_acast", a => DuckTryACast(a(0), DuckACast.elemType(a(1))))
+        // r17 BATTERY7: nested-type casts — by-name struct match,
+        // leaf-level TRY semantics (DuckNestedCast.scala)
+        r("duck_ncast", DuckNamedCast.builder)
+        r("duck_try_ncast", DuckNamedCast.tryBuilder)
         // r15 battery tranche 2 (duck-probed: 1-based subscripts with
         // NULL at 0/out-of-range, inclusive slices, DATE-DATE day
         // counts, null-skipping stringly concat, substr edges)

@@ -67,21 +67,45 @@ object TypeHelpers {
 
   private val sequences = new java.util.concurrent.ConcurrentHashMap[String, (java.util.concurrent.atomic.AtomicLong, Long)]()
 
+  private val sequenceStarts =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
   def createSequence(name: String, start: Long = 1L, incrementBy: Long = 1L): Unit = {
     require(incrementBy != 0L, "INCREMENT BY must be non-zero")
     sequences.put(name, (new java.util.concurrent.atomic.AtomicLong(start - incrementBy), incrementBy))
+    sequenceStarts.put(name, start)
   }
 
   def nextval(name: String): Long = {
     val seq = sequences.get(name)
-    require(seq != null, s"sequence $name does not exist")
+    if (seq == null) throw new IllegalArgumentException(
+      s"Catalog Error: Sequence with name $name does not exist!")
     seq._1.addAndGet(seq._2)
   }
 
   def currval(name: String): Long = {
     val seq = sequences.get(name)
-    require(seq != null, s"sequence $name does not exist")
+    if (seq == null) throw new IllegalArgumentException(
+      s"Catalog Error: Sequence with name $name does not exist!")
     seq._1.get()
+  }
+
+  def dropSequence(name: String, ifExists: Boolean): Unit = {
+    val had = sequences.remove(name) != null
+    sequenceStarts.remove(name)
+    if (!had && !ifExists) throw new IllegalArgumentException(
+      s"Catalog Error: Sequence with name $name does not exist!")
+  }
+
+  /** ALTER SEQUENCE … RESTART [WITH n] — the declared restart-only
+    * partial: the counter resets (to the original START when no value
+    * is given, the reference's behavior), increment is preserved. */
+  def restartSequence(name: String, start: Option[Long]): Unit = {
+    val seq = sequences.get(name)
+    if (seq == null) throw new IllegalArgumentException(
+      s"Catalog Error: Sequence with name $name does not exist!")
+    val s = start.getOrElse(sequenceStarts.getOrDefault(name, 1L))
+    seq._1.set(s - seq._2)
   }
 
   // ---- TIME values (duckdb.hpp:914 dtime_t) ----

@@ -183,6 +183,57 @@ object Csv {
     sniffText(text, truncated)
   }
 
+  /** Does the sample hold a newline INSIDE a quoted field? Drives the
+    * reader's multiLine switch (r17 BATTERY7 c06: Spark's default
+    * line-split reader tears quoted-newline records apart — the
+    * reference reader always honors quotes). Detection is
+    * sample-bounded like the sniffer itself: a file whose FIRST quoted
+    * newline sits past the 64 KiB head keeps the parallel line reader
+    * (documented; pass an explicit quote + a head-of-file probe row to
+    * force it). multiLine costs intra-file parallelism, so it engages
+    * only on evidence. */
+  private def sampleHasQuotedNewline(spark: SparkSession, path: String,
+                                     quote: Char, skip: Int): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = globFiles(spark, path)
+    if (files.isEmpty) return false
+    val p = new org.apache.hadoop.fs.Path(files.head)
+    val fs = p.getFileSystem(conf)
+    // recurse to the first DATA FILE (hive-partitioned layouts nest
+    // key=value directories)
+    def firstFile(x: org.apache.hadoop.fs.Path): Option[org.apache.hadoop.fs.Path] =
+      if (fs.getFileStatus(x).isFile) {
+        val n = x.getName
+        if (n.startsWith("_") || n.startsWith(".")) None else Some(x)
+      } else fs.listStatus(x).map(_.getPath).sortBy(_.getName)
+        .iterator.flatMap(firstFile).nextOption()
+    val f0 = firstFile(p).getOrElse(return false)
+    val raw = fs.open(f0)
+    try {
+      val in: java.io.InputStream =
+        if (f0.getName.endsWith(".gz") || f0.getName.endsWith(".gzip"))
+          new java.util.zip.GZIPInputStream(raw)
+        else raw
+      val buf = new Array[Byte](SniffBytes)
+      var off = 0
+      var n = 0
+      while (off < SniffBytes && { n = in.read(buf, off, SniffBytes - off); n > 0 })
+        off += n
+      val text0 = new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
+      val text = if (skip > 0) text0.linesWithSeparators.drop(skip).mkString
+        else text0
+      var inQ = false
+      var i = 0
+      while (i < text.length) {
+        val c = text.charAt(i)
+        if (c == quote) inQ = !inQ
+        else if (c == '\n' && inQ) return true
+        i += 1
+      }
+      false
+    } finally raw.close()
+  }
+
   /** Reference option name → Spark CSV option (full named-parameter list:
     * ReadCSVAddNamedParameters, duckdb-6.cpp:10271-10299). */
   private val optionMap = Map(
@@ -262,7 +313,13 @@ object Csv {
           val t = kv.substring(ci + 1).trim.stripPrefix("'").stripSuffix("'")
           s"$n ${duckToSparkType(t)}"
         }.mkString(", "))
-    val translated = translate(lower -- transformKeys)
+    val translated = translate(lower -- transformKeys).map {
+      // reference format options are strftime text (writer note at
+      // [[strftimeToJava]])
+      case ("dateFormat", v) => "dateFormat" -> strftimeToJava(v)
+      case ("timestampFormat", v) => "timestampFormat" -> strftimeToJava(v)
+      case kv => kv
+    }
 
     // Sniff whenever the caller leaves any dialect knob open — detected
     // values fill ONLY the unspecified knobs (explicit options always
@@ -279,6 +336,10 @@ object Csv {
       if (delimGiven && lower.contains("quote") && lower.contains("header")) None
       else Some(sniffFile(spark, path, skip))
 
+    val effQuote: Char = lower.get("quote").filter(_.nonEmpty).map(_.charAt(0))
+      .orElse(sniffed.map(_.quote)).getOrElse('"')
+    val quotedNewlines = sampleHasQuotedNewline(spark, path, effQuote, skip)
+
     def reader: DataFrameReader = {
       var b = spark.read.option("inferSchema", columns.isEmpty.toString)
       sniffed match {
@@ -289,6 +350,12 @@ object Csv {
           b = b.option("header", d.header.toString)
         case None => b = b.option("header", "true")
       }
+      if (quotedNewlines) b = b.option("multiLine", "true")
+      // hive_partitioning over a glob INTO the partition dirs: pin the
+      // dataset root so Spark still derives the key=value columns
+      if (lower.get("hive_partitioning").exists(_.toBoolean) &&
+        path.contains("/*"))
+        b = b.option("basePath", path.substring(0, path.indexOf("/*")))
       val base = columns.foldLeft(b) { case (acc, ddl) => acc.schema(ddl) }
       translated.foldLeft(base) { case (acc, (k, v)) => acc.option(k, v) }
     }
@@ -351,9 +418,69 @@ object Csv {
   /** COPY … TO 'path' (CSV): per-partition parallel write, like the
     * reference's per-thread CSV sink. */
   def write(df: DataFrame, path: String,
-            options: Map[String, String] = Map.empty): Unit =
-    translate(options.map { case (k, v) => k.toLowerCase -> v } -- transformKeys)
-      .foldLeft(df.write.mode("overwrite").option("header", "true")) {
-        case (acc, (k, v)) => acc.option(k, v)
-      }.csv(path)
+            options: Map[String, String] = Map.empty,
+            partitionBy: Seq[String] = Seq.empty): Unit = {
+    val lower = options.map { case (k, v) => k.toLowerCase -> v }
+    val forceQuote = lower.get("force_quote").exists(_.toBoolean)
+    val translated = translate(lower -- transformKeys - "force_quote")
+      .map {
+        // the reference's format strings are strftime text; Spark's
+        // writer speaks DateTimeFormatter patterns (r17 BATTERY7)
+        case ("dateFormat", v) => "dateFormat" -> strftimeToJava(v)
+        case ("timestampFormat", v) => "timestampFormat" -> strftimeToJava(v)
+        case kv => kv
+      }
+    var w = df.write.mode("overwrite")
+      .option("header", "true")
+      // the reference writer's dialect: doubled-quote escaping (Spark's
+      // default escape is backslash, which its OWN reader then needs —
+      // a write/read round-trip through reference options would
+      // mis-parse embedded quotes without this; r17 BATTERY7 c04)
+      .option("escape", lower.getOrElse("quote", "\""))
+    if (forceQuote) w = w.option("quoteAll", "true")
+    w = translated.foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
+    if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+    w.csv(path)
+  }
+
+  /** strftime text → DateTimeFormatter pattern, for the CSV reader's
+    * and writer's dateformat/timestampformat options (the reference's
+    * option values are strftime; Spark's CSV codec only takes Java
+    * patterns — the full strftime surface lives in the hand formatter,
+    * `DuckStrFns.strftime`, but the codec path needs the translation
+    * for the COMMON specifiers; anything outside raises). */
+  private[graft] def strftimeToJava(f: String): String = {
+    val b = new StringBuilder
+    var i = 0
+    while (i < f.length) {
+      val c = f.charAt(i)
+      if (c == '%' && i + 1 < f.length) {
+        f.charAt(i + 1) match {
+          case 'Y' => b.append("yyyy")
+          case 'y' => b.append("yy")
+          case 'm' => b.append("MM")
+          case 'd' => b.append("dd")
+          case 'H' => b.append("HH")
+          case 'I' => b.append("hh")
+          case 'M' => b.append("mm")
+          case 'S' => b.append("ss")
+          case 'f' => b.append("SSSSSS")
+          case 'g' => b.append("SSS")
+          case 'j' => b.append("DDD")
+          case 'p' => b.append("a")
+          case '%' => b.append('%')
+          case other => throw new IllegalArgumentException(
+            s"CSV dateformat/timestampformat: unsupported strftime " +
+              s"specifier %$other (codec path supports " +
+              "%Y %y %m %d %H %I %M %S %f %g %j %p)")
+        }
+        i += 2
+      } else {
+        if (c.isLetter) b.append('\'').append(c).append('\'')
+        else b.append(c)
+        i += 1
+      }
+    }
+    b.toString
+  }
 }

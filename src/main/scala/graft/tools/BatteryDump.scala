@@ -42,6 +42,13 @@ object BatteryDump {
     case m: scala.collection.Map[_, _] =>
       m.toSeq.map { case (k, x) => cell(k) + "=" + cell(x) }
         .sorted.mkString("{", ", ", "}")
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      // python's duckdb driver fetches STRUCTs as dicts; the comparer
+      // renders dicts as sorted k=v — mirror that so struct-valued
+      // results diff by FIELD, not by tuple position (r17)
+      r.schema.fieldNames.zipWithIndex
+        .map { case (n, i) => cell(n) + "=" + cell(r.get(i)) }
+        .sorted.mkString("{", ", ", "}")
     case r: org.apache.spark.sql.Row =>
       r.toSeq.map(cell).mkString("(", ", ", ")")
     case x                   => x.toString

@@ -338,6 +338,24 @@ object DialectFuzzGen {
         "UNION ALL SELECT CAST(n_nationkey % 3 = 0 AS STRING) FROM nation) t " +
         "GROUP BY x"))
 
+  /** r17 tranche-7 shape: nested casts (BY-NAME struct match reordered
+    * to target order, leaf TRY), the two-LIST MAP constructor, and the
+    * reference's complex→VARCHAR rendering — the native side spells
+    * duck's semantics with Spark primitives. */
+  private def nestedCastFuzz(m: Int): (Seq[String], Pair) =
+    (Nil, (s"SELECT n_nationkey AS k, " +
+      s"(CAST({'b': n_nationkey + $m, 'a': n_regionkey} AS STRUCT(a BIGINT, b VARCHAR))).a AS sa, " +
+      s"(CAST({'b': n_nationkey + $m, 'a': n_regionkey} AS STRUCT(a BIGINT, b VARCHAR))).b AS sb, " +
+      "CAST(TRY_CAST([CAST(n_nationkey AS VARCHAR), 'x'] AS INT[]) AS VARCHAR) AS l_s, " +
+      s"CAST(cardinality(MAP([n_name], [n_regionkey + $m])) AS BIGINT) AS mp_n, " +
+      "CAST([n_regionkey, NULL] AS VARCHAR) AS r FROM nation",
+      s"SELECT n_nationkey AS k, " +
+        "CAST(n_regionkey AS BIGINT) AS sa, " +
+        s"CAST(n_nationkey + $m AS STRING) AS sb, " +
+        "concat('[', n_nationkey, ', NULL]') AS l_s, " +
+        "CAST(1 AS BIGINT) AS mp_n, " +
+        "concat('[', n_regionkey, ', NULL]') AS r FROM nation"))
+
   private def macroCall(i: Int, a: Int): (Seq[String], Pair) =
     (Seq(s"CREATE OR REPLACE MACRO fz_m$i(x, y := 7) AS x * 100 + y"),
       (s"SELECT n_nationkey AS k, fz_m$i(n_regionkey, y := $a) AS v FROM nation",
@@ -432,7 +450,7 @@ object DialectFuzzGen {
       }
       val contexts: Seq[Pair => Pair] = Seq(ctxDerived, ctxCte, ctxCteChain,
         freshTrap, ctxComments, freshUnion)
-      val (setup, base) = rnd.nextInt(32) match {
+      val (setup, base) = rnd.nextInt(33) match {
         case 0 => qualifyAliased(1 + rnd.nextInt(4))
         case 1 => qualifyInline(1 + rnd.nextInt(4))
         case 2 => distinctOn(rnd.nextBoolean())
@@ -468,6 +486,7 @@ object DialectFuzzGen {
         case 29 => winEdgeFuzz(1 + rnd.nextInt(4))
         case 30 => defaultsFuzz(i, 1 + rnd.nextInt(90))
         case 31 => setopCoerceFuzz(2 + rnd.nextInt(9))
+        case 32 => nestedCastFuzz(1 + rnd.nextInt(50))
       }
       val nestable = !base._1.toUpperCase.startsWith("EXECUTE")
       val wrapped = if (!nestable) base

@@ -28,6 +28,12 @@ def render(v):
     if isinstance(v, list):
         return "[" + ", ".join(render(x) for x in v) + "]"
     if isinstance(v, dict):
+        # duckdb's python driver fetches MAP values as
+        # {'key': [...], 'value': [...]} — render as the map it is
+        if set(v.keys()) == {"key", "value"} and isinstance(v["key"], list):
+            return "{" + ", ".join(sorted(
+                render(k) + "=" + render(x)
+                for k, x in zip(v["key"], v["value"]))) + "}"
         return "{" + ", ".join(sorted(render(k) + "=" + render(x)
                                       for k, x in v.items())) + "}"
     if isinstance(v, tuple):
