@@ -898,9 +898,52 @@ private[graft] object SqlSelect {
         Some(TimestampType)
       case (DateType, TimestampNTZType) | (TimestampNTZType, DateType) =>
         Some(TimestampNTZType)
+      // nested types recurse (probed r17: [1]∪['a'] → VARCHAR[],
+      // fieldwise-POSITIONAL structs — same names required, duck's
+      // Mismatch error otherwise — and key/value-wise maps). One
+      // guard: a float/double unifying to a NESTED string can't ride
+      // duck_str (it is a top-level cast), and Spark's element cast
+      // renders exponents differently — unprobed → native behavior.
+      case (ArrayType(ea, _), ArrayType(eb, _)) =>
+        duckSetOpType(ea, eb).filterNot(u =>
+          u == StringType && (isFloaty(ea) || isFloaty(eb)))
+          .map(ArrayType(_, containsNull = true))
+      case (sa: StructType, sb: StructType) =>
+        // duck RAISES on mismatched field sets here (Spark would
+        // silently union by position — a silent-divergence class,
+        // caught by this round's spec); same names → fieldwise unify
+        def duckName(st: StructType): String = st.fields
+          .map(f => s"${f.name} ${f.dataType.sql}")
+          .mkString("STRUCT(", ", ", ")")
+        if (sa.length != sb.length ||
+          !sa.fieldNames.map(_.toLowerCase).sameElements(
+            sb.fieldNames.map(_.toLowerCase)))
+          throw new IllegalArgumentException(
+            s"Mismatch Type Error: Type ${duckName(sb)} does not match " +
+              s"with ${duckName(sa)}. Cannot cast STRUCTs" +
+              (if (sa.length != sb.length) " of different size" else ""))
+        val unified = sa.fields.zip(sb.fields).map { case (fa, fb) =>
+          duckSetOpType(fa.dataType, fb.dataType).filterNot(u =>
+            u == StringType &&
+              (isFloaty(fa.dataType) || isFloaty(fb.dataType)))
+            .map(u => StructField(fa.name, u))
+        }
+        if (unified.exists(_.isEmpty)) None
+        else Some(StructType(unified.map(_.get)))
+      case (MapType(ka, va, _), MapType(kb, vb, _)) =>
+        for {
+          k <- duckSetOpType(ka, kb)
+          v <- duckSetOpType(va, vb)
+          if !(k == StringType && (isFloaty(ka) || isFloaty(kb)))
+          if !(v == StringType && (isFloaty(va) || isFloaty(vb)))
+        } yield MapType(k, v, valueContainsNull = true)
       case _ => None
     }
   }
+
+  private def isFloaty(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt == org.apache.spark.sql.types.FloatType ||
+      dt == org.apache.spark.sql.types.DoubleType
 
   private def renderTerm(t: Term): String = t match {
     case ParenTerm(inner, _) => s"($inner)"

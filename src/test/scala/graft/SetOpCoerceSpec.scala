@@ -89,6 +89,25 @@ class SetOpCoerceSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.setopCoerce", "true")
   }
 
+  test("nested types unify recursively (probed: lists, positional structs, maps)") {
+    val l = df("SELECT x FROM (SELECT [1,2] AS x UNION ALL SELECT ['a']) t " +
+      "ORDER BY 1")
+    assert(l.schema.head.dataType.simpleString == "array<string>")
+    assert(l.collect().map(_.getSeq[String](0)).toSeq ==
+      Seq(Seq("1", "2"), Seq("a")))
+    val st = df("SELECT x FROM (SELECT {'a': 1} AS x " +
+      "UNION ALL SELECT {'a': 'z'}) t")
+    assert(st.schema.head.dataType.simpleString == "struct<a:string>")
+    val m = df("SELECT x FROM (SELECT MAP(['k'],[1]) AS x " +
+      "UNION ALL SELECT MAP(['k'],['v'])) t")
+    assert(m.schema.head.dataType.simpleString == "map<string,string>")
+    // different struct field NAMES stay a loud error (duck Mismatch)
+    intercept[Exception] {
+      df("SELECT x FROM (SELECT {'a': 1} AS x UNION ALL SELECT {'b': 1}) t")
+        .collect()
+    }
+  }
+
   test("EXCEPT / INTERSECT coerce the same way as UNION (probed)") {
     val ex = df("SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 'a' " +
       "EXCEPT SELECT '1') t ORDER BY x").collect().map(_.getString(0))
