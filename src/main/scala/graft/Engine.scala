@@ -407,8 +407,9 @@ object Engine {
       val withinDup = keyed.groupBy(keys.map(col): _*)
         .count().filter(col("count") > 1).limit(1).collect().headOption
       lazy val storedDup =
-        keyed.join(spark.table(name).select(keys.map(col): _*),
-          keys, "left_semi").limit(1).collect().headOption
+        keyed.select(keys.map(col): _*) // keys-only, so r.get(i) below
+          .join(spark.table(name).select(keys.map(col): _*), // reads keys
+            keys, "left_semi").limit(1).collect().headOption
       val dup = withinDup.orElse(storedDup)
       dup.foreach { r =>
         // the reference's message carries the offending key values:

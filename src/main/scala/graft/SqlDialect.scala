@@ -979,20 +979,37 @@ object SqlDialect {
     // SQL-surface half of the §2.11 sequence row)
     locally {
       val createSeq =
-        ("""(?is)^\s*CREATE\s+(?:OR\s+REPLACE\s+)?SEQUENCE\s+(?:IF\s+NOT\s+EXISTS\s+)?""" +
+        ("""(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?SEQUENCE\s+(IF\s+NOT\s+EXISTS\s+)?""" +
           """([A-Za-z_]\w*)\s*(.*)$""").r
       val dropSeq =
         """(?is)^\s*DROP\s+SEQUENCE\s+(IF\s+EXISTS\s+)?([A-Za-z_]\w*)\s*$""".r
       val alterSeq =
         ("""(?is)^\s*ALTER\s+SEQUENCE\s+([A-Za-z_]\w*)\s+RESTART""" +
           """(?:\s+WITH\s+(-?\d+))?\s*$""").r
-      q.trim match { // original case: the sequence NAME is the map key
-        case createSeq(name, tail) =>
-          val start = """(?is)START\s+(?:WITH\s+)?(-?\d+)""".r
-            .findFirstMatchIn(tail).map(_.group(1).toLong).getOrElse(1L)
-          val inc = """(?is)INCREMENT\s+(?:BY\s+)?(-?\d+)""".r
-            .findFirstMatchIn(tail).map(_.group(1).toLong).getOrElse(1L)
-          graft.functions.TypeHelpers.createSequence(name, start, inc)
+      q.trim match {
+        case createSeq(orRepl, ifNotEx, name, tail) =>
+          def opt(re: String): Option[Long] = re.r
+            .findFirstMatchIn(tail).map(_.group(1).toLong)
+          val start = opt("""(?is)START\s+(?:WITH\s+)?(-?\d+)""")
+          val inc = opt("""(?is)INCREMENT\s+(?:BY\s+)?(-?\d+)""").getOrElse(1L)
+          val minV = opt("""(?is)\bMINVALUE\s+(-?\d+)""")
+          val maxV = opt("""(?is)\bMAXVALUE\s+(-?\d+)""")
+          val cycle = """(?is)(?<!NO\s)\bCYCLE\b""".r
+            .findFirstIn(tail).isDefined
+          // anything the option scan did not consume is a silent-
+          // divergence hazard — raise instead (COPY-matrix policy)
+          val residue = Seq(
+            """(?is)START\s+(?:WITH\s+)?-?\d+""", """(?is)INCREMENT\s+(?:BY\s+)?-?\d+""",
+            """(?is)\bMINVALUE\s+-?\d+""", """(?is)\bMAXVALUE\s+-?\d+""",
+            """(?is)\bNO\s+(?:CYCLE|MINVALUE|MAXVALUE)\b""", """(?is)\bCYCLE\b""")
+            .foldLeft(tail) { (t, re) => re.r.replaceAllIn(t, " ") }.trim
+          if (residue.nonEmpty) throw new UnsupportedOperationException(
+            s"CREATE SEQUENCE: unsupported options '$residue'")
+          graft.functions.TypeHelpers.createSequence(name,
+            start.getOrElse(if (inc > 0) minV.getOrElse(1L)
+              else maxV.getOrElse(-1L)), inc,
+            minV, maxV, cycle,
+            ifNotExists = ifNotEx != null, orReplace = orRepl != null)
           return spark.emptyDataFrame
         case dropSeq(ifEx, name) =>
           graft.functions.TypeHelpers.dropSequence(name, ifEx != null)
@@ -1269,14 +1286,32 @@ object SqlDialect {
     // already consumed) and BEFORE the COLLATE pass (whose operand
     // walks then see plain calls instead of dialect syntax).
     q = rewriteListLiterals(q)
+    // r15 battery-tranche-2 literal surfaces: e'…' escapes, TIME and
+    // mixed-INTERVAL literals, struct/map braces — then 1-based duck
+    // subscripts/slices over whatever base expressions remain
+    q = rewriteEStrings(q)
+    q = rewriteBlobLiterals(q)
+    q = rewriteTimeLiterals(q)
+    q = rewriteMixedIntervals(q)
+    q = rewriteStructLits(q)
+    q = rewriteBracketOps(q)
+    // exponentiation and prefix-abs BEFORE the division passes (the
+    // reference binds ** / ^ tighter than * / % — probed `2*3**2`=18)
+    q = rewritePowAbs(q)
+    q = rewriteFloorDiv(q)
+    // duck cast targets (::/CAST int + varchar families) before the
+    // div/mod pass so operand chains see plain calls
+    q = rewriteCasts(q)
     // MAP(keys_list, values_list) — the reference's two-LIST map
     // constructor (duckdb-5.cpp map function). Spark's `map(…)` takes
     // ALTERNATING key/value scalars, so the same text built a 1-entry
     // list→list map silently (r17 BATTERY7 find, r07_render_map) —
     // exactly-2-argument map() calls rewrite to map_from_arrays. Runs
-    // BEFORE rewriteStructLits (whose brace literals legitimately
-    // emit Spark's alternating map(k, v)); an `AS`/`::`-preceded map
-    // token is a CAST target, skipped for rewriteCasts to fold.
+    // AFTER rewriteCasts — MAP tokens inside cast TYPE TEXT (e.g.
+    // STRUCT(m MAP(INT, INT)) targets) are folded into duck_ncast
+    // string literals by then and can never match (r17 review
+    // finding) — and after rewriteStructLits, whose MAP {…} braces
+    // now emit map_from_arrays themselves.
     locally {
       var changed = true
       while (changed) {
@@ -1315,22 +1350,6 @@ object SqlDialect {
         }
       }
     }
-    // r15 battery-tranche-2 literal surfaces: e'…' escapes, TIME and
-    // mixed-INTERVAL literals, struct/map braces — then 1-based duck
-    // subscripts/slices over whatever base expressions remain
-    q = rewriteEStrings(q)
-    q = rewriteBlobLiterals(q)
-    q = rewriteTimeLiterals(q)
-    q = rewriteMixedIntervals(q)
-    q = rewriteStructLits(q)
-    q = rewriteBracketOps(q)
-    // exponentiation and prefix-abs BEFORE the division passes (the
-    // reference binds ** / ^ tighter than * / % — probed `2*3**2`=18)
-    q = rewritePowAbs(q)
-    q = rewriteFloorDiv(q)
-    // duck cast targets (::/CAST int + varchar families) before the
-    // div/mod pass so operand chains see plain calls
-    q = rewriteCasts(q)
     // SQL-surface function renames to the duck_-prefixed registrations
     // (the registry also resolves API names in Spark 4, so the
     // raise-on-domain / re-typed variants must not shadow them)
@@ -1918,10 +1937,18 @@ object SqlDialect {
   private def rewriteTestTableFns(spark: SparkSession, q0: String): String = {
     var q = q0
     val tat = """(?is)\btest_all_types\s*\(\s*\)""".r
-    if (tat.findFirstMatchIn(q).exists(m => !insideQuotes(q, m.start))) {
+    // per-occurrence quote check (r17 review: a single findFirst +
+    // replaceAllIn either mutated string literals or skipped real
+    // calls depending on which came first)
+    val tatMatches = tat.findAllMatchIn(q).toSeq
+      .filter(m => !insideQuotes(q, m.start))
+    if (tatMatches.nonEmpty) {
       graft.sources.TestTables.testAllTypes(spark)
         .createOrReplaceTempView("__graft_test_all_types")
-      q = tat.replaceAllIn(q, "__graft_test_all_types")
+      val sb = new StringBuilder(q)
+      tatMatches.reverse.foreach(m =>
+        sb.replace(m.start, m.end, "__graft_test_all_types"))
+      q = sb.toString
     }
     var guard = 0
     var found = true
@@ -2251,12 +2278,20 @@ object SqlDialect {
                 if (toks(a + 1).kind == SqlLex.QIdent)
                   "'" + key.stripPrefix("\"").stripSuffix("\"") + "'"
                 else key
-              s"$keyLit, $v"
+              (keyLit, v)
             }
-            val fn = if (isMap) "map" else "named_struct"
+            // MAP {…} emits map_from_arrays (not Spark's alternating
+            // map(k,v…)) so the LATER two-arg MAP(list,list) rewrite
+            // can never mistake brace output for the reference's
+            // list-pair constructor (r17 review finding)
+            val body =
+              if (isMap)
+                s"map_from_arrays(array(${pairs.map(_._1).mkString(", ")}), " +
+                  s"array(${pairs.map(_._2).mkString(", ")}))"
+              else s"named_struct(${
+                pairs.map(p => s"${p._1}, ${p._2}").mkString(", ")})"
             val from = if (isMap) toks(k - 1).start else t.start
-            q = q.substring(0, from) + fn + "(" + pairs.mkString(", ") + ")" +
-              q.substring(toks(close).end)
+            q = q.substring(0, from) + body + q.substring(toks(close).end)
             changed = true
           }
         } else if (t.kind == SqlLex.Ident &&
@@ -3963,15 +3998,20 @@ object SqlDialect {
     splitTopLevel(optStr.stripPrefix(",")).map(_.trim).filter(_.nonEmpty)
       .foreach { o =>
         val kv = o.split("=", 2).map(_.trim.toLowerCase)
+        // bare `opt` means true; `opt=false`/`=0` disables (r17
+        // review: values were ignored and explicit-false enabled)
+        val on = kv.length < 2 || kv(1) == "true" || kv(1) == "1"
         kv(0) match {
-          case "hive_partitioning" =>
+          case "hive_partitioning" if on =>
             // strip glob tails (/*/*.parquet) back to the dataset root
             val root = path.indexOf("/*") match {
               case -1 => path
               case i => path.substring(0, i)
             }
             reader = reader.option("basePath", root)
-          case "union_by_name" => reader = reader.option("mergeSchema", "true")
+          case "hive_partitioning" => ()
+          case "union_by_name" =>
+            if (on) reader = reader.option("mergeSchema", "true")
           case other => throw new IllegalArgumentException(
             s"read_parquet: unsupported option $other")
         }

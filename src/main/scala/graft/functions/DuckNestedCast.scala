@@ -201,7 +201,12 @@ case class DuckNamedCast(child: Expression, target: DataType, isTry: Boolean)
           LambdaFunction(build(kv, tm.keyType), Seq(kv)))
         val vals = ArrayTransform(MapValues(e),
           LambdaFunction(build(vv, tm.valueType), Seq(vv)))
-        MapFromArrays(keys, vals)
+        val rebuilt = MapFromArrays(keys, vals)
+        // a TRY-nulled KEY is unrepresentable in a Spark map (the
+        // reference keeps a literal NULL key, probed) — the whole map
+        // goes NULL instead of crashing on MapFromArrays' null-key
+        // check; documented deviation, error → NULL, never a throw
+        if (isTry) TryEval(rebuilt) else rebuilt
       case (_, st: StructType) =>
         // probed: TRY_CAST('abc' AS STRUCT(…)) is NULL, plain CAST is
         // the reference's conversion error
@@ -279,6 +284,16 @@ object DuckRenderStr {
     case BooleanType => if (v.asInstanceOf[Boolean]) "true" else "false"
     case DateType =>
       java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString
+    case BinaryType =>
+      // the reference's blob text: printable ASCII raw, \xNN otherwise
+      val bytes = v.asInstanceOf[Array[Byte]]
+      val b = new StringBuilder
+      bytes.foreach { x =>
+        val c = x & 0xff
+        if (c >= 32 && c <= 126 && c != '\\') b.append(c.toChar)
+        else b.append(f"\\x$c%02X")
+      }
+      b.toString
     case _: YearMonthIntervalType =>
       DuckEdges.formatMonths(v.asInstanceOf[Int]).toString
     case dt2: DayTimeIntervalType =>
@@ -298,6 +313,11 @@ object DuckRenderStr {
       val base = f"${ldt.getYear}%04d-${ldt.getMonthValue}%02d-" +
         f"${ldt.getDayOfMonth}%02d ${ldt.getHour}%02d:" +
         f"${ldt.getMinute}%02d:${ldt.getSecond}%02d"
+      // NOTE: no '+00' suffix even for TimestampType — duck TIMESTAMP
+      // literals land on Spark's TimestampType through the dialect, so
+      // the suffix would mis-render the COMMON case; TIMESTAMPTZ
+      // rendering therefore drops its offset inside complex values
+      // (documented encoding limitation, same class as TIME's long)
       if (frac == 0L) base
       else base + "." + f"$frac%06d".reverse.dropWhile(_ == '0').reverse
     case _ => v.toString // ints, strings (UTF8String.toString), rest

@@ -65,47 +65,91 @@ object TypeHelpers {
   // Driver-side monotonic counters: documented single-driver semantics
   // (the reference's sequences are also a single-node catalog object).
 
-  private val sequences = new java.util.concurrent.ConcurrentHashMap[String, (java.util.concurrent.atomic.AtomicLong, Long)]()
-
-  private val sequenceStarts =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
-
-  def createSequence(name: String, start: Long = 1L, incrementBy: Long = 1L): Unit = {
-    require(incrementBy != 0L, "INCREMENT BY must be non-zero")
-    sequences.put(name, (new java.util.concurrent.atomic.AtomicLong(start - incrementBy), incrementBy))
-    sequenceStarts.put(name, start)
+  /** One sequence's state. `value` holds the LAST issued value
+    * (start − inc before the first call, duck's "not yet defined"
+    * window notwithstanding — documented currval leniency). Unquoted
+    * names fold to lowercase at every API edge, the reference's
+    * identifier rule (probed r17: `CREATE SEQUENCE CSeq` then
+    * `nextval('CSEQ')` hit the SAME sequence). */
+  private final class SeqState(val start: Long, val inc: Long,
+                               val minV: Long, val maxV: Long,
+                               val cycle: Boolean) {
+    var value: Long = start - inc
   }
 
+  private val sequences =
+    new java.util.concurrent.ConcurrentHashMap[String, SeqState]()
+
+  private def seqKey(name: String): String = name.toLowerCase
+
+  private def seqOf(name: String): SeqState = {
+    val s = sequences.get(seqKey(name))
+    if (s == null) throw new IllegalArgumentException(
+      s"Catalog Error: Sequence with name ${seqKey(name)} does not exist!")
+    s
+  }
+
+  def createSequence(name: String, start: Long = 1L, incrementBy: Long = 1L,
+                     minValue: Option[Long] = None,
+                     maxValue: Option[Long] = None,
+                     cycle: Boolean = false,
+                     ifNotExists: Boolean = false,
+                     orReplace: Boolean = false): Unit = {
+    require(incrementBy != 0L, "INCREMENT BY must be non-zero")
+    val key = seqKey(name)
+    if (sequences.containsKey(key) && !orReplace) {
+      if (ifNotExists) return // reference: no-op, counter untouched
+      throw new IllegalArgumentException(
+        s"""Catalog Error: Sequence with name "$key" already exists!""")
+    }
+    val mn = minValue.getOrElse(if (incrementBy > 0) 1L else Long.MinValue + 1)
+    val mx = maxValue.getOrElse(if (incrementBy > 0) Long.MaxValue - 1 else -1L)
+    sequences.put(key, new SeqState(start, incrementBy, mn, mx, cycle))
+  }
+
+  /** nextval with the reference's bound semantics (probed r17):
+    * past MAXVALUE (ascending) / MINVALUE (descending) a CYCLE
+    * sequence wraps to the opposite bound; a NO CYCLE one raises the
+    * reference's Sequence Error. */
   def nextval(name: String): Long = {
-    val seq = sequences.get(name)
-    if (seq == null) throw new IllegalArgumentException(
-      s"Catalog Error: Sequence with name $name does not exist!")
-    seq._1.addAndGet(seq._2)
+    val s = seqOf(name)
+    s.synchronized {
+      val next = s.value + s.inc
+      val out =
+        if (s.inc > 0 && next > s.maxV) {
+          if (!s.cycle) throw new IllegalArgumentException(
+            s"""Sequence Error: nextval: reached maximum value of """ +
+              s"""sequence "${seqKey(name)}" (${s.maxV})""")
+          s.minV
+        } else if (s.inc < 0 && next < s.minV) {
+          if (!s.cycle) throw new IllegalArgumentException(
+            s"""Sequence Error: nextval: reached minimum value of """ +
+              s"""sequence "${seqKey(name)}" (${s.minV})""")
+          s.maxV
+        } else next
+      s.value = out
+      out
+    }
   }
 
   def currval(name: String): Long = {
-    val seq = sequences.get(name)
-    if (seq == null) throw new IllegalArgumentException(
-      s"Catalog Error: Sequence with name $name does not exist!")
-    seq._1.get()
+    val s = seqOf(name)
+    s.synchronized(s.value)
   }
 
   def dropSequence(name: String, ifExists: Boolean): Unit = {
-    val had = sequences.remove(name) != null
-    sequenceStarts.remove(name)
+    val had = sequences.remove(seqKey(name)) != null
     if (!had && !ifExists) throw new IllegalArgumentException(
-      s"Catalog Error: Sequence with name $name does not exist!")
+      s"Catalog Error: Sequence with name ${seqKey(name)} does not exist!")
   }
 
-  /** ALTER SEQUENCE … RESTART [WITH n] — the declared restart-only
-    * partial: the counter resets (to the original START when no value
-    * is given, the reference's behavior), increment is preserved. */
+  /** ALTER SEQUENCE … RESTART [WITH n] — API-level helper (the SQL
+    * surface raises the reference's own "Not implemented" instead,
+    * BATTERY7 d08): the counter resets (to the original START when no
+    * value is given), increment preserved. */
   def restartSequence(name: String, start: Option[Long]): Unit = {
-    val seq = sequences.get(name)
-    if (seq == null) throw new IllegalArgumentException(
-      s"Catalog Error: Sequence with name $name does not exist!")
-    val s = start.getOrElse(sequenceStarts.getOrDefault(name, 1L))
-    seq._1.set(s - seq._2)
+    val s = seqOf(name)
+    s.synchronized { s.value = start.getOrElse(s.start) - s.inc }
   }
 
   // ---- TIME values (duckdb.hpp:914 dtime_t) ----

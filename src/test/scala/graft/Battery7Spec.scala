@@ -122,6 +122,58 @@ class Battery7Spec extends SparkSpec {
     assert(c == 2L, "both non-final nextval statements must have run")
   }
 
+  test("r17 review fixes: MAP inside cast TYPE TEXT survives; try-map never throws") {
+    // the two-arg MAP() constructor rewrite must not fire on MAP
+    // tokens inside STRUCT(…)/MAP(…) cast targets
+    val s = one("SELECT CAST({'m': MAP(['a'],[1])} AS " +
+      "STRUCT(m MAP(VARCHAR, DOUBLE))) AS s").getStruct(0)
+    assert(s.getMap[String, Double](0) == Map("a" -> 1.0))
+    // a TRY-nulled KEY is unrepresentable in a Spark map — whole map
+    // NULL (documented deviation: the reference keeps a NULL key),
+    // never a runtime throw from a TRY_CAST
+    assert(one("SELECT TRY_CAST(MAP(['x'],[1]) AS MAP(INT, INT)) AS m")
+      .isNullAt(0))
+  }
+
+  test("r17 review fixes: sequence identifier folding, IF NOT EXISTS, bounds, CYCLE") {
+    SqlDialect.sql(spark, "DROP SEQUENCE IF EXISTS b7rev_c")
+    SqlDialect.sql(spark, "CREATE SEQUENCE B7Rev_C") // unquoted → folds
+    assert(one("SELECT CAST(nextval('B7REV_C') AS BIGINT) AS v").getLong(0) == 1L,
+      "nextval folds the name too (probed: CSeq/'CSEQ' hit one sequence)")
+    // IF NOT EXISTS on an existing sequence is a NO-OP (counter kept)
+    SqlDialect.sql(spark, "CREATE SEQUENCE IF NOT EXISTS b7rev_c")
+    assert(one("SELECT CAST(nextval('b7rev_c') AS BIGINT) AS v").getLong(0) == 2L)
+    // plain CREATE on an existing name raises the reference's text
+    val dup = intercept[Exception](
+      SqlDialect.sql(spark, "CREATE SEQUENCE b7rev_c")).getMessage
+    assert(dup.contains("""Sequence with name "b7rev_c" already exists!"""))
+    // MAXVALUE enforced with the reference's Sequence Error; CYCLE wraps
+    SqlDialect.sql(spark, "DROP SEQUENCE IF EXISTS b7rev_m; " +
+      "CREATE SEQUENCE b7rev_m MAXVALUE 2")
+    SqlDialect.sql(spark,
+      "SELECT nextval('b7rev_m'); SELECT nextval('b7rev_m')").collect()
+    val over = intercept[Exception](
+      one("SELECT nextval('b7rev_m')")).getMessage
+    assert(over.contains(
+      """Sequence Error: nextval: reached maximum value of sequence "b7rev_m" (2)"""))
+    SqlDialect.sql(spark, "DROP SEQUENCE IF EXISTS b7rev_y; " +
+      "CREATE SEQUENCE b7rev_y MAXVALUE 2 CYCLE")
+    val wrapped = SqlDialect.sql(spark,
+      "SELECT nextval('b7rev_y'); SELECT nextval('b7rev_y'); " +
+        "SELECT CAST(nextval('b7rev_y') AS BIGINT) AS v").head().getLong(0)
+    assert(wrapped == 1L, "CYCLE wraps to MINVALUE (probed)")
+    // unrecognized options raise instead of silently dropping
+    intercept[Exception](
+      SqlDialect.sql(spark, "CREATE SEQUENCE b7rev_z OWNED BY t"))
+    Seq("b7rev_c", "b7rev_m", "b7rev_y").foreach(n =>
+      SqlDialect.sql(spark, s"DROP SEQUENCE IF EXISTS $n"))
+  }
+
+  test("r17 review fixes: blob leaves render the reference's \\xNN text") {
+    assert(str("SELECT CAST([BLOB 'a\\x00b'] AS VARCHAR) AS s") ==
+      "[a\\x00b]")
+  }
+
   test("guardrail error-text parity: set-op arity + PK duplicate carry duck's text") {
     val arity = intercept[Exception](
       SqlDialect.sql(spark, "SELECT 1 UNION ALL SELECT 1, 2")).getMessage
