@@ -406,6 +406,10 @@ object Catalog {
       // driver-side monotonic counter, the same single-node catalog
       // semantics as the reference; oracle replays a native sequence
       import s.implicits._
+      // mirror the oracle script's DROP SEQUENCE IF EXISTS so the query
+      // is re-runnable in one JVM (the bench runs every query 3×; since
+      // a6ff741 a duplicate CREATE raises the reference's catalog error)
+      graft.functions.TypeHelpers.dropSequence("r3seq", ifExists = true)
       graft.functions.TypeHelpers.createSequence("r3seq", start = 100, incrementBy = 7)
       (1L to 6L).map(i => (i, graft.functions.TypeHelpers.nextval("r3seq")))
         .toDF("i", "v")
