@@ -46,6 +46,12 @@ object ExactQuantile {
   /** Grouped exact quantiles: one output row per group with
     * `quantiles: array<double>` aligned with `qs`.
     *
+    * @param discrete   `percentile_disc` semantics: resolve the single
+    *                   order statistic at rank ceil(q·n)−1 (0-based) and
+    *                   return it directly — no interpolation (the rank is
+    *                   computed with the same IEEE double multiply as
+    *                   Spark's `PercentileDisc.getPercentile`, so the
+    *                   selected value is identical bit for bit)
     * @param tailLimit  max rows a cell may hold before another refine
     *                   pass (and the bound on per-cell driver state in
     *                   the final per-value count read)
@@ -56,7 +62,8 @@ object ExactQuantile {
   def quantiles(
       df: DataFrame, groupCol: String, valueCol: String, qs: Seq[Double],
       bins: Int = 1024, tailLimit: Long = 1L << 16,
-      maxGroups: Int = 4096, maxPasses: Int = 16): DataFrame = {
+      maxGroups: Int = 4096, maxPasses: Int = 16,
+      discrete: Boolean = false): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
       "quantile fractions must be in [0, 1]")
     val spark = df.sparkSession
@@ -80,13 +87,18 @@ object ExactQuantile {
     val nOf: Array[Long] = stats.map(_.getLong(3))
 
     // target ranks per group: floor/ceil of r = q(n-1) per fraction
+    // (continuous), or the single 0-based rank ceil(q·n)−1 (discrete —
+    // PercentileDisc's "first cumulative count ≥ ceil(q·n)")
     var cells = stats.indices.flatMap { i =>
       val n = nOf(i)
       if (n == 0) Nil
       else {
         val ks = qs.flatMap { q =>
-          val r = q * (n - 1)
-          Seq(math.floor(r).toLong, math.ceil(r).toLong)
+          if (discrete) Seq(math.max(math.ceil(q * n.toDouble).toLong - 1, 0L))
+          else {
+            val r = q * (n - 1)
+            Seq(math.floor(r).toLong, math.ceil(r).toLong)
+          }
         }.distinct.sorted
         Seq(new Cell(i, stats(i).getDouble(1), stats(i).getDouble(2), Nil, 0L,
           n, scala.collection.mutable.ArrayBuffer(ks: _*)))
@@ -207,6 +219,9 @@ object ExactQuantile {
       val n = nOf(i)
       val arr: Any =
         if (n == 0) null
+        else if (discrete) qs.map { q =>
+          resolved((i, math.max(math.ceil(q * n.toDouble).toLong - 1, 0L)))
+        }
         else qs.map { q =>
           // Spark Percentile's exact arithmetic (weighted two-point
           // form, lower returned directly on integral ranks) so the
@@ -264,5 +279,169 @@ object ExactQuantile {
       df.groupBy(col(groupCol))
         .agg(expr(s"percentile(CAST(`$valueCol` AS DOUBLE), " +
           s"array(${qs.mkString(", ")}))").as("quantiles"))
+    }
+
+  // ---- counts+window engine (r18 optimization round) ----------------
+
+  /** One requested grouped order statistic: output column `alias` =
+    * the `q`-quantile of `valueCol` under `percentile` (continuous) or
+    * `percentile_disc` (discrete) semantics. */
+  final case class QSpec(valueCol: String, q: Double, discrete: Boolean,
+                         alias: String) {
+    require(q >= 0 && q <= 1, s"quantile fraction out of range: $q")
+  }
+
+  /** Grouped exact percentile / percentile_disc via (group, value)-COUNT
+    * pre-aggregation + one cumulative window — Spark's buffered
+    * `Percentile` holds a boxed value→count map of EVERY group value in
+    * one aggregation buffer (each partial buffer is the partition's
+    * whole column, serialized across the exchange; OOM class past ~10M
+    * rows/group, BASELINE r15 lab), where this shape is all codegen
+    * HashAggregate + Tungsten window sort: the exchange carries one row
+    * per DISTINCT (group, value) and the widest single-task state is an
+    * in-group sort that spills gracefully (guide §5, §2.3).
+    *
+    * Replicates Spark 4.1.2 `PercentileBase.getPercentile` /
+    * `PercentileDisc.getPercentile` (non-legacy) bit for bit — formulas
+    * read from the shipped bytecode, pinned in ExactQuantileSpec:
+    *   cont: position = q·(n−1); lowerKey/higherKey = first values whose
+    *         cumulative count ≥ floor(position)+1 / ceil(position)+1;
+    *         integral position or equal keys → lowerKey, else
+    *         (ceil−position)·lowerKey + (position−lower)·higherKey.
+    *   disc: first value whose cumulative count ≥ ceil(q·n).
+    * NULL values are ignored; a group whose values are all NULL yields
+    * NULL (the (g, NULL) count row keeps the group in the output).
+    * Documented deviation: the counts aggregate normalizes −0.0 to 0.0
+    * where Percentile's map keys them separately — unreachable on data
+    * without negative zeroes.
+    */
+  def quantilesByCounts(df: DataFrame, groupCol: String,
+                        specs: Seq[QSpec]): DataFrame = {
+    require(specs.nonEmpty, "quantilesByCounts: no specs")
+    require(specs.map(_.alias).distinct.size == specs.size,
+      "quantilesByCounts: duplicate aliases")
+    val legs = specs.groupBy(_.valueCol).toSeq.sortBy(_._1).map {
+      case (vc, ss) =>
+        // null value rows are KEPT as one (g, null) count row so an
+        // all-NULL group still emits its output row
+        val counts = df
+          .select(col(groupCol).as("__g"), col(vc).cast("double").as("__v"))
+          .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+        legFromCounts(counts, ss)
+    }
+    legs.reduce { (a, b) =>
+      a.join(b, a("__g") <=> b("__g")).drop(b("__g"))
+    }.withColumnRenamed("__g", groupCol)
+  }
+
+  /** Same engine over a PRE-COUNTED `(groupCol, valueCol, countCol)`
+    * frame — for callers that already hold per-value counts (e.g. the
+    * MAD two-phase, where the deviation counts derive from the value
+    * counts without a second base scan). `valueCol` must already be
+    * DOUBLE; rows with NULL `valueCol` are the all-NULL-group markers. */
+  def quantilesFromCounts(counts: DataFrame, groupCol: String,
+                          valueCol: String, countCol: String,
+                          specs: Seq[QSpec]): DataFrame = {
+    require(specs.nonEmpty, "quantilesFromCounts: no specs")
+    legFromCounts(
+      counts.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        col(countCol).as("__c")),
+      specs).withColumnRenamed("__g", groupCol)
+  }
+
+  private def legFromCounts(counts: DataFrame,
+                            ss: Seq[QSpec]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val live = when(col("__v").isNotNull, col("__c"))
+    val wAll = Window.partitionBy(col("__g"))
+    val wCum = Window.partitionBy(col("__g")).orderBy(col("__v").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__n", coalesce(sum(live).over(wAll), lit(0L)))
+      .withColumn("__cum", coalesce(sum(live).over(wCum), lit(0L)))
+    val n = col("__n")
+    // per-spec conditional-min picks: min(v | cum ≥ threshold) IS the
+    // "first cumulative count ≥ target" binary search, distributed
+    val picks = ss.flatMap { sp =>
+      if (sp.discrete) {
+        // n.toDouble * q — dmul is commutative, identical to the
+        // bytecode's percentage * count
+        val target = ceil(lit(sp.q) * n.cast("double"))
+        Seq(min(when(col("__cum") >= target, col("__v")))
+          .as(s"__pick_${sp.alias}"))
+      } else {
+        val pos = lit(sp.q) * (n - 1).cast("double")
+        Seq(
+          min(when(col("__cum") >= floor(pos) + 1, col("__v")))
+            .as(s"__lo_${sp.alias}"),
+          min(when(col("__cum") >= ceil(pos) + 1, col("__v")))
+            .as(s"__hi_${sp.alias}"))
+      }
+    }
+    // window partitioned the data by __g already — this aggregate
+    // reuses that exchange (no second shuffle)
+    val agged = cum.groupBy(col("__g"))
+      .agg(max(n).as("__n"), picks: _*)
+    val outCols = ss.map { sp =>
+      if (sp.discrete)
+        when(col("__n") === 0, lit(null).cast("double"))
+          .otherwise(col(s"__pick_${sp.alias}")).as(sp.alias)
+      else {
+        val nn = col("__n")
+        val pos = lit(sp.q) * (nn - 1).cast("double")
+        val lo = floor(pos)
+        val hi = ceil(pos)
+        val lk = col(s"__lo_${sp.alias}")
+        val hk = col(s"__hi_${sp.alias}")
+        when(col("__n") === 0, lit(null).cast("double"))
+          .when(lo === hi || lk === hk, lk)
+          .otherwise(
+            (hi.cast("double") - pos) * lk + (pos - lo.cast("double")) * hk)
+          .as(sp.alias)
+      }
+    }
+    agged.select(col("__g") +: outCols: _*)
+  }
+
+  /** Grouped mode via two-level (group, value)-count → `max_by` argmax:
+    * O(distinct) distributed rows instead of one boxed value→count map
+    * per aggregation buffer (the same state class the quantile engines
+    * above remove — VERDICT r17 #3). Tie rule: the LARGEST value among
+    * the most frequent (deterministic); Spark's `mode()` leaves ties
+    * hash-map-order ARBITRARY, so agreement with it is only defined on
+    * tie-free data (pinned in ExactQuantileSpec; the benched column is
+    * tie-free). NULL values never win; an all-NULL group yields NULL. */
+  def modeByCounts(df: DataFrame, groupCol: String, valueCol: String,
+                   alias: String): DataFrame =
+    df.select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+      .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(max_by(col("__v"),
+        when(col("__v").isNotNull, struct(col("__c"), col("__v"))))
+        .as(alias))
+      .withColumnRenamed("__g", groupCol)
+
+  /** Self-selecting multi-statistic entry: groups past the measured
+    * ~10M-rows/group crossover route through bin refinement (O(B·cells)
+    * state; disc ranks resolved exactly, no interpolation), everything
+    * below it through the counts+window engine above. Both produce
+    * Percentile/PercentileDisc-bit-identical values. */
+  def autoStats(df: DataFrame, groupCol: String, specs: Seq[QSpec],
+                bins: Int = 1024,
+                crossover: Long = CrossoverRowsPerGroup): DataFrame =
+    if (!shouldBinRefine(df, groupCol, crossover))
+      quantilesByCounts(df, groupCol, specs)
+    else {
+      val legs = specs.groupBy(s => (s.valueCol, s.discrete)).toSeq
+        .sortBy(p => (p._1._1, p._1._2)).map { case ((vc, disc), ss) =>
+          quantiles(df, groupCol, vc, ss.map(_.q), bins, discrete = disc)
+            .select(col(groupCol).as("__g") +:
+              ss.zipWithIndex.map { case (sp, i) =>
+                col("quantiles").getItem(i).as(sp.alias)
+              }: _*)
+        }
+      legs.reduce { (a, b) =>
+        a.join(b, a("__g") <=> b("__g")).drop(b("__g"))
+      }.withColumnRenamed("__g", groupCol)
     }
 }

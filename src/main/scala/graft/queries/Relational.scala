@@ -342,6 +342,13 @@ object Relational {
       // buffered percentile stays (floor-bound locally, and the fused
       // single-scan shape is cheaper than the operator's extra driver
       // actions). true forces the operator; false forces buffering.
+      // r18 note (measured, OPTIMIZATION_r18.md): the counts+window
+      // engine was tried here and measured SLOWER for this row
+      // (isolated 1.47 s → 1.59 s) — on the 97%-unique l_extendedprice
+      // the (group, value) counts are the raw column again, exactly as
+      // the r15 ExactQuantLab histogram row recorded (1.20 s vs 1.07 s
+      // buffered). The buffered fused aggregate stays below the
+      // crossover; agg_mad (50-distinct values) DID win on that engine.
       val li = t(s, dir, "lineitem")
       val refine = s.conf.get(
         "spark.graft.exactQuantile.binRefine", "auto") match {
@@ -360,8 +367,13 @@ object Relational {
           .quantiles(li, "l_returnflag", "l_quantity", Seq(0.5))
           .select(col("l_returnflag"),
             round(col("quantiles").getItem(0), 4).as("med_qty"))
-        val mo = li.groupBy(col("l_returnflag"))
-          .agg(mode(col("l_linestatus")).as("mode_ls"))
+        // r18 (VERDICT #3): past the crossover the mode leg rides the
+        // two-level (group, value)-count argmax — O(distinct) rows
+        // distributed across tasks instead of one boxed value→count map
+        // per aggregation buffer (tie-free agreement with mode() pinned
+        // in ExactQuantileSpec)
+        val mo = graft.operators.ExactQuantile.modeByCounts(
+          li, "l_returnflag", "l_linestatus", "mode_ls")
         qty.join(price, "l_returnflag").join(mo, "l_returnflag")
           .select(col("l_returnflag"), col("med_qty"), col("p25_price"),
             col("p75_price"), col("mode_ls"))
@@ -783,10 +795,44 @@ object Relational {
     }),
 
     "agg_quantile_disc_sem" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_linestatus")).agg(
-        expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_disc"),
-        expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_disc"),
-        round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
+      // r18 (VERDICT #2): percentile_disc rode Spark's buffered
+      // PercentileDisc unconditionally — per-group state O(distinct
+      // values) boxed, and on l_extendedprice (97% unique) the partial
+      // buffers ARE the column (the r15 ExactQuantLab OOM class at
+      // ≥10M rows/group). The row now self-selects like agg_quantile:
+      // past the crossover it routes through bin refinement in DISCRETE
+      // mode (ExactQuantile.quantiles(discrete=true) — the rank
+      // ceil(q·n)−1 read exactly, no interpolation; O(B·cells) state at
+      // any group size), below it the buffered aggregate stays (the
+      // r18 counts+window engine measured SLOWER here, 1.14 s → 1.56 s
+      // isolated — same histogram-on-unique-values wall as agg_quantile).
+      // conf true forces the refine path, false forces buffered;
+      // bit-equality pinned in ExactQuantileSpec.
+      val li = t(s, dir, "lineitem")
+      val refine = s.conf.get(
+        "spark.graft.exactQuantile.binRefine", "auto") match {
+        case "true" => true
+        case "false" => false
+        case _ => graft.operators.ExactQuantile.shouldBinRefine(
+          li, "l_linestatus")
+      }
+      if (refine) {
+        import graft.operators.ExactQuantile.QSpec
+        val stats = graft.operators.ExactQuantile.autoStats(
+          li, "l_linestatus", Seq(
+            QSpec("l_extendedprice", 0.5, discrete = true, "med_disc"),
+            QSpec("l_quantity", 0.9, discrete = true, "p90_disc")),
+          crossover = 0L)
+        val sem = li.groupBy(col("l_linestatus")).agg(
+          round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
+        stats.join(sem, "l_linestatus")
+          .select(col("l_linestatus"), col("med_disc"), col("p90_disc"),
+            col("sem_qty"))
+      } else
+        li.groupBy(col("l_linestatus")).agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)").as("med_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").as("p90_disc"),
+          round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
     }),
 
     "agg_approx_quantile" -> ((s, dir) => {
@@ -959,13 +1005,37 @@ object Relational {
 
     "agg_mad" -> ((s, dir) => {
       // median absolute deviation (reference mad, duckdb-5.cpp holistic
-      // aggregates): two exact-percentile passes — group median
-      // broadcast back, then median of absolute deviations
+      // aggregates): two exact-median phases. r18: both phases run on
+      // the (group, value)-COUNT frame (ExactQuantile counts+window
+      // engine) — the deviation counts derive from the value counts
+      // without re-scanning the base or buffering the column in an
+      // aggregation buffer (guide §5; bit-equal to the buffered
+      // percentile, pinned in ExactQuantileSpec). conf=false keeps the
+      // original buffered two-pass plan.
+      import graft.operators.ExactQuantile
+      import graft.operators.ExactQuantile.QSpec
       val li = t(s, dir, "lineitem")
-      val med = li.groupBy("l_returnflag")
-        .agg(expr("percentile(l_quantity, 0.5)").as("med"))
-      li.join(med, "l_returnflag").groupBy("l_returnflag")
-        .agg(round(expr("percentile(abs(l_quantity - med), 0.5)"), 2).as("mad_qty"))
+      if (s.conf.get("spark.graft.exactQuantile.binRefine", "auto") == "false") {
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_quantity, 0.5)").as("med"))
+        li.join(med, "l_returnflag").groupBy("l_returnflag")
+          .agg(round(expr("percentile(abs(l_quantity - med), 0.5)"), 2).as("mad_qty"))
+      } else {
+        val counts = li
+          .select(col("l_returnflag").as("__g"),
+            col("l_quantity").cast("double").as("__v"))
+          .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+        val med = ExactQuantile.quantilesFromCounts(counts, "__g", "__v",
+          "__c", Seq(QSpec("__v", 0.5, discrete = false, "med")))
+        val devCounts = counts.join(med, "__g")
+          .select(col("__g"), abs(col("__v") - col("med")).as("__v"),
+            col("__c"))
+          .groupBy(col("__g"), col("__v")).agg(sum(col("__c")).as("__c"))
+        ExactQuantile.quantilesFromCounts(devCounts, "__g", "__v", "__c",
+            Seq(QSpec("__v", 0.5, discrete = false, "mad")))
+          .select(col("__g").as("l_returnflag"),
+            round(col("mad"), 2).as("mad_qty"))
+      }
     }),
 
     "agg_list" -> ((s, dir) => {

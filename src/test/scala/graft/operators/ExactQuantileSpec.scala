@@ -94,6 +94,124 @@ class ExactQuantileSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.exactQuantile.binRefine", "auto")
   }
 
+  // ---- r18: discrete mode + the counts+window engine ----------------
+
+  private def discOracle(sf: String, gcol: String, vcol: String, qs: Seq[Double]) =
+    li(sf).groupBy(gcol)
+      .agg(qs.map(q => expr(
+        s"percentile_disc($q) WITHIN GROUP (ORDER BY $vcol)")).head,
+        qs.tail.map(q => expr(
+          s"percentile_disc($q) WITHIN GROUP (ORDER BY $vcol)")): _*)
+      .collect().map(r => r.getString(0) ->
+        qs.indices.map(i => r.getDouble(i + 1))).toMap
+
+  test("discrete bin refinement equals percentile_disc (sf0.001 + sf0.01)") {
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val qs = Seq(0.0, 0.1, 0.5, 0.9, 1.0)
+      val want = discOracle(sf, "l_returnflag", "l_extendedprice", qs)
+      val got = ExactQuantile.quantiles(li(sf), "l_returnflag",
+        "l_extendedprice", qs, tailLimit = 100, bins = 16, discrete = true)
+        .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      assert(got.keySet == want.keySet)
+      want.foreach { case (g, ws) =>
+        ws.zip(got(g)).foreach { case (w, v) =>
+          assert(v == w, s"$sf/$g: disc bin-refine $v != percentile_disc $w")
+        }
+      }
+    }
+  }
+
+  test("counts+window engine equals percentile AND percentile_disc") {
+    import ExactQuantile.QSpec
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val qs = Seq(0.0, 0.25, 0.5, 0.75, 0.9, 1.0)
+      val wantC = pctOracle(sf, "l_extendedprice", qs)
+      val wantD = discOracle(sf, "l_returnflag", "l_extendedprice", qs)
+      val specs =
+        qs.zipWithIndex.map { case (q, i) =>
+          QSpec("l_extendedprice", q, discrete = false, s"c$i") } ++
+        qs.zipWithIndex.map { case (q, i) =>
+          QSpec("l_extendedprice", q, discrete = true, s"d$i") }
+      val got = ExactQuantile.quantilesByCounts(li(sf), "l_returnflag", specs)
+        .collect().map(r => r.getString(0) ->
+          (1 to 2 * qs.size).map(r.getDouble)).toMap
+      wantC.foreach { case (g, ws) =>
+        ws.zip(got(g).take(qs.size)).foreach { case (w, v) =>
+          assert(v == w, s"$sf/$g cont: counts engine $v != percentile $w")
+        }
+      }
+      wantD.foreach { case (g, ws) =>
+        ws.zip(got(g).drop(qs.size)).foreach { case (w, v) =>
+          assert(v == w, s"$sf/$g disc: counts engine $v != percentile_disc $w")
+        }
+      }
+    }
+  }
+
+  test("counts+window engine: duplicates, NULLs, all-null and 1-row groups") {
+    import spark.implicits._
+    import ExactQuantile.QSpec
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 5.0), ("a", 5.0), ("a", 5.0), ("a", 5.0),
+      ("b", 1.0), ("b", null), ("b", 3.0),
+      ("c", null),
+      ("d", 7.5),
+      ("e", 2.0), ("e", 2.0), ("e", 4.0), ("e", 4.0) // tie spans the median
+    ).toDF("g", "v")
+    val specs = Seq(
+      QSpec("v", 0.5, discrete = false, "c"),
+      QSpec("v", 0.5, discrete = true, "d"),
+      QSpec("v", 0.0, discrete = true, "d0"),
+      QSpec("v", 1.0, discrete = true, "d1"))
+    val want = df.groupBy("g").agg(
+      expr("percentile(v, 0.5)").as("c"),
+      expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)").as("d"),
+      expr("percentile_disc(0.0) WITHIN GROUP (ORDER BY v)").as("d0"),
+      expr("percentile_disc(1.0) WITHIN GROUP (ORDER BY v)").as("d1"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val got = ExactQuantile.quantilesByCounts(df, "g", specs)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(got == want, s"want=$want\ngot =$got")
+  }
+
+  test("modeByCounts equals mode() on tie-free data; NULLs never win") {
+    import spark.implicits._
+    val want = li("sf0.01").groupBy("l_returnflag")
+      .agg(mode(col("l_linestatus")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = ExactQuantile.modeByCounts(
+      li("sf0.01"), "l_returnflag", "l_linestatus", "m")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want)
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 1.0), ("a", null), ("a", null), ("a", null),
+      ("b", null)).toDF("g", "v")
+    val edge = ExactQuantile.modeByCounts(df, "g", "v", "m")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(edge("a") == 1.0, "null count never outvotes a real value")
+    assert(edge("b") == null, "all-null group yields NULL")
+  }
+
+  test("agg_quantile_disc_sem and agg_mad match themselves under the conf") {
+    for (row <- Seq("agg_quantile_disc_sem", "agg_mad")) {
+      spark.conf.set("spark.graft.exactQuantile.binRefine", "false")
+      val off =
+        try graft.SparkEntry.queries(row)(spark, "/root/testdata/sf0.01")
+          .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+        finally spark.conf.set("spark.graft.exactQuantile.binRefine", "auto")
+      val auto = graft.SparkEntry.queries(row)(spark, "/root/testdata/sf0.01")
+        .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+      spark.conf.set("spark.graft.exactQuantile.binRefine", "true")
+      val on =
+        try graft.SparkEntry.queries(row)(spark, "/root/testdata/sf0.01")
+          .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+        finally spark.conf.set("spark.graft.exactQuantile.binRefine", "auto")
+      assert(auto == off, s"$row: auto diverged from buffered:\noff=$off\nauto=$auto")
+      assert(on == off, s"$row: forced refine diverged from buffered:\noff=$off\non=$on")
+    }
+  }
+
   test("auto self-selects on MEASURED rows/group vs the documented crossover (r17)") {
     val li = graft.Engine.table(spark, "/root/testdata/sf0.001", "lineitem")
     // sf0.001 lineitem: ~600 rows in the largest l_returnflag group —
