@@ -452,6 +452,13 @@ object Dedup {
     // not once per join side.
     val keyed = base.select(col("id"),
       explode(deleteNeighborhoodHashesCol(df)(col("s"), maxDist)).as("key"))
+    // r18 measured negative result (FuzzyLab, OPTIMIZATION_r18.md): the
+    // pre-refine dropDuplicates was suspected as the hot spot (740k
+    // joined rows → 303k distinct pairs at sf0.1) and moving the dedup
+    // AFTER the refine was tried — it measured 1.03 s → 3.5 s: the
+    // duplicate-candidate refine (2.4× the attach-join and DP volume on
+    // rows that still carry both strings) costs far more than the narrow
+    // distinct saves. The dedup-before-refine shape stands.
     val candidates = keyed.select(col("key"), col("id").as("id_a"))
       .join(keyed.select(col("key"), col("id").as("id_b")), Seq("key"))
       .filter(col("id_a") < col("id_b"))
@@ -737,13 +744,29 @@ object Dedup {
     */
   def jaccardThresholdPairs(df: DataFrame, idCol: String, textCol: String,
                             shingleN: Int, threshold: Double,
-                            freqOrdered: Boolean = true): DataFrame = {
+                            freqOrdered: Boolean = true,
+                            materialize: Boolean = true): DataFrame = {
     // hashedShingles returns sorted distinct longs — numeric order is A
     // global token order (any fixed total order satisfies the prefix
     // lemma)
-    val sh = df
+    //
+    // r18 (guide §8.4 "decide with small rows, move big rows once" +
+    // §3.3 materialize reused intermediates): the shingled corpus is
+    // read FOUR times by this pipeline (prefix side A, prefix side B,
+    // refine side A, refine side B), and Catalyst additionally
+    // re-evaluates the shingle kernel inside the pushed size/notnull
+    // filter — the before-plan (plans/r18/dedup_prefix_filter_before.txt)
+    // shows 4 duplicated scan→shingle subtrees and 2 duplicated
+    // dfreq-aggregate+window subtrees. One eager localCheckpoint of the
+    // (id, shingles) rows, and one of the tiny prefix-token relation,
+    // computes each ONCE; every downstream leg reads the materialized
+    // rows. At corpus scale this is the §8 fingerprint-pass pattern
+    // (tokenize once, decide on the small proxy); `materialize = false`
+    // restores the inline plan.
+    val shAll = df
       .select(col(idCol).as("id"),
         hashedShinglesCol(df)(col(textCol), shingleN).as("sh"))
+    val sh = (if (materialize) shAll.localCheckpoint() else shAll)
       .filter(size(col("sh")) > 0)
     // epsilon guards fp overshoot: t·|S| that is mathematically integral
     // can evaluate just above it (0.8*90 = 72.000000000000004), and an
@@ -766,7 +789,7 @@ object Dedup {
     // corpus scale. The per-id window is per-document work; the dfreq
     // aggregate is vocabulary-sized (bounded by |alphabet|^n for char
     // n-grams), not corpus-sized.
-    val pre =
+    val pre0 =
       if (!freqOrdered)
         sh.select(col("id"), explode(slice(col("sh"), lit(1), prefLen)).as("tok"))
       else {
@@ -780,6 +803,10 @@ object Dedup {
             col("sz") - ceil(lit(threshold) * col("sz") - 1e-9) + 1)
           .select(col("id"), col("tok"))
       }
+    // the prefix relation feeds BOTH sides of the candidate self-join —
+    // materialized it is computed (dfreq aggregate + per-id window)
+    // once instead of twice; rows ≈ (1−t)·Σ|sh| (small by construction)
+    val pre = if (materialize) pre0.localCheckpoint() else pre0
     val candidates = pre.select(col("tok"), col("id").as("id_a"))
       .join(pre.select(col("tok"), col("id").as("id_b")), Seq("tok"))
       .filter(col("id_a") < col("id_b"))

@@ -234,11 +234,19 @@ object Pipeline {
       // per-source funnel stats. Shuffle inventory at 100 TB: one
       // groupBy(text), one prefix-token exchange, O(log² n) component
       // rounds, one groupBy(source) — no cross products anywhere.
+      // r18 (guide §3.3): `raw` feeds its own funnel stat, the quality
+      // gate, and (through it) every later stage; `base` feeds the
+      // near-dup pairs, the survivor anti-join AND two funnel stats —
+      // inline, the scan+tokenCount and the exact-dedup groupBy were
+      // each replayed 3-4x (before-plan: 18 parquet scans). One
+      // materialization per reused stage computes each once.
       val raw = t(s, dir, "documents").select(
         col("doc_id"), col("source"), col("text"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .localCheckpoint()
       val q = raw.filter(col("n_tokens") >= 30)
       val base = Dedup.exactKeepFirst(q, Seq("text"), "doc_id")
+        .localCheckpoint()
       val pairs = Dedup.jaccardThresholdPairs(base, "doc_id", "text",
         shingleN = 3, threshold = 0.8)
       val dropIds = Dedup.connectedComponents(pairs, "id_a", "id_b")
@@ -560,9 +568,17 @@ object Pipeline {
       // construction) and the oracle replays the entire chain natively
       // (recursive-CTE min-label components + the same 64-bit hash).
       val docs = t(s, dir, "documents")
+      // r18 (guide §3.3/§7.2): `pairs` feeds the component rounds AND
+      // both legs of the leak check, `assigned` feeds both leak joins
+      // and the final aggregate — inline, Catalyst duplicated the whole
+      // prefix-filter subtree 3x (before-plan: 18 parquet scans, two
+      // full dfreq+window copies). Materializing each once cuts the
+      // plan to one copy of every stage (after-plan: 2 scans).
       val pairs = Dedup.jaccardThresholdPairs(docs, "doc_id", "text",
         shingleN = 3, threshold = 0.8).select(col("id_a"), col("id_b"))
+        .localCheckpoint()
       val assigned = Curation.leakageSafeSplit(docs, "doc_id", pairs)
+        .localCheckpoint()
       val leaks = pairs
         .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
         .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")

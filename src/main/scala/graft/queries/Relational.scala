@@ -243,10 +243,22 @@ object Relational {
     }),
 
     "agg_distinct" -> ((s, dir) => {
-      t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
-        countDistinct(col("l_partkey")).as("nd_part"),
-        countDistinct(col("l_suppkey")).as("nd_supp"),
-        round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"))
+      // r18 (before-plan plans/r18/agg_distinct_before.txt): three
+      // distinct aggregates over DIFFERENT columns plan as an Expand ×3
+      // — every scan row tripled before the partial dedup, 1.8M rows
+      // into a 5-key hash aggregate (guide §2.3 "shuffle fewer bytes").
+      // One leg per column (each a plain two-phase hash distinct on its
+      // own narrow key) joined on the 3-row group key computes the same
+      // values with a third of the pre-shuffle rows per leg and no
+      // Expand; measured 0.63 → 0.46 s isolated (same-session A/B,
+      // min-of-4).
+      val li = t(s, dir, "lineitem")
+      def leg(a: org.apache.spark.sql.Column) =
+        li.groupBy(col("l_returnflag")).agg(a)
+      leg(countDistinct(col("l_partkey")).as("nd_part"))
+        .join(leg(countDistinct(col("l_suppkey")).as("nd_supp")), "l_returnflag")
+        .join(leg(round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty")),
+          "l_returnflag")
     }),
 
     "agg_filtered" -> ((s, dir) => {
@@ -414,15 +426,31 @@ object Relational {
       // distinct column plans as a plain two-phase hash distinct —
       // measured 1.16 s -> ~0.6 s, and the same shape at cluster scale
       // (the 1-row cross join is free)
+      // r18 plan defect fix (before-plan
+      // plans/r18/agg_approx_distinct_before.txt): countDistinct and
+      // approx_count_distinct in ONE aggregate makes Spark's
+      // distinct-agg rewrite group by the key and drag the HLL through
+      // BOTH levels — a 52-long HLL buffer PER DISTINCT KEY (200k keys
+      // ≈ 83 MB materialized and shuffled, guide §2.3/§5). Splitting
+      // the legs gives the approx side its plain global two-phase HLL
+      // (52 longs per partition) and the exact side a two-phase hash
+      // distinct of the bare key. HLL merge is associative, so the
+      // estimate — and every output value — is unchanged (oracle-
+      // verified).
       val li = t(s, dir, "lineitem")
-      val part = li.agg(
-        countDistinct(col("l_partkey")).as("n_exact"),
-        (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
-          <= countDistinct(col("l_partkey")) * 0.1).as("apx_part_ok"))
-      val ord = li.agg(
-        (abs(approx_count_distinct(col("l_orderkey")) - countDistinct(col("l_orderkey")))
-          <= countDistinct(col("l_orderkey")) * 0.1).as("apx_order_ok"))
-      part.crossJoin(broadcast(ord))
+      def legs(c: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = (
+        li.agg(countDistinct(col(c)).as(s"__ex_$c")),
+        li.agg(approx_count_distinct(col(c)).as(s"__ap_$c")))
+      val (exP, apP) = legs("l_partkey")
+      val (exO, apO) = legs("l_orderkey")
+      exP.crossJoin(broadcast(apP))
+        .crossJoin(broadcast(exO)).crossJoin(broadcast(apO))
+        .select(
+          col("__ex_l_partkey").as("n_exact"),
+          (abs(col("__ap_l_partkey") - col("__ex_l_partkey"))
+            <= col("__ex_l_partkey") * 0.1).as("apx_part_ok"),
+          (abs(col("__ap_l_orderkey") - col("__ex_l_orderkey"))
+            <= col("__ex_l_orderkey") * 0.1).as("apx_order_ok"))
     }),
 
     "agg_histogram" -> ((s, dir) => {
