@@ -515,6 +515,13 @@ object Curation {
       .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
     val perDoc = pos.groupBy(col("__g"), col(idCol))
       .agg(min(col("__p")).as("__p0"))
+    // r18 measured negative result (OPTIMIZATION_r18.md): min(struct)
+    // plans as SortAggregate (struct min has no HashAggregate buffer);
+    // a min_by rewrite was tried to get back to hash aggregation and
+    // measured 0.60 → 0.96 s — ObjectHashAggregate falls back to
+    // sort-based merging past 128 distinct keys (gram cardinality is
+    // millions), so it paid the hash attempt AND the sort. The
+    // SortAggregate form stands.
     val topk = perDoc.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_docs"),
         min(struct(col(idCol), col("__p0"))).as("__s"))

@@ -394,32 +394,70 @@ object LangId {
   /** Letters-and-single-spaces normalization; diacritics folded so the
     * seed texts (written unaccented) and accented real text meet in the
     * same trigram space. */
-  // compiled ONCE: String.replaceAll would recompile both patterns on
-  // every row of the classify UDF (measured at ~40% of text_langid's
-  // runtime before hoisting)
-  private val MarksRe = java.util.regex.Pattern.compile("\\p{M}")
-  private val NonLetterRe = java.util.regex.Pattern.compile("[^\\p{L}]+")
-
+  // r18 per-task-work rewrite (guide §1.2 step 2; OPTIMIZATION_r18.md):
+  // the old path paid, PER ROW, two compiled-regex passes (\p{M} strip +
+  // non-letter collapse) with two full-string copies, one String
+  // substring allocation per trigram POSITION, a `.trim` allocation per
+  // trigram, and boxed HashMap[String, Int] counting. This form is one
+  // code-point pass for normalization (same semantics: NFD fold, marks
+  // Mn/Mc/Me removed, non-letter runs collapsed to single spaces, one
+  // space either end) and counts trigrams as 48-BIT PACKED LONGS
+  // ((c0<<32)|(c1<<16)|c2) in an unboxed LongMap — numeric order of the
+  // packed key IS the old gram-lexicographic tie order, so ranks,
+  // tie-breaks and every classification are unchanged (OperatorsSpec
+  // fixture + the oracle row pin it).
   private def normalize(text: String): String = {
-    val folded = MarksRe.matcher(java.text.Normalizer.normalize(
-      text.toLowerCase, java.text.Normalizer.Form.NFD)).replaceAll("")
-    (" " + NonLetterRe.matcher(folded).replaceAll(" ").trim + " ")
+    val low = text.toLowerCase
+    // NFD is the identity on pure-ASCII strings — skip the normalizer
+    // pass (and its copy) for the common all-ASCII document
+    var ascii = true
+    var k = 0
+    while (ascii && k < low.length) { if (low.charAt(k) >= 0x80) ascii = false; k += 1 }
+    val folded =
+      if (ascii) low
+      else java.text.Normalizer.normalize(low, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(folded.length + 2)
+    sb.append(' ')
+    var lastSpace = true
+    var i = 0
+    while (i < folded.length) {
+      val cp = folded.codePointAt(i)
+      val typ = Character.getType(cp)
+      val isMark = typ == Character.NON_SPACING_MARK ||
+        typ == Character.COMBINING_SPACING_MARK ||
+        typ == Character.ENCLOSING_MARK
+      if (!isMark) {
+        if (Character.isLetter(cp)) {
+          sb.appendCodePoint(cp); lastSpace = false
+        } else if (!lastSpace) { sb.append(' '); lastSpace = true }
+      }
+      i += Character.charCount(cp)
+    }
+    if (!lastSpace) sb.append(' ')
+    sb.toString
   }
 
-  private def trigramCounts(norm: String): collection.Map[String, Int] = {
-    val m = collection.mutable.HashMap.empty[String, Int]
+  private def packGram(norm: String, i: Int): Long =
+    (norm.charAt(i).toLong << 32) |
+      (norm.charAt(i + 1).toLong << 16) | norm.charAt(i + 2).toLong
+
+  private def trigramCounts(norm: String): collection.mutable.LongMap[Int] = {
+    val m = collection.mutable.LongMap.empty[Int]
     var i = 0
     while (i + 3 <= norm.length) {
-      val g = norm.substring(i, i + 3)
-      if (g.trim.nonEmpty) m.update(g, m.getOrElse(g, 0) + 1)
+      // all-space grams are impossible after run collapsing except the
+      // degenerate "   "; keep the old trim-filter semantics cheaply
+      if (!(norm.charAt(i) == ' ' && norm.charAt(i + 1) == ' ' &&
+            norm.charAt(i + 2) == ' '))
+        m.update(packGram(norm, i), m.getOrElse(packGram(norm, i), 0) + 1)
       i += 1
     }
     m
   }
 
   /** gram → rank (0-based), frequency-descending, gram-lexicographic
-    * ties for determinism. */
-  private def rankProfile(text: String, depth: Int): Map[String, Int] =
+    * ties (== packed-long numeric ties) for determinism. */
+  private def rankProfile(text: String, depth: Int): Map[Long, Int] =
     trigramCounts(normalize(text)).toSeq
       .sortBy { case (g, c) => (-c, g) }.take(depth)
       .zipWithIndex.map { case ((g, _), r) => g -> r }.toMap
@@ -432,12 +470,11 @@ object LangId {
   // |langs| array adds
   private final class Group(seedMap: Map[String, String]) {
     val langsArr: Array[String] = seedMap.keys.toArray.sorted
-    val gramRanks: java.util.HashMap[String, Array[Int]] = {
-      val m = new java.util.HashMap[String, Array[Int]]()
+    val gramRanks: collection.mutable.LongMap[Array[Int]] = {
+      val m = collection.mutable.LongMap.empty[Array[Int]]
       langsArr.zipWithIndex.foreach { case (lang, li) =>
         rankProfile(seedMap(lang), ProfileDepth).foreach { case (g, r) =>
-          var arr = m.get(g)
-          if (arr == null) { arr = Array.fill(langsArr.length)(ProfileDepth); m.put(g, arr) }
+          val arr = m.getOrElseUpdate(g, Array.fill(langsArr.length)(ProfileDepth))
           arr(li) = r
         }
       }
@@ -470,7 +507,10 @@ object LangId {
     // fall below the dominance threshold. Marks OUTSIDE tracked ranges
     // (e.g. decomposed Latin accents) stay uncounted, so Latin-script
     // ratios are unchanged.
-    text.codePoints().forEach { cp =>
+    var ci = 0
+    while (ci < text.length) {
+      val cp = text.codePointAt(ci)
+      ci += Character.charCount(cp)
       val isLetter = Character.isLetter(cp)
       val typ = Character.getType(cp)
       val isMark = typ == Character.NON_SPACING_MARK ||
@@ -562,7 +602,7 @@ object LangId {
     val d = new Array[Long](n)
     var i = 0
     while (i < docRanks.length) {
-      val arr = g.gramRanks.get(docRanks(i))
+      val arr = g.gramRanks.getOrNull(docRanks(i))
       if (arr == null) {
         val miss = (ProfileDepth - i).toLong // |i - ProfileDepth|, i < depth
         var j = 0; while (j < n) { d(j) += miss; j += 1 }
