@@ -273,8 +273,13 @@ object SqlDialect {
         // the reference EXECUTES every script statement; a pure SELECT
         // returned lazily would skip its side effects (r17 BATTERY7
         // d07: nextval('s') in a non-final statement never ticked the
-        // sequence) — drain the head statement's result
-        sql(spark, q.substring(0, cut)).collect()
+        // sequence) — drain the head statement WITHOUT buffering its
+        // rows on the driver (r17 advice + guide §5: a large head
+        // SELECT collect()ed here could OOM the driver; foreachPartition
+        // evaluates every row executor-side and discards them)
+        sql(spark, q.substring(0, cut)).foreachPartition(
+          (it: Iterator[org.apache.spark.sql.Row]) =>
+            while (it.hasNext) it.next())
         return sql(spark, q.substring(cut + 1))
       }
     }

@@ -789,6 +789,13 @@ private[graft] object SqlSelect {
     // act only when every position unifies AND at least one member
     // needs a cast (an unprobed pair anywhere → native behavior)
     if (unified.exists(_.isEmpty)) return members
+    // a member with duplicate output column names (legal in Spark set
+    // ops) cannot be re-projected by name — the wrap would raise an
+    // ambiguous-reference error on a statement that ran fine uncoerced
+    // (r17 advice); native coercion stands
+    if (fields.exists(fs =>
+        fs.map(_.name.toLowerCase).distinct.length != fs.length))
+      return members
     val anyCast = fields.exists(fs =>
       fs.zip(unified).exists { case (f, u) => !sameType(f.dataType, u.get) })
     if (!anyCast) return members
@@ -827,7 +834,14 @@ private[graft] object SqlSelect {
         case Ident if depth == 0 =>
           val dotted = k > 0 && toks(k - 1).kind == Punct &&
             toks(k - 1).lower == "."
-          if (!dotted && (t.lower == "limit" || t.lower == "offset" ||
+          // `AS limit` / a trailing bare `limit` with nothing after it
+          // is a column ALIAS, not the clause (r17 advice): the clause
+          // keyword always has an operand after it
+          val aliased = k > 0 && toks(k - 1).kind == Ident &&
+            toks(k - 1).lower == "as"
+          val hasOperand = k + 1 < toks.length
+          if (!dotted && !aliased &&
+            ((hasOperand && (t.lower == "limit" || t.lower == "offset")) ||
             (t.lower == "order" && k + 1 < toks.length &&
               toks(k + 1).kind == Ident && toks(k + 1).lower == "by")))
             return (m.substring(0, t.start).trim, m.substring(t.start).trim)

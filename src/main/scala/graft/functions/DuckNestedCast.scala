@@ -182,7 +182,17 @@ case class DuckNamedCast(child: Expression, target: DataType, isTry: Boolean)
         val byName = cs.fieldNames.zipWithIndex
           .map { case (n, i) => n.toLowerCase -> i }.toMap
         val parts = ts.fields.flatMap { tf =>
-          val i = byName(tf.name.toLowerCase)
+          // a source struct with case-insensitive DUPLICATE field names
+          // collapses byName, so a target field can be unmatched even
+          // after the subset check above — raise the reference's
+          // Mismatch Type Error, not a raw NoSuchElementException
+          // (r17 advice)
+          val i = byName.getOrElse(tf.name.toLowerCase,
+            throw new IllegalArgumentException(
+              s"Mismatch Type Error: Type ${DuckTypeText.duckName(cs)} " +
+                s"does not match with ${DuckTypeText.duckName(ts)}. Cannot " +
+                s"""cast STRUCTs - element "${tf.name}" in target struct """ +
+                "was not found in source struct"))
           Seq(Literal(UTF8String.fromString(tf.name), StringType),
             build(GetStructField(e, i, Some(cs.fields(i).name)), tf.dataType))
         }

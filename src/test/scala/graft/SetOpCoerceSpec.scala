@@ -108,6 +108,28 @@ class SetOpCoerceSpec extends SparkSpec {
     }
   }
 
+  test("a last-member alias named `limit` is not split as a set-op tail (r18 advice)") {
+    // before the fix, splitTrailingSetopTail treated the trailing AS-alias
+    // `limit` as the LIMIT clause; the orphaned core failed to bind and
+    // coercion silently bailed — now the member coerces like any other
+    val r = df("SELECT v FROM (SELECT 1 AS limit UNION ALL SELECT 'a' AS limit) " +
+      "t(v) ORDER BY v").collect().map(_.getString(0))
+    assert(r.toSeq == Seq("1", "a"))
+    // ...and a REAL trailing LIMIT (operand present) still splits
+    val lim = df("SELECT 2 AS x UNION ALL SELECT 'b' ORDER BY x LIMIT 1")
+      .collect().map(_.getString(0))
+    assert(lim.toSeq == Seq("2"))
+  }
+
+  test("members with duplicate output column names skip coercion (r18 advice)") {
+    // Spark allows duplicate names in set-op members; a by-name wrap
+    // would raise an ambiguous reference, so when a cast WOULD fire
+    // (INT vs BIGINT here) coercion must stand down and let Spark's
+    // native widening run the statement
+    val r = df("SELECT 1 AS a, 2 AS a UNION ALL SELECT CAST(3 AS BIGINT), 4")
+    assert(r.collect().length == 2)
+  }
+
   test("EXCEPT / INTERSECT coerce the same way as UNION (probed)") {
     val ex = df("SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 'a' " +
       "EXCEPT SELECT '1') t ORDER BY x").collect().map(_.getString(0))

@@ -4,6 +4,15 @@ given Bench dump files) joined with per-query DuckDB time
 (bench_duck.py output), plus protocol metadata and aggregate ratio.
 
 Usage: assemble_bench.py duck.json out.json spark_dump1.json [spark_dump2.json ...]
+           [--prior BENCH_duck_rPREV.json]
+
+Sigma rule enforcement (r17 verdict #6, r18): with --prior pointing at
+the previous round's artifact, every row whose spark side moved more
+than +34% AND +50 ms (the BASELINE.md 2-sigma rule) is listed in the
+artifact under protocol.sigma_watch. If any row trips and only ONE
+spark dump was provided, the assembly REFUSES: a single-session artifact
+cannot distinguish host band from regression — run a second interleaved
+session and merge per-side minima (the r11/r13 protocol), or --force.
 
 Protocol rule (round-10 "what's wrong #5"): the artifact must measure
 the code that is in the tree. If any src/main source file's mtime
@@ -15,6 +24,11 @@ import calendar, glob, json, os, sys, time
 
 force = "--force" in sys.argv
 argv = [a for a in sys.argv if a != "--force"]
+prior_path = None
+if "--prior" in argv:
+    i = argv.index("--prior")
+    prior_path = argv[i + 1]
+    del argv[i:i + 2]
 sys.argv = argv
 
 duck_raw = json.load(open(sys.argv[1]))
@@ -101,6 +115,29 @@ if "stabilized" in duck_raw:
     out["protocol"]["stabilization"] = (
         "rows with duck min in [0.05, 0.2] s received 2 extra duck passes "
         "(min folded in) so near-threshold ratios do not flip on jitter")
+# sigma rule vs the prior round (r17 verdict #6): flag spark-side rows
+# moving > +34% AND > +50 ms; refuse a SINGLE-session artifact with
+# trips (host band vs regression is undecidable from one session)
+if prior_path:
+    prior = json.load(open(prior_path))["queries"]
+    trips = []
+    for n, q in queries.items():
+        p = prior.get(n, {}).get("spark_sec", -1)
+        s = q["spark_sec"]
+        if p and p > 0 and s > 0 and s > p * 1.34 and s - p > 0.05:
+            trips.append({"query": n, "prior_spark_sec": p, "spark_sec": s})
+    out["protocol"]["sigma_rule"] = (
+        "spark-side rows moving > +34%% and > +50 ms vs %s" % prior_path)
+    out["protocol"]["sigma_watch"] = trips
+    out["protocol"]["sigma_sessions"] = len(dumps)
+    if trips and len(dumps) < 2 and not force:
+        sys.exit(
+            "assemble_bench: REFUSING single-session artifact — %d row(s) trip "
+            "the sigma rule vs %s (%s). Host band and regression are "
+            "undecidable from one session: run a second interleaved session "
+            "and merge per-side minima (r11/r13 protocol), or --force."
+            % (len(trips), prior_path,
+               ", ".join(t["query"] for t in trips[:8])))
 if "stamps" in duck_raw:
     out["protocol"]["session_stamps_utc"] = duck_raw["stamps"]
     out["protocol"]["interleaving"] = (
