@@ -429,7 +429,10 @@ object ExactQuantile {
   def autoStats(df: DataFrame, groupCol: String, specs: Seq[QSpec],
                 bins: Int = 1024,
                 crossover: Long = CrossoverRowsPerGroup): DataFrame =
-    if (!shouldBinRefine(df, groupCol, crossover))
+    // crossover <= 0 means the caller already decided (it forces the
+    // refine path) — skip the full-table rows-per-group measurement
+    // job, whose answer is a foregone conclusion (r18 review)
+    if (crossover > 0 && !shouldBinRefine(df, groupCol, crossover))
       quantilesByCounts(df, groupCol, specs)
     else {
       val legs = specs.groupBy(s => (s.valueCol, s.discrete)).toSeq

@@ -448,8 +448,10 @@ object LangId {
       // all-space grams are impossible after run collapsing except the
       // degenerate "   "; keep the old trim-filter semantics cheaply
       if (!(norm.charAt(i) == ' ' && norm.charAt(i + 1) == ' ' &&
-            norm.charAt(i + 2) == ' '))
-        m.update(packGram(norm, i), m.getOrElse(packGram(norm, i), 0) + 1)
+            norm.charAt(i + 2) == ' ')) {
+        val g = packGram(norm, i)
+        m.update(g, m.getOrElse(g, 0) + 1)
+      }
       i += 1
     }
     m

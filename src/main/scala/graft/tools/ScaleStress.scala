@@ -225,15 +225,26 @@ object ScaleStress {
     * JIT-compiled vs 246 s interpreted, pure CPU, zero GC); a cluster
     * executor running a multi-minute 100 TB stage warms up in its first
     * seconds, so cold-JIT wall is measurement noise here, not signal. */
+  /** `result` is BY-NAME and re-evaluated per timed pass (r18, after the
+    * round's review): operators that do eager work at CONSTRUCTION time
+    * (jaccardThresholdPairs' localCheckpoint materialization, the
+    * connectedComponents star loop + driver union-find — the latter was
+    * ALWAYS eager, so the old call-by-value form silently excluded it
+    * from the timed/metered window) now pay that work inside the timer
+    * and the meter, exactly like Bench's timeOne (which constructs the
+    * query inside the timed region). Purely-lazy operators re-evaluate
+    * a plan object — free. */
   def measure(spark: SparkSession, meter: ShuffleMeter, name: String,
-              result: DataFrame, planted: Option[DataFrame]): OpResult = {
-    val n = result.count() // warm pass (JIT + AQE plan settled)
+              result: => DataFrame, planted: Option[DataFrame]): OpResult = {
+    var df = result
+    val n = df.count() // warm pass (JIT + AQE plan settled)
     var wall = Double.MaxValue
     var snap = (0L, 0L)
     for (_ <- 1 to 2) {
       meter.reset()
       val t0 = System.nanoTime()
-      result.count()
+      df = result
+      df.count()
       val w = (System.nanoTime() - t0) / 1e9
       if (w < wall) { wall = w; snap = meter.snapshot }
     }
@@ -241,7 +252,7 @@ object ScaleStress {
     val (pTot, pHit) = planted match {
       case Some(p) =>
         val tot = p.count()
-        val hit = p.join(result.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
+        val hit = p.join(df.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
           .count()
         (tot, hit)
       case None => (0L, 0L)
@@ -328,15 +339,19 @@ object ScaleStress {
         val e = Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
           .select(col("id_a"), col("id_b")).localCheckpoint()
         edges = Some(e)
-        val compDf = Dedup.connectedComponents(e, "id_a", "id_b",
+        // the star loop is EAGER — construct inside the by-name timed
+        // window (measure scaladoc, r18)
+        def buildComp() = Dedup.connectedComponents(e, "id_a", "id_b",
           localEdgeLimit = 0L)
+        val comps = measure(spark, meter, "dedup_components",
+          buildComp().select(col("id").as("id_a"), col("comp").as("id_b")),
+          None)
+        val compDf = buildComp()
         val compPairs = compDf.select(col("id").as("id_a"), col("comp").as("ca"))
           .join(docPairs, Seq("id_a"))
           .join(compDf.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"))
           .filter(col("ca") === col("cb"))
           .select(col("id_a"), col("id_b"))
-        val comps = measure(spark, meter, "dedup_components",
-          compDf.select(col("id").as("id_a"), col("comp").as("id_b")), None)
         val compRecallHit = docPairs.join(compPairs, Seq("id_a", "id_b")).count()
         comps.copy(plantedTotal = docPairs.count(), plantedFound = compRecallHit)
       }
@@ -448,9 +463,14 @@ object ScaleStress {
         val e = edges.getOrElse(
           Dedup.jaccardThresholdPairs(docs, "doc_id", "text", 3, 0.8)
             .select(col("id_a"), col("id_b")).localCheckpoint())
-        val split = Curation.leakageSafeSplit(docs, "doc_id", e)
+        // leakageSafeSplit runs connectedComponents EAGERLY — build it
+        // inside the by-name measure argument so the component rounds
+        // land in the timed/metered window (measure scaladoc, r18)
+        def build() = Curation.leakageSafeSplit(docs, "doc_id", e)
         val r = measure(spark, meter, "pipeline_leakage_safe_split",
-          split.select(col("doc_id").as("id_a"), col("split").as("id_b")), None)
+          build().select(col("doc_id").as("id_a"), col("split").as("id_b")),
+          None)
+        val split = build()
         val sameSplit = docPairs
           .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
           .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))
@@ -464,20 +484,25 @@ object ScaleStress {
       // component stages each carry their own above; this row pins the
       // COMPOSITION's wall/shuffle growth.
       val end2end = if (!wanted("end2end")) None else Some {
-        val raw = docs.select(col("doc_id"), col("source"), col("text"),
-          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-        val q = raw.filter(col("n_tokens") >= 30)
-        val base = Dedup.exactKeepFirst(q, Seq("text"), "doc_id")
-        val pairs2 = Dedup.jaccardThresholdPairs(base, "doc_id", "text", 3, 0.8)
-        val dropIds = Dedup.connectedComponents(pairs2, "id_a", "id_b")
-          .filter(col("id") =!= col("comp")).select(col("id"))
-        val fin = base.join(dropIds, base("doc_id") === dropIds("id"), "left_anti")
-        val stats = raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
-          .join(q.groupBy("source").agg(count(lit(1)).as("n_quality")), "source")
-          .join(base.groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
-          .join(fin.groupBy("source").agg(count(lit(1)).as("n_final"),
-            sum(col("n_tokens")).cast("long").as("tokens_final")), "source")
-        measure(spark, meter, "pipeline_end2end", stats, None)
+        // wrapped in a builder: the prefix-pair checkpoints and the
+        // eager component rounds must run INSIDE measure's by-name
+        // timed window (measure scaladoc, r18)
+        def build() = {
+          val raw = docs.select(col("doc_id"), col("source"), col("text"),
+            graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+          val q = raw.filter(col("n_tokens") >= 30)
+          val base = Dedup.exactKeepFirst(q, Seq("text"), "doc_id")
+          val pairs2 = Dedup.jaccardThresholdPairs(base, "doc_id", "text", 3, 0.8)
+          val dropIds = Dedup.connectedComponents(pairs2, "id_a", "id_b")
+            .filter(col("id") =!= col("comp")).select(col("id"))
+          val fin = base.join(dropIds, base("doc_id") === dropIds("id"), "left_anti")
+          raw.groupBy("source").agg(count(lit(1)).as("n_raw"))
+            .join(q.groupBy("source").agg(count(lit(1)).as("n_quality")), "source")
+            .join(base.groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
+            .join(fin.groupBy("source").agg(count(lit(1)).as("n_final"),
+              sum(col("n_tokens")).cast("long").as("tokens_final")), "source")
+        }
+        measure(spark, meter, "pipeline_end2end", build(), None)
       }
 
       // BM25 search at scale with both query-term regimes a real corpus

@@ -41,15 +41,19 @@ object WinScaleStress {
     val meter = new ScaleStress.ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
-    def countNode(plan: String, node: String): Int =
-      node.r.findAllMatchIn(plan).length
-
     val sections = mults.map { m =>
       val dir = s"target/tpch_scale/x$m"
-      // reuse the relational tier's scaled db when it already exists
-      if (!java.nio.file.Files.isDirectory(
-          java.nio.file.Paths.get(s"$dir/orders.parquet")))
+      // reuse the relational tier's scaled db ONLY when a completed
+      // write from the same base is recorded — a bare orders.parquet
+      // probe would happily bench a partial or wrong-base corpus while
+      // stamping the artifact with this base (r18 review)
+      val marker = java.nio.file.Paths.get(s"$dir/_scaled_from.txt")
+      val want = s"$baseDir x$m"
+      if (!(java.nio.file.Files.isRegularFile(marker) &&
+            java.nio.file.Files.readString(marker) == want)) {
         TpchScaleStress.writeScaled(spark, baseDir, dir, m)
+        java.nio.file.Files.writeString(marker, want)
+      }
       val items = only.toSeq.sorted.map { q =>
         val df = graft.SparkEntry.queries(q)(spark, dir)
         // noop sink, NOT count(): a count lets Catalyst prune the whole
@@ -67,17 +71,40 @@ object WinScaleStress {
           val w = (System.nanoTime() - t0) / 1e9
           if (w < wall) { wall = w; snap = meter.snapshot }
         }
+        // walk the executed plan (AQE stages included) instead of
+        // string-matching — ReusedExchange renders the same line text
+        // as the exchange it reads (r18 review; same walker shape as
+        // ShuffleBudgetSpec)
+        import org.apache.spark.sql.execution.SparkPlan
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+        import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+        val shuffles = scala.collection.mutable.Map[Int, Boolean]()
+        var nWindow = 0
+        def walk(p: SparkPlan): Unit = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case qs: QueryStageExec => walk(qs.plan)
+          case _: ReusedExchangeExec => ()
+          case e: ShuffleExchangeLike =>
+            shuffles(e.id) = e.outputPartitioning == SinglePartition
+            e.children.foreach(walk)
+          case other =>
+            if (other.nodeName.startsWith("Window")) nWindow += 1
+            other.children.foreach(walk)
+        }
+        walk(df.queryExecution.executedPlan)
+        val nExchange = shuffles.size
+        val nSingle = shuffles.valuesIterator.count(identity)
         val plan = df.queryExecution.executedPlan.toString
-        val nWindow = countNode(plan, "\\bWindow\\b") +
-          countNode(plan, "WindowGroupLimit")
-        val nExchange = countNode(plan, "Exchange hashpartitioning")
-        val nSingle = countNode(plan, "Exchange SinglePartition") +
-          countNode(plan, "SinglePartition\\b")
-        // every row here uses ONE window partitioning (o_custkey), so
-        // however many window functions/frames it stacks, one exchange
-        // must feed them all
-        require(nExchange == 1,
-          s"$q x$m: expected 1 window exchange, got $nExchange\n$plan")
+        // the three default rows each use ONE window partitioning, so
+        // however many window functions/frames they stack, one exchange
+        // must feed them all; rows passed via qfilter may legitimately
+        // carry more shapes, so they are recorded without the hard pin
+        val onePartitioningRows =
+          Set("win_frames_rows", "win_ignore_nulls", "win_rank_family")
+        if (onePartitioningRows(q))
+          require(nExchange == 1,
+            s"$q x$m: expected 1 window exchange, got $nExchange\n$plan")
         require(nSingle == 0,
           s"$q x$m: single-partition window in plan!\n$plan")
         f""""$q":{"wall_sec":$wall%.3f,"shuffle_mb":${snap._1 / 1e6}%.2f,""" +

@@ -151,8 +151,11 @@ class DedupSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!fuzzyPlan.contains("ScalaUDF"),
       "fuzzyPairs physical plan still contains a ScalaUDF node")
+    // materialize = false: the production default checkpoints the
+    // shingle stage into separate jobs, which would hollow out this
+    // assert — the inline form exposes the full pipeline's plan (r18)
     val prefixPlan = Dedup.jaccardThresholdPairs(docs, "doc_id", "text",
-      shingleN = 3, threshold = 0.8)
+      shingleN = 3, threshold = 0.8, materialize = false)
       .queryExecution.executedPlan.toString
     assert(!prefixPlan.contains("ScalaUDF"),
       "jaccardThresholdPairs physical plan still contains a ScalaUDF node")

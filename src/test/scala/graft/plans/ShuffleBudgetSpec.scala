@@ -20,8 +20,11 @@ class ShuffleBudgetSpec extends SparkSpec {
   import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
   import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
 
-  private def materializedShuffles(name: String): (Int, SparkPlan) = {
-    val df = graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+  private def materializedShuffles(name: String): (Int, SparkPlan) =
+    materializedShufflesOf(
+      graft.SparkEntry.queries(name)(spark, "/root/testdata/sf0.001"))
+
+  private def materializedShufflesOf(df: org.apache.spark.sql.DataFrame): (Int, SparkPlan) = {
     df.collect()
     val seen = scala.collection.mutable.Set[Int]()
     def walk(p: SparkPlan): Unit = p match {
@@ -64,9 +67,25 @@ class ShuffleBudgetSpec extends SparkSpec {
   // epochs·shards offset window + the QUERY's presentation orderBy.
   // hybrid = the bm25 arm's tf/stats/final + the two bounded rank
   // windows + the tiny full-outer fusion join, 5 after reuse.
+  // r18: the production prefix-filter path materializes its shingled
+  // corpus + prefix relation via localCheckpoint, which moves the
+  // pipeline's stages into the checkpoint jobs and out of the FINAL
+  // plan — a budget assert on the row would pin an ExistingRDD stub.
+  // The pipeline's shuffle inventory is pinned on the INLINE form
+  // (materialize = false), which is the same stage graph computed once.
+  test("dedup_prefix_filter (inline pipeline) materializes at most 2 shuffles") {
+    val docs = graft.Engine.table(spark, "/root/testdata/sf0.001", "documents")
+    val (n, plan) = materializedShufflesOf(
+      graft.operators.Dedup.jaccardThresholdPairs(
+          docs, "doc_id", "text", shingleN = 3, threshold = 0.8,
+          materialize = false)
+        .select(org.apache.spark.sql.functions.col("id_a"),
+          org.apache.spark.sql.functions.col("id_b")))
+    assert(n <= 2, s"dedup_prefix_filter inline: $n shuffles\n$plan")
+  }
+
   for ((name, budget) <- Seq(
     "dedup_minhash_pairs" -> 2,
-    "dedup_prefix_filter" -> 2,
     "sim_cosine_topk" -> 1,
     "dedup_exact" -> 1,
     "text_bm25_topk" -> 2,

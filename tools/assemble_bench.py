@@ -27,6 +27,8 @@ argv = [a for a in sys.argv if a != "--force"]
 prior_path = None
 if "--prior" in argv:
     i = argv.index("--prior")
+    if i + 1 >= len(argv):
+        sys.exit("assemble_bench: --prior needs a path argument")
     prior_path = argv[i + 1]
     del argv[i:i + 2]
 sys.argv = argv
@@ -126,6 +128,16 @@ if prior_path:
         s = q["spark_sec"]
         if p and p > 0 and s > 0 and s > p * 1.34 and s - p > 0.05:
             trips.append({"query": n, "prior_spark_sec": p, "spark_sec": s})
+        elif p and p > 0 and s <= 0:
+            # previously green, now fails outright — the worst regression
+            # class must not slip past the sigma guard
+            trips.append({"query": n, "prior_spark_sec": p, "spark_sec": s,
+                          "note": "FAILED this round (was green)"})
+    # rows that DISAPPEARED from the inventory are a regression too
+    for n, pq in prior.items():
+        if n not in queries and pq.get("spark_sec", -1) > 0:
+            trips.append({"query": n, "prior_spark_sec": pq["spark_sec"],
+                          "spark_sec": None, "note": "MISSING this round"})
     out["protocol"]["sigma_rule"] = (
         "spark-side rows moving > +34%% and > +50 ms vs %s" % prior_path)
     out["protocol"]["sigma_watch"] = trips
