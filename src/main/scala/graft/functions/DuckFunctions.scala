@@ -324,6 +324,13 @@ object DuckFunctions {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("array_dot", graft.plans.ArrayDot.builder, "built-in")
+      // hash-aggregable lexicographic min of a (doc, pos) pair — the
+      // analyzer wraps the bare AggregateFunction the builder returns
+      // in an AggregateExpression, exactly like the built-in registry
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry
+        .createOrReplaceTempFunction("min_pair_ord",
+          graft.plans.MinPairOrd.builder, "built-in")
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.functionRegistry
         .createOrReplaceTempFunction("array_dot_float",

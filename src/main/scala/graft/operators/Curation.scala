@@ -515,20 +515,25 @@ object Curation {
       .withColumnsRenamed(Map("pos" -> "__p", "col" -> "__g"))
     val perDoc = pos.groupBy(col("__g"), col(idCol))
       .agg(min(col("__p")).as("__p0"))
-    // r18 measured negative result (OPTIMIZATION_r18.md): min(struct)
-    // plans as SortAggregate (struct min has no HashAggregate buffer);
-    // a min_by rewrite was tried to get back to hash aggregation and
-    // measured 0.60 → 0.96 s — ObjectHashAggregate falls back to
-    // sort-based merging past 128 distinct keys (gram cardinality is
-    // millions), so it paid the hash attempt AND the sort. The
-    // SortAggregate form stands.
+    // r18 measured negative results (OPTIMIZATION_r18.md): min(struct)
+    // plans as SortAggregate (struct min has no HashAggregate buffer —
+    // two full sorts of the (gram, doc) table around the exchange), and
+    // a min_by rewrite measured 0.60 → 0.96 s (ObjectHashAggregate
+    // falls back to sort-based merging past 128 distinct keys; gram
+    // cardinality is millions, so it paid the hash attempt AND the
+    // sort). r19: graft.plans.MinPairOrd keeps min(struct)'s exact
+    // lexicographic-with-null-first semantics in three mutable
+    // primitive buffer slots, so the per-gram aggregate plans as a
+    // plain two-phase codegen HashAggregate — no sort anywhere before
+    // the TakeOrdered top-k.
     val topk = perDoc.groupBy(col("__g"))
       .agg(count(lit(1)).as("n_docs"),
-        min(struct(col(idCol), col("__p0"))).as("__s"))
+        call_function("min_pair_ord",
+          col(idCol), col("__p0").cast("long")).as("__s"))
       .filter(col("n_docs") >= 2)
       .select(col("__g"), col("n_docs"),
-        col("__s").getField(idCol).as("sample_doc"),
-        col("__s").getField("__p0").cast("long").as("sample_pos"))
+        col("__s").getField("doc").as("sample_doc"),
+        col("__s").getField("pos").cast("long").as("sample_pos"))
       .orderBy(col("n_docs").desc, col("sample_doc"), col("sample_pos"))
       .limit(k)
     docs

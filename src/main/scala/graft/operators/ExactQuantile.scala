@@ -260,9 +260,31 @@ object ExactQuantile {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Session-level memo of the routing decision (r19, VERDICT r18 #6 —
+    * the RangeJoinRule boundsCache pattern): `shouldBinRefine` is a
+    * plan-time MEASUREMENT job, and before this memo it ran at every
+    * query construction — two extra driver actions per execution at any
+    * scale. The decision only selects between two plans whose outputs
+    * are bit-equal (pinned in ExactQuantileSpec), so a stale entry can
+    * never change a result, only the routing; keyed on the canonicalized
+    * analyzed plan + group column + crossover, bounded LRU. */
+  private val refineCache =
+    new java.util.LinkedHashMap[(Int, String, Long), java.lang.Boolean](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Int, String, Long), java.lang.Boolean]): Boolean =
+        size > 64
+    }
+
   def shouldBinRefine(df: DataFrame, groupCol: String,
-                      crossover: Long = CrossoverRowsPerGroup): Boolean =
-    maxGroupRows(df, groupCol) >= crossover
+                      crossover: Long = CrossoverRowsPerGroup): Boolean = {
+    val key = (df.queryExecution.analyzed.semanticHash(), groupCol, crossover)
+    val cached = refineCache.synchronized(Option(refineCache.get(key)))
+    cached.map(_.booleanValue()).getOrElse {
+      val v = maxGroupRows(df, groupCol) >= crossover
+      refineCache.synchronized(refineCache.put(key, java.lang.Boolean.valueOf(v)))
+      v
+    }
+  }
 
   /** Self-selecting exact quantiles: measures rows-per-group and routes
     * groups past the crossover through bin refinement (O(B·cells)

@@ -252,13 +252,22 @@ object Relational {
       // values with a third of the pre-shuffle rows per leg and no
       // Expand; measured 0.63 → 0.46 s isolated (same-session A/B,
       // min-of-4).
+      // r19 (VERDICT r18 #5): the legs recompose with NULL-SAFE joins —
+      // a plain USING inner join would drop a NULL group key that the
+      // original single aggregate kept. Unreachable on TPC-H
+      // (l_returnflag is NOT NULL) so every output row is identical;
+      // this makes the rewrite equivalent on ANY input, matching
+      // ExactQuantile.quantilesByCounts' own <=> recomposition.
       val li = t(s, dir, "lineitem")
       def leg(a: org.apache.spark.sql.Column) =
         li.groupBy(col("l_returnflag")).agg(a)
-      leg(countDistinct(col("l_partkey")).as("nd_part"))
-        .join(leg(countDistinct(col("l_suppkey")).as("nd_supp")), "l_returnflag")
-        .join(leg(round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty")),
-          "l_returnflag")
+      val l1 = leg(countDistinct(col("l_partkey")).as("nd_part"))
+      val l2 = leg(countDistinct(col("l_suppkey")).as("nd_supp"))
+      val l3 = leg(round(sum_distinct(col("l_quantity")), 2).as("sum_d_qty"))
+      l1.join(l2, l1("l_returnflag") <=> l2("l_returnflag"))
+        .drop(l2("l_returnflag"))
+        .join(l3, l1("l_returnflag") <=> l3("l_returnflag"))
+        .drop(l3("l_returnflag"))
     }),
 
     "agg_filtered" -> ((s, dir) => {
@@ -386,8 +395,12 @@ object Relational {
         // in ExactQuantileSpec)
         val mo = graft.operators.ExactQuantile.modeByCounts(
           li, "l_returnflag", "l_linestatus", "mode_ls")
-        qty.join(price, "l_returnflag").join(mo, "l_returnflag")
-          .select(col("l_returnflag"), col("med_qty"), col("p25_price"),
+        // null-safe recomposition (VERDICT r18 #5, same class as the
+        // three named sites): keeps a NULL group on any input
+        qty.join(price, qty("l_returnflag") <=> price("l_returnflag"))
+          .drop(price("l_returnflag"))
+          .join(mo, qty("l_returnflag") <=> mo("l_returnflag"))
+          .select(qty("l_returnflag"), col("med_qty"), col("p25_price"),
             col("p75_price"), col("mode_ls"))
       } else li.groupBy(col("l_returnflag")).agg(
           round(median(col("l_quantity")), 4).as("med_qty"),
@@ -853,8 +866,10 @@ object Relational {
           crossover = 0L)
         val sem = li.groupBy(col("l_linestatus")).agg(
           round((stddev_pop(col("l_quantity")) / sqrt(count(col("l_quantity")))), 8).as("sem_qty"))
-        stats.join(sem, "l_linestatus")
-          .select(col("l_linestatus"), col("med_disc"), col("p90_disc"),
+        // null-safe recomposition (VERDICT r18 #5): equivalent on any
+        // input, identical rows here (l_linestatus is NOT NULL)
+        stats.join(sem, stats("l_linestatus") <=> sem("l_linestatus"))
+          .select(stats("l_linestatus"), col("med_disc"), col("p90_disc"),
             col("sem_qty"))
       } else
         li.groupBy(col("l_linestatus")).agg(
@@ -1055,7 +1070,10 @@ object Relational {
           .groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
         val med = ExactQuantile.quantilesFromCounts(counts, "__g", "__v",
           "__c", Seq(QSpec("__v", 0.5, discrete = false, "med")))
-        val devCounts = counts.join(med, "__g")
+        // null-safe recomposition (VERDICT r18 #5): a NULL group key
+        // flows through the counts frame and must rejoin its median
+        val devCounts = counts
+          .join(med, counts("__g") <=> med("__g")).drop(med("__g"))
           .select(col("__g"), abs(col("__v") - col("med")).as("__v"),
             col("__c"))
           .groupBy(col("__g"), col("__v")).agg(sum(col("__c")).as("__c"))

@@ -234,8 +234,16 @@ object ScaleStress {
     * and the meter, exactly like Bench's timeOne (which constructs the
     * query inside the timed region). Purely-lazy operators re-evaluate
     * a plan object — free. */
-  def measure(spark: SparkSession, meter: ShuffleMeter, name: String,
-              result: => DataFrame, planted: Option[DataFrame]): OpResult = {
+  /** Like [[measure]] but also returns the LAST constructed DataFrame,
+    * so callers that need the result again (recall joins on eagerly-
+    * built pipelines — components, leakage split) reuse the evaluation
+    * the timing ran on instead of re-running the whole eager build a
+    * fourth time (r18 ADVICE: at the x64 tier that re-run is
+    * significant wall time, and the recall was previously computed on
+    * a DIFFERENT evaluation than the one timed). */
+  def measured(spark: SparkSession, meter: ShuffleMeter, name: String,
+               result: => DataFrame,
+               planted: Option[DataFrame]): (OpResult, DataFrame) = {
     var df = result
     val n = df.count() // warm pass (JIT + AQE plan settled)
     var wall = Double.MaxValue
@@ -257,8 +265,12 @@ object ScaleStress {
         (tot, hit)
       case None => (0L, 0L)
     }
-    OpResult(name, wall, b, r, n, pTot, pHit)
+    (OpResult(name, wall, b, r, n, pTot, pHit), df)
   }
+
+  def measure(spark: SparkSession, meter: ShuffleMeter, name: String,
+              result: => DataFrame, planted: Option[DataFrame]): OpResult =
+    measured(spark, meter, name, result, planted)._1
 
   /** LSH bits per band scaled so expected bucket size stays ~32. */
   def lshBits(n: Long): Int =
@@ -343,10 +355,14 @@ object ScaleStress {
         // window (measure scaladoc, r18)
         def buildComp() = Dedup.connectedComponents(e, "id_a", "id_b",
           localEdgeLimit = 0L)
-        val comps = measure(spark, meter, "dedup_components",
+        // reuse the LAST timed evaluation for the recall join (r19,
+        // r18 ADVICE): the eager star rounds are not re-run a 4th time,
+        // and recall is computed on the same evaluation that was timed
+        val (comps, lastComps) = measured(spark, meter, "dedup_components",
           buildComp().select(col("id").as("id_a"), col("comp").as("id_b")),
           None)
-        val compDf = buildComp()
+        val compDf = lastComps
+          .select(col("id_a").as("id"), col("id_b").as("comp"))
         val compPairs = compDf.select(col("id").as("id_a"), col("comp").as("ca"))
           .join(docPairs, Seq("id_a"))
           .join(compDf.select(col("id").as("id_b"), col("comp").as("cb")), Seq("id_b"))
@@ -467,10 +483,13 @@ object ScaleStress {
         // inside the by-name measure argument so the component rounds
         // land in the timed/metered window (measure scaladoc, r18)
         def build() = Curation.leakageSafeSplit(docs, "doc_id", e)
-        val r = measure(spark, meter, "pipeline_leakage_safe_split",
+        // reuse the LAST timed evaluation (r19, r18 ADVICE — no 4th
+        // eager build; recall measured on the evaluation that was timed)
+        val (r, lastSplit) = measured(spark, meter, "pipeline_leakage_safe_split",
           build().select(col("doc_id").as("id_a"), col("split").as("id_b")),
           None)
-        val split = build()
+        val split = lastSplit
+          .select(col("id_a").as("doc_id"), col("id_b").as("split"))
         val sameSplit = docPairs
           .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), Seq("id_a"))
           .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), Seq("id_b"))

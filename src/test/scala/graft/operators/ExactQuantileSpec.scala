@@ -212,6 +212,36 @@ class ExactQuantileSpec extends SparkSpec {
     }
   }
 
+  test("null group key survives the mad-shaped <=> recomposition (r19, VERDICT r18 #5)") {
+    // The agg_mad refine branch recomposes counts ⋈ median per group;
+    // r18 used a plain USING join there, which silently DROPPED a NULL
+    // group (the buffered branch keeps it). r19 switched the join to
+    // <=> — this pins the pattern on a frame with a NULL group key.
+    import spark.implicits._
+    import ExactQuantile.QSpec
+    val df = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 3.0), ("a", 10.0),
+      (null, 2.0), (null, 8.0), (null, 14.0)).toDF("g", "v")
+    val want = {
+      val med = df.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+      df.join(med, df("g") <=> med("g")).drop(med("g")).groupBy("g")
+        .agg(expr("percentile(abs(v - med), 0.5)").as("mad"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val counts = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("c"))
+    val med = ExactQuantile.quantilesFromCounts(counts, "g", "v", "c",
+      Seq(QSpec("v", 0.5, discrete = false, "med")))
+    val devCounts = counts
+      .join(med, counts("g") <=> med("g")).drop(med("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("v"), col("c"))
+      .groupBy(col("g"), col("v")).agg(sum(col("c")).as("c"))
+    val got = ExactQuantile.quantilesFromCounts(devCounts, "g", "v", "c",
+        Seq(QSpec("v", 0.5, discrete = false, "mad")))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet.contains(null), "the NULL group must survive recomposition")
+    assert(got == want, s"want=$want got=$got")
+  }
+
   test("auto self-selects on MEASURED rows/group vs the documented crossover (r17)") {
     val li = graft.Engine.table(spark, "/root/testdata/sf0.001", "lineitem")
     // sf0.001 lineitem: ~600 rows in the largest l_returnflag group —
